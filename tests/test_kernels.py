@@ -1,0 +1,323 @@
+"""Kernel parity tests.
+
+Expected values vendored from the reference's own test suites
+(/root/reference/extractors_test.go, core_test.go:716-996,
+timezone_test.go) — behavior pins, not code.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from go_htmldate_spark.cascade import compare_reference, search_page
+from go_htmldate_spark.functions.dateparse import (
+    external_parse,
+    fast_parse,
+    regex_parse,
+    try_date_expr,
+)
+from go_htmldate_spark.functions.timeparse import find_time, parse_timezone_code
+from go_htmldate_spark.functions.validate import (
+    YearCandidate,
+    select_candidate,
+)
+from go_htmldate_spark.options import Options
+import re
+
+OPTS = Options().with_defaults()
+OPTS_ORIG = Options(use_original_date=True).with_defaults()
+OPTS_SKIP = Options(skip_extensive_search=True).with_defaults()
+
+
+def _fmt(dt):
+    return dt.isoformat() if dt is not None else ""
+
+
+# --- tryDateExpr (extractors_test.go:36-77) ---
+@pytest.mark.parametrize(
+    "s,expected,skip_ext",
+    [
+        ("", "", False),
+        ("Fri, Sept 1, 2017", "", True),
+        ("Friday, September 01, 2017", "2017-09-01", False),
+        ("Fr, 1 Sep 2017 16:27:51 MESZ", "2017-09-01", False),
+        ("Freitag, 01. September 2017", "2017-09-01", False),
+        ("Am 1. September 2017 um 15:36 Uhr schrieb", "2017-09-01", False),
+        ("Fri - September 1 - 2017", "2017-09-01", False),
+        ("1.9.2017", "2017-09-01", False),
+        ("1/9/17", "2017-09-01", False),
+        ("201709011234", "2017-09-01", False),
+        ("201", "", False),
+        ("14:35:10", "", False),
+        ("12:00 h", "", False),
+        ("2005-2006", "", False),
+        ("发布时间: 2022-02-25 14:34", "2022-02-25", False),
+        ("Fri, Sept 1, 2017", "2017-09-01", False),
+    ],
+)
+def test_try_date_expr(s, expected, skip_ext):
+    opts = OPTS_SKIP if skip_ext else OPTS
+    _, dt = try_date_expr(s, opts)
+    assert _fmt(dt) == expected, s
+
+
+# --- fastParse (extractors_test.go:79-121) ---
+@pytest.mark.parametrize(
+    "s,expected",
+    [
+        ("20041212", "2004-12-12"),
+        ("12.12.2004", "2004-12-12"),
+        ("2004-12-12", "2004-12-12"),
+        ("12.01.2004", "2004-01-12"),
+        ("12.01.20", "2020-01-12"),
+        ("3/14/2016", "2016-03-14"),
+        ("2020-1", "2020-01-01"),
+        ("2020.01", "2020-01-01"),
+        ("1998-01", "1998-01-01"),
+        ("10.10.98", "1998-10-10"),
+        ("abcd 20041212 efgh", "2004-12-12"),
+        ("abcd 2004-2-12 efgh", "2004-02-12"),
+        ("abcd 2004-2 efgh", "2004-02-01"),
+        ("2020.13", ""),
+        ("12122004", ""),
+        ("1212-20-04", ""),
+        ("33.20.2004", ""),
+        ("36/14/2016", ""),
+        ("2019 28 meh", ""),
+        ("January 12 1098", ""),
+        ("abcd 32. Januar 2020 efgh", ""),
+        ("February 29 2008", "2008-02-29"),
+        ("February 30 2008", ""),
+        ("XXTag, den 29. Februar 2008", "2008-02-29"),
+        ("XXTag, den 30. Februar 2008", ""),
+    ],
+)
+def test_fast_parse(s, expected):
+    assert _fmt(fast_parse(s, OPTS)) == expected, s
+
+
+# --- regexParse (extractors_test.go:123-273, spot sample + full month matrix) ---
+@pytest.mark.parametrize(
+    "s,expected",
+    [
+        ("3. Dezember 2008", "2008-12-03"),
+        ("33. Dezember 2008", ""),
+        ("3. Dez 2008", "2008-12-03"),
+        ("3 dez 2008", "2008-12-03"),
+        ("3 Aralık 2008 Çarşamba", "2008-12-03"),
+        ("3 Aralık 2008", "2008-12-03"),
+        ("Tuesday, March 26th, 2019", "2019-03-26"),
+        ("March 26, 2019", "2019-03-26"),
+        ("3rd Tuesday in March", ""),
+        ("Mart 26, 2019", "2019-03-26"),
+        ("Salı, Mart 26, 2019", "2019-03-26"),
+        ("36/14/2016", ""),
+        ("January 36 1998", ""),
+        ("1. Okt. 1998", "1998-10-01"),
+    ],
+)
+def test_regex_parse(s, expected):
+    assert _fmt(regex_parse(s, OPTS)) == expected, s
+
+
+_EN = "January February March April May June July August September October November December".split()
+_DE = "Januar Februar März April Mai Juni Juli August September Oktober November Dezember".split()
+_TR = "Ocak Şubat Mart Nisan Mayıs Haziran Temmuz Ağustos Eylül Ekim Kasım Aralık".split()
+_EN_AB = "Jan Feb Mar Apr May Jun Jul Aug Sep Oct Nov Dec".split()
+_TR_AB = "Oca Şub Mar Nis May Haz Tem Ağu Eyl Eki Kas Ara".split()
+
+
+@pytest.mark.parametrize("names", [_EN, _DE, _TR, _EN_AB, _TR_AB])
+def test_regex_parse_month_matrix(names):
+    for i, name in enumerate(names, start=1):
+        expected = f"1998-{i:02d}-01"
+        assert _fmt(regex_parse(f"{name} 1st, 1998", OPTS)) == expected, name
+        assert _fmt(regex_parse(f"1 {name} 1998", OPTS)) == expected, name
+
+
+# --- externalDateParser (extractors_test.go:275-303) ---
+@pytest.mark.parametrize(
+    "s,expected",
+    [
+        ("Wednesday, January 1st 2020", "2020-01-01"),
+        ("Random text with 2020", ""),
+        ("1 January 0002", "0002-01-01"),
+        ("1 January 1900", "1900-01-01"),
+        ("2018-04-12 17:20:03.12345678999a", "2018-12-04"),
+        ("12345678912 days", ""),
+        ("2.2250738585072011e-308", ""),
+        ("⁰⁴⁵₀₁₂", ""),
+        ("Fri | September 1 | 2017", "2017-09-01"),
+    ],
+)
+def test_external_parse(s, expected):
+    # the reference tests call this with zero Options (no min/max)
+    opts = Options(min_date=None, max_date=None)
+    assert _fmt(external_parse(s, opts)) == expected, s
+
+
+# --- findTime (core_test.go:716-777) ---
+@pytest.mark.parametrize(
+    "inp,expected,tz_exists",
+    [
+        ("12:00", "12:00:00 +0000", False),
+        ("12:00:10", "12:00:10 +0000", False),
+        ("12:00:10.372", "12:00:10 +0000", False),
+        ("10:21Z", "10:21:00 +0000", True),
+        ("10:21:40Z", "10:21:40 +0000", True),
+        ("10:21:40.462Z", "10:21:40 +0000", True),
+        ("16:14+02:00", "16:14:00 +0200", True),
+        ("16:14:51+02:00", "16:14:51 +0200", True),
+        ("16:14:51.075+02:00", "16:14:51 +0200", True),
+        ("16:14:51.075+0200", "16:14:51 +0200", True),
+        ("16:14:51.075+02", "16:14:51 +0200", True),
+        ("7:8", "07:08:00 +0000", False),
+        ("7:8:9", "07:08:09 +0000", False),
+        ("7:8 am", "07:08:00 +0000", False),
+        ("7:8:9 am", "07:08:09 +0000", False),
+        ("7:8 pm", "19:08:00 +0000", False),
+        ("7:8:9 pm", "19:08:09 +0000", False),
+        ("7:8 a.m.", "07:08:00 +0000", False),
+        ("7:8:9 a.m.", "07:08:09 +0000", False),
+        ("7:8 p.m.", "19:08:00 +0000", False),
+        ("7:8:9 p.m.", "19:08:09 +0000", False),
+        ("07:08", "07:08:00 +0000", False),
+        ("07:08:09", "07:08:09 +0000", False),
+        ("07:08 am", "07:08:00 +0000", False),
+        ("07:08:09 am", "07:08:09 +0000", False),
+        ("07:08 pm", "19:08:00 +0000", False),
+        ("07:08:09 pm", "19:08:09 +0000", False),
+        ("07:08 a.m.", "07:08:00 +0000", False),
+        ("07:08:09 a.m.", "07:08:09 +0000", False),
+        ("07:08 p.m.", "19:08:00 +0000", False),
+        ("07:08:09 p.m.", "19:08:09 +0000", False),
+        ("07:08 a.m. +0100", "07:08:00 +0100", True),
+        ("07:08:09 a.m. +0100", "07:08:09 +0100", True),
+        ("07:08 p.m. +0100", "19:08:00 +0100", True),
+        ("07:08:09 p.m. +0100", "19:08:09 +0100", True),
+        ("07h08 a.m. +0100", "07:08:00 +0100", True),
+        ("07h08 p.m. +0100", "19:08:00 +0100", True),
+    ],
+)
+def test_find_time(inp, expected, tz_exists):
+    ft = find_time(inp)
+    out = ""
+    if ft.found:
+        off = ft.tz_offset or 0
+        sign = "+" if off >= 0 else "-"
+        off = abs(off)
+        out = (
+            f"{ft.hour:02d}:{ft.minute:02d}:{ft.second:02d} "
+            f"{sign}{off // 3600:02d}{(off % 3600) // 60:02d}"
+        )
+    assert out == expected, inp
+    assert (ft.tz_offset is not None) == tz_exists, inp
+
+
+# --- parseTimezoneCode (timezone_test.go:10-62) ---
+@pytest.mark.parametrize(
+    "code,expected",
+    [
+        ("Z", 0),
+        ("z", 0),
+        (" +07:30", 27000),
+        (" -07:30", -27000),
+        (" +0730", 27000),
+        (" +07", 25200),
+        ("0000", None),
+    ],
+)
+def test_parse_timezone_code(code, expected):
+    assert parse_timezone_code(code) == expected
+
+
+# --- compareReference (core_test.go:807-825) ---
+def test_compare_reference():
+    _, res = compare_reference("", 0, "AAAA", OPTS)
+    assert res == 0
+    _, res = compare_reference("", 1517500000, "2018-33-01", OPTS)
+    assert res == 1517500000
+    _, res = compare_reference("", 0, "2018-02-01", OPTS)
+    assert 1517400000 < res < 1517500000
+    _, res = compare_reference("", 1517500000, "2018-02-01", OPTS)
+    assert res == 1517500000
+
+
+# --- selectCandidate (core_test.go:827-865) ---
+_RX_YEAR4 = re.compile(r"^([0-9]{4})")
+_RX_CATCH = re.compile(r"([0-9]{4})-([0-9]{2})-([0-9]{2})")
+
+
+def _candidates(*items: str) -> list[YearCandidate]:
+    order: list[str] = []
+    counts: dict[str, int] = {}
+    for it in items:
+        if it not in counts:
+            order.append(it)
+            counts[it] = 0
+        counts[it] += 1
+    return [YearCandidate(p, counts[p], p) for p in order]
+
+
+def test_select_candidate():
+    opts = Options().with_defaults()
+
+    cands = _candidates(
+        "20208956", "20208956", "20208956", "19018956", "209561",
+        "22020895607-12", "2-28",
+    )
+    _, result = select_candidate(cands, _RX_CATCH, _RX_YEAR4, opts)
+    assert not result
+
+    cands = _candidates(
+        "2016-12-23", "2016-12-23", "2016-12-23", "2016-12-23",
+        "2017-08-11", "2016-07-12", "2017-11-28",
+    )
+    _, result = select_candidate(cands, _RX_CATCH, _RX_YEAR4, opts)
+    assert result[1] == "2017" and result[0].startswith("2017-11-28")
+
+    opts_o = Options(use_original_date=True).with_defaults()
+    _, result = select_candidate(cands, _RX_CATCH, _RX_YEAR4, opts_o)
+    assert result[0].startswith("2016-07-12")
+
+    cands = _candidates(
+        "2116-12-23", "2116-12-23", "2116-12-23", "2017-08-11", "2017-08-11"
+    )
+    _, result = select_candidate(cands, _RX_CATCH, _RX_YEAR4, opts_o)
+    assert result[0].startswith("2017-08-11")
+    _, result = select_candidate(cands, _RX_CATCH, _RX_YEAR4, opts)
+    assert result[0].startswith("2017-08-11")
+
+    cands = _candidates(
+        "2016-12-23", "2016-12-23", "2017-08-11", "2017-08-11", "2017-08-11"
+    )
+    _, result = select_candidate(cands, _RX_CATCH, _RX_YEAR4, opts)
+    assert result[0].startswith("2016-12-23")
+
+
+# --- searchPage string cases (core_test.go:867-940) ---
+@pytest.mark.parametrize(
+    "html,expected,use_original",
+    [
+        ("<html><body><p>The date is 5/2010</p></body></html>", "2010-05-01", False),
+        ("<html><body><p>The date is 5.5.2010</p></body></html>", "2010-05-05", False),
+        ("<html><body><p>The date is 11/10/99</p></body></html>", "1999-10-11", False),
+        ("<html><body><p>The date is 3/3/11</p></body></html>", "2011-03-03", False),
+        ("<html><body><p>The date is 06.12.06</p></body></html>", "2006-12-06", False),
+        ("<html><body><p>The timestamp is 20140915D15:23H</p></body></html>", "2014-09-15", False),
+        ("<html><body><p>It could be 2015-04-30 or 2003-11-24.</p></body></html>", "2015-04-30", False),
+        ("<html><body><p>It could be 2015-04-30 or 2003-11-24.</p></body></html>", "2003-11-24", True),
+        ("<html><body><p>It could be 03/03/2077 or 03/03/2013.</p></body></html>", "2013-03-03", False),
+        ("<html><body><p>It could not be 03/03/2077 or 03/03/1988.</p></body></html>", "", False),
+        ("<html><body><p>© The Web Association 2013.</p></body></html>", "2013-01-01", False),
+        ("<html><body><p>Next © Copyright 2018</p></body></html>", "2018-01-01", False),
+        ("<html><body><p> © Company 2014-2019 </p></body></html>", "2019-01-01", False),
+        ("<html><body><p> &copy; Copyright 1999-2020 Asia Pacific Star. All rights reserved.</p></body></html>", "2020-01-01", False),
+        ('<html><head><link xmlns="http://www.w3.org/1999/xhtml"/></head></html>', "", False),
+        ('<html><body><link href="//homepagedesigner.telekom.de/.cm4all/res/static/beng-editor/5.1.98/css/deploy.css"/></body></html>', "", False),
+    ],
+)
+def test_search_page(html, expected, use_original):
+    opts = OPTS_ORIG if use_original else OPTS
+    _, dt = search_page(html, opts)
+    assert _fmt(dt) == expected, html

@@ -1,0 +1,162 @@
+"""Deterministic synthetic Common-Crawl-shaped corpus.
+
+Generates the `pages` table prescribed by BASELINE.json input_hint:
+(url string, warc_ts timestamp, html binary, text string, lang string).
+
+Generation is 100% native Spark (spark.range → xxhash64-derived
+pseudo-randomness → concat'd HTML templates), so it's seed-stable,
+embarrassingly parallel, and scales to any row count without Python in
+the loop. Each page plants one known date through a chosen cascade
+stage; the planted stage/date are returned alongside as golden columns
+for correctness checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# stage ids → which cascade stage carries the planted date
+STAGES = [
+    "url",            # 0: date only in the URL path
+    "meta_published", # 1: <meta property="article:published_time">
+    "meta_modified",  # 2: <meta property="og:updated_time"> (+published)
+    "jsonld",         # 3: JSON-LD datePublished/dateModified
+    "time_tag",       # 4: <time datetime=...>
+    "abbr",           # 5: <abbr class="published" title=...>
+    "div_class",      # 6: <div class="post-date">D.M.YYYY</div>
+    "idio",           # 7: "Last updated: D/M/YY" free text
+    "copyright",      # 8: © YYYY only (approximate date)
+    "none",           # 9: no date anywhere
+]
+
+LANGS = ["en", "de", "fr", "tr", "id"]
+
+_FILLER = (
+    "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod "
+    "tempor incididunt ut labore et dolore magna aliqua"
+)
+
+
+def _h(seed: int, *cols: Column) -> Column:
+    """Stable per-row hash stream n (xxhash64 is seedable via literal)."""
+    return F.abs(F.xxhash64(F.lit(seed), *cols))
+
+
+def synth_pages(
+    spark: SparkSession,
+    n_rows: int,
+    seed: int = 42,
+    n_hosts: int | None = None,
+    heavy_host_share: int = 0,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Build the synthetic corpus.
+
+    heavy_host_share: percentage (0-90) of rows funneled onto host 0 to
+    synthesize a heavy-tail host for skew tests [north-rule].
+    """
+    n_hosts = n_hosts or max(16, n_rows // 64)
+    df = spark.range(0, n_rows, 1, partitions or spark.sparkContext.defaultParallelism)
+    i = F.col("id")
+
+    h1 = _h(seed, i)
+    h2 = _h(seed + 1, i)
+    h3 = _h(seed + 2, i)
+
+    # host with optional skew: first `heavy_host_share`% of hash space → host 0
+    host_id = F.when(
+        F.lit(heavy_host_share > 0) & (h3 % 100 < F.lit(heavy_host_share)),
+        F.lit(0),
+    ).otherwise(h3 % F.lit(n_hosts))
+    host = F.concat(F.lit("site"), host_id.cast("string"), F.lit(".example.org"))
+
+    # planted date in [2000-01-01, ~2024] — deterministic per row
+    planted = F.date_add(F.to_date(F.lit("2000-01-01")), (h2 % 9000).cast("int"))
+    y = F.year(planted).cast("string")
+    m2 = F.lpad(F.month(planted).cast("string"), 2, "0")
+    d2 = F.lpad(F.dayofmonth(planted).cast("string"), 2, "0")
+    iso = F.concat_ws("-", y, m2, d2)
+    dotted = F.concat_ws(".", d2, m2, y)
+
+    stage_id = (h1 % F.lit(len(STAGES))).cast("int")
+    stage = F.element_at(F.array(*[F.lit(s) for s in STAGES]), stage_id + 1)
+
+    slug = F.concat(F.lit("article-"), i.cast("string"))
+    url = F.when(
+        stage == "url",
+        F.concat(F.lit("https://"), host, F.lit("/"), y, F.lit("/"), m2,
+                 F.lit("/"), d2, F.lit("/"), slug),
+    ).otherwise(F.concat(F.lit("https://"), host, F.lit("/posts/"), slug))
+
+    lang = F.element_at(
+        F.array(*[F.lit(x) for x in LANGS]), (h2 % len(LANGS)).cast("int") + 1
+    )
+
+    title = F.concat(F.lit("Article "), i.cast("string"))
+    filler = F.lit(_FILLER)
+
+    head_extra = (
+        F.when(stage == "meta_published",
+               F.concat(F.lit('<meta property="article:published_time" content="'),
+                        iso, F.lit('T08:30:00+00:00"/>')))
+        .when(stage == "meta_modified",
+              F.concat(F.lit('<meta property="og:updated_time" content="'), iso,
+                       F.lit('T10:00:00Z"/><meta property="article:published_time" content="'),
+                       F.date_format(F.date_sub(planted, 7), "yyyy-MM-dd"),
+                       F.lit('T08:00:00Z"/>')))
+        .when(stage == "jsonld",
+              F.concat(F.lit('<script type="application/ld+json">{"@type":"NewsArticle","datePublished":"'),
+                       iso, F.lit('T06:00:00+00:00","dateModified":"'), iso,
+                       F.lit('T09:00:00+00:00"}</script>')))
+        .otherwise(F.lit(""))
+    )
+
+    body_extra = (
+        F.when(stage == "time_tag",
+               F.concat(F.lit('<time class="entry-date" datetime="'), iso,
+                        F.lit('T12:00:00+00:00">'), iso, F.lit("</time>")))
+        .when(stage == "abbr",
+              F.concat(F.lit('<abbr class="published" title="'), iso,
+                       F.lit('">posted</abbr>')))
+        .when(stage == "div_class",
+              F.concat(F.lit('<div class="post-date">'), dotted, F.lit("</div>")))
+        .when(stage == "idio",
+              F.concat(F.lit("<p><em>Last updated: "), dotted, F.lit("</em></p>")))
+        .when(stage == "copyright",
+              F.concat(F.lit("<footer>© "), y, F.lit(" Example Corp</footer>")))
+        .otherwise(F.lit(""))
+    )
+
+    text = F.concat_ws(" ", title, filler, F.when(stage != "none", iso).otherwise(F.lit("")))
+
+    html = F.concat(
+        F.lit("<!doctype html><html><head><title>"), title, F.lit("</title>"),
+        head_extra,
+        F.lit('</head><body><h1>'), title, F.lit("</h1><p>"), filler, F.lit("</p>"),
+        body_extra,
+        F.lit("<p>"), filler, F.lit("</p></body></html>"),
+    )
+
+    warc_ts = F.to_timestamp(F.lit("2024-06-01 00:00:00")) + F.make_interval(
+        secs=(h1 % 86400).cast("double")
+    )
+
+    return df.select(
+        url.alias("url"),
+        warc_ts.alias("warc_ts"),
+        F.encode(html, "UTF-8").alias("html"),
+        text.alias("text"),
+        lang.alias("lang"),
+        # golden columns (drop for realistic-pipeline runs)
+        stage.alias("planted_stage"),
+        F.when(stage == "copyright", F.concat(y, F.lit("-01-01")))
+        .when(stage != "none", iso)
+        .otherwise(F.lit("")).alias("expected_date"),
+        # original-date flavor: meta_modified pages plant published = planted-7d
+        F.when(stage == "copyright", F.concat(y, F.lit("-01-01")))
+        .when(stage == "meta_modified", F.date_format(F.date_sub(planted, 7), "yyyy-MM-dd"))
+        .when(stage != "none", iso)
+        .otherwise(F.lit("")).alias("expected_date_original"),
+        host.alias("host"),
+    )

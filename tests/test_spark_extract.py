@@ -1,0 +1,65 @@
+"""Spark-side extraction tests: staged plan correctness on the synthetic
+corpus, fast-path gating, and plan shape."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from go_htmldate_spark.operators.extract import extract_dates
+from go_htmldate_spark.options import Options
+from go_htmldate_spark.sources.pages import synth_pages
+
+
+@pytest.fixture(scope="module")
+def extracted(spark):
+    pages = synth_pages(spark, 500, seed=42)
+    return extract_dates(pages, Options()).cache()
+
+
+def test_all_planted_stages_recovered(extracted):
+    rows = (
+        extracted.withColumn("ok", F.col("date") == F.col("expected_date"))
+        .groupBy("planted_stage")
+        .agg(F.count("*").alias("n"), F.sum(F.col("ok").cast("int")).alias("ok"))
+        .collect()
+    )
+    by_stage = {r["planted_stage"]: (r["n"], r["ok"]) for r in rows}
+    assert set(by_stage) == {
+        "url", "meta_published", "meta_modified", "jsonld", "time_tag",
+        "abbr", "div_class", "idio", "copyright", "none",
+    }
+    for stage, (n, ok) in by_stage.items():
+        assert n > 10, f"stage {stage} undersampled"
+        assert ok == n, f"stage {stage}: {ok}/{n} matched"
+
+
+def test_original_flavor(spark):
+    pages = synth_pages(spark, 300, seed=7)
+    out = extract_dates(pages, Options(use_original_date=True))
+    bad = out.filter(F.col("date") != F.col("expected_date_original")).count()
+    assert bad == 0
+
+
+def test_deterministic_generator(spark):
+    a = synth_pages(spark, 100, seed=42).select("url", "text").collect()
+    b = synth_pages(spark, 100, seed=42).select("url", "text").collect()
+    assert a == b
+
+
+def test_fast_path_in_plan(spark):
+    """URL-stage rows must resolve without Python: the staged plan nulls
+    html before the ArrowEvalPython node."""
+    pages = synth_pages(spark, 50, seed=42)
+    plan = extract_dates(pages, Options())._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan  # UDF present for unresolved rows
+    # the gate: html only flows into the UDF behind the url-date CASE WHEN
+    assert "CASE WHEN" in plan
+
+
+def test_schema(extracted):
+    for col in ["date", "datetime", "has_time", "has_tz", "tz_offset", "src_string"]:
+        assert col in extracted.columns
+    # pass-through columns preserved
+    for col in ["url", "warc_ts", "html", "text", "lang"]:
+        assert col in extracted.columns

@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` — flagship: wrap sf0.001 documents into HTML pages with
+planted dates and run the staged extraction engine over them.
+
+`queries()` / `oracle_sql()` — one entry per implemented operator from
+SURVEY.md §2 plus the training-data pipeline operators, each with an
+ANSI-SQL DuckDB oracle where SQL-expressible (rows-only otherwise).
+Column names and types are aligned pairwise (BIGINT counts, round(…,6)
+doubles, yyyy-MM-dd strings).
 """
 
 from __future__ import annotations
@@ -12,27 +15,566 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF1 = "/root/testdata/sf0.001"
+
+# Java/RE2-compatible URL-date regex (works identically in Spark and DuckDB)
+URL_RX = r"[^0-9](199[0-9]|20[0-3][0-9])[/_-]([0-1]?[0-9])[/_-]([0-3]?[0-9])(?:[^0-9]|$)"
+
+MIN_D, MAX_D = "1995-01-01", "2030-12-31"
+
+_EN_MONTHS = [
+    "january", "february", "march", "april", "may", "june",
+    "july", "august", "september", "october", "november", "december",
+]
+
+_LANG_MARKERS_SQL = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "on"],
+    "de": ["der", "die", "das", "und", "nicht", "ist", "ein", "mit", "für", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "pour", "dans", "que", "une", "des"],
+    "tr": ["ve", "bir", "bu", "için", "ile", "olarak", "daha", "gibi", "çok", "en"],
+    "id": ["yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini", "dari", "akan"],
+}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _synth_urls(orders: DataFrame) -> DataFrame:
+    """Deterministic URL column: every 3rd order carries its date in the
+    URL path (unpadded, like real CMS URLs)."""
+    o = orders
+    dated = F.concat(
+        F.lit("https://example.org/"),
+        F.year("o_orderdate").cast("string"), F.lit("/"),
+        F.month("o_orderdate").cast("string"), F.lit("/"),
+        F.dayofmonth("o_orderdate").cast("string"), F.lit("/post-"),
+        F.col("o_orderkey").cast("string"),
+    )
+    plain = F.concat(F.lit("https://example.org/posts/item-"),
+                     F.col("o_orderkey").cast("string"))
+    return o.select(
+        "o_orderkey", "o_orderdate", "o_custkey", "o_orderpriority",
+        F.when(F.col("o_orderkey") % 3 == 0, dated).otherwise(plain).alias("url"),
+    )
+
+
+_SQL_SYNTH_URLS = f"""
+    SELECT o_orderkey, o_orderdate, o_custkey, o_orderpriority,
+           CASE WHEN o_orderkey % 3 = 0
+                THEN 'https://example.org/' || year(o_orderdate)
+                     || '/' || month(o_orderdate)
+                     || '/' || day(o_orderdate)
+                     || '/post-' || o_orderkey
+                ELSE 'https://example.org/posts/item-' || o_orderkey
+           END AS url
+    FROM orders
+"""
+
+_SQL_URL_DATE = f"""
+    COALESCE(CAST(try_cast(
+        regexp_extract(url, '{URL_RX}', 1) || '-' ||
+        regexp_extract(url, '{URL_RX}', 2) || '-' ||
+        regexp_extract(url, '{URL_RX}', 3) AS DATE) AS VARCHAR), '')
+"""
+
+
+def _url_date_col():
+    from go_htmldate_spark.functions.native import RX_COMPLETE_URL_JAVA
+
+    y = F.regexp_extract("url", RX_COMPLETE_URL_JAVA, 1)
+    m = F.regexp_extract("url", RX_COMPLETE_URL_JAVA, 2)
+    d = F.regexp_extract("url", RX_COMPLETE_URL_JAVA, 3)
+    dt = F.try_to_date(F.concat_ws("-", y, m, d), "y-M-d")
+    dt = F.when(
+        (y != "") & dt.between(F.lit(MIN_D).cast("date"), F.lit(MAX_D).cast("date")),
+        dt,
+    )
+    return F.coalesce(F.date_format(dt, "yyyy-MM-dd"), F.lit(""))
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_url_date_extract(spark, sf_dir):
+    """§2.7 extractUrlDate as a pure Catalyst expression."""
+    urls = _synth_urls(_t(spark, sf_dir, "orders"))
+    return urls.select("o_orderkey", _url_date_col().alias("url_date"))
+
+
+def q_plausible_year_count(spark, sf_dir):
+    """§2.2/§2.4 plausibleYearFilter: year extraction + range gate +
+    frequency count."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(F.year("l_shipdate").cast("long").alias("year"))
+        .filter(F.col("year").between(1995, 2030))
+        .groupBy("year")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_candidate_topk(spark, sf_dir):
+    """§2.5 selectCandidate ordering: top-10 by count, newest-first
+    tiebreak, as a window rank."""
+    o = _t(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    counted = o.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("pattern")
+    ).groupBy("pattern").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.desc("n"), F.desc("pattern"))
+    return counted.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= 10
+    )
+
+
+def q_minmax_reference(spark, sf_dir):
+    """§2.4 compareValues fold: per-key earliest/latest date."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_date"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_date"),
+    )
+
+
+def q_anti_join_seen(spark, sf_dir):
+    """§2.3/§2.6 URL-seen anti-join."""
+    o = _t(spark, sf_dir, "orders")
+    seen = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    return (
+        o.join(seen, "o_custkey", "left_anti")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_month_lookup(spark, sf_dir):
+    """§2.3 month-name→number lookup join (constant.go:126-150 table)."""
+    ev = _t(spark, sf_dir, "events")
+    name = F.element_at(
+        F.array(*[F.lit(x) for x in _EN_MONTHS]), F.month("ts")
+    )
+    month_map = F.create_map(
+        *[x for i, nm in enumerate(_EN_MONTHS) for x in (F.lit(nm), F.lit(i + 1))]
+    )
+    return (
+        ev.select(name.alias("month_name"))
+        .select("month_name", F.element_at(month_map, F.col("month_name")).cast("long").alias("month_num"))
+        .groupBy("month_name", "month_num")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_two_digit_year(spark, sf_dir):
+    """§2.2 correctYear 2-digit completion over real data."""
+    li = _t(spark, sf_dir, "lineitem")
+    from go_htmldate_spark.functions.native import correct_year_col
+
+    yy = F.date_format("l_shipdate", "yy").cast("int")
+    return (
+        li.select(correct_year_col(yy).cast("long").alias("year_completed"))
+        .groupBy("year_completed")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_eval_scoring(spark, sf_dir):
+    """§2.4 eval harness: precision/recall/accuracy/F1 of URL-date
+    predictions vs golden order dates."""
+    from go_htmldate_spark.operators.relational import eval_scores
+
+    urls = _synth_urls(_t(spark, sf_dir, "orders"))
+    joined = urls.select(
+        _url_date_col().alias("pred"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("golden"),
+    )
+    return eval_scores(joined, "pred", "golden")
+
+
+def q_token_count(spark, sf_dir):
+    """Pipeline: whitespace token counting."""
+    from go_htmldate_spark.operators.textstats import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", token_count(F.col("text")).cast("long").alias("n_tokens"))
+
+
+def q_bpe_token_count(spark, sf_dir):
+    """Pipeline: BPE-ish sub-word token counting."""
+    from go_htmldate_spark.operators.textstats import bpe_ish_token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe_tokens")
+    )
+
+
+def q_quality_score(spark, sf_dir):
+    """Pipeline: length/punct/word-length quality heuristic."""
+    from go_htmldate_spark.operators import textstats as ts
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.round(ts.punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(ts.stopword_ratio(t), 6).alias("stopword_ratio"),
+        ts.quality_score(t).alias("quality"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    """Pipeline: marker-word language ID."""
+    from go_htmldate_spark.operators.textstats import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_fingerprint(spark, sf_dir):
+    """Pipeline: md5 document fingerprint over normalized text."""
+    from go_htmldate_spark.operators.textstats import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+def q_exact_dedup(spark, sf_dir):
+    """Pipeline: exact dedup groups (hash-groupBy) over a corpus with
+    synthetic duplicates injected."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    from go_htmldate_spark.operators.dedup import exact_dup_groups
+
+    return exact_dup_groups(d.unionByName(dup))
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    """Pipeline: exact distinct-token Jaccard near-dup pairs within a
+    co-group key."""
+    from go_htmldate_spark.operators.dedup import token_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return token_jaccard_pairs(d, min_jaccard=0.5)
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Pipeline: brute-force cosine top-10 against the vec_id=0 query."""
+    from go_htmldate_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    out = brute_force_topk(emb, list(qvec), k=10)
+    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+# --- rows-only (non-SQL-expressible) ---
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """Pipeline: MinHash+LSH near-dup candidate pairs (xxhash64-based —
+    no DuckDB analog, rows-only check)."""
+    from go_htmldate_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    sigs = minhash_signatures(d.unionByName(dup), n_hashes=32)
+    return lsh_candidate_pairs(sigs, bands=8)
+
+
+def q_simhash_groups(spark, sf_dir):
+    """Pipeline: SimHash near-dup groups (rows-only)."""
+    from go_htmldate_spark.operators.dedup import simhash_dup_groups
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return simhash_dup_groups(d.unionByName(dup))
+
+
+def q_extract_cascade(spark, sf_dir):
+    """Flagship cascade over synthetic pages: per-stage recovery counts
+    (rows-only — the cascade is not SQL-expressible)."""
+    from go_htmldate_spark.operators.extract import extract_dates
+    from go_htmldate_spark.options import Options
+    from go_htmldate_spark.sources.pages import synth_pages
+
+    pages = synth_pages(spark, 400, seed=42)
+    out = extract_dates(pages, Options())
+    return (
+        out.groupBy("planted_stage")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("date") == F.col("expected_date")).cast("long")).alias("n_exact"),
+        )
+        .orderBy("planted_stage")
+    )
+
+
+def q_media_features(spark, sf_dir):
+    """Pipeline: multimodal feature extraction plumbing (stubbed decode,
+    rows-only)."""
+    from go_htmldate_spark.operators.multimodal import extract_features, synth_media
+
+    media = synth_media(spark, 200, seed=42)
+    return (
+        extract_features(media)
+        .groupBy("decode_ok", "feat_dim")
+        .agg(F.count("*").alias("n"))
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: wrap sf0.001 documents in HTML pages with planted dates,
+    run the staged extraction engine, return per-document results."""
+    from go_htmldate_spark.operators.extract import extract_dates
+    from go_htmldate_spark.options import Options
+
+    docs = _t(spark, SF1, "documents")
+    planted = F.date_add(
+        F.to_date(F.lit("2000-01-01")),
+        (F.abs(F.xxhash64(F.lit(1), "doc_id")) % 9000).cast("int"),
+    )
+    iso = F.date_format(planted, "yyyy-MM-dd")
+    pages = docs.select(
+        F.concat(F.lit("https://corpus.example.org/doc/"), F.col("doc_id")).alias("url"),
+        F.to_timestamp(F.lit("2024-06-01 00:00:00")).alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit('<html><head><meta property="article:published_time" content="'),
+                iso,
+                F.lit('"/><title>doc</title></head><body><p>'),
+                F.col("text"),
+                F.lit("</p></body></html>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    out = extract_dates(pages, Options(use_original_date=True))
+    return out.select("url", "date", "src_string", "lang")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "url_date_extract": q_url_date_extract,
+        "plausible_year_count": q_plausible_year_count,
+        "candidate_topk": q_candidate_topk,
+        "minmax_reference": q_minmax_reference,
+        "anti_join_seen": q_anti_join_seen,
+        "month_lookup": q_month_lookup,
+        "two_digit_year": q_two_digit_year,
+        "eval_scoring": q_eval_scoring,
+        "token_count": q_token_count,
+        "bpe_token_count": q_bpe_token_count,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "exact_dedup": q_exact_dedup,
+        "jaccard_pairs": q_jaccard_pairs,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_groups": q_simhash_groups,
+        "extract_cascade": q_extract_cascade,
+        "media_features": q_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    toks = "string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"
+    ltoks = "string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')"
+
+    def marker_hits(lang: str) -> str:
+        lst = ", ".join(f"'{w}'" for w in _LANG_MARKERS_SQL[lang])
+        return f"len(list_filter({ltoks}, t -> list_contains([{lst}], t)))"
+
+    month_list = ", ".join(f"'{m}'" for m in _EN_MONTHS)
+
+    return {
+        "url_date_extract": f"""
+            WITH urls AS ({_SQL_SYNTH_URLS})
+            SELECT o_orderkey, {_SQL_URL_DATE} AS url_date FROM urls
+        """,
+        "plausible_year_count": """
+            SELECT CAST(year(l_shipdate) AS BIGINT) AS year,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM lineitem
+            WHERE year(l_shipdate) BETWEEN 1995 AND 2030
+            GROUP BY 1
+        """,
+        "candidate_topk": """
+            WITH counted AS (
+                SELECT strftime(o_orderdate, '%Y-%m') AS pattern,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM orders GROUP BY 1
+            )
+            SELECT pattern, n,
+                   CAST(row_number() OVER (ORDER BY n DESC, pattern DESC) AS BIGINT) AS rank
+            FROM counted
+            QUALIFY rank <= 10
+        """,
+        "minmax_reference": """
+            SELECT o_custkey,
+                   strftime(MIN(o_orderdate), '%Y-%m-%d') AS first_date,
+                   strftime(MAX(o_orderdate), '%Y-%m-%d') AS last_date
+            FROM orders GROUP BY o_custkey
+        """,
+        "anti_join_seen": """
+            SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders
+            WHERE o_custkey NOT IN (
+                SELECT c_custkey FROM customer WHERE c_custkey % 10 = 0)
+            GROUP BY 1
+        """,
+        "month_lookup": f"""
+            WITH named AS (
+                SELECT ([{month_list}])[month(ts)] AS month_name,
+                       CAST(month(ts) AS BIGINT) AS month_num
+                FROM events
+            )
+            SELECT month_name, month_num, CAST(COUNT(*) AS BIGINT) AS n
+            FROM named GROUP BY 1, 2
+        """,
+        "two_digit_year": """
+            WITH yy AS (
+                SELECT CAST(strftime(l_shipdate, '%y') AS INT) AS y2 FROM lineitem
+            )
+            SELECT CAST(CASE WHEN y2 >= 90 THEN y2 + 1900 ELSE y2 + 2000 END AS BIGINT)
+                       AS year_completed,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM yy GROUP BY 1
+        """,
+        "eval_scoring": f"""
+            WITH urls AS ({_SQL_SYNTH_URLS}),
+            preds AS (
+                SELECT {_SQL_URL_DATE} AS pred,
+                       strftime(o_orderdate, '%Y-%m-%d') AS golden
+                FROM urls
+            ),
+            base AS (
+                SELECT CAST(SUM(CASE WHEN pred <> '' AND pred = golden THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                       CAST(SUM(CASE WHEN pred <> '' AND pred <> golden THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                       CAST(SUM(CASE WHEN pred = '' AND golden <> '' THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                       CAST(SUM(CASE WHEN pred = '' AND golden = '' THEN 1 ELSE 0 END) AS BIGINT) AS tn
+                FROM preds
+            )
+            SELECT tp, fp, fn, tn,
+                   round(tp / (tp + fp), 6) AS precision,
+                   round(tp / (tp + fn), 6) AS recall,
+                   round((tp + tn) / (tp + fp + fn + tn), 6) AS accuracy,
+                   round(2 * (tp / (tp + fp)) * (tp / (tp + fn))
+                         / ((tp / (tp + fp)) + (tp / (tp + fn))), 6) AS f1
+            FROM base
+        """,
+        "token_count": f"""
+            SELECT doc_id, CAST(len({toks}) AS BIGINT) AS n_tokens FROM documents
+        """,
+        "bpe_token_count": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT)
+                       AS n_bpe_tokens
+            FROM documents
+        """,
+        "quality_score": f"""
+            WITH stats AS (
+                SELECT doc_id,
+                       length(text) AS n_chars,
+                       length(text) - length(regexp_replace(text, '[\\pP]', '', 'g'))
+                           AS n_punct,
+                       len({toks}) AS n_tok,
+                       list_aggregate(list_transform({toks}, t -> length(t)), 'sum')
+                           AS tok_chars,
+                       len(list_filter({ltoks},
+                           t -> list_contains(['the','and','of','to','in','is','that','for','with','on'], t)))
+                           AS n_stop
+                FROM documents
+            )
+            SELECT doc_id,
+                   round(CASE WHEN n_chars > 0
+                              THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END, 6)
+                       AS punct_ratio,
+                   round(CASE WHEN n_tok > 0
+                              THEN CAST(n_stop AS DOUBLE) / n_tok ELSE 0.0 END, 6)
+                       AS stopword_ratio,
+                   round(
+                       least(CAST(n_tok AS DOUBLE) / 100.0, 1.0)
+                       * greatest(0.0, 1.0 - (CASE WHEN n_chars > 0
+                              THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END) * 4)
+                       * (CASE WHEN n_tok > 0
+                               AND CAST(tok_chars AS DOUBLE) / n_tok >= 3
+                               AND CAST(tok_chars AS DOUBLE) / n_tok <= 10
+                          THEN 1.0 ELSE 0.5 END), 6) AS quality
+            FROM stats
+        """,
+        "lang_id": f"""
+            WITH hits AS (
+                SELECT doc_id,
+                       {marker_hits('en')} AS en_h,
+                       {marker_hits('de')} AS de_h,
+                       {marker_hits('fr')} AS fr_h,
+                       {marker_hits('tr')} AS tr_h,
+                       {marker_hits('id')} AS id_h
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(en_h, de_h, fr_h, tr_h, id_h) = 0 THEN 'unknown'
+                        WHEN en_h = greatest(en_h, de_h, fr_h, tr_h, id_h) THEN 'en'
+                        WHEN de_h = greatest(en_h, de_h, fr_h, tr_h, id_h) THEN 'de'
+                        WHEN fr_h = greatest(en_h, de_h, fr_h, tr_h, id_h) THEN 'fr'
+                        WHEN tr_h = greatest(en_h, de_h, fr_h, tr_h, id_h) THEN 'tr'
+                        ELSE 'id' END AS lang_pred
+            FROM hits
+        """,
+        "fingerprint": """
+            SELECT doc_id,
+                   md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+            FROM documents
+        """,
+        "exact_dedup": """
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+            )
+            SELECT md5(text) AS fp,
+                   CAST(COUNT(*) AS BIGINT) AS n_dups,
+                   MIN(doc_id) AS rep_id
+            FROM corpus GROUP BY 1 HAVING COUNT(*) > 1
+        """,
+        "jaccard_pairs": """
+            WITH toks AS (
+                SELECT doc_id, source,
+                       list_distinct(string_split(
+                           lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '))
+                           AS t
+                FROM documents
+            )
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   round(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+                         / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))), 6)
+                       AS jaccard
+            FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+                  / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) >= 0.5
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_cosine_similarity(
+                       CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])), 4) AS cosine
+            FROM embeddings, q
+            ORDER BY cosine DESC, vec_id ASC
+            LIMIT 10
+        """,
+    }

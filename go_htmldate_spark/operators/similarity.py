@@ -1,0 +1,123 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: the exact baseline; one pass + a global
+  top-k (no full sort — orderBy+limit lets Spark run per-partition
+  top-k then merge on the driver).
+- LSH-bucketed ANN: deterministic random-hyperplane signatures
+  (hyperplane components derived from xxhash64, not runtime RNG) →
+  probe only matching buckets. The scale path: the bucket join replaces
+  the full cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k against one query vector. Entirely native; the
+    orderBy+limit compiles to TakeOrderedAndProject (per-partition heaps,
+    no shuffle of the full table)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    vec = F.col(vec_col).cast("array<double>")
+    sim = F.round(cosine(vec, q), 6)
+    return (
+        embeddings.select(F.col(id_col), sim.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplane(dim: int, plane: int) -> Column:
+    """Deterministic pseudo-random hyperplane: component j of plane p is
+    a hash-derived value in [-1, 1)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (
+            F.pmod(F.xxhash64(F.lit(plane), j), F.lit(20000)).cast("double")
+            / F.lit(10000.0)
+            - F.lit(1.0)
+        ),
+    )
+
+
+def lsh_signature(vec: Column, dim: int, n_planes: int = 16) -> Column:
+    """Sign-bit signature as a long (random-hyperplane LSH); shift-free
+    acc*2+bit fold so no constant-only shift wrappers are needed."""
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        lambda p: F.when(dot(vec, _hyperplane_from(p, dim)) >= 0, F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    )
+    return F.aggregate(
+        F.reverse(bits),
+        F.lit(0).cast("long"),
+        lambda acc, bit: acc * 2 + bit,
+    )
+
+
+def _hyperplane_from(p: Column, dim: int) -> Column:
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (
+            F.pmod(F.xxhash64(p, j), F.lit(20000)).cast("double") / F.lit(10000.0)
+            - F.lit(1.0)
+        ),
+    )
+
+
+def ann_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+) -> DataFrame:
+    """Approximate top-k: score only rows whose LSH bucket matches the
+    query's. At 100 TB this turns a full scan into a partition-pruned
+    probe when the table is written bucketed/partitioned by signature."""
+    dim = len(query_vec)
+    vec = F.col(vec_col).cast("array<double>")
+    sig = lsh_signature(vec, dim, n_planes)
+
+    tagged = embeddings.select(F.col(id_col), vec.alias("v"), sig.alias("bucket"))
+    # query signature computed with the same deterministic planes
+    qdf = tagged.sparkSession.range(1).select(
+        lsh_signature(
+            F.array(*[F.lit(float(x)) for x in query_vec]), dim, n_planes
+        ).alias("qbucket")
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    candidates = tagged.join(F.broadcast(qdf), F.col("bucket") == F.col("qbucket"))
+    return (
+        candidates.select(F.col(id_col), F.round(cosine(F.col("v"), q), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

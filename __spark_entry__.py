@@ -216,16 +216,13 @@ def q_bpe_token_count(spark, sf_dir):
 
 
 def q_quality_score(spark, sf_dir):
-    """Pipeline: length/punct/word-length quality heuristic."""
-    from go_htmldate_spark.operators import textstats as ts
+    """Pipeline: length/punct/word-length quality heuristic (single-pass
+    stats fold behind a Generate barrier)."""
+    from go_htmldate_spark.operators.textstats import with_text_stats
 
     d = _t(spark, sf_dir, "documents")
-    t = F.col("text")
-    return d.select(
-        "doc_id",
-        F.round(ts.punct_ratio(t), 6).alias("punct_ratio"),
-        F.round(ts.stopword_ratio(t), 6).alias("stopword_ratio"),
-        ts.quality_score(t).alias("quality"),
+    return with_text_stats(d).select(
+        "doc_id", "punct_ratio", "stopword_ratio", "quality"
     )
 
 

@@ -1,0 +1,98 @@
+"""Benchmark harness. Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": <sf>, ...extras}
+
+Headline mix: the flagship extraction cascade over a synthetic corpus
+sized to the scale factor, the native URL fast path, shuffle-heavy
+relational ops, dedup (exact + MinHash/LSH + SimHash), similarity
+top-k, and text stats — the SURVEY.md §2 surface.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.1
+
+    import __spark_entry__ as entrymod
+    from go_htmldate_spark.operators.extract import extract_dates
+    from go_htmldate_spark.options import Options
+    from go_htmldate_spark.session import get_spark
+    from go_htmldate_spark.sources.pages import synth_pages
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def run(name: str, fn, reps: int = 2) -> None:
+        # best-of-N: the sandbox host has intermittent noisy-neighbor
+        # slowdowns; min measures the engine, not the neighbors
+        best = None
+        for _ in range(reps):
+            t0 = time.time()
+            fn()
+            el = time.time() - t0
+            best = el if best is None or el < best else best
+        timings[name] = round(best, 3)
+
+    # warm the JVM/Python workers so timings measure the engine, not startup
+    synth_pages(spark, 256, seed=1).count()
+
+    # 1. flagship: extraction cascade over a corpus sized to sf
+    n_pages = max(2000, int(200_000 * sf))
+    pages = synth_pages(spark, n_pages, seed=42).cache()
+    pages.count()
+
+    def bench_extract():
+        out = extract_dates(pages, Options(use_original_date=True))
+        n_ok = out.filter("date = expected_date_original").count()
+        extras["extract_match_rate"] = round(n_ok / n_pages, 4)
+
+    run("extract_cascade", bench_extract, reps=1)
+    extras["extract_docs_per_sec"] = round(n_pages / timings["extract_cascade"], 1)
+    extras["extract_n_pages"] = n_pages
+    pages.unpersist()
+
+    # 2. driver-contract queries over the sf tables
+    queries = entrymod.queries()
+    for name in [
+        "url_date_extract", "plausible_year_count", "candidate_topk",
+        "minmax_reference", "anti_join_seen", "eval_scoring",
+        "token_count", "quality_score", "lang_id",
+        "exact_dedup", "jaccard_pairs", "ann_cosine_topk",
+        "minhash_lsh_pairs", "simhash_groups",
+    ]:
+        fn = queries[name]
+        run(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "headline_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        **extras,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

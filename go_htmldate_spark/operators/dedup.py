@@ -66,19 +66,25 @@ def minhash_signatures(
 ) -> DataFrame:
     """doc → array<long> of n_hashes minima over xxhash64(seed, shingle).
 
-    Entirely native: shingling via sequence/substring, hashing via
-    seeded xxhash64 inside nested transform lambdas. One projection, no
-    shuffle, no Python."""
+    Shape: explode shingles once, then n_hashes MIN aggregates. Catalyst
+    would otherwise re-inline the shingling expression into every seed's
+    lambda (interpreted HOFs have no common-subexpression elimination) —
+    the explode evaluates it exactly once per document, and the groupBy
+    combines map-side, so the shuffle carries one signature row per doc."""
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     out = df.withColumn(f"_norm_{text_col}", norm)
     shingles = _shingle_expr(text_col, shingle_k)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-        lambda seed: F.array_min(
-            F.transform(shingles, lambda s: F.xxhash64(seed, s))
-        ),
+    exploded = out.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles)).alias("_sh")
     )
-    return out.select(F.col(id_col), sig.alias("minhash"))
+    mins = [
+        F.min(F.xxhash64(F.lit(seed), F.col("_sh"))).alias(f"_m{seed}")
+        for seed in range(n_hashes)
+    ]
+    return exploded.groupBy(id_col).agg(*mins).select(
+        F.col(id_col),
+        F.array(*[F.col(f"_m{seed}") for seed in range(n_hashes)]).alias("minhash"),
+    )
 
 
 def lsh_candidate_pairs(

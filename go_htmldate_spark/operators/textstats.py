@@ -63,15 +63,48 @@ def mean_word_len(text: Column) -> Column:
     return F.when(n > 0, total.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
 
 
+def text_stats_struct(text: Column) -> Column:
+    """All token-derived counters in ONE pass: a single aggregate() fold
+    with a struct accumulator. Interpreted HOFs get no common-subexpression
+    elimination, so deriving each stat separately re-tokenizes per stat —
+    this computes (n_tok, tok_chars, n_stop) in one traversal and punct
+    from one regexp."""
+    norm = F.trim(F.regexp_replace(text, r"\s+", " "))
+    n_tok = F.size(F.split(norm, " "))
+    # sum of token lengths == normalized length minus separator spaces
+    tok_chars = F.length(F.replace(norm, F.lit(" "), F.lit("")))
+    n_stop = F.size(F.filter(F.split(F.lower(norm), " "), lambda t: t.isin(STOPWORDS)))
+    n_chars = F.length(text)
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[\pP]", ""))
+    return F.struct(
+        n_tok.alias("n_tok"),
+        tok_chars.alias("tok_chars"),
+        n_stop.alias("n_stop"),
+        n_chars.alias("n_chars"),
+        n_punct.alias("n_punct"),
+    )
+
+
+def quality_from_stats(s: Column) -> Column:
+    """Quality formula over a text_stats_struct (shared with the DuckDB
+    oracle formula bit-for-bit)."""
+    n_tok = s["n_tok"].cast("double")
+    punct = F.when(
+        s["n_chars"] > 0, s["n_punct"].cast("double") / s["n_chars"].cast("double")
+    ).otherwise(F.lit(0.0))
+    wl = F.when(s["n_tok"] > 0, s["tok_chars"].cast("double") / n_tok).otherwise(
+        F.lit(0.0)
+    )
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    punct_penalty = F.greatest(F.lit(0.0), F.lit(1.0) - punct * 4)
+    wl_score = F.when((wl >= 3) & (wl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round(len_score * punct_penalty * wl_score, 6)
+
+
 def quality_score(text: Column) -> Column:
     """Composite [0,1] quality heuristic: long enough, not punctuation
     soup, reasonable word lengths."""
-    n_tok = token_count(text).cast("double")
-    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
-    punct_penalty = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(text) * 4)
-    wl = mean_word_len(text)
-    wl_score = F.when((wl >= 3) & (wl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
-    return F.round(len_score * punct_penalty * wl_score, 6)
+    return quality_from_stats(text_stats_struct(text))
 
 
 def _marker_pred(markers: list[str]):
@@ -116,12 +149,32 @@ def fingerprint(text: Column) -> Column:
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
-    return df.select(
-        "*",
-        token_count(t).alias("n_tokens"),
-        punct_ratio(t).alias("punct_ratio"),
-        stopword_ratio(t).alias("stopword_ratio"),
-        quality_score(t).alias("quality"),
-        lang_id(t).alias("lang_pred"),
-        fingerprint(t).alias("fp"),
+    s = F.col("_ts")
+    # explode-of-one is a Generate node: it evaluates the stats struct
+    # exactly once per row; a plain withColumn would be collapsed back
+    # into every downstream reference by CollapseProject
+    return (
+        df.select("*", F.explode(F.array(text_stats_struct(t))).alias("_ts"))
+        .select(
+            "*",
+            s["n_tok"].cast("long").alias("n_tokens"),
+            F.round(
+                F.when(
+                    s["n_chars"] > 0,
+                    s["n_punct"].cast("double") / s["n_chars"].cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("punct_ratio"),
+            F.round(
+                F.when(
+                    s["n_tok"] > 0,
+                    s["n_stop"].cast("double") / s["n_tok"].cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("stopword_ratio"),
+            quality_from_stats(s).alias("quality"),
+            lang_id(t).alias("lang_pred"),
+            fingerprint(t).alias("fp"),
+        )
+        .drop("_ts")
     )

@@ -1,0 +1,80 @@
+"""URL canonicalization + dedup hashing [north-rule].
+
+All native Catalyst: lowercase scheme/host, strip fragments and default
+ports, drop trailing '?', sort query parameters, collapse duplicate
+slashes. The dedup key is the built-in xxhash64 over the canonical form
+— the exact function the north rule names, and the same hash the
+partitioned bloom filter and the url_seen table key on, so every stage
+co-partitions without re-hashing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def canonicalize_url(url: Column) -> Column:
+    u = F.trim(url)
+    # strip fragment
+    u = F.regexp_replace(u, r"#.*$", "")
+    # lowercase scheme + host (authority part only)
+    scheme = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
+    rest = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$", 1)
+    # default ports
+    host = F.regexp_replace(host, r":80$|:443$", "")
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    path = F.regexp_replace(path, r"//+", "/")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    sorted_query = F.array_join(F.sort_array(F.split(query, "&")), "&")
+    return F.when(
+        scheme == "",
+        u,  # not a hierarchical URL: leave as-is
+    ).otherwise(
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            path,
+            F.when(query != "", F.concat(F.lit("?"), sorted_query)).otherwise(F.lit("")),
+        )
+    )
+
+
+def url_hash(url_canon: Column) -> Column:
+    """64-bit dedup key (north rule: xxhash64)."""
+    return F.xxhash64(url_canon)
+
+
+def url_host(url_canon: Column) -> Column:
+    return F.lower(F.regexp_extract(url_canon, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]*)", 1))
+
+
+def url_path(url_canon: Column) -> Column:
+    p = F.regexp_extract(url_canon, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    return F.when(p == "", F.lit("/")).otherwise(p)
+
+
+def canonicalize_url_py(url: str) -> str:
+    """Single-URL reference implementation (oracle scheduler + tests).
+    Must stay semantically identical to canonicalize_url."""
+    import re
+
+    u = url.strip()
+    u = re.sub(r"#.*$", "", u)
+    m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)(.*)$", u)
+    if not m:
+        return u
+    scheme = m.group(1).lower()
+    host = re.sub(r":80$|:443$", "", m.group(2).lower())
+    rest = m.group(3)
+    qpos = rest.find("?")
+    path = rest if qpos < 0 else rest[:qpos]
+    query = "" if qpos < 0 else rest[qpos + 1 :]
+    path = re.sub(r"//+", "/", path) or "/"
+    out = f"{scheme}://{host}{path}"
+    if query:
+        out += "?" + "&".join(sorted(query.split("&")))
+    return out

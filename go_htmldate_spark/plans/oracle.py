@@ -1,0 +1,136 @@
+"""Single-threaded reference scheduler.
+
+Implements the exact crawl spec of plans/scheduler.py in plain Python
+(dicts + sorts, no Spark). Parity tests assert that the distributed
+scheduler produces identical per-round fetch orderings and an identical
+final URL-seen set under the same seed list + politeness budgets
+[north-rule requirement].
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from datetime import date
+
+from .canonical import canonicalize_url_py
+
+REF_DATE = date(2024, 6, 1)
+NO_DATE_RECENCY = 0.1
+DEFAULT_BUDGET = 2.0
+
+
+def recency_score_py(date_str: str | None) -> float:
+    if not date_str:
+        return NO_DATE_RECENCY
+    d = date.fromisoformat(date_str)
+    age_days = max(0, (REF_DATE - d).days)
+    return 1.0 / (1.0 + age_days / 365.0)
+
+
+def host_of(url: str) -> str:
+    import re
+
+    m = re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]*)", url)
+    return m.group(1).lower() if m else ""
+
+
+def path_of(url: str) -> str:
+    import re
+
+    m = re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", url)
+    p = m.group(1) if m else ""
+    return p or "/"
+
+
+def robots_allowed_py(path: str, rules: list[tuple[str, bool]] | None) -> bool:
+    if not rules:
+        return True
+    matched = [(len(pfx), bool(allow)) for pfx, allow in rules if path.startswith(pfx)]
+    if not matched:
+        return True
+    matched.sort()  # (length, allow) — max = longest prefix, allow on ties
+    return matched[-1][1]
+
+
+@dataclass
+class OracleScheduler:
+    # page corpus: canonical url → (extracted_date_str, outlinks list)
+    pages: dict[str, tuple[str, list[str]]]
+    robots: dict[str, list[tuple[str, bool]]] = field(default_factory=dict)
+    budgets: dict[str, float] = field(default_factory=dict)
+
+    frontier: dict[str, float] = field(default_factory=dict)  # url → priority
+    seen: set[str] = field(default_factory=set)
+    fetch_log: list[list[str]] = field(default_factory=list)
+
+    def init_from_seeds(self, seeds: list[tuple[str, float]]) -> None:
+        self.frontier = {}
+        for url, prio in seeds:
+            cu = canonicalize_url_py(url)
+            self.frontier[cu] = max(self.frontier.get(cu, -math.inf), prio)
+        self.seen = set()
+        self.fetch_log = []
+
+    def budget(self, host: str) -> float:
+        return self.budgets.get(host, DEFAULT_BUDGET)
+
+    def run_round(self) -> list[str]:
+        # 2. drop seen
+        candidates = {
+            u: p for u, p in self.frontier.items() if u not in self.seen
+        }
+        # 3. robots
+        candidates = {
+            u: p
+            for u, p in candidates.items()
+            if robots_allowed_py(path_of(u), self.robots.get(host_of(u)))
+        }
+        # 4-5. per-host top-k by (priority desc, url asc)
+        by_host: dict[str, list[tuple[float, str]]] = {}
+        for u, p in candidates.items():
+            by_host.setdefault(host_of(u), []).append((p, u))
+        scheduled: list[tuple[float, str]] = []
+        for host, items in by_host.items():
+            k = int(math.floor(self.budget(host)))
+            items.sort(key=lambda t: (-t[0], t[1]))
+            scheduled.extend(items[:k])
+
+        # 6-7. fetch + discover
+        discovered: dict[str, float] = {}
+        fetched_urls: list[tuple[float, str]] = []
+        for p, u in scheduled:
+            self.seen.add(u)
+            page = self.pages.get(u)
+            if page is None:
+                continue  # missing: seen but nothing to extract
+            fetched_urls.append((p, u))
+            date_str, outlinks = page
+            rec = recency_score_py(date_str)
+            for out in outlinks:
+                cu = canonicalize_url_py(out)
+                prio = self.budget(host_of(cu)) * rec
+                if cu not in discovered or prio > discovered[cu]:
+                    discovered[cu] = prio
+
+        # 8. frontier update: leftover ∪ discovered (max-priority), minus seen
+        scheduled_set = {u for _, u in scheduled}
+        new_frontier: dict[str, float] = {
+            u: p for u, p in self.frontier.items() if u not in scheduled_set
+        }
+        for u, p in discovered.items():
+            new_frontier[u] = max(new_frontier.get(u, -math.inf), p)
+        self.frontier = {u: p for u, p in new_frontier.items() if u not in self.seen}
+
+        fetched_urls.sort(key=lambda t: (-t[0], t[1]))
+        order = [u for _, u in fetched_urls]
+        self.fetch_log.append(order)
+        self.last_scheduled = len(scheduled)  # stop criterion parity w/ Spark
+        return order
+
+    def run(self, n_rounds: int) -> list[list[str]]:
+        for _ in range(n_rounds):
+            self.run_round()
+            if self.last_scheduled == 0:
+                break
+        return self.fetch_log

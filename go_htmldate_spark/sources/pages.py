@@ -43,6 +43,35 @@ def _h(seed: int, *cols: Column) -> Column:
     return F.abs(F.xxhash64(F.lit(seed), *cols))
 
 
+def _host_expr(i: Column, seed: int, n_hosts: int, heavy_host_share: int) -> Column:
+    h3 = _h(seed + 2, i)
+    host_id = F.when(
+        F.lit(heavy_host_share > 0) & (h3 % 100 < F.lit(heavy_host_share)),
+        F.lit(0),
+    ).otherwise(h3 % F.lit(n_hosts))
+    return F.concat(F.lit("site"), host_id.cast("string"), F.lit(".example.org"))
+
+
+def _url_expr(i: Column, seed: int, n_hosts: int, heavy_host_share: int) -> Column:
+    """URL for page id `i` — reusable for outlink targets (the whole URL
+    universe is a pure function of the id)."""
+    h1 = _h(seed, i)
+    h2 = _h(seed + 1, i)
+    host = _host_expr(i, seed, n_hosts, heavy_host_share)
+    planted = F.date_add(F.to_date(F.lit("2000-01-01")), (h2 % 9000).cast("int"))
+    y = F.year(planted).cast("string")
+    m2 = F.lpad(F.month(planted).cast("string"), 2, "0")
+    d2 = F.lpad(F.dayofmonth(planted).cast("string"), 2, "0")
+    stage_id = (h1 % F.lit(len(STAGES))).cast("int")
+    stage = F.element_at(F.array(*[F.lit(s) for s in STAGES]), stage_id + 1)
+    slug = F.concat(F.lit("article-"), i.cast("string"))
+    return F.when(
+        stage == "url",
+        F.concat(F.lit("https://"), host, F.lit("/"), y, F.lit("/"), m2,
+                 F.lit("/"), d2, F.lit("/"), slug),
+    ).otherwise(F.concat(F.lit("https://"), host, F.lit("/posts/"), slug))
+
+
 def synth_pages(
     spark: SparkSession,
     n_rows: int,
@@ -50,11 +79,15 @@ def synth_pages(
     n_hosts: int | None = None,
     heavy_host_share: int = 0,
     partitions: int | None = None,
+    n_outlinks: int = 4,
 ) -> DataFrame:
     """Build the synthetic corpus.
 
     heavy_host_share: percentage (0-90) of rows funneled onto host 0 to
     synthesize a heavy-tail host for skew tests [north-rule].
+    Each page carries `n_outlinks` deterministic outlinks into the same
+    URL universe (hash-derived target ids), so crawl rounds discover
+    real, fetchable URLs.
     """
     n_hosts = n_hosts or max(16, n_rows // 64)
     df = spark.range(0, n_rows, 1, partitions or spark.sparkContext.defaultParallelism)
@@ -62,14 +95,8 @@ def synth_pages(
 
     h1 = _h(seed, i)
     h2 = _h(seed + 1, i)
-    h3 = _h(seed + 2, i)
 
-    # host with optional skew: first `heavy_host_share`% of hash space → host 0
-    host_id = F.when(
-        F.lit(heavy_host_share > 0) & (h3 % 100 < F.lit(heavy_host_share)),
-        F.lit(0),
-    ).otherwise(h3 % F.lit(n_hosts))
-    host = F.concat(F.lit("site"), host_id.cast("string"), F.lit(".example.org"))
+    host = _host_expr(i, seed, n_hosts, heavy_host_share)
 
     # planted date in [2000-01-01, ~2024] — deterministic per row
     planted = F.date_add(F.to_date(F.lit("2000-01-01")), (h2 % 9000).cast("int"))
@@ -82,12 +109,14 @@ def synth_pages(
     stage_id = (h1 % F.lit(len(STAGES))).cast("int")
     stage = F.element_at(F.array(*[F.lit(s) for s in STAGES]), stage_id + 1)
 
-    slug = F.concat(F.lit("article-"), i.cast("string"))
-    url = F.when(
-        stage == "url",
-        F.concat(F.lit("https://"), host, F.lit("/"), y, F.lit("/"), m2,
-                 F.lit("/"), d2, F.lit("/"), slug),
-    ).otherwise(F.concat(F.lit("https://"), host, F.lit("/posts/"), slug))
+    url = _url_expr(i, seed, n_hosts, heavy_host_share)
+
+    outlinks = F.transform(
+        F.sequence(F.lit(0), F.lit(n_outlinks - 1)),
+        lambda j: _url_expr(
+            _h(seed + 7, i, j) % F.lit(n_rows), seed, n_hosts, heavy_host_share
+        ),
+    )
 
     lang = F.element_at(
         F.array(*[F.lit(x) for x in LANGS]), (h2 % len(LANGS)).cast("int") + 1
@@ -148,6 +177,7 @@ def synth_pages(
         F.encode(html, "UTF-8").alias("html"),
         text.alias("text"),
         lang.alias("lang"),
+        outlinks.alias("outlinks"),
         # golden columns (drop for realistic-pipeline runs)
         stage.alias("planted_stage"),
         F.when(stage == "copyright", F.concat(y, F.lit("-01-01")))

@@ -1,0 +1,194 @@
+"""Frontier parity + bloom + resume tests [north-rule gate]:
+the distributed scheduler must match the single-threaded oracle's
+per-round fetch ordering and final URL-seen set exactly, and resume
+from any snapshot."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from go_htmldate_spark.options import Options
+from go_htmldate_spark.plans.bloom import build_blooms, probe_blooms
+from go_htmldate_spark.plans.canonical import canonicalize_url, canonicalize_url_py
+from go_htmldate_spark.plans.oracle import OracleScheduler
+from go_htmldate_spark.plans.scheduler import CrawlConfig, CrawlScheduler
+from go_htmldate_spark.sources.pages import synth_pages
+
+N_PAGES = 300
+N_ROUNDS = 4
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pages = synth_pages(
+        spark, N_PAGES, seed=42, n_hosts=12, heavy_host_share=40
+    ).cache()
+    pages.count()
+    return pages
+
+
+@pytest.fixture(scope="module")
+def corpus_dates(spark, corpus):
+    """Per-page extracted date (fast mode), shared by both schedulers so
+    the parity test isolates scheduling, not extraction."""
+    from go_htmldate_spark.operators.extract import extract_dates
+
+    rows = (
+        extract_dates(corpus, Options(skip_extensive_search=True))
+        .select("url", "date", "outlinks")
+        .collect()
+    )
+    return {
+        canonicalize_url_py(r.url): (r.date, list(r.outlinks)) for r in rows
+    }
+
+
+ROBOTS = [
+    ("site0.example.org", [("/posts/article-1", False), ("/posts/article-12", True)], 1.0),
+    ("site3.example.org", [("/", False)], 1.0),  # fully disallowed host
+]
+BUDGETS = [("site0.example.org", 3.0), ("site1.example.org", 1.0), ("site2.example.org", 5.0)]
+
+
+def _robots_df(spark):
+    return spark.createDataFrame(
+        [
+            (h, [{"path_prefix": p, "allow": a} for p, a in rules], d)
+            for h, rules, d in ROBOTS
+        ],
+        "host string, rules array<struct<path_prefix:string, allow:boolean>>, crawl_delay double",
+    )
+
+
+def _budget_df(spark):
+    return spark.createDataFrame(BUDGETS, "host string, politeness_budget double")
+
+
+def _seeds(corpus):
+    urls = [r.url for r in corpus.select("url").orderBy("url").limit(12).collect()]
+    return [(u, 1.0 + (i % 3) * 0.5) for i, u in enumerate(urls)]
+
+
+def _run_oracle(corpus_dates, seeds, n_rounds=N_ROUNDS):
+    orc = OracleScheduler(
+        pages=corpus_dates,
+        robots={h: rules for h, rules, _ in ROBOTS},
+        budgets=dict(BUDGETS),
+    )
+    orc.init_from_seeds(seeds)
+    orc.run(n_rounds)
+    return orc
+
+
+def _run_spark(spark, corpus, seeds, state_dir, n_rounds=N_ROUNDS):
+    sched = CrawlScheduler(
+        spark,
+        corpus,
+        robots=_robots_df(spark),
+        host_budget=_budget_df(spark),
+        state_dir=str(state_dir),
+        config=CrawlConfig(n_bloom_partitions=4, bloom_bits=1 << 16, n_salts=4),
+    )
+    sched.init_from_seeds(
+        spark.createDataFrame(seeds, "url string, priority double")
+    )
+    manifests = sched.run(n_rounds)
+    return sched, manifests
+
+
+def _spark_fetch_log(spark, state_dir, n_rounds):
+    log = []
+    import os
+
+    for r in range(n_rounds):
+        base = f"{state_dir}/round_{r}"
+        if not os.path.exists(f"{base}/manifest.json"):
+            break
+        rows = (
+            spark.read.parquet(f"{base}/fetched")
+            .orderBy(F.desc("priority"), F.asc("url"))
+            .collect()
+        )
+        log.append([r.url for r in rows])
+    return log
+
+
+def test_scheduler_matches_oracle(spark, corpus, corpus_dates, tmp_path_factory):
+    state_dir = tmp_path_factory.mktemp("crawl_state")
+    seeds = _seeds(corpus)
+
+    orc = _run_oracle(corpus_dates, seeds)
+    sched, manifests = _run_spark(spark, corpus, seeds, state_dir)
+
+    spark_log = _spark_fetch_log(spark, state_dir, N_ROUNDS)
+    oracle_log = [r for r in orc.fetch_log][: len(spark_log)]
+
+    assert len(spark_log) == len(oracle_log)
+    for rnd, (s_urls, o_urls) in enumerate(zip(spark_log, oracle_log)):
+        assert s_urls == o_urls, f"round {rnd} fetch ordering diverged"
+
+    # final URL-seen set must match exactly (north rule)
+    oracle_seen_hashes = {
+        r.h
+        for r in spark.createDataFrame(
+            [(u,) for u in orc.seen], "url string"
+        ).select(F.xxhash64("url").alias("h")).collect()
+    }
+    spark_seen = {r.url_hash for r in sched.seen.collect()}
+    assert spark_seen == oracle_seen_hashes
+
+    # per-round manifests carry lineage
+    assert all("frontier_partitions" in m and m["wall_ms"] >= 0 for m in manifests)
+
+
+def test_resume_equals_uninterrupted(spark, corpus, corpus_dates, tmp_path_factory):
+    seeds = _seeds(corpus)
+
+    d_full = tmp_path_factory.mktemp("full")
+    _, m_full = _run_spark(spark, corpus, seeds, d_full, n_rounds=3)
+
+    d_resume = tmp_path_factory.mktemp("resumed")
+    _run_spark(spark, corpus, seeds, d_resume, n_rounds=2)
+    # fresh scheduler object resumes from the round-1 snapshot
+    sched2 = CrawlScheduler(
+        spark, corpus, robots=_robots_df(spark), host_budget=_budget_df(spark),
+        state_dir=str(d_resume),
+        config=CrawlConfig(n_bloom_partitions=4, bloom_bits=1 << 16, n_salts=4),
+    )
+    assert sched2.resume() == 2
+    sched2.run_round()
+
+    full = _spark_fetch_log(spark, d_full, 3)
+    resumed = _spark_fetch_log(spark, d_resume, 3)
+    assert full == resumed
+
+
+def test_bloom_no_false_negatives(spark):
+    df = spark.range(0, 5000).select(F.xxhash64("id").alias("url_hash"))
+    state = build_blooms(df, n_partitions=4, m_bits=1 << 16)
+    probed = probe_blooms(df, state, n_partitions=4, m_bits=1 << 16)
+    assert probed.filter(~F.col("maybe_seen")).count() == 0
+
+    other = spark.range(10_000, 15_000).select(F.xxhash64("id").alias("url_hash"))
+    fp = probe_blooms(other, state, n_partitions=4, m_bits=1 << 16).filter(
+        F.col("maybe_seen")
+    ).count()
+    assert fp / 5000 < 0.05  # sane false-positive rate
+
+
+def test_canonicalize_parity(spark):
+    urls = [
+        "HTTPS://Site1.Example.org:443/a//b/c?z=1&a=2#frag",
+        "http://x.org:80/",
+        "http://x.org",
+        "https://y.io/path?b=2&a=1",
+        "not-a-url 123",
+        "https://z.de/a/?",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string").select(
+        canonicalize_url(F.col("url")).alias("c")
+    )
+    got = [r.c for r in df.collect()]
+    want = [canonicalize_url_py(u) for u in urls]
+    assert got == want

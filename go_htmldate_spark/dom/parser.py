@@ -224,9 +224,15 @@ class _TreeBuilder(HTMLParser):
             self.stack.append(node)
 
     def handle_startendtag(self, tag: str, attrs) -> None:
-        node = Node(ELEMENT, tag)
-        node.attrs = [(k, v if v is not None else "") for k, v in attrs]
-        self.stack[-1].append(node)
+        # HTML5: the trailing slash on a non-void tag is ignored — `<html/>`
+        # OPENS html (x/net/html does the same). True self-closing only
+        # exists in foreign content (svg/math), which the cascade discards.
+        if tag in VOID_ELEMENTS or tag in ("svg", "math"):
+            node = Node(ELEMENT, tag)
+            node.attrs = [(k, v if v is not None else "") for k, v in attrs]
+            self.stack[-1].append(node)
+        else:
+            self.handle_starttag(tag, attrs)
 
     def handle_endtag(self, tag: str) -> None:
         for i in range(len(self.stack) - 1, 0, -1):

@@ -66,14 +66,15 @@ def _hyperplane(dim: int, plane: int) -> Column:
     )
 
 
-def lsh_signature(vec: Column, dim: int, n_planes: int = 16) -> Column:
+def lsh_signature(vec: Column, dim: int, n_planes: int = 16, table: int = 0) -> Column:
     """Sign-bit signature as a long (random-hyperplane LSH); shift-free
-    acc*2+bit fold so no constant-only shift wrappers are needed."""
+    acc*2+bit fold so no constant-only shift wrappers are needed. `table`
+    selects an independent plane set (multi-table OR-amplification)."""
     bits = F.transform(
         F.sequence(F.lit(0), F.lit(n_planes - 1)),
-        lambda p: F.when(dot(vec, _hyperplane_from(p, dim)) >= 0, F.lit(1)).otherwise(
-            F.lit(0)
-        ),
+        lambda p: F.when(
+            dot(vec, _hyperplane_from(p + table * 1009, dim)) >= 0, F.lit(1)
+        ).otherwise(F.lit(0)),
     )
     return F.aggregate(
         F.reverse(bits),
@@ -98,26 +99,42 @@ def ann_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 12,
+    n_planes: int = 4,
+    n_tables: int = 16,
 ) -> DataFrame:
-    """Approximate top-k: score only rows whose LSH bucket matches the
-    query's. At 100 TB this turns a full scan into a partition-pruned
-    probe when the table is written bucketed/partitioned by signature."""
+    """Approximate top-k via multi-table hyperplane LSH (OR-amplified):
+    a row is a candidate if ANY of its n_tables signatures matches the
+    query's. Candidates are exactly reranked by cosine. At 100 TB the
+    signatures are precomputed columns and the table is bucketed by them,
+    turning the probe into partition-pruned scans.
+
+    Collision prob per table is (1-θ/π)^n_planes: the defaults (4×16)
+    target low-similarity regimes (cos≈0.3 neighbors, like this synthetic
+    corpus); clustered real embeddings afford more planes / fewer tables
+    for a smaller scan fraction."""
     dim = len(query_vec)
     vec = F.col(vec_col).cast("array<double>")
-    sig = lsh_signature(vec, dim, n_planes)
-
-    tagged = embeddings.select(F.col(id_col), vec.alias("v"), sig.alias("bucket"))
-    # query signature computed with the same deterministic planes
-    qdf = tagged.sparkSession.range(1).select(
-        lsh_signature(
-            F.array(*[F.lit(float(x)) for x in query_vec]), dim, n_planes
-        ).alias("qbucket")
-    )
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    candidates = tagged.join(F.broadcast(qdf), F.col("bucket") == F.col("qbucket"))
+
+    sigs = F.array(
+        *[lsh_signature(vec, dim, n_planes, table=t) for t in range(n_tables)]
+    )
+    qsigs = F.array(
+        *[lsh_signature(q, dim, n_planes, table=t) for t in range(n_tables)]
+    )
+    tagged = embeddings.select(F.col(id_col), vec.alias("v"), sigs.alias("sigs"))
+    qdf = tagged.sparkSession.range(1).select(qsigs.alias("qsigs"))
+
+    candidates = tagged.join(F.broadcast(qdf)).filter(
+        F.exists(
+            F.zip_with(F.col("sigs"), F.col("qsigs"), lambda a, b: a == b),
+            lambda x: x,
+        )
+    )
     return (
-        candidates.select(F.col(id_col), F.round(cosine(F.col("v"), q), 6).alias("cosine"))
+        candidates.select(
+            F.col(id_col), F.round(cosine(F.col("v"), q), 6).alias("cosine")
+        )
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )

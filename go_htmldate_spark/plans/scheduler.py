@@ -198,18 +198,24 @@ class CrawlScheduler:
         from ..operators.extract import extract_dates
         from ..options import Options
 
+        # shuffle-hash: build on the (small) scheduled side, stream the
+        # corpus — sort-merge would sort the html-payload side
         corpus = self.pages.select("url_canon", "html", "outlinks")
-        fetch = scheduled.join(
+        fetch = scheduled.hint("shuffle_hash").join(
             corpus, scheduled["url"] == corpus["url_canon"], "left"
         )
         fetched = fetch.filter(F.col("url_canon").isNotNull())
         missing = fetch.filter(F.col("url_canon").isNull()).select(
             "url", "url_hash", "host"
         )
+        # repartition before the UDF: AQE sizes post-join partitions by
+        # bytes, but extraction cost is per-row CPU — without this the
+        # Python stage runs on a handful of coalesced partitions
+        n_part = self.spark.sparkContext.defaultParallelism * 2
         extracted = extract_dates(
             fetched.select(
                 "url", "url_hash", "host", "priority", "html", "outlinks"
-            ),
+            ).repartition(n_part),
             Options(skip_extensive_search=True),
         ).cache()
 

@@ -122,7 +122,9 @@ def synth_pages(
         F.array(*[F.lit(x) for x in LANGS]), (h2 % len(LANGS)).cast("int") + 1
     )
 
-    title = F.concat(F.lit("Article "), i.cast("string"))
+    # 5-digit article number: a bare 4-digit id (e.g. 2003) would be a
+    # legitimate bare-year hit for the extensive search on "none" pages
+    title = F.concat(F.lit("Article "), (i + 50000).cast("string"))
     filler = F.lit(_FILLER)
 
     head_extra = (

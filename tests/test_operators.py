@@ -1,0 +1,140 @@
+"""Operator-level tests: dedup, similarity, text stats, multimodal,
+streaming — semantics and plan-shape checks."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet").cache()
+
+
+def test_exact_dedup_removes_injected_dups(spark, docs):
+    from go_htmldate_spark.operators.dedup import exact_dedup
+
+    d = docs.select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "text"
+    )
+    corpus = d.unionByName(dup)
+    deduped = exact_dedup(corpus)
+    assert deduped.count() == d.count()
+    # survivor is always the lowest id
+    assert deduped.filter(F.col("doc_id") >= 10_000).count() == 0
+
+
+def test_minhash_detects_identical_docs(spark, docs):
+    from go_htmldate_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_jaccard_estimate,
+        minhash_signatures,
+    )
+
+    d = docs.select("doc_id", "text").limit(50)
+    dup = d.select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
+    sigs = minhash_signatures(d.unionByName(dup), n_hashes=32).cache()
+    pairs = lsh_candidate_pairs(sigs, bands=8)
+    est = minhash_jaccard_estimate(sigs, pairs)
+    # every identical pair must surface with estimated jaccard 1.0
+    perfect = est.filter(
+        (F.col("b") - F.col("a") == 10_000) & (F.col("est_jaccard") == 1.0)
+    )
+    assert perfect.count() == 50
+
+
+def test_simhash_identical_docs_collide(spark, docs):
+    from go_htmldate_spark.operators.dedup import simhash
+
+    d = docs.select("doc_id", "text").limit(30)
+    dup = d.select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
+    sh = simhash(d.unionByName(dup))
+    groups = sh.groupBy("simhash").count().filter(F.col("count") >= 2)
+    assert groups.count() >= 30
+
+
+def test_brute_force_topk_self_similarity(spark):
+    from go_htmldate_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 3).select("embedding").head()[0]
+    top = brute_force_topk(emb, list(q), k=5).collect()
+    assert top[0]["vec_id"] == 3  # self is the nearest neighbor
+    assert abs(top[0]["cosine"] - 1.0) < 1e-6
+    sims = [r["cosine"] for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_ann_lsh_recall_vs_brute_force(spark):
+    from go_htmldate_spark.operators.similarity import ann_topk, brute_force_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    q = list(emb.filter(F.col("vec_id") == 3).select("embedding").head()[0])
+    exact = {r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()}
+    approx = {r["vec_id"] for r in ann_topk(emb, q, k=10).collect()}
+    # multi-table LSH: query always found, majority recall expected
+    assert 3 in approx
+    assert len(exact & approx) >= 5
+
+
+def test_text_stats_schema_and_ranges(spark, docs):
+    from go_htmldate_spark.operators.textstats import with_text_stats
+
+    out = with_text_stats(docs).cache()
+    row = out.agg(
+        F.min("punct_ratio"), F.max("punct_ratio"),
+        F.min("quality"), F.max("quality"), F.min("n_tokens"),
+    ).head()
+    assert 0.0 <= row[0] <= row[1] <= 1.0
+    assert 0.0 <= row[2] <= row[3] <= 1.0
+    assert row[4] >= 0
+    langs = {r["lang_pred"] for r in out.select("lang_pred").distinct().collect()}
+    assert langs <= {"en", "de", "fr", "tr", "id", "unknown"}
+
+
+def test_multimodal_plumbing(spark):
+    from go_htmldate_spark.operators.multimodal import (
+        extract_features,
+        frame_sample_plan,
+        synth_media,
+    )
+
+    media = synth_media(spark, 60, seed=42).cache()
+    feats = extract_features(media).cache()
+    assert feats.count() == 60
+    ok = feats.filter(F.col("decode_ok") == "ok")
+    assert ok.count() == 60  # deterministic fake decode always succeeds
+    assert ok.select("feat_dim").distinct().head()[0] == 8
+    # deterministic: same payload → same feature
+    a = {r["media_id"]: r["feature"] for r in feats.collect()}
+    b = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
+    assert a == b
+    frames = frame_sample_plan(media, every_ms=60_000)
+    assert frames.count() > 0
+
+
+def test_streaming_extract(spark, tmp_path_factory):
+    from go_htmldate_spark.options import Options
+    from go_htmldate_spark.sources.pages import synth_pages
+    from go_htmldate_spark.streaming.extractor import stream_extract
+
+    base = tmp_path_factory.mktemp("stream")
+    in_dir, cp, out_dir = str(base / "in"), str(base / "cp"), str(base / "out")
+    pages = synth_pages(spark, 100, seed=42).select(
+        "url", "warc_ts", "html", "text", "lang"
+    )
+    pages.write.parquet(in_dir)
+
+    q = stream_extract(spark, in_dir, cp, out_dir, Options())
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 100
+    assert got.filter(F.col("date") != "").count() > 80
+
+    # restart with no new data: checkpoint prevents reprocessing
+    q2 = stream_extract(spark, in_dir, cp, out_dir, Options())
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == 100

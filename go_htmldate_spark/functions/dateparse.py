@@ -139,13 +139,46 @@ def fast_parse(s: str, opts: Options) -> Optional[date]:
 # ---------------------------------------------------------------------------
 
 _EXT_MONTHS: dict[str, int] = dict(P.MONTH_NUMBER)
-_EXT_MONTHS.update(
-    {
-        # extra abbreviations go-dateparser's en/de/fr/tr locales accept
-        "sept": 9, "june": 6, "july": 7, "augt": 8,
-        "janv": 1, "févr": 2, "juil": 7, "déc": 12,
-        "ene": 1, "abr": 4, "ago": 8, "dic": 12,
-    }
+for _i, _names in enumerate(
+    [
+        # extra locales the go-dateparser dependency accepts (es, pt, it,
+        # ru incl. genitive, uk, ar, nl, pl) + extra EN/FR abbreviations
+        ["janv", "ene", "enero", "janeiro", "gennaio", "gen", "январь",
+         "января", "янв", "січень", "січня", "يناير", "stycznia", "styczeń", "sty"],
+        ["févr", "febrero", "fevereiro", "fev", "febbraio", "февраль", "февраля",
+         "фев", "лютий", "лютого", "فبراير", "lutego", "luty", "lut"],
+        ["marzo", "março", "março", "marzec", "marca", "март", "марта",
+         "березень", "березня", "مارس", "maart", "mrt"],
+        ["abr", "abril", "aprile", "апрель", "апреля", "апр", "квітень",
+         "квітня", "أبريل", "ابريل", "kwietnia", "kwiecień", "kwi"],
+        ["mayo", "maio", "maggio", "mag", "май", "мая", "травень", "травня",
+         "مايو", "maja"],
+        ["junio", "junho", "giugno", "giu", "июнь", "июня", "июн", "червень",
+         "червня", "يونيو", "czerwca", "czerwiec", "cze"],
+        ["julio", "julho", "luglio", "lug", "июль", "июля", "июл", "липень",
+         "липня", "يوليو", "lipca", "lipiec", "lip"],
+        ["agosto", "ago", "август", "августа", "авг", "серпень", "серпня",
+         "أغسطس", "اغسطس", "sierpnia", "sierpień", "sie"],
+        ["sept", "septiembre", "setiembre", "setembro", "settembre", "set", "сентябрь",
+         "сентября", "сен", "вересень", "вересня", "سبتمبر", "września",
+         "wrzesień", "wrz"],
+        ["octubre", "outubro", "out", "ottobre", "ott", "октябрь", "октября",
+         "окт", "жовтень", "жовтня", "أكتوبر", "اكتوبر", "października",
+         "październik", "paź"],
+        ["noviembre", "novembro", "novembre", "ноябрь", "ноября", "ноя",
+         "листопад", "листопада", "نوفمبر", "listopada", "lis"],
+        ["dic", "diciembre", "dezembro", "dicembre", "декабрь", "декабря",
+         "дек", "грудень", "грудня", "ديسمبر", "grudnia", "grudzień", "gru"],
+    ]
+):
+    for _n in _names:
+        _EXT_MONTHS.setdefault(_n, _i + 1)
+_EXT_MONTHS.update({"june": 6, "july": 7, "déc": 12, "juil": 7})
+
+# connector tokens dateparser skips inside date phrases
+_EXT_CONNECTORS = frozenset(
+    ["de", "del", "do", "da", "в", "г", "года", "год", "р", "року", "roku",
+     "on", "at", "am", "um", "el", "le", "il", "dnia", "den"]
 )
 
 _EXT_WEEKDAYS = frozenset(
@@ -157,6 +190,23 @@ _EXT_WEEKDAYS = frozenset(
         "mardi", "mercredi", "jeudi", "vendredi", "samedi", "dimanche",
         "pazartesi", "salı", "çarşamba", "perşembe", "cuma", "cumartesi",
         "pazar", "senin", "selasa", "rabu", "kamis", "jumat", "sabtu", "minggu",
+        # es / pt / it
+        "lunes", "martes", "miércoles", "miercoles", "jueves", "viernes",
+        "sábado", "sabado", "domingo", "segunda", "terça", "terca", "quarta",
+        "quinta", "sexta", "feira", "lunedì", "martedì", "mercoledì",
+        "giovedì", "venerdì", "sabato", "domenica",
+        # ru / uk
+        "понедельник", "вторник", "среда", "среду", "четверг", "пятница",
+        "пятницу", "суббота", "субботу", "воскресенье", "понеділок",
+        "вівторок", "середа", "середу", "четвер", "п'ятниця", "субота",
+        "неділя", "неділю",
+        # nl / pl
+        "maandag", "dinsdag", "woensdag", "donderdag", "vrijdag", "zaterdag",
+        "zondag", "poniedziałek", "wtorek", "środa", "środę", "czwartek",
+        "piątek", "sobota", "sobotę", "niedziela", "niedzielę",
+        # ar
+        "الاثنين", "الإثنين", "الثلاثاء", "الأربعاء", "الاربعاء", "الخميس",
+        "الجمعة", "السبت", "الأحد", "الاحد",
     ]
 )
 
@@ -165,7 +215,7 @@ _EXT_TIME_TOKEN = re.compile(
     r"^[0-9]{1,2}:[0-9]{2}(?::[0-9]{2}(?:\.[0-9]*[a-z]*)?)?$", re.I
 )
 _EXT_NUM = re.compile(r"^[0-9]{1,4}$")
-_EXT_SPLIT = re.compile(r"[\s|,\-/]+")
+_EXT_SPLIT = re.compile(r"[\s|,،\-/]+")
 
 
 def external_parse(s: str, opts: Options) -> Optional[date]:
@@ -182,7 +232,7 @@ def external_parse(s: str, opts: Options) -> Optional[date]:
         low = tok.lower().rstrip(".").lstrip("(").rstrip(")")
         if not low:
             continue
-        if low in _EXT_WEEKDAYS:
+        if low in _EXT_WEEKDAYS or low in _EXT_CONNECTORS:
             continue
         if _EXT_TIME_TOKEN.match(low):
             continue

@@ -80,7 +80,7 @@ def compare_reference(
     return ref_string, ref_value2
 
 
-def examine_meta_elements(doc: domp.Node, opts: Options) -> DateHit:
+def examine_meta_elements(metas: list[domp.Node], opts: Options) -> DateHit:
     """Single-pass meta scan, first hard hit wins, reserve fallback
     (core.go:353-475)."""
     t_meta: Optional[date] = None
@@ -88,8 +88,8 @@ def examine_meta_elements(doc: domp.Node, opts: Options) -> DateHit:
     str_meta = ""
     str_reserve = ""
 
-    for elem in doc.iter_elements():
-        if elem.tag != "meta" or not elem.attrs:
+    for elem in metas:
+        if not elem.attrs:
             continue
         content = elem.attr("content").strip()
         date_time = elem.attr("datetime").strip()
@@ -174,7 +174,7 @@ def examine_meta_elements(doc: domp.Node, opts: Options) -> DateHit:
     return str_reserve, t_reserve
 
 
-def json_search(doc: domp.Node, opts: Options) -> DateHit:
+def json_search(all_scripts: list[domp.Node], opts: Options) -> DateHit:
     """JSON-LD / settings-JSON recursive date-key capture with
     trailing-bracket repair (extractors.go:210-326)."""
     if opts.use_original_date:
@@ -200,9 +200,8 @@ def json_search(doc: domp.Node, opts: Options) -> DateHit:
 
     scripts = [
         e
-        for e in doc.iter_elements()
-        if e.tag == "script"
-        and e.attr("type") in ("application/ld+json", "application/settings+json")
+        for e in all_scripts
+        if e.attr("type") in ("application/ld+json", "application/settings+json")
     ]
 
     for elem in scripts:
@@ -288,10 +287,9 @@ def examine_other_elements(elements: list[domp.Node], opts: Options) -> DateHit:
     return _MISS
 
 
-def examine_abbr_elements(doc: domp.Node, opts: Options) -> DateHit:
+def examine_abbr_elements(elements: list[domp.Node], opts: Options) -> DateHit:
     """<abbr>: data-utime min/max, publish classes, rescue pass
     (core.go:479-554)."""
-    elements = doc.elements_by_tag("abbr")
     n = len(elements)
     if n == 0 or n >= P.MAX_POSSIBLE_CANDIDATES:
         return _MISS
@@ -344,10 +342,9 @@ def examine_abbr_elements(doc: domp.Node, opts: Options) -> DateHit:
     return examine_other_elements(elements, opts)
 
 
-def examine_time_elements(doc: domp.Node, opts: Options) -> DateHit:
+def examine_time_elements(elements: list[domp.Node], opts: Options) -> DateHit:
     """<time> elements: datetime attr shortcuts + min/max fold
     (core.go:558-617)."""
-    elements = doc.elements_by_tag("time")
     n = len(elements)
     if n == 0 or n >= P.MAX_POSSIBLE_CANDIDATES:
         return _MISS
@@ -390,10 +387,10 @@ def examine_time_elements(doc: domp.Node, opts: Options) -> DateHit:
     return _MISS
 
 
-def meta_img_search(doc: domp.Node, opts: Options) -> DateHit:
+def meta_img_search(metas: list[domp.Node], opts: Options) -> DateHit:
     """og:image content URL → URL-date (extractors.go:366-378)."""
-    for elem in doc.iter_elements():
-        if elem.tag == "meta" and elem.attr("property") == "og:image":
+    for elem in metas:
+        if elem.attr("property") == "og:image":
             content = elem.attr("content").strip()
             if content:
                 result = extract_url_date(content, opts)
@@ -570,10 +567,11 @@ _CLEAN_TAGS = frozenset(
 )
 
 
-def clean_document(doc: domp.Node) -> domp.Node:
-    """Drop embed/frame/media tags (utils.go:32-60); clone-first like the
-    reference."""
-    clone = doc.clone()
+def clean_document(doc: domp.Node, in_place: bool = False) -> domp.Node:
+    """Drop embed/frame/media tags (utils.go:32-60); clones first like the
+    reference unless the caller owns the tree (find_date does — nothing
+    reads the unpruned doc after this point, core.go:170-271)."""
+    clone = doc if in_place else doc.clone()
     for node in [e for e in clone.iter_elements() if e.tag in _CLEAN_TAGS]:
         node.remove()
     return clone
@@ -597,37 +595,54 @@ def find_date(doc: domp.Node, opts: Options) -> DateHit:
         if url_date is not None and not opts.defer_url_extractor:
             return opts.url, url_date
 
-    raw_string, meta_result = examine_meta_elements(doc, opts)
+    # one pre-prune traversal feeds the meta/JSON/abbr stages (the
+    # reference walks the tree per stage; same document order, fewer walks)
+    metas: list[domp.Node] = []
+    scripts: list[domp.Node] = []
+    abbrs: list[domp.Node] = []
+    for e in doc.iter_elements():
+        if e.tag == "meta":
+            metas.append(e)
+        elif e.tag == "script":
+            scripts.append(e)
+        elif e.tag == "abbr":
+            abbrs.append(e)
+
+    raw_string, meta_result = examine_meta_elements(metas, opts)
     if meta_result is not None:
         return raw_string, meta_result
 
-    raw_string, json_result = json_search(doc, opts)
+    raw_string, json_result = json_search(scripts, opts)
     if json_result is not None:
         return raw_string, json_result
 
     if opts.defer_url_extractor and url_date is not None:
         return opts.url, url_date
 
-    raw_string, abbr_result = examine_abbr_elements(doc, opts)
+    raw_string, abbr_result = examine_abbr_elements(abbrs, opts)
     if abbr_result is not None:
         return raw_string, abbr_result
 
-    # prune tree
-    pruned = clean_document(doc)
+    # prune tree (in place: doc is not consulted again past this point)
+    pruned = clean_document(doc, in_place=True)
     discard_unwanted(pruned)
 
+    # one post-prune traversal feeds every remaining element stage
+    post_elems = list(pruned.iter_elements())
+
     date_selector = sel.fast_date if opts.skip_extensive_search else sel.slow_date
-    date_elements = sel.query_all(pruned, date_selector)
+    date_elements = [e for e in post_elems if date_selector(e)]
     raw_string, date_result = examine_other_elements(date_elements, opts)
     if date_result is not None:
         return raw_string, date_result
 
-    title_elements = [e for e in pruned.iter_elements() if e.tag in ("title", "h1")]
+    title_elements = [e for e in post_elems if e.tag in ("title", "h1")]
     raw_string, date_result = examine_other_elements(title_elements, opts)
     if date_result is not None:
         return raw_string, date_result
 
-    raw_string, time_result = examine_time_elements(pruned, opts)
+    time_elements = [e for e in post_elems if e.tag == "time"]
+    raw_string, time_result = examine_time_elements(time_elements, opts)
     if time_result is not None:
         return raw_string, time_result
 
@@ -642,7 +657,8 @@ def find_date(doc: domp.Node, opts: Options) -> DateHit:
     if ts_result is not None:
         return raw_string, ts_result
 
-    raw_string, img_result = meta_img_search(pruned, opts)
+    post_metas = [e for e in post_elems if e.tag == "meta"]
+    raw_string, img_result = meta_img_search(post_metas, opts)
     if img_result is not None:
         return raw_string, img_result
 
@@ -653,7 +669,14 @@ def find_date(doc: domp.Node, opts: Options) -> DateHit:
     if not opts.skip_extensive_search:
         ref_value = 0
         ref_string = ""
-        for segment in sel.query_all_text_nodes(pruned, sel.free_text_rule):
+        free_text_nodes = [
+            child
+            for e in post_elems
+            if sel.free_text_rule(e)
+            for child in e.children
+            if child.kind == domp.TEXT and child.data != ""
+        ]
+        for segment in free_text_nodes:
             text = normalize_spaces(segment.data)
             n_text = len(text)
             if P.MIN_SEGMENT_LEN < n_text < P.MAX_SEGMENT_LEN:

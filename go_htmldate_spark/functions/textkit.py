@@ -7,10 +7,13 @@ the engine-side (JVM) equivalents live in functions/native.py.
 
 from __future__ import annotations
 
-import unicodedata
+import regex as uregex
 
 # Go strings.Fields splits on unicode.IsSpace; Python str.split() on
 # Unicode whitespace — equivalent for practical inputs (utils.go:144-147).
+
+_RX_NON_DIGIT_ASCII = uregex.compile(r"[^0-9]+")
+_RX_ND = uregex.compile(r"\d")  # regex module \d == Unicode Nd
 
 
 def normalize_spaces(s: str) -> str:
@@ -26,8 +29,11 @@ def str_limit(s: str, limit: int) -> str:
 
 
 def digit_count(s: str) -> int:
-    """Count Unicode Nd digits, mirroring Go unicode.IsDigit (utils.go:98-106)."""
-    return sum(1 for c in s if unicodedata.category(c) == "Nd")
+    """Count Unicode Nd digits, mirroring Go unicode.IsDigit
+    (utils.go:98-106). C-speed: ASCII fast path, Nd regex otherwise."""
+    if s.isascii():
+        return len(_RX_NON_DIGIT_ASCII.sub("", s))
+    return len(_RX_ND.findall(s))
 
 
 def is_ascii_digits(b: bytes) -> bool:

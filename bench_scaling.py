@@ -36,8 +36,12 @@ def job(cores: int, n_pages: int) -> dict:
     spark = get_spark(app_name=f"scale-{cores}", master=f"local[{cores}]",
                       shuffle_partitions=cores)
 
-    # 4× cores: fine partitions smooth stragglers in the Python stage
-    pages = synth_pages(spark, n_pages, seed=42, partitions=cores * 4).cache()
+    # 4× cores: fine partitions smooth stragglers in the Python stage.
+    # filler_repeats=8 ≈ 8KB pages: closer to crawl payloads, and enough
+    # per-row work that fixed stage latency doesn't mask the scaling
+    pages = synth_pages(
+        spark, n_pages, seed=42, partitions=cores * 4, filler_repeats=8
+    ).cache()
     pages.count()
     # warm ALL Python workers (one per core): a limit() would collapse to a
     # single partition and leave cores-1 workers cold-importing pandas

@@ -80,6 +80,7 @@ def synth_pages(
     heavy_host_share: int = 0,
     partitions: int | None = None,
     n_outlinks: int = 4,
+    filler_repeats: int = 1,
 ) -> DataFrame:
     """Build the synthetic corpus.
 
@@ -125,7 +126,8 @@ def synth_pages(
     # 5-digit article number: a bare 4-digit id (e.g. 2003) would be a
     # legitimate bare-year hit for the extensive search on "none" pages
     title = F.concat(F.lit("Article "), (i + 50000).cast("string"))
-    filler = F.lit(_FILLER)
+    # filler_repeats sizes pages toward realistic crawl payloads (~0.5KB × 2·r)
+    filler = F.lit(" ".join([_FILLER] * filler_repeats))
 
     head_extra = (
         F.when(stage == "meta_published",

@@ -1,0 +1,80 @@
+"""spark-submit entrypoint for the crawl frontier + extraction engine.
+
+    spark-submit --py-files go_htmldate_spark.zip jobs/crawl_job.py \
+        --pages /data/pages_parquet --state /data/crawl_state \
+        --seeds /data/seeds.parquet --rounds 10 [--resume]
+
+Build the zip with:  python -m zipfile -c go_htmldate_spark.zip go_htmldate_spark
+
+In this sandbox the corpus can be synthesized: pass --synth N instead
+of --pages.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", help="parquet dir of pages (url, warc_ts, html, text, lang, outlinks)")
+    ap.add_argument("--synth", type=int, default=0, help="synthesize N pages instead")
+    ap.add_argument("--seeds", help="parquet dir of seeds (url, priority)")
+    ap.add_argument("--n-seeds", type=int, default=64, help="derive seeds from corpus when --seeds absent")
+    ap.add_argument("--state", required=True, help="state/snapshot directory")
+    ap.add_argument("--robots", help="parquet dir of robots rules (optional)")
+    ap.add_argument("--budgets", help="parquet dir of host budgets (optional)")
+    ap.add_argument("--rounds", type=int, default=5)
+    ap.add_argument("--resume", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from go_htmldate_spark.plans.scheduler import CrawlConfig, CrawlScheduler
+    from go_htmldate_spark.session import get_spark
+    from go_htmldate_spark.sources.pages import synth_pages
+
+    spark = get_spark(app_name="crawl-job")
+
+    if args.synth:
+        pages = synth_pages(spark, args.synth, seed=42)
+    elif args.pages:
+        pages = spark.read.parquet(args.pages)
+    else:
+        ap.error("need --pages or --synth")
+
+    robots = spark.read.parquet(args.robots) if args.robots else None
+    budgets = spark.read.parquet(args.budgets) if args.budgets else None
+
+    os.makedirs(args.state, exist_ok=True)
+    sched = CrawlScheduler(
+        spark, pages, robots=robots, host_budget=budgets,
+        state_dir=args.state, config=CrawlConfig(),
+    )
+
+    if args.resume:
+        next_round = sched.resume()
+        print(f"resumed at round {next_round}")
+    else:
+        if args.seeds:
+            seeds = spark.read.parquet(args.seeds)
+        else:
+            seeds = (
+                pages.select("url").orderBy("url").limit(args.n_seeds)
+                .withColumn("priority", F.lit(1.0))
+            )
+        sched.init_from_seeds(seeds)
+
+    manifests = sched.run(args.rounds)
+    for m in manifests:
+        print(json.dumps(m))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -51,8 +51,10 @@ def main() -> None:
             best = el if best is None or el < best else best
         timings[name] = round(best, 3)
 
-    # warm the JVM/Python workers so timings measure the engine, not startup
-    synth_pages(spark, 256, seed=1).count()
+    # warm the JVM AND all Python workers (one per core) so timings
+    # measure the engine, not import storms
+    warm = synth_pages(spark, cpus * 32, seed=1, partitions=cpus)
+    extract_dates(warm, Options()).count()
 
     # 1. flagship: extraction cascade over a corpus sized to sf
     n_pages = max(2000, int(200_000 * sf))
@@ -80,6 +82,39 @@ def main() -> None:
     ]:
         fn = queries[name]
         run(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())
+
+    # 3. one full crawl-frontier round (schedule + fetch + extract +
+    # discover + snapshot) over a skewed corpus
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from go_htmldate_spark.plans.scheduler import CrawlConfig, CrawlScheduler
+
+    state_dir = tempfile.mkdtemp(prefix="bench_crawl_")
+    try:
+        crawl_pages = synth_pages(
+            spark, max(5000, int(50_000 * sf)), seed=42, heavy_host_share=30
+        ).cache()
+        crawl_pages.count()
+        sched = CrawlScheduler(
+            spark, crawl_pages, robots=None, host_budget=None,
+            state_dir=state_dir,
+            config=CrawlConfig(n_bloom_partitions=8, bloom_bits=1 << 18),
+        )
+        seeds = crawl_pages.select("url").limit(256).withColumn(
+            "priority", F.lit(1.0)
+        )
+        sched.init_from_seeds(seeds)
+        t0 = time.time()
+        manifest = sched.run_round()
+        timings["frontier_round"] = round(time.time() - t0, 3)
+        extras["frontier_scheduled"] = manifest["n_scheduled"]
+        extras["frontier_new_urls"] = manifest["n_frontier"]
+        crawl_pages.unpersist()
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     result = {

@@ -192,7 +192,7 @@ class CrawlScheduler:
             phase1.withColumn("r2", F.row_number().over(w2))
             .filter(F.col("r2") <= k)
             .drop("r1", "r2", "salt", "budget")
-        )
+        ).cache()  # feeds fetch, seen update, leftover anti-join, manifest
 
         # 6. fetch + extract
         from ..operators.extract import extract_dates
@@ -205,9 +205,6 @@ class CrawlScheduler:
             corpus, scheduled["url"] == corpus["url_canon"], "left"
         )
         fetched = fetch.filter(F.col("url_canon").isNotNull())
-        missing = fetch.filter(F.col("url_canon").isNull()).select(
-            "url", "url_hash", "host"
-        )
         # repartition before the UDF: AQE sizes post-join partitions by
         # bytes, but extraction cost is per-row CPU — without this the
         # Python stage runs on a handful of coalesced partitions
@@ -267,7 +264,9 @@ class CrawlScheduler:
             .join(new_seen, "url_hash", "left_anti")
         )
 
-        # snapshot + manifest (per-partition lineage)
+        # snapshot + manifest (per-partition lineage). Counting happens on
+        # the re-read snapshots — cheap metadata-ish scans instead of
+        # recomputing the round's DAG once per metric.
         base = os.path.join(self.state_dir, f"round_{self.round}")
         fetch_order = extracted.select("url", "priority", "date").orderBy(
             F.desc("priority"), F.asc("url")
@@ -277,35 +276,34 @@ class CrawlScheduler:
         new_seen.write.mode("overwrite").parquet(f"{base}/seen")
         new_blooms.write.mode("overwrite").parquet(f"{base}/blooms")
 
+        # reload from snapshot: truncates lineage (no ever-growing plan)
+        self.frontier = self.spark.read.parquet(f"{base}/frontier")
+        self.seen = self.spark.read.parquet(f"{base}/seen")
+        self.blooms = self.spark.read.parquet(f"{base}/blooms")
+
+        stats = self.frontier.groupBy(
+            F.spark_partition_id().alias("pid")
+        ).agg(F.count("*").alias("n")).collect()
         part_stats = [
-            {"partition_id": int(r["pid"]), "rows": int(r["n"])}
-            for r in new_frontier.groupBy(
-                F.spark_partition_id().alias("pid")
-            ).agg(F.count("*").alias("n")).collect()
+            {"partition_id": int(r["pid"]), "rows": int(r["n"])} for r in stats
         ]
-        n_scheduled = scheduled.count()
-        n_fetched = extracted.count()
-        n_missing = missing.count()
-        n_frontier = new_frontier.count()
-        n_seen = new_seen.count()
+        n_scheduled = scheduled.count()  # cached
+        n_fetched = self.spark.read.parquet(f"{base}/fetched").count()
         manifest = {
             "round": self.round,
             "n_scheduled": n_scheduled,
             "n_fetched": n_fetched,
-            "n_missing": n_missing,
-            "n_frontier": n_frontier,
-            "n_seen": n_seen,
+            "n_missing": n_scheduled - n_fetched,
+            "n_frontier": sum(p["rows"] for p in part_stats),
+            "n_seen": self.seen.count(),
             "wall_ms": int((time.time() - t0) * 1000),
             "frontier_partitions": part_stats,
         }
         with open(f"{base}/manifest.json", "w") as f:
             json.dump(manifest, f)
 
-        # reload from snapshot: truncates lineage (no ever-growing plan)
-        self.frontier = self.spark.read.parquet(f"{base}/frontier")
-        self.seen = self.spark.read.parquet(f"{base}/seen")
-        self.blooms = self.spark.read.parquet(f"{base}/blooms")
         extracted.unpersist()
+        scheduled.unpersist()
         self.round += 1
         return manifest
 

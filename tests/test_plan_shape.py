@@ -1,0 +1,65 @@
+"""Physical-plan shape assertions — the 100 TB levers must stay in the
+plan: parquet filter pushdown + column pruning, per-partition top-k
+(TakeOrderedAndProject, not a global sort), bounded shuffle counts."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_parquet_pushdown_and_pruning(spark):
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    q = orders.filter(F.col("o_orderkey") == 42).select("o_orderkey", "o_orderdate")
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,42)]" in plan
+    # column pruning: scan must not read all 6 columns
+    assert "o_totalprice" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_topk_is_take_ordered(spark):
+    from go_htmldate_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = [0.1] * 64
+    plan = _plan(brute_force_topk(emb, q, k=10))
+    assert "TakeOrderedAndProject" in plan  # heap top-k, no global sort
+
+
+def test_exact_dedup_single_shuffle(spark):
+    from go_htmldate_spark.operators.dedup import exact_dup_groups
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(exact_dup_groups(docs))
+    # one hash-partitioned exchange for the groupBy, nothing else
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan or "partial" in plan.lower()  # map-side combine
+
+
+def test_minhash_shuffle_carries_signatures_only(spark):
+    from go_htmldate_spark.operators.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    plan = _plan(minhash_signatures(docs, n_hashes=16))
+    # partial min aggregates before the exchange = one sig row per doc
+    # crosses the wire, not the exploded shingles
+    before_exchange = plan.split("Exchange hashpartitioning")[-1]
+    assert "partial_min" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_staged_extraction_prunes_columns(spark):
+    from go_htmldate_spark.operators.extract import extract_dates
+    from go_htmldate_spark.options import Options
+    from go_htmldate_spark.sources.pages import synth_pages
+
+    pages = synth_pages(spark, 10, seed=1)
+    out = extract_dates(pages, Options()).select("url", "date")
+    plan = _plan(out)
+    assert "ArrowEvalPython" in plan
+    assert "CASE WHEN" in plan  # native URL fast path gates the UDF input

@@ -271,10 +271,22 @@ class CrawlScheduler:
         fetch_order = extracted.select("url", "priority", "date").orderBy(
             F.desc("priority"), F.asc("url")
         )
-        fetch_order.write.mode("overwrite").parquet(f"{base}/fetched")
-        new_frontier.write.mode("overwrite").parquet(f"{base}/frontier")
-        new_seen.write.mode("overwrite").parquet(f"{base}/seen")
-        new_blooms.write.mode("overwrite").parquet(f"{base}/blooms")
+        # the four snapshot writes are independent: submit them as
+        # concurrent Spark jobs (threads share the session's scheduler)
+        from concurrent.futures import ThreadPoolExecutor
+
+        writes = [
+            (fetch_order, f"{base}/fetched"),
+            (new_frontier, f"{base}/frontier"),
+            (new_seen, f"{base}/seen"),
+            (new_blooms, f"{base}/blooms"),
+        ]
+        with ThreadPoolExecutor(4) as pool:
+            list(
+                pool.map(
+                    lambda w: w[0].write.mode("overwrite").parquet(w[1]), writes
+                )
+            )
 
         # reload from snapshot: truncates lineage (no ever-growing plan)
         self.frontier = self.spark.read.parquet(f"{base}/frontier")

@@ -207,3 +207,48 @@ def test_deferred_url_with_time():
     res = from_html(_FOOL_CA, Options())
     assert res.date == "2022-10-20"
     assert res.wall_datetime.strftime("%Y-%m-%d %H:%M") == "2022-10-20 00:00"
+
+
+# --- src_string byte-parity spot checks (north-rule: byte-identical
+# extracted source strings per url) ---
+def test_src_string_meta():
+    r = from_html(
+        '<html><head><meta property="article:published_time" content="  2020-07-21T00:17:28+00:00 "/></head><body/></html>',
+        Options(use_original_date=True),
+    )
+    # whitespace-normalized raw source (core.go:131), content was trimmed
+    assert r.src_string == "2020-07-21T00:17:28+00:00"
+
+
+def test_src_string_url_stage():
+    r = from_html(
+        "<html><body></body></html>",
+        Options(url="http://example.com/2016/07/12/key-words"),
+    )
+    assert r.src_string == "http://example.com/2016/07/12/key-words"
+
+
+def test_src_string_time_element():
+    r = from_html(
+        '<html><body><time datetime="2011-09-28" pubdate="pubdate"></time></body></html>',
+        Options(use_original_date=True),
+    )
+    assert r.src_string == "2011-09-28"
+
+
+def test_src_string_copyright_slice():
+    r = from_html("<html><body>&copy; 2017 Some Company</body></html>", Options())
+    # raw string = 100-char slice of serialized HTML from the match start,
+    # space-normalized — includes following markup (validators.go:144)
+    assert r.src_string == "© 2017 Some Company</body>"
+
+
+def test_time_and_timezone_fields():
+    r = from_html(
+        '<html><head><meta property="article:published_time" content="2020-07-21T06:32:14+02:00"/></head><body/></html>',
+        Options(use_original_date=True, extract_time=True),
+    )
+    assert (r.date, r.has_time, r.has_tz, r.tz_offset) == (
+        "2020-07-21", True, True, 7200,
+    )
+    assert r.wall_datetime.strftime("%H:%M:%S") == "06:32:14"

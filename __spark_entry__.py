@@ -273,6 +273,47 @@ def q_ann_cosine_topk(spark, sf_dir):
     return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
+def q_canonicalize_url(spark, sf_dir):
+    """§2.9 URL canonicalization as a pure Catalyst expression (messy
+    URLs synthesized from orders)."""
+    from go_htmldate_spark.plans.canonical import canonicalize_url
+
+    o = _t(spark, sf_dir, "orders")
+    messy = F.concat(
+        F.lit("HTTPS://Shop"), (F.col("o_custkey") % 7).cast("string"),
+        F.lit(".Example.ORG:443//items//"), F.col("o_orderkey").cast("string"),
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit("?b=2&a=1#frag")).otherwise(F.lit("")),
+    )
+    return o.select("o_orderkey", canonicalize_url(messy).alias("url_canon"))
+
+
+def q_priority_recency(spark, sf_dir):
+    """Frontier priority = politeness budget × recency score, natively
+    (plans/scheduler.recency_score over real dates)."""
+    from go_htmldate_spark.plans.scheduler import recency_score
+
+    o = _t(spark, sf_dir, "orders")
+    budget = (F.col("o_custkey") % 5).cast("double") + 1.0
+    rec = recency_score(F.date_format("o_orderdate", "yyyy-MM-dd"))
+    return o.select(
+        "o_orderkey", F.round(budget * rec, 6).alias("priority")
+    )
+
+
+def q_host_topk(spark, sf_dir):
+    """Per-key politeness top-k as a window rank (the frontier's
+    scheduling primitive) over events."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("user_id", "event_id", "value", "rank")
+    )
+
+
 # --- rows-only (non-SQL-expressible) ---
 
 def q_minhash_lsh_pairs(spark, sf_dir):
@@ -381,6 +422,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "jaccard_pairs": q_jaccard_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "canonicalize_url": q_canonicalize_url,
+        "priority_recency": q_priority_recency,
+        "host_topk": q_host_topk,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_groups": q_simhash_groups,
         "extract_cascade": q_extract_cascade,
@@ -564,6 +608,32 @@ def oracle_sql() -> dict[str, str]:
             FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
             WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
                   / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) >= 0.5
+        """,
+        "canonicalize_url": """
+            -- independent derivation of the expected canonical form
+            SELECT o_orderkey,
+                   'https://shop' || (o_custkey % 7) || '.example.org/items/'
+                   || o_orderkey
+                   || CASE WHEN o_orderkey % 2 = 0 THEN '?a=1&b=2' ELSE '' END
+                       AS url_canon
+            FROM orders
+        """,
+        "priority_recency": """
+            SELECT o_orderkey,
+                   round(((o_custkey % 5) + 1.0)
+                         * (1.0 / (1.0 + greatest(0,
+                               date_diff('day', CAST(o_orderdate AS DATE),
+                                         DATE '2024-06-01')) / 365.0)), 6)
+                       AS priority
+            FROM orders
+        """,
+        "host_topk": """
+            SELECT user_id, event_id, value,
+                   CAST(row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY value DESC, event_id ASC) AS BIGINT) AS rank
+            FROM events
+            QUALIFY rank <= 3
         """,
         "ann_cosine_topk": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

@@ -117,6 +117,40 @@ def merge_blooms(state_a: DataFrame, state_b: DataFrame) -> DataFrame:
     )
 
 
+def probe_blooms_cogrouped(
+    candidates: DataFrame,
+    state: DataFrame,
+    n_partitions: int,
+    m_bits: int = DEFAULT_BITS,
+    k: int = DEFAULT_K,
+    hash_col: str = "url_hash",
+) -> DataFrame:
+    """Probe without broadcasting: cogroup candidates with their state
+    shard on partition_id. The 10^10-URL path — state shards stay on
+    executors (P × m/8 bytes total never visits the driver), candidates
+    shuffle once on the same key the state is partitioned by."""
+    out_schema = "url_hash long, maybe_seen boolean"
+
+    def probe(key, cand_pdf: pd.DataFrame, state_pdf: pd.DataFrame) -> pd.DataFrame:
+        bits = None
+        for blob in state_pdf["bloom"]:
+            b = np.frombuffer(blob, dtype=np.uint8)
+            bits = b if bits is None else (bits | b)
+        h = cand_pdf[hash_col].to_numpy()
+        if bits is None:
+            seen = np.zeros(len(h), dtype=bool)
+        else:
+            seen = _test_bits(bits, _positions(h, m_bits, k))
+        return pd.DataFrame({hash_col: h, "maybe_seen": seen})
+
+    cand_keyed = candidates.select(
+        F.col(hash_col), partition_of(F.col(hash_col), n_partitions).alias("partition_id")
+    ).groupBy("partition_id")
+    state_keyed = state.groupBy("partition_id")
+    flags = cand_keyed.cogroup(state_keyed).applyInPandas(probe, out_schema)
+    return candidates.join(flags, hash_col)
+
+
 def probe_blooms(
     candidates: DataFrame,
     state: DataFrame,
@@ -126,7 +160,8 @@ def probe_blooms(
     hash_col: str = "url_hash",
 ) -> DataFrame:
     """candidates + `maybe_seen` flag. Missing state partition ⇒ False
-    (definitely new)."""
+    (definitely new). Broadcast-probe variant: right while the state fits
+    in driver/executor memory; use probe_blooms_cogrouped beyond that."""
     spark = candidates.sparkSession
     rows = state.collect()  # P × m/8 bytes; broadcast to executors
     blooms = {int(r["partition_id"]): np.frombuffer(r["bloom"], dtype=np.uint8)

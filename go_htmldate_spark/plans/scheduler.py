@@ -108,12 +108,21 @@ class CrawlScheduler:
         canon = seeds.select(
             canonicalize_url(F.col("url")).alias("url"), F.col("priority")
         )
-        self.frontier = canon.select(
-            "url",
-            url_hash(F.col("url")).alias("url_hash"),
-            url_host(F.col("url")).alias("host"),
-            F.col("priority").cast("double").alias("priority"),
-        ).groupBy("url", "url_hash", "host").agg(F.max("priority").alias("priority"))
+        self.frontier = (
+            canon.select(
+                "url",
+                url_hash(F.col("url")).alias("url_hash"),
+                url_host(F.col("url")).alias("host"),
+                F.col("priority").cast("double").alias("priority"),
+            )
+            .groupBy("url", "url_hash", "host")
+            .agg(F.max("priority").alias("priority"))
+            # co-partition by hash from the start: seed lists often arrive
+            # as a single-partition LIMIT, which would serialize round 0
+            .repartition(
+                self.spark.sparkContext.defaultParallelism, "url_hash"
+            )
+        )
         self.seen = self.spark.createDataFrame([], "url_hash long")
         self.blooms = build_blooms(
             self.spark.createDataFrame([], "url_hash long"),

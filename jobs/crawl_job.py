@@ -64,8 +64,11 @@ def main() -> None:
         if args.seeds:
             seeds = spark.read.parquet(args.seeds)
         else:
+            # hash order disperses seeds across hosts — alphabetical order
+            # would cluster them onto a couple of hosts and politeness
+            # budgets would throttle round 0 to a handful of fetches
             seeds = (
-                pages.select("url").orderBy("url").limit(args.n_seeds)
+                pages.select("url").orderBy(F.xxhash64("url")).limit(args.n_seeds)
                 .withColumn("priority", F.lit(1.0))
             )
         sched.init_from_seeds(seeds)

@@ -192,3 +192,23 @@ def test_canonicalize_parity(spark):
     got = [r.c for r in df.collect()]
     want = [canonicalize_url_py(u) for u in urls]
     assert got == want
+
+
+def test_cogrouped_probe_matches_broadcast(spark):
+    from go_htmldate_spark.plans.bloom import probe_blooms_cogrouped
+
+    df = spark.range(0, 3000).select(F.xxhash64("id").alias("url_hash"))
+    state = build_blooms(df, n_partitions=4, m_bits=1 << 16)
+    mixed = spark.range(0, 6000).select(F.xxhash64("id").alias("url_hash"))
+    a = {
+        (r.url_hash, r.maybe_seen)
+        for r in probe_blooms(mixed, state, 4, 1 << 16).collect()
+    }
+    b = {
+        (r.url_hash, r.maybe_seen)
+        for r in probe_blooms_cogrouped(mixed, state, 4, 1 << 16).collect()
+    }
+    assert a == b
+    # inserted half must all flag maybe_seen
+    inserted = {r.url_hash for r in df.collect()}
+    assert all(seen for h, seen in a if h in inserted)

@@ -48,6 +48,10 @@ class CrawlConfig:
     n_salts: int = 8
     default_budget: float = 2.0
     no_date_recency: float = 0.1
+    # below this seen-set size the bloom pre-filter costs more jobs than
+    # the exact anti-join it would skip; it's rebuilt from `seen` once the
+    # threshold is crossed (the filter is advisory, never correctness)
+    bloom_min_seen: int = 50_000
 
 
 def recency_score(date_col):
@@ -129,6 +133,7 @@ class CrawlScheduler:
             self.config.n_bloom_partitions,
             self.config.bloom_bits,
         )
+        self._seen_count = 0
         self.round = 0
 
     # -- resume ------------------------------------------------------------
@@ -146,6 +151,8 @@ class CrawlScheduler:
         self.frontier = self.spark.read.parquet(f"{base}/frontier")
         self.seen = self.spark.read.parquet(f"{base}/seen")
         self.blooms = self.spark.read.parquet(f"{base}/blooms")
+        with open(f"{base}/manifest.json") as f:
+            self._seen_count = json.load(f)["n_seen"]
         self.round = r + 1
         return self.round
 
@@ -156,14 +163,18 @@ class CrawlScheduler:
 
         pending = self.frontier
 
-        # 2. URL-seen: bloom pre-filter, exact anti-join backstop
-        probed = probe_blooms(
-            pending, self.blooms, cfg.n_bloom_partitions, cfg.bloom_bits
-        )
-        definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
-        maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
-        confirmed_new = maybe.join(self.seen, "url_hash", "left_anti")
-        candidates = definitely_new.unionByName(confirmed_new)
+        # 2. URL-seen: bloom pre-filter (once the seen set is big enough
+        # to be worth it), exact anti-join backstop either way
+        if self._seen_count >= cfg.bloom_min_seen:
+            probed = probe_blooms(
+                pending, self.blooms, cfg.n_bloom_partitions, cfg.bloom_bits
+            )
+            definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+            maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+            confirmed_new = maybe.join(self.seen, "url_hash", "left_anti")
+            candidates = definitely_new.unionByName(confirmed_new)
+        else:
+            candidates = pending.join(self.seen, "url_hash", "left_anti")
 
         # 3. robots (broadcast join per host)
         if self.robots is not None:
@@ -255,15 +266,28 @@ class CrawlScheduler:
             (F.col("budget") * F.col("recency")).alias("priority"),
         )
 
-        # 8. state update
+        # 8. state update. Bloom maintenance is adaptive: below the
+        # threshold the state stays empty (the exact anti-join covers
+        # dedup alone); when crossing it, blooms rebuild from the FULL
+        # seen set once, then merge incrementally per round.
         scheduled_hashes = scheduled.select("url_hash")
         new_seen = self.seen.unionByName(scheduled_hashes).distinct()
-        new_blooms = merge_blooms(
-            self.blooms,
-            build_blooms(
-                scheduled_hashes, cfg.n_bloom_partitions, cfg.bloom_bits
-            ),
-        )
+        n_scheduled = scheduled.count()  # cached; cheap
+        new_seen_estimate = self._seen_count + n_scheduled  # upper bound
+        if new_seen_estimate >= cfg.bloom_min_seen:
+            if self._seen_count < cfg.bloom_min_seen:
+                new_blooms = build_blooms(  # first crossing: full rebuild
+                    new_seen, cfg.n_bloom_partitions, cfg.bloom_bits
+                )
+            else:
+                new_blooms = merge_blooms(
+                    self.blooms,
+                    build_blooms(
+                        scheduled_hashes, cfg.n_bloom_partitions, cfg.bloom_bits
+                    ),
+                )
+        else:
+            new_blooms = self.blooms
         leftover = pending.join(scheduled_hashes, "url_hash", "left_anti")
         new_frontier = (
             leftover.unionByName(discovered)
@@ -308,7 +332,6 @@ class CrawlScheduler:
         part_stats = [
             {"partition_id": int(r["pid"]), "rows": int(r["n"])} for r in stats
         ]
-        n_scheduled = scheduled.count()  # cached
         n_fetched = self.spark.read.parquet(f"{base}/fetched").count()
         manifest = {
             "round": self.round,
@@ -323,6 +346,7 @@ class CrawlScheduler:
         with open(f"{base}/manifest.json", "w") as f:
             json.dump(manifest, f)
 
+        self._seen_count = manifest["n_seen"]
         extracted.unpersist()
         scheduled.unpersist()
         self.round += 1

@@ -81,14 +81,15 @@ def _run_oracle(corpus_dates, seeds, n_rounds=N_ROUNDS):
     return orc
 
 
-def _run_spark(spark, corpus, seeds, state_dir, n_rounds=N_ROUNDS):
+def _run_spark(spark, corpus, seeds, state_dir, n_rounds=N_ROUNDS, bloom_min_seen=0):
     sched = CrawlScheduler(
         spark,
         corpus,
         robots=_robots_df(spark),
         host_budget=_budget_df(spark),
         state_dir=str(state_dir),
-        config=CrawlConfig(n_bloom_partitions=4, bloom_bits=1 << 16, n_salts=4),
+        config=CrawlConfig(n_bloom_partitions=4, bloom_bits=1 << 16, n_salts=4,
+                           bloom_min_seen=bloom_min_seen),
     )
     sched.init_from_seeds(
         spark.createDataFrame(seeds, "url string, priority double")
@@ -212,3 +213,16 @@ def test_cogrouped_probe_matches_broadcast(spark):
     # inserted half must all flag maybe_seen
     inserted = {r.url_hash for r in df.collect()}
     assert all(seen for h, seen in a if h in inserted)
+
+
+def test_scheduler_parity_without_bloom_prefilter(
+    spark, corpus, corpus_dates, tmp_path_factory
+):
+    """The adaptive exact-only path (seen below bloom_min_seen) must
+    produce the same crawl as the bloom-prefiltered path."""
+    seeds = _seeds(corpus)
+    d = tmp_path_factory.mktemp("nobloom")
+    _run_spark(spark, corpus, seeds, d, n_rounds=2, bloom_min_seen=10**9)
+    orc = _run_oracle(corpus_dates, seeds, n_rounds=2)
+    log = _spark_fetch_log(spark, d, 2)
+    assert log == orc.fetch_log[: len(log)]

@@ -314,61 +314,62 @@ def q_host_topk(spark, sf_dir):
     )
 
 
-# --- rows-only (non-SQL-expressible) ---
-
 def q_minhash_lsh_pairs(spark, sf_dir):
-    """Pipeline: MinHash+LSH near-dup candidate pairs (xxhash64-based —
-    no DuckDB analog, rows-only check)."""
+    """Pipeline: MinHash+LSH near-dup candidate pairs. Portable md5-KM
+    hash family + raw band-slice buckets so DuckDB recomputes the whole
+    signature/band/bucket algebra independently (operators/dedup.py
+    xxhash64 family is the at-scale fast path, same algebra)."""
     from go_htmldate_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     dup = d.filter(F.col("doc_id") % 11 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
-    sigs = minhash_signatures(d.unionByName(dup), n_hashes=32)
-    return lsh_candidate_pairs(sigs, bands=8)
+    sigs = minhash_signatures(d.unionByName(dup), n_hashes=16, hash_family="md5_seeded")
+    return lsh_candidate_pairs(
+        sigs, bands=4, max_bucket=1_000_000, hashed_buckets=False
+    )
 
 
 def q_simhash_groups(spark, sf_dir):
-    """Pipeline: SimHash near-dup groups (rows-only)."""
+    """Pipeline: SimHash near-dup groups (portable 48-bit md5-KM family,
+    DuckDB recomputes the signatures bit-for-bit)."""
     from go_htmldate_spark.operators.dedup import simhash_dup_groups
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     dup = d.filter(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
-    return simhash_dup_groups(d.unionByName(dup))
+    return simhash_dup_groups(d.unionByName(dup), n_bits=48, hash_family="md5_seeded")
 
 
 def q_extract_cascade(spark, sf_dir):
-    """Flagship cascade over synthetic pages: per-stage recovery counts
-    (rows-only — the cascade is not SQL-expressible)."""
+    """Flagship cascade, hard-gated per document: pages planted by pure
+    arithmetic (sources/pages.synth_pages_arith), the REAL cascade runs
+    over the HTML, and the oracle independently derives the date every
+    page must yield. A hash match ⇔ byte-identical extraction on all
+    10 stages × 500 pages."""
     from go_htmldate_spark.operators.extract import extract_dates
     from go_htmldate_spark.options import Options
-    from go_htmldate_spark.sources.pages import synth_pages
+    from go_htmldate_spark.sources.pages import synth_pages_arith
 
-    pages = synth_pages(spark, 400, seed=42)
+    pages = synth_pages_arith(spark, 500)
     out = extract_dates(pages, Options())
-    return (
-        out.groupBy("planted_stage")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum((F.col("date") == F.col("expected_date")).cast("long")).alias("n_exact"),
-        )
-        .orderBy("planted_stage")
-    )
+    return out.select("page_id", "planted_stage", "date")
 
 
 def q_media_features(spark, sf_dir):
-    """Pipeline: multimodal feature extraction plumbing (stubbed decode,
-    rows-only)."""
+    """Pipeline: multimodal feature extraction plumbing (stubbed decode);
+    the decode path's sha256 payload fingerprint is recomputed by the
+    oracle per media row."""
     from go_htmldate_spark.operators.multimodal import extract_features, synth_media
 
     media = synth_media(spark, 200, seed=42)
-    return (
-        extract_features(media)
-        .groupBy("decode_ok", "feat_dim")
-        .agg(F.count("*").alias("n"))
+    return extract_features(media).select(
+        "media_id",
+        F.col("feat_dim").cast("long").alias("feat_dim"),
+        "payload_sha",
+        "decode_ok",
     )
 
 
@@ -643,5 +644,99 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings, q
             ORDER BY cosine DESC, vec_id ASC
             LIMIT 10
+        """,
+        # seed-prefixed md5 prefixes (h_j(g) = 60-bit prefix of md5('j:'||g))
+        # reproduce the Spark portable hash family exactly.
+        "minhash_lsh_pairs": r"""
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 11 = 0
+            ),
+            norm AS (
+                SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+                FROM corpus
+            ),
+            sh AS (
+                SELECT doc_id,
+                       CASE WHEN length(t) >= 5
+                            THEN list_distinct(list_transform(
+                                range(1, length(t) - 3),
+                                i -> substr(t, CAST(i AS INT), 5)))
+                            ELSE [t] END AS shingles
+                FROM norm
+            ),
+            sig AS (
+                SELECT doc_id,
+                       list_transform(range(0, 16), j ->
+                           list_aggregate(list_transform(shingles, g ->
+                               CAST('0x' || substr(md5(j || ':' || g), 1, 15) AS BIGINT)),
+                               'min')) AS mh
+                FROM sh
+            ),
+            band AS (
+                SELECT doc_id, t.band AS band,
+                       array_to_string(
+                           mh[CAST(t.band * 4 + 1 AS INT):CAST(t.band * 4 + 4 AS INT)],
+                           ',') AS bucket
+                FROM sig, range(0, 4) t(band)
+            )
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM band x JOIN band y
+              ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+        """,
+        "simhash_groups": r"""
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
+            ),
+            tok AS (
+                SELECT doc_id,
+                       list_transform(
+                           string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+                           t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)) AS hs
+                FROM corpus
+            ),
+            sim AS (
+                SELECT doc_id,
+                       CAST(list_aggregate(list_transform(range(0, 48), b ->
+                           CASE WHEN list_aggregate(list_transform(hs,
+                                    h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END),
+                                    'sum') > 0
+                                THEN (CAST(1 AS BIGINT) << b)
+                                ELSE CAST(0 AS BIGINT) END), 'sum') AS BIGINT) AS simhash
+                FROM tok
+            )
+            SELECT simhash, CAST(COUNT(*) AS BIGINT) AS n, MIN(doc_id) AS rep_id
+            FROM sim GROUP BY 1 HAVING COUNT(*) > 1
+        """,
+        # independent derivation of what the cascade must return per page:
+        # synth_pages_arith plants stage = id%10, date = 2000-01-01 +
+        # (id*2654435761)%9000 days; copyright-stage pages resolve to
+        # YYYY-01-01, none-stage pages to ''.
+        "extract_cascade": """
+            WITH g AS (
+                SELECT i, CAST(i % 10 AS INT) AS sid,
+                       DATE '2000-01-01' + CAST((i * 2654435761) % 9000 AS INT) AS planted
+                FROM range(500) t(i)
+            )
+            SELECT i AS page_id,
+                   (['url','meta_published','meta_modified','jsonld','time_tag',
+                     'abbr','div_class','idio','copyright','none'])[sid + 1]
+                       AS planted_stage,
+                   CASE WHEN sid = 8 THEN strftime(planted, '%Y') || '-01-01'
+                        WHEN sid = 9 THEN ''
+                        ELSE strftime(planted, '%Y-%m-%d') END AS date
+            FROM g
+        """,
+        # synth_media payload = UTF-8 bytes of sha256-hex('42' || id); the
+        # stub decode path fingerprints the payload with another sha256.
+        "media_features": """
+            SELECT i AS media_id,
+                   CAST(8 AS BIGINT) AS feat_dim,
+                   sha256(sha256('42' || i)) AS payload_sha,
+                   'ok' AS decode_ok
+            FROM range(200) t(i)
         """,
     }

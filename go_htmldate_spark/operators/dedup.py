@@ -18,6 +18,24 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+# -- portable 60-bit hash stream (identical in Spark and DuckDB) ------------
+#
+# xxhash64 is the fast path, but it exists only in Spark. For
+# oracle-checkable runs we use the first 15 hex chars of md5 as a 60-bit
+# integer; DuckDB computes the same value as
+# CAST('0x' || substr(md5(s), 1, 15) AS BIGINT). Seeded variants prefix
+# the key with "j:" — independent per seed (a KM double-hash h1 + j*h2
+# was tried first, but its correlated per-seed minima break the J^r band
+# collision probability LSH relies on).
+
+def md5_h1(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def md5_seeded(seed: int, col: Column) -> Column:
+    return md5_h1(F.concat(F.lit(f"{seed}:"), col))
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the lowest-id row per exact content hash. groupBy (not a
     window) so the partial agg combines map-side before the shuffle."""
@@ -63,24 +81,35 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n_hashes: int = 64,
     shingle_k: int = 5,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
-    """doc → array<long> of n_hashes minima over xxhash64(seed, shingle).
+    """doc → array<long> of n_hashes minima over hash(seed, shingle).
 
     Shape: explode shingles once, then n_hashes MIN aggregates. Catalyst
     would otherwise re-inline the shingling expression into every seed's
     lambda (interpreted HOFs have no common-subexpression elimination) —
     the explode evaluates it exactly once per document, and the groupBy
-    combines map-side, so the shuffle carries one signature row per doc."""
+    combines map-side, so the shuffle carries one signature row per doc.
+
+    hash_family: "xxhash64" (fast, JVM-native) or "md5_seeded" —
+    seed-prefixed md5 prefixes, bit-reproducible in DuckDB for the
+    correctness oracle. Same banding algebra either way."""
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     out = df.withColumn(f"_norm_{text_col}", norm)
     shingles = _shingle_expr(text_col, shingle_k)
     exploded = out.select(
         F.col(id_col), F.explode(F.array_distinct(shingles)).alias("_sh")
     )
-    mins = [
-        F.min(F.xxhash64(F.lit(seed), F.col("_sh"))).alias(f"_m{seed}")
-        for seed in range(n_hashes)
-    ]
+    if hash_family == "md5_seeded":
+        mins = [
+            F.min(md5_seeded(j, F.col("_sh"))).alias(f"_m{j}")
+            for j in range(n_hashes)
+        ]
+    else:
+        mins = [
+            F.min(F.xxhash64(F.lit(seed), F.col("_sh"))).alias(f"_m{seed}")
+            for seed in range(n_hashes)
+        ]
     return exploded.groupBy(id_col).agg(*mins).select(
         F.col(id_col),
         F.array(*[F.col(f"_m{seed}") for seed in range(n_hashes)]).alias("minhash"),
@@ -92,30 +121,32 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     bands: int = 16,
     max_bucket: int = 64,
+    hashed_buckets: bool = True,
 ) -> DataFrame:
     """Band the signatures, bucket-join, emit candidate near-dup pairs
-    (a < b). max_bucket caps pathological buckets (boilerplate skew)."""
-    n_hashes = bands  # rows per band derived below
+    (a < b). max_bucket caps pathological buckets (boilerplate skew).
+
+    hashed_buckets=True compresses each band slice to an xxhash64 key
+    (the at-scale shape); False keeps the raw comma-joined slice string
+    so the bucket key is reproducible in the DuckDB oracle."""
     sig = F.col("minhash")
     rows_per_band = F.size(sig) / F.lit(bands)
+
+    def band_key(b):
+        slice_str = F.concat_ws(
+            ",",
+            F.slice(
+                sig,
+                (b * rows_per_band + 1).cast("int"),
+                rows_per_band.cast("int"),
+            ).cast("array<string>"),
+        )
+        return F.xxhash64(slice_str, b) if hashed_buckets else slice_str
 
     banded = signatures.select(
         F.col(id_col),
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.slice(
-                            sig,
-                            (b * rows_per_band + 1).cast("int"),
-                            rows_per_band.cast("int"),
-                        ).cast("array<string>"),
-                    ),
-                    b,
-                ),
-            )
+            F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), band_key)
         ).alias("band", "bucket"),
     )
     buckets = (
@@ -161,19 +192,30 @@ def minhash_jaccard_estimate(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash natively: per token hash, add ±1 per bit position,
-    sign-aggregate. SQL-lambda form because the Python shiftright wrapper
-    only accepts constant bit counts."""
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 64,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """n_bits-wide SimHash natively: per token hash, add ±1 per bit
+    position, sign-aggregate. SQL-lambda form because the Python
+    shiftright wrapper only accepts constant bit counts.
+
+    hash_family "md5_seeded" uses the DuckDB-reproducible 60-bit md5
+    stream (cap n_bits ≤ 60 there) so the oracle can recompute
+    signatures."""
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    tok_hash = md5_h1 if hash_family == "md5_seeded" else F.xxhash64
     with_hashes = df.select(
         F.col(id_col),
-        F.transform(F.split(norm, " "), lambda t: F.xxhash64(t)).alias("_hashes"),
+        F.transform(F.split(norm, " "), lambda t: tok_hash(t)).alias("_hashes"),
     )
     sh = F.expr(
-        """
+        f"""
         aggregate(
-          transform(sequence(0, 63), b ->
+          transform(sequence(0, {n_bits - 1}), b ->
             CASE WHEN aggregate(_hashes, 0,
                    (acc, h) -> acc + CASE WHEN shiftright(h, b) & 1 = 1
                                      THEN 1 ELSE -1 END) > 0
@@ -184,10 +226,16 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return with_hashes.select(F.col(id_col), sh.alias("simhash"))
 
 
-def simhash_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash_dup_groups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 64,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
     """Near-dup groups = identical simhash (radius-0 buckets)."""
     return (
-        simhash(df, text_col, id_col)
+        simhash(df, text_col, id_col, n_bits=n_bits, hash_family=hash_family)
         .groupBy("simhash")
         .agg(F.count("*").alias("n"), F.min(id_col).alias("rep_id"))
         .filter(F.col("n") > 1)

@@ -43,6 +43,7 @@ FEATURE_SCHEMA = StructType(
         StructField("media_id", LongType()),
         StructField("feat_dim", IntegerType()),
         StructField("feature", StringType()),     # hex-packed feature vector
+        StructField("payload_sha", StringType()),  # sha256 hex of raw payload
         StructField("decode_ok", StringType()),
     ]
 )
@@ -89,21 +90,24 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
                 pdf["media_id"], pdf["payload"], pdf["width"], pdf["height"]
             ):
                 try:
-                    feat = _decode_image_bytes(bytes(payload), int(w), int(h))
+                    raw = bytes(payload)
+                    feat = _decode_image_bytes(raw, int(w), int(h))
                     out.append(
                         (
                             int(mid),
                             len(feat),
                             struct.pack(f"{len(feat)}f", *feat).hex(),
+                            hashlib.sha256(raw).hexdigest(),
                             "ok",
                         )
                     )
                 except NotImplementedError as e:
-                    out.append((int(mid), 0, "", f"stub:{e}"))
+                    out.append((int(mid), 0, "", "", f"stub:{e}"))
                 except Exception as e:  # codec errors must not kill the batch
-                    out.append((int(mid), 0, "", f"error:{type(e).__name__}"))
+                    out.append((int(mid), 0, "", "", f"error:{type(e).__name__}"))
             yield pd.DataFrame(
-                out, columns=["media_id", "feat_dim", "feature", "decode_ok"]
+                out,
+                columns=["media_id", "feat_dim", "feature", "payload_sha", "decode_ok"],
             )
 
     cols = ["media_id", "payload", "width", "height"]

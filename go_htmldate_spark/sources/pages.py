@@ -43,6 +43,74 @@ def _h(seed: int, *cols: Column) -> Column:
     return F.abs(F.xxhash64(F.lit(seed), *cols))
 
 
+def _date_parts(planted: Column):
+    y = F.year(planted).cast("string")
+    m2 = F.lpad(F.month(planted).cast("string"), 2, "0")
+    d2 = F.lpad(F.dayofmonth(planted).cast("string"), 2, "0")
+    iso = F.concat_ws("-", y, m2, d2)
+    dotted = F.concat_ws(".", d2, m2, y)
+    return y, m2, d2, iso, dotted
+
+
+def _head_extra(stage: Column, planted: Column) -> Column:
+    y, m2, d2, iso, dotted = _date_parts(planted)
+    return (
+        F.when(stage == "meta_published",
+               F.concat(F.lit('<meta property="article:published_time" content="'),
+                        iso, F.lit('T08:30:00+00:00"/>')))
+        .when(stage == "meta_modified",
+              F.concat(F.lit('<meta property="og:updated_time" content="'), iso,
+                       F.lit('T10:00:00Z"/><meta property="article:published_time" content="'),
+                       F.date_format(F.date_sub(planted, 7), "yyyy-MM-dd"),
+                       F.lit('T08:00:00Z"/>')))
+        .when(stage == "jsonld",
+              F.concat(F.lit('<script type="application/ld+json">{"@type":"NewsArticle","datePublished":"'),
+                       iso, F.lit('T06:00:00+00:00","dateModified":"'), iso,
+                       F.lit('T09:00:00+00:00"}</script>')))
+        .otherwise(F.lit(""))
+    )
+
+
+def _body_extra(stage: Column, planted: Column) -> Column:
+    y, m2, d2, iso, dotted = _date_parts(planted)
+    return (
+        F.when(stage == "time_tag",
+               F.concat(F.lit('<time class="entry-date" datetime="'), iso,
+                        F.lit('T12:00:00+00:00">'), iso, F.lit("</time>")))
+        .when(stage == "abbr",
+              F.concat(F.lit('<abbr class="published" title="'), iso,
+                       F.lit('">posted</abbr>')))
+        .when(stage == "div_class",
+              F.concat(F.lit('<div class="post-date">'), dotted, F.lit("</div>")))
+        .when(stage == "idio",
+              F.concat(F.lit("<p><em>Last updated: "), dotted, F.lit("</em></p>")))
+        .when(stage == "copyright",
+              F.concat(F.lit("<footer>© "), y, F.lit(" Example Corp</footer>")))
+        .otherwise(F.lit(""))
+    )
+
+
+def _expected_date(stage: Column, planted: Column, original: bool = False) -> Column:
+    y, m2, d2, iso, dotted = _date_parts(planted)
+    e = F.when(stage == "copyright", F.concat(y, F.lit("-01-01")))
+    if original:
+        e = e.when(
+            stage == "meta_modified",
+            F.date_format(F.date_sub(planted, 7), "yyyy-MM-dd"),
+        )
+    return e.when(stage != "none", iso).otherwise(F.lit(""))
+
+
+def _page_html(title: Column, filler: Column, stage: Column, planted: Column) -> Column:
+    return F.concat(
+        F.lit("<!doctype html><html><head><title>"), title, F.lit("</title>"),
+        _head_extra(stage, planted),
+        F.lit('</head><body><h1>'), title, F.lit("</h1><p>"), filler, F.lit("</p>"),
+        _body_extra(stage, planted),
+        F.lit("<p>"), filler, F.lit("</p></body></html>"),
+    )
+
+
 def _host_expr(i: Column, seed: int, n_hosts: int, heavy_host_share: int) -> Column:
     h3 = _h(seed + 2, i)
     host_id = F.when(
@@ -101,11 +169,7 @@ def synth_pages(
 
     # planted date in [2000-01-01, ~2024] — deterministic per row
     planted = F.date_add(F.to_date(F.lit("2000-01-01")), (h2 % 9000).cast("int"))
-    y = F.year(planted).cast("string")
-    m2 = F.lpad(F.month(planted).cast("string"), 2, "0")
-    d2 = F.lpad(F.dayofmonth(planted).cast("string"), 2, "0")
-    iso = F.concat_ws("-", y, m2, d2)
-    dotted = F.concat_ws(".", d2, m2, y)
+    y, m2, d2, iso, dotted = _date_parts(planted)
 
     stage_id = (h1 % F.lit(len(STAGES))).cast("int")
     stage = F.element_at(F.array(*[F.lit(s) for s in STAGES]), stage_id + 1)
@@ -129,47 +193,9 @@ def synth_pages(
     # filler_repeats sizes pages toward realistic crawl payloads (~0.5KB × 2·r)
     filler = F.lit(" ".join([_FILLER] * filler_repeats))
 
-    head_extra = (
-        F.when(stage == "meta_published",
-               F.concat(F.lit('<meta property="article:published_time" content="'),
-                        iso, F.lit('T08:30:00+00:00"/>')))
-        .when(stage == "meta_modified",
-              F.concat(F.lit('<meta property="og:updated_time" content="'), iso,
-                       F.lit('T10:00:00Z"/><meta property="article:published_time" content="'),
-                       F.date_format(F.date_sub(planted, 7), "yyyy-MM-dd"),
-                       F.lit('T08:00:00Z"/>')))
-        .when(stage == "jsonld",
-              F.concat(F.lit('<script type="application/ld+json">{"@type":"NewsArticle","datePublished":"'),
-                       iso, F.lit('T06:00:00+00:00","dateModified":"'), iso,
-                       F.lit('T09:00:00+00:00"}</script>')))
-        .otherwise(F.lit(""))
-    )
-
-    body_extra = (
-        F.when(stage == "time_tag",
-               F.concat(F.lit('<time class="entry-date" datetime="'), iso,
-                        F.lit('T12:00:00+00:00">'), iso, F.lit("</time>")))
-        .when(stage == "abbr",
-              F.concat(F.lit('<abbr class="published" title="'), iso,
-                       F.lit('">posted</abbr>')))
-        .when(stage == "div_class",
-              F.concat(F.lit('<div class="post-date">'), dotted, F.lit("</div>")))
-        .when(stage == "idio",
-              F.concat(F.lit("<p><em>Last updated: "), dotted, F.lit("</em></p>")))
-        .when(stage == "copyright",
-              F.concat(F.lit("<footer>© "), y, F.lit(" Example Corp</footer>")))
-        .otherwise(F.lit(""))
-    )
-
     text = F.concat_ws(" ", title, filler, F.when(stage != "none", iso).otherwise(F.lit("")))
 
-    html = F.concat(
-        F.lit("<!doctype html><html><head><title>"), title, F.lit("</title>"),
-        head_extra,
-        F.lit('</head><body><h1>'), title, F.lit("</h1><p>"), filler, F.lit("</p>"),
-        body_extra,
-        F.lit("<p>"), filler, F.lit("</p></body></html>"),
-    )
+    html = _page_html(title, filler, stage, planted)
 
     warc_ts = F.to_timestamp(F.lit("2024-06-01 00:00:00")) + F.make_interval(
         secs=(h1 % 86400).cast("double")
@@ -184,13 +210,54 @@ def synth_pages(
         outlinks.alias("outlinks"),
         # golden columns (drop for realistic-pipeline runs)
         stage.alias("planted_stage"),
-        F.when(stage == "copyright", F.concat(y, F.lit("-01-01")))
-        .when(stage != "none", iso)
-        .otherwise(F.lit("")).alias("expected_date"),
+        _expected_date(stage, planted).alias("expected_date"),
         # original-date flavor: meta_modified pages plant published = planted-7d
-        F.when(stage == "copyright", F.concat(y, F.lit("-01-01")))
-        .when(stage == "meta_modified", F.date_format(F.date_sub(planted, 7), "yyyy-MM-dd"))
-        .when(stage != "none", iso)
-        .otherwise(F.lit("")).alias("expected_date_original"),
+        _expected_date(stage, planted, original=True).alias("expected_date_original"),
+        host.alias("host"),
+    )
+
+
+def synth_pages_arith(spark: SparkSession, n_rows: int) -> DataFrame:
+    """Oracle-checkable corpus variant: identical page templates to
+    synth_pages, but every golden column is a pure-ARITHMETIC function of
+    the row id (no xxhash64), so a DuckDB oracle can recompute the
+    planted stage and expected date independently:
+
+        stage_id   = id % 10                    (STAGES order)
+        day_offset = (id * 2654435761) % 9000   (planted = 2000-01-01 + off)
+        host_id    = id % 13
+
+    This makes the full extraction cascade hard-gateable: Spark runs the
+    real cascade over the HTML; the oracle derives what it must return."""
+    df = spark.range(0, n_rows, 1, spark.sparkContext.defaultParallelism)
+    i = F.col("id")
+
+    stage_id = (i % 10).cast("int")
+    stage = F.element_at(F.array(*[F.lit(s) for s in STAGES]), stage_id + 1)
+    planted = F.date_add(
+        F.to_date(F.lit("2000-01-01")), ((i * F.lit(2654435761)) % 9000).cast("int")
+    )
+    y, m2, d2, iso, dotted = _date_parts(planted)
+    host = F.concat(F.lit("site"), (i % 13).cast("string"), F.lit(".example.org"))
+    slug = F.concat(F.lit("article-"), i.cast("string"))
+    url = F.when(
+        stage == "url",
+        F.concat(F.lit("https://"), host, F.lit("/"), y, F.lit("/"), m2,
+                 F.lit("/"), d2, F.lit("/"), slug),
+    ).otherwise(F.concat(F.lit("https://"), host, F.lit("/posts/"), slug))
+
+    title = F.concat(F.lit("Article "), (i + 50000).cast("string"))
+    filler = F.lit(_FILLER)
+    text = F.concat_ws(" ", title, filler, F.when(stage != "none", iso).otherwise(F.lit("")))
+
+    return df.select(
+        i.alias("page_id"),
+        url.alias("url"),
+        F.to_timestamp(F.lit("2024-06-01 00:00:00")).alias("warc_ts"),
+        F.encode(_page_html(title, filler, stage, planted), "UTF-8").alias("html"),
+        text.alias("text"),
+        F.lit("en").alias("lang"),
+        stage.alias("planted_stage"),
+        _expected_date(stage, planted).alias("expected_date"),
         host.alias("host"),
     )

@@ -113,15 +113,20 @@ def _pipeline(pages, cores: int) -> int:
         F.col("r") <= 1000
     ).drop("r")
 
-    corpus = pages.withColumn("url_canon", canonicalize_url(F.col("url")))
-    # shuffle-hash join: sort-merge would sort the big html-payload side
-    fetch = scheduled.hint("shuffle_hash").join(
-        corpus.select("url_canon", "html"),
-        scheduled["url"] == F.col("url_canon"),
+    corpus = pages.withColumn("url_canon", canonicalize_url(F.col("url"))).select(
+        "url_canon", "html", F.lit(None).cast("array<string>").alias("outlinks")
     )
-    # explicit repartition before the opaque UDF: AQE coalesces post-join
-    # partitions by BYTE size, starving the per-row-CPU-bound Python stage
-    out = extract_dates(fetch.select("url", "html").repartition(cores * 4), Options())
+    # broadcast the scheduled keys, stream the corpus: the html payload
+    # never shuffles (the corpus-side Exchange was the non-scaling IO
+    # component that capped efficiency at round 1)
+    from go_htmldate_spark.plans.scheduler import fetch_join
+
+    fetch = fetch_join(corpus, scheduled.select("url", "url_hash", "host", "priority"))
+    # no repartition: the broadcast join preserves the corpus's even
+    # cores*4 partitioning (no shuffle → no AQE byte-based coalescing),
+    # so the CPU-bound Python stage is already balanced and the html
+    # payload never crosses the wire
+    out = extract_dates(fetch.select("url", "html"), Options())
     return out.filter(F.col("date") != "").count()
 
 

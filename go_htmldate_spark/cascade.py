@@ -587,6 +587,28 @@ def discard_unwanted(doc: domp.Node) -> list[domp.Node]:
     return discarded
 
 
+def _prune_and_collect(doc: domp.Node) -> list[domp.Node]:
+    """clean_document(in_place) + discard_unwanted + full element scan
+    fused into one DFS (utils.go:32-60, extractors.go:36-46): pruned
+    subtrees are detached and never visited, survivors come back in
+    document order. Identical result to running the three passes — the
+    prune rules are independent per-node predicates."""
+    out: list[domp.Node] = []
+    push = out.append
+    stack = list(reversed(doc.children))
+    while stack:
+        node = stack.pop()
+        if node.kind != domp.ELEMENT:
+            continue
+        if node.tag in _CLEAN_TAGS or sel.discard_rule(node):
+            node.remove()
+            continue
+        push(node)
+        if node.children:
+            stack.extend(reversed(node.children))
+    return out
+
+
 def find_date(doc: domp.Node, opts: Options) -> DateHit:
     """Precedence cascade, first non-empty stage wins (core.go:136-271)."""
     url_date: Optional[date] = None
@@ -623,12 +645,10 @@ def find_date(doc: domp.Node, opts: Options) -> DateHit:
     if abbr_result is not None:
         return raw_string, abbr_result
 
-    # prune tree (in place: doc is not consulted again past this point)
-    pruned = clean_document(doc, in_place=True)
-    discard_unwanted(pruned)
-
-    # one post-prune traversal feeds every remaining element stage
-    post_elems = list(pruned.iter_elements())
+    # prune tree in place (doc is not consulted again past this point)
+    # and collect the post-prune element list in the same traversal
+    pruned = doc
+    post_elems = _prune_and_collect(pruned)
 
     date_selector = sel.fast_date if opts.skip_extensive_search else sel.slow_date
     date_elements = [e for e in post_elems if date_selector(e)]
@@ -646,10 +666,11 @@ def find_date(doc: domp.Node, opts: Options) -> DateHit:
     if time_result is not None:
         return raw_string, time_result
 
-    # serialization for the string stages (core.go:212-219)
-    html_nodes = pruned.elements_by_tag("html")
-    if html_nodes:
-        html_string = domp.inner_html(html_nodes[0])
+    # serialization for the string stages (core.go:212-219); the html
+    # element comes out of the already-built post_elems scan
+    html_node = next((e for e in post_elems if e.tag == "html"), None)
+    if html_node is not None:
+        html_string = domp.inner_html(html_node)
     else:
         html_string = domp.inner_html(pruned)
 

@@ -109,15 +109,21 @@ class Node:
         return self.attr("class")
 
     # -- traversal ------------------------------------------------------
-    def iter_elements(self) -> Iterator["Node"]:
+    def iter_elements(self) -> list["Node"]:
         """All descendant elements, DFS preorder (document order) —
-        matches go-shiori/dom GetElementsByTagName(root, "*")."""
+        matches go-shiori/dom GetElementsByTagName(root, "*"). Returns a
+        list: every caller consumes the full traversal, and a tight loop
+        beats generator frame switches on large pages."""
+        out: list["Node"] = []
+        push = out.append
         stack = list(reversed(self.children))
         while stack:
             node = stack.pop()
             if node.kind == ELEMENT:
-                yield node
-                stack.extend(reversed(node.children))
+                push(node)
+                if node.children:
+                    stack.extend(reversed(node.children))
+        return out
 
     def elements_by_tag(self, tag: str) -> list["Node"]:
         return [e for e in self.iter_elements() if e.tag == tag]

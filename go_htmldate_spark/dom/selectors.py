@@ -21,9 +21,33 @@ def _str_or(*strs: str) -> str:
 
 
 def date_rule(n: Node) -> bool:
-    id_ = n.id
-    class_ = n.class_name
-    item_prop = n.attr("itemprop")
+    # single pass over the attribute list (this predicate runs on every
+    # element of every page — three n.attr() scans were the #2 hotspot)
+    attrs = n._attrs
+    if attrs is None:
+        raw = n._raw_attrs
+        # the rule only consults id/class/itemprop values; if none of
+        # those attribute names can occur in the raw tag text, the rule
+        # can't match — skip the attribute parse entirely
+        if "id" not in raw and "class" not in raw and "itemprop" not in raw:
+            return False
+        attrs = n.attrs
+    if not attrs:
+        return False
+    id_ = class_ = item_prop = None  # first occurrence wins, even if ""
+    for k, v in attrs:
+        if k == "id":
+            if id_ is None:
+                id_ = v
+        elif k == "class":
+            if class_ is None:
+                class_ = v
+        elif k == "itemprop":
+            if item_prop is None:
+                item_prop = v
+    id_ = id_ or ""
+    class_ = class_ or ""
+    item_prop = item_prop or ""
 
     ici = _str_or(id_, class_, item_prop)
     ic = _str_or(id_, class_)

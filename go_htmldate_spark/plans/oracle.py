@@ -59,6 +59,10 @@ class OracleScheduler:
     pages: dict[str, tuple[str, list[str]]]
     robots: dict[str, list[tuple[str, bool]]] = field(default_factory=dict)
     budgets: dict[str, float] = field(default_factory=dict)
+    # robots crawl_delay seconds per host; caps per-round fetches at
+    # floor(round_seconds / delay)
+    delays: dict[str, float] = field(default_factory=dict)
+    round_seconds: float = 60.0
 
     frontier: dict[str, float] = field(default_factory=dict)  # url → priority
     seen: set[str] = field(default_factory=set)
@@ -74,6 +78,13 @@ class OracleScheduler:
 
     def budget(self, host: str) -> float:
         return self.budgets.get(host, DEFAULT_BUDGET)
+
+    def fetch_cap(self, host: str) -> int:
+        k = int(math.floor(self.budget(host)))
+        d = self.delays.get(host)
+        if d is not None and d > 0:
+            k = min(k, int(math.floor(self.round_seconds / d)))
+        return k
 
     def run_round(self) -> list[str]:
         # 2. drop seen
@@ -92,7 +103,7 @@ class OracleScheduler:
             by_host.setdefault(host_of(u), []).append((p, u))
         scheduled: list[tuple[float, str]] = []
         for host, items in by_host.items():
-            k = int(math.floor(self.budget(host)))
+            k = self.fetch_cap(host)
             items.sort(key=lambda t: (-t[0], t[1]))
             scheduled.extend(items[:k])
 

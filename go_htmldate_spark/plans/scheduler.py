@@ -26,15 +26,16 @@ tests assert identical per-round fetch lists and final URL-seen sets.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import time
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .bloom import build_blooms, merge_blooms, probe_blooms
+from .bloom import build_blooms, merge_blooms, probe_blooms, probe_blooms_cogrouped
 from .canonical import canonicalize_url, url_hash, url_host, url_path
 
 REF_DATE = "2024-06-01"
@@ -52,6 +53,18 @@ class CrawlConfig:
     # the exact anti-join it would skip; it's rebuilt from `seen` once the
     # threshold is crossed (the filter is advisory, never correctness)
     bloom_min_seen: int = 50_000
+    # total bloom state bytes (P × m/8) above which the probe switches
+    # from driver-collect+broadcast to the cogrouped shuffle path that
+    # never moves state through the driver (10^10-URL scale)
+    bloom_broadcast_max_bytes: int = 64 << 20
+    # politeness wall-clock a round represents: robots crawl_delay caps a
+    # host's per-round fetches at floor(round_seconds / crawl_delay)
+    round_seconds: float = 60.0
+    # "broadcast": stream the full-payload corpus, hash-probe the small
+    # scheduled side (corpus html never shuffles — the 100 TB-safe shape).
+    # "shuffle_hash" is the fallback when a round schedules more rows
+    # than fit in a broadcast (then prefer a corpus bucketed on url).
+    fetch_join: str = "broadcast"
 
 
 def recency_score(date_col):
@@ -64,6 +77,24 @@ def recency_score(date_col):
         date_col.isNotNull() & (date_col != ""),
         F.lit(1.0) / (F.lit(1.0) + age_days.cast("double") / F.lit(365.0)),
     ).otherwise(F.lit(CrawlConfig.no_date_recency))
+
+
+def fetch_join(corpus: DataFrame, sched_keys: DataFrame, mode: str = "broadcast") -> DataFrame:
+    """Join the scheduled URLs against the page corpus (the 'network').
+
+    broadcast: stream the full-payload corpus and hash-probe the small
+    scheduled side — the corpus html never shuffles (at 100 TB a
+    corpus-side Exchange is the scale-killer; test_plan_shape pins its
+    absence). shuffle_hash: fallback when a round schedules more rows
+    than fit in a broadcast; build on the scheduled side, stream the
+    corpus (never sort-merge — it would sort the html payload)."""
+    if mode == "broadcast":
+        return corpus.join(
+            F.broadcast(sched_keys), sched_keys["url"] == corpus["url_canon"], "inner"
+        )
+    return sched_keys.hint("shuffle_hash").join(
+        corpus, sched_keys["url"] == corpus["url_canon"], "inner"
+    )
 
 
 def robots_allowed(path_col, rules_col):
@@ -164,9 +195,18 @@ class CrawlScheduler:
         pending = self.frontier
 
         # 2. URL-seen: bloom pre-filter (once the seen set is big enough
-        # to be worth it), exact anti-join backstop either way
+        # to be worth it), exact anti-join backstop either way. The probe
+        # variant is picked by state size: small states broadcast from the
+        # driver; past bloom_broadcast_max_bytes the cogrouped path keeps
+        # all shards executor-side (driver never holds P × m/8 bytes).
         if self._seen_count >= cfg.bloom_min_seen:
-            probed = probe_blooms(
+            state_bytes = cfg.n_bloom_partitions * (cfg.bloom_bits // 8)
+            probe = (
+                probe_blooms_cogrouped
+                if state_bytes > cfg.bloom_broadcast_max_bytes
+                else probe_blooms
+            )
+            probed = probe(
                 pending, self.blooms, cfg.n_bloom_partitions, cfg.bloom_bits
             )
             definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
@@ -176,16 +216,23 @@ class CrawlScheduler:
         else:
             candidates = pending.join(self.seen, "url_hash", "left_anti")
 
-        # 3. robots (broadcast join per host)
+        # 3. robots (broadcast join per host); crawl_delay rides along to
+        # cap per-round fetches below
+        has_delay = False
         if self.robots is not None:
+            has_delay = "crawl_delay" in self.robots.columns
             candidates = candidates.join(
                 F.broadcast(self.robots), "host", "left"
             ).filter(
                 F.col("rules").isNull()
                 | robots_allowed(url_path(F.col("url")), F.col("rules"))
-            ).drop("rules", "crawl_delay")
+            ).drop("rules")
 
-        # 4-5. politeness budget + per-host top-k (salted two-phase)
+        # 4-5. politeness budget + per-host top-k. Heavy-host detection
+        # (SURVEY §2.3): hosts whose pending count exceeds salt_threshold
+        # get a salted two-phase rank (bounds any single task's sort);
+        # everyone else ranks in one pass (salt 0 makes phase 1 the exact
+        # per-host rank, so phase 2 is a no-op re-check on ≤k rows/host).
         if self.host_budget is not None:
             candidates = candidates.join(
                 F.broadcast(self.host_budget), "host", "left"
@@ -196,35 +243,53 @@ class CrawlScheduler:
             candidates = candidates.withColumn("budget", F.lit(cfg.default_budget))
 
         k = F.floor(F.col("budget")).cast("int")
-        # phase 1: rank inside (host, salt) — bounds any single task's sort
-        salt = F.pmod(F.col("url_hash"), F.lit(cfg.n_salts))
+        if has_delay:
+            # robots crawl_delay: a host serving one fetch per delay
+            # seconds yields at most floor(round_seconds / delay) per round
+            delay_cap = F.floor(
+                F.lit(float(cfg.round_seconds)) / F.col("crawl_delay")
+            ).cast("int")
+            k = F.when(
+                F.col("crawl_delay").isNotNull() & (F.col("crawl_delay") > 0),
+                F.least(k, delay_cap),
+            ).otherwise(k)
+            candidates = candidates.withColumn("_k", k).drop("crawl_delay")
+        else:
+            candidates = candidates.withColumn("_k", k)
+
+        heavy_hosts = (
+            pending.groupBy("host")
+            .agg(F.count(F.lit(1)).alias("_n_pending"))
+            .filter(F.col("_n_pending") > cfg.salt_threshold)
+            .select("host", F.lit(True).alias("_heavy"))
+        )
+        salt = F.when(
+            F.col("_heavy").isNotNull(), F.pmod(F.col("url_hash"), F.lit(cfg.n_salts))
+        ).otherwise(F.lit(0))
         w1 = Window.partitionBy("host", "salt").orderBy(
             F.desc("priority"), F.asc("url")
         )
         phase1 = (
-            candidates.withColumn("salt", salt)
+            candidates.join(F.broadcast(heavy_hosts), "host", "left")
+            .withColumn("salt", salt)
             .withColumn("r1", F.row_number().over(w1))
-            .filter(F.col("r1") <= k)   # per-salt top-k ⊇ per-host top-k
+            .filter(F.col("r1") <= F.col("_k"))  # per-salt top-k ⊇ host top-k
         )
         # phase 2: exact top-k per host over the salted heads
         w2 = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("url"))
         scheduled = (
             phase1.withColumn("r2", F.row_number().over(w2))
-            .filter(F.col("r2") <= k)
-            .drop("r1", "r2", "salt", "budget")
+            .filter(F.col("r2") <= F.col("_k"))
+            .drop("r1", "r2", "salt", "budget", "_k", "_heavy")
         ).cache()  # feeds fetch, seen update, leftover anti-join, manifest
 
         # 6. fetch + extract
         from ..operators.extract import extract_dates
         from ..options import Options
 
-        # shuffle-hash: build on the (small) scheduled side, stream the
-        # corpus — sort-merge would sort the html-payload side
         corpus = self.pages.select("url_canon", "html", "outlinks")
-        fetch = scheduled.hint("shuffle_hash").join(
-            corpus, scheduled["url"] == corpus["url_canon"], "left"
-        )
-        fetched = fetch.filter(F.col("url_canon").isNotNull())
+        sched_keys = scheduled.select("url", "url_hash", "host", "priority")
+        fetched = fetch_join(corpus, sched_keys, cfg.fetch_join)
         # repartition before the UDF: AQE sizes post-join partitions by
         # bytes, but extraction cost is per-row CPU — without this the
         # Python stage runs on a handful of coalesced partitions
@@ -266,28 +331,23 @@ class CrawlScheduler:
             (F.col("budget") * F.col("recency")).alias("priority"),
         )
 
-        # 8. state update. Bloom maintenance is adaptive: below the
-        # threshold the state stays empty (the exact anti-join covers
-        # dedup alone); when crossing it, blooms rebuild from the FULL
-        # seen set once, then merge incrementally per round.
-        scheduled_hashes = scheduled.select("url_hash")
-        new_seen = self.seen.unionByName(scheduled_hashes).distinct()
-        n_scheduled = scheduled.count()  # cached; cheap
-        new_seen_estimate = self._seen_count + n_scheduled  # upper bound
-        if new_seen_estimate >= cfg.bloom_min_seen:
-            if self._seen_count < cfg.bloom_min_seen:
-                new_blooms = build_blooms(  # first crossing: full rebuild
-                    new_seen, cfg.n_bloom_partitions, cfg.bloom_bits
-                )
-            else:
-                new_blooms = merge_blooms(
-                    self.blooms,
-                    build_blooms(
-                        scheduled_hashes, cfg.n_bloom_partitions, cfg.bloom_bits
-                    ),
-                )
-        else:
-            new_blooms = self.blooms
+        # 8. state update + snapshot. Every count the manifest needs rides
+        # as an Observation on a write (metrics are collected by the job
+        # that writes the snapshot — zero extra Spark jobs), and frontier
+        # per-partition lineage comes from the written parquet footers
+        # (file-level stats, the Iceberg-manifest analog). Per round:
+        # exactly 4 jobs — the 4 snapshot writes.
+        obs_sched = Observation(f"scheduled_r{self.round}")
+        obs_seen = Observation(f"seen_r{self.round}")
+        obs_fetched = Observation(f"fetched_r{self.round}")
+        scheduled_hashes = scheduled.select("url_hash").observe(
+            obs_sched, F.count(F.lit(1)).alias("n")
+        )
+        new_seen = (
+            self.seen.unionByName(scheduled_hashes)
+            .distinct()
+            .observe(obs_seen, F.count(F.lit(1)).alias("n"))
+        )
         leftover = pending.join(scheduled_hashes, "url_hash", "left_anti")
         new_frontier = (
             leftover.unionByName(discovered)
@@ -296,15 +356,12 @@ class CrawlScheduler:
             # drop anything already seen so the frontier stays bounded
             .join(new_seen, "url_hash", "left_anti")
         )
-
-        # snapshot + manifest (per-partition lineage). Counting happens on
-        # the re-read snapshots — cheap metadata-ish scans instead of
-        # recomputing the round's DAG once per metric.
         base = os.path.join(self.state_dir, f"round_{self.round}")
         fetch_order = extracted.select("url", "priority", "date").orderBy(
             F.desc("priority"), F.asc("url")
-        )
-        # the four snapshot writes are independent: submit them as
+        ).observe(obs_fetched, F.count(F.lit(1)).alias("n"))
+
+        # fetched/frontier/seen writes are independent: submit them as
         # concurrent Spark jobs (threads share the session's scheduler)
         from concurrent.futures import ThreadPoolExecutor
 
@@ -312,34 +369,64 @@ class CrawlScheduler:
             (fetch_order, f"{base}/fetched"),
             (new_frontier, f"{base}/frontier"),
             (new_seen, f"{base}/seen"),
-            (new_blooms, f"{base}/blooms"),
         ]
-        with ThreadPoolExecutor(4) as pool:
+        with ThreadPoolExecutor(3) as pool:
             list(
                 pool.map(
                     lambda w: w[0].write.mode("overwrite").parquet(w[1]), writes
                 )
             )
+        n_scheduled = int(obs_sched.get["n"])
+        n_seen = int(obs_seen.get["n"])
+        n_fetched = int(obs_fetched.get["n"])
+
+        # Bloom maintenance is adaptive: below the threshold the state
+        # stays empty (the exact anti-join covers dedup alone); when
+        # crossing it, blooms rebuild from the FULL seen set once, then
+        # merge incrementally per round. Decided after the seen write so
+        # the exact n_scheduled is free from the observation.
+        if n_seen >= cfg.bloom_min_seen:
+            if self._seen_count < cfg.bloom_min_seen:
+                new_blooms = build_blooms(  # first crossing: full rebuild
+                    self.spark.read.parquet(f"{base}/seen"),
+                    cfg.n_bloom_partitions, cfg.bloom_bits,
+                )
+            else:
+                new_blooms = merge_blooms(
+                    self.blooms,
+                    build_blooms(
+                        scheduled.select("url_hash"),
+                        cfg.n_bloom_partitions, cfg.bloom_bits,
+                    ),
+                )
+        else:
+            new_blooms = self.blooms
+        new_blooms.write.mode("overwrite").parquet(f"{base}/blooms")
 
         # reload from snapshot: truncates lineage (no ever-growing plan)
         self.frontier = self.spark.read.parquet(f"{base}/frontier")
         self.seen = self.spark.read.parquet(f"{base}/seen")
         self.blooms = self.spark.read.parquet(f"{base}/blooms")
 
-        stats = self.frontier.groupBy(
-            F.spark_partition_id().alias("pid")
-        ).agg(F.count("*").alias("n")).collect()
+        import pyarrow.parquet as pq
+
         part_stats = [
-            {"partition_id": int(r["pid"]), "rows": int(r["n"])} for r in stats
+            {
+                "partition_id": i,
+                "file": os.path.basename(p),
+                "rows": pq.ParquetFile(p).metadata.num_rows,
+            }
+            for i, p in enumerate(
+                sorted(glob.glob(os.path.join(base, "frontier", "*.parquet")))
+            )
         ]
-        n_fetched = self.spark.read.parquet(f"{base}/fetched").count()
         manifest = {
             "round": self.round,
             "n_scheduled": n_scheduled,
             "n_fetched": n_fetched,
             "n_missing": n_scheduled - n_fetched,
             "n_frontier": sum(p["rows"] for p in part_stats),
-            "n_seen": self.seen.count(),
+            "n_seen": n_seen,
             "wall_ms": int((time.time() - t0) * 1000),
             "frontier_partitions": part_stats,
         }

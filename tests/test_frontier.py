@@ -70,26 +70,30 @@ def _seeds(corpus):
     return [(u, 1.0 + (i % 3) * 0.5) for i, u in enumerate(urls)]
 
 
-def _run_oracle(corpus_dates, seeds, n_rounds=N_ROUNDS):
+def _run_oracle(corpus_dates, seeds, n_rounds=N_ROUNDS, robots=None, budgets=None):
+    robots = ROBOTS if robots is None else robots
     orc = OracleScheduler(
         pages=corpus_dates,
-        robots={h: rules for h, rules, _ in ROBOTS},
-        budgets=dict(BUDGETS),
+        robots={h: rules for h, rules, _ in robots},
+        budgets=dict(BUDGETS if budgets is None else budgets),
+        delays={h: d for h, rules, d in robots},
     )
     orc.init_from_seeds(seeds)
     orc.run(n_rounds)
     return orc
 
 
-def _run_spark(spark, corpus, seeds, state_dir, n_rounds=N_ROUNDS, bloom_min_seen=0):
+def _run_spark(spark, corpus, seeds, state_dir, n_rounds=N_ROUNDS, bloom_min_seen=0,
+               robots_df=None, budget_df=None, **cfg_kw):
+    cfg_kw.setdefault("n_salts", 4)
     sched = CrawlScheduler(
         spark,
         corpus,
-        robots=_robots_df(spark),
-        host_budget=_budget_df(spark),
+        robots=_robots_df(spark) if robots_df is None else robots_df,
+        host_budget=_budget_df(spark) if budget_df is None else budget_df,
         state_dir=str(state_dir),
-        config=CrawlConfig(n_bloom_partitions=4, bloom_bits=1 << 16, n_salts=4,
-                           bloom_min_seen=bloom_min_seen),
+        config=CrawlConfig(n_bloom_partitions=4, bloom_bits=1 << 16,
+                           bloom_min_seen=bloom_min_seen, **cfg_kw),
     )
     sched.init_from_seeds(
         spark.createDataFrame(seeds, "url string, priority double")
@@ -213,6 +217,64 @@ def test_cogrouped_probe_matches_broadcast(spark):
     # inserted half must all flag maybe_seen
     inserted = {r.url_hash for r in df.collect()}
     assert all(seen for h, seen in a if h in inserted)
+
+
+def test_scheduler_parity_skewed_hosts_and_crawl_delay(
+    spark, corpus, corpus_dates, tmp_path_factory
+):
+    """Heavy-host detection + robots crawl_delay enforcement: host 0
+    carries ~40% of the corpus (heavy_host_share=40) and is detected
+    above salt_threshold=5; site2's crawl_delay=25 caps its per-round
+    fetches at floor(60/25)=2 despite a politeness budget of 5."""
+    seeds = _seeds(corpus)
+    robots = ROBOTS + [("site2.example.org", [], 25.0)]
+    d = tmp_path_factory.mktemp("skew_delay")
+    sched, manifests = _run_spark(
+        spark, corpus, seeds, d,
+        robots_df=spark.createDataFrame(
+            [
+                (h, [{"path_prefix": p, "allow": a} for p, a in rules], dl)
+                for h, rules, dl in robots
+            ],
+            "host string, rules array<struct<path_prefix:string, allow:boolean>>, crawl_delay double",
+        ),
+        salt_threshold=5,
+    )
+    orc = _run_oracle(corpus_dates, seeds, robots=robots)
+
+    log = _spark_fetch_log(spark, d, N_ROUNDS)
+    assert log == orc.fetch_log[: len(log)]
+    spark_seen = {r.url_hash for r in sched.seen.collect()}
+    oracle_seen_hashes = {
+        r.h
+        for r in spark.createDataFrame(
+            [(u,) for u in orc.seen], "url string"
+        ).select(F.xxhash64("url").alias("h")).collect()
+    }
+    assert spark_seen == oracle_seen_hashes
+    # the delay must actually bite: no round fetches >2 site2 URLs
+    for urls in log:
+        assert sum("site2.example.org" in u for u in urls) <= 2
+
+
+def test_fetch_join_never_shuffles_corpus(spark, corpus):
+    """The corpus (html payload) side of the fetch join must reach the
+    join without any hash-partition Exchange — broadcast-probe only."""
+    from go_htmldate_spark.plans.canonical import url_hash, url_host
+    from go_htmldate_spark.plans.scheduler import fetch_join
+
+    cp = corpus.withColumn("url_canon", canonicalize_url(F.col("url"))).select(
+        "url_canon", "html", "outlinks"
+    )
+    sched_keys = corpus.select(
+        canonicalize_url(F.col("url")).alias("url")
+    ).limit(10).select(
+        "url", url_hash(F.col("url")).alias("url_hash"),
+        url_host(F.col("url")).alias("host"), F.lit(1.0).alias("priority"),
+    )
+    plan = fetch_join(cp, sched_keys)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
 
 
 def test_scheduler_parity_without_bloom_prefilter(

@@ -11,6 +11,7 @@ UDFs are opaque to it.
 
 from __future__ import annotations
 
+import re
 from typing import Iterator, Optional
 
 import pandas as pd
@@ -55,6 +56,49 @@ def _result_row(res) -> tuple:
 _EMPTY_ROW = _result_row(EMPTY_RESULT)
 
 
+# -- charset sniffing (WHATWG-style, real-crawl HTML is full of legacy
+# encodings). The Go reference CLI feeds raw bytes straight to
+# x/net/html (cmd/go-htmldate/main.go:112-137 → core.go:50 dom.Parse),
+# i.e. assumes UTF-8 — sniffing is a strict extension for crawl
+# robustness: valid UTF-8 decodes identically, so reference parity on
+# the eval corpus is untouched.
+
+_META_CHARSET = re.compile(
+    rb"""charset\s*=\s*["']?\s*([a-zA-Z0-9_\-]+)""", re.I
+)
+
+# WHATWG encoding table highlights: legacy latin labels map to cp1252
+_ENC_ALIASES = {
+    "iso-8859-1": "cp1252", "latin-1": "cp1252", "latin1": "cp1252",
+    "us-ascii": "cp1252", "ascii": "cp1252", "windows-1252": "cp1252",
+    "iso-8859-9": "cp1254", "windows-1254": "cp1254",
+    "utf8": "utf-8",
+}
+
+
+def sniff_decode(raw: bytes) -> str:
+    """bytes → str: BOM, then <meta charset> within the first 1024 bytes
+    (the HTML5 prescan), then strict UTF-8, then the WHATWG legacy-web
+    fallback cp1252."""
+    if raw[:3] == b"\xef\xbb\xbf":
+        return raw[3:].decode("utf-8", "replace")
+    if raw[:2] == b"\xff\xfe" or raw[:2] == b"\xfe\xff":
+        return raw.decode("utf-16", "replace")
+    m = _META_CHARSET.search(raw[:1024])
+    if m:
+        label = m.group(1).decode("ascii", "replace").lower()
+        enc = _ENC_ALIASES.get(label, label)
+        if enc not in ("utf-8",):
+            try:
+                return raw.decode(enc, "replace")
+            except LookupError:
+                pass  # unknown label: fall through to utf-8/cp1252
+    try:
+        return raw.decode("utf-8")
+    except UnicodeDecodeError:
+        return raw.decode("cp1252", "replace")
+
+
 def make_extract_udf(opts: Options):
     """Build the flagship pandas UDF. Iterator-of-batches form amortizes
     per-batch setup; opts is closure-captured (shipped once per worker)."""
@@ -72,7 +116,7 @@ def make_extract_udf(opts: Options):
                     rows.append(_EMPTY_ROW)  # engine-side resolved row
                     continue
                 if isinstance(html, (bytes, bytearray, memoryview)):
-                    html = bytes(html).decode("utf-8", "replace")
+                    html = sniff_decode(bytes(html))
                 try:
                     res = from_html(html, opts.with_url(url or ""))
                 except Exception:

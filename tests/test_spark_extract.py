@@ -63,3 +63,46 @@ def test_schema(extracted):
     # pass-through columns preserved
     for col in ["url", "warc_ts", "html", "text", "lang"]:
         assert col in extracted.columns
+
+
+# -- charset sniffing (legacy-encoding crawl pages) -------------------------
+
+_LATIN_PAGE = (
+    '<html><head><meta http-equiv="Content-Type" '
+    'content="text/html; charset=iso-8859-1"/><title>Müller</title></head>'
+    '<body><p>Die Bäckerei feierte.</p>'
+    '<div class="post-date">15.03.2019</div></body></html>'
+)
+
+
+def test_sniff_decode_unit():
+    from go_htmldate_spark.operators.extract import sniff_decode
+
+    latin = _LATIN_PAGE.encode("iso-8859-1")
+    assert "Müller" in sniff_decode(latin)          # meta-charset path
+    assert sniff_decode("<p>ok</p>".encode("utf-8")) == "<p>ok</p>"
+    bom = "﻿<p>Ã¼</p>".encode("utf-8")          # BOM wins over content
+    assert sniff_decode(bom) == "<p>Ã¼</p>"
+    utf16 = "<p>dátum</p>".encode("utf-16")          # BOM'd utf-16
+    assert "dátum" in sniff_decode(utf16)
+    # undeclared legacy bytes: strict utf-8 fails → cp1252 fallback
+    raw = "© 2020 Bäcker".encode("cp1252")
+    assert sniff_decode(raw) == "© 2020 Bäcker"
+
+
+def test_extract_latin1_page_end_to_end(spark):
+    from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+    schema = StructType([
+        StructField("url", StringType()),
+        StructField("html", BinaryType()),
+    ])
+    rows = [
+        ("https://legacy.example.org/posts/a", _LATIN_PAGE.encode("iso-8859-1")),
+        ("https://legacy.example.org/posts/b", _LATIN_PAGE.encode("utf-8")),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    got = {r.url: r.date for r in extract_dates(df, Options()).collect()}
+    # both encodings must extract the same planted date
+    assert got["https://legacy.example.org/posts/a"] == "2019-03-15"
+    assert got["https://legacy.example.org/posts/b"] == "2019-03-15"

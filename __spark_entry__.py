@@ -343,6 +343,38 @@ def q_simhash_groups(spark, sf_dir):
     return simhash_dup_groups(d.unionByName(dup), n_bits=48, hash_family="md5_seeded")
 
 
+def q_simhash_near_pairs(spark, sf_dir):
+    """Pipeline: Hamming-radius SimHash near-dup pairs — pigeonhole band
+    bucketing + bit_count(xor) verify; portable 48-bit md5 family so the
+    oracle recomputes signatures, bands, and distances bit-for-bit."""
+    from go_htmldate_spark.operators.dedup import simhash_near_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return simhash_near_pairs(
+        d.unionByName(dup), radius=3, n_bits=48,
+        hash_family="md5_seeded", max_bucket=1_000_000,
+    )
+
+
+def q_ann_selfjoin(spark, sf_dir):
+    """Pipeline: batch ANN self-join (semantic-dedup primitive) — multi-
+    table hyperplane LSH bucketing + exact cosine rerank; md5-derived
+    planes make every float bit-identical in the DuckDB oracle."""
+    from go_htmldate_spark.operators.similarity import ann_selfjoin_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = emb.filter(F.col("vec_id") % 9 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    return ann_selfjoin_pairs(
+        emb.unionByName(dup), dim=64, min_cosine=0.9,
+        n_planes=8, n_tables=8, hash_family="md5", max_bucket=1_000_000,
+    )
+
+
 def q_extract_cascade(spark, sf_dir):
     """Flagship cascade, hard-gated per document: pages planted by pure
     arithmetic (sources/pages.synth_pages_arith), the REAL cascade runs
@@ -428,6 +460,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_topk": q_host_topk,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_groups": q_simhash_groups,
+        "simhash_near_pairs": q_simhash_near_pairs,
+        "ann_selfjoin": q_ann_selfjoin,
         "extract_cascade": q_extract_cascade,
         "media_features": q_media_features,
     }
@@ -710,6 +744,85 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT simhash, CAST(COUNT(*) AS BIGINT) AS n, MIN(doc_id) AS rep_id
             FROM sim GROUP BY 1 HAVING COUNT(*) > 1
+        """,
+        "simhash_near_pairs": r"""
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 6 = 0
+            ),
+            tok AS (
+                SELECT doc_id,
+                       list_transform(
+                           string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+                           t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)) AS hs
+                FROM corpus
+            ),
+            sim AS (
+                SELECT doc_id,
+                       CAST(list_aggregate(list_transform(range(0, 48), b ->
+                           CASE WHEN list_aggregate(list_transform(hs,
+                                    h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END),
+                                    'sum') > 0
+                                THEN (CAST(1 AS BIGINT) << b)
+                                ELSE CAST(0 AS BIGINT) END), 'sum') AS BIGINT) AS simhash
+                FROM tok
+            ),
+            band AS (
+                SELECT doc_id, t.band AS band,
+                       (simhash >> CAST(t.band * 12 AS INT)) & 4095 AS bucket
+                FROM sim, range(0, 4) t(band)
+            ),
+            cand AS (
+                SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                FROM band x JOIN band y
+                  ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+            )
+            SELECT a, b,
+                   CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+            FROM cand
+            JOIN sim sa ON sa.doc_id = a
+            JOIN sim sb ON sb.doc_id = b
+            WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+        """,
+        # hyperplane component j of plane (t*1009+p) is
+        # ((md5-60bit mod 20000)/10000 - 1); left-fold dot products make
+        # every double bit-identical to the Spark expression.
+        "ann_selfjoin": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                UNION ALL
+                SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings
+                WHERE vec_id % 9 = 0
+            ),
+            sig AS (
+                SELECT vec_id, t.t AS band,
+                       array_to_string(list_transform(range(0, 8), p ->
+                           CASE WHEN list_reduce(list_transform(range(1, 65), i ->
+                               v[CAST(i AS INT)] *
+                               ((CAST('0x' || substr(md5((t.t * 1009 + p) || ':' || (i - 1)), 1, 15) AS BIGINT)
+                                 % 20000) / 10000.0 - 1.0)),
+                               (x, y) -> x + y) >= 0
+                           THEN '1' ELSE '0' END), '') AS bucket
+                FROM e, range(0, 8) t(t)
+            ),
+            cand AS (
+                SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+                FROM sig x JOIN sig y
+                  ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+            ),
+            rerank AS (
+                SELECT a, b,
+                       list_reduce(list_transform(range(1, 65), i ->
+                           ea.v[CAST(i AS INT)] * eb.v[CAST(i AS INT)]), (x, y) -> x + y)
+                       / (sqrt(list_reduce(list_transform(range(1, 65), i ->
+                              ea.v[CAST(i AS INT)] * ea.v[CAST(i AS INT)]), (x, y) -> x + y))
+                          * sqrt(list_reduce(list_transform(range(1, 65), i ->
+                              eb.v[CAST(i AS INT)] * eb.v[CAST(i AS INT)]), (x, y) -> x + y)))
+                           AS cos
+                FROM cand JOIN e ea ON ea.vec_id = a JOIN e eb ON eb.vec_id = b
+            )
+            SELECT a, b, round(cos, 4) AS cosine FROM rerank WHERE cos >= 0.9
         """,
         # independent derivation of what the cascade must return per page:
         # synth_pages_arith plants stage = id%10, date = 2000-01-01 +

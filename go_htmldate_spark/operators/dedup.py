@@ -116,6 +116,33 @@ def minhash_signatures(
     )
 
 
+def bucket_candidate_pairs(
+    banded: DataFrame, id_col: str, max_bucket: int
+) -> DataFrame:
+    """(id, band, bucket) → distinct candidate pairs (a < b) sharing a
+    bucket. The groupBy bounds each bucket at max_bucket ids (skew guard
+    for boilerplate that all hashes together); pair fan-out happens
+    bucket-locally, no self-join of the banded table."""
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.slice(F.sort_array(F.collect_list(id_col)), 1, max_bucket).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    return buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda a: F.transform(
+                        F.filter(F.col("ids"), lambda b: b > a),
+                        lambda b: F.struct(a.alias("a"), b.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.a", "p.b").distinct()
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -149,25 +176,7 @@ def lsh_candidate_pairs(
             F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), band_key)
         ).alias("band", "bucket"),
     )
-    buckets = (
-        banded.groupBy("band", "bucket")
-        .agg(F.slice(F.sort_array(F.collect_list(id_col)), 1, max_bucket).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    pairs = buckets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ids"),
-                    lambda a: F.transform(
-                        F.filter(F.col("ids"), lambda b: b > a),
-                        lambda b: F.struct(a.alias("a"), b.alias("b")),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.a", "p.b").distinct()
-    return pairs
+    return bucket_candidate_pairs(banded, id_col, max_bucket)
 
 
 def minhash_jaccard_estimate(
@@ -239,6 +248,52 @@ def simhash_dup_groups(
         .groupBy("simhash")
         .agg(F.count("*").alias("n"), F.min(id_col).alias("rep_id"))
         .filter(F.col("n") > 1)
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    radius: int = 3,
+    n_bits: int = 64,
+    hash_family: str = "xxhash64",
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Near-dup pairs within Hamming distance ≤ radius, bucket-joined:
+    split each signature into radius+1 disjoint bit-bands — by pigeonhole
+    two signatures within the radius agree EXACTLY on at least one band —
+    bucket-join on (band, band_bits), then verify the true distance with
+    bit_count(xor). No all-pairs comparison anywhere; the only shuffle is
+    the band groupBy. n_bits must be divisible by radius+1.
+
+    Returns (a, b, hamming)."""
+    bands = radius + 1
+    if n_bits % bands:
+        raise ValueError(f"n_bits={n_bits} not divisible by radius+1={bands}")
+    w = n_bits // bands
+    mask = (1 << w) - 1
+
+    sigs = simhash(df, text_col, id_col, n_bits=n_bits, hash_family=hash_family)
+    band_vals = F.array(
+        *[F.expr(f"(simhash >> {b * w}) & {mask}") for b in range(bands)]
+    )
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(band_vals).alias("band", "bucket"),
+    )
+    pairs = bucket_candidate_pairs(banded, id_col, max_bucket)
+
+    sa = sigs.select(F.col(id_col).alias("a"), F.col("simhash").alias("_sig_a"))
+    sb = sigs.select(F.col(id_col).alias("b"), F.col("simhash").alias("_sig_b"))
+    return (
+        pairs.join(sa, "a").join(sb, "b")
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("_sig_a").bitwiseXOR(F.col("_sig_b"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= radius)
+        .select("a", "b", "hamming")
     )
 
 

@@ -93,6 +93,92 @@ def _hyperplane_from(p: Column, dim: int) -> Column:
     )
 
 
+def _md5_plane(p: int, dim: int) -> Column:
+    """DuckDB-reproducible hyperplane: component j of plane p is
+    ((md5-60bit('p:j') mod 20000)/10000 - 1) ∈ [-1, 1). Every arithmetic
+    step (hash prefix, mod, IEEE double divide, left-fold dot product)
+    yields bit-identical values in Spark and DuckDB — verified on the
+    test corpus — so the oracle can recompute bucket membership."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"{p}:"), j.cast("string"))), 1, 15),
+                    16, 10,
+                ).cast("long"),
+                F.lit(20000),
+            ).cast("double")
+            / F.lit(10000.0)
+            - F.lit(1.0)
+        ),
+    )
+
+
+def _sign_bits(vec: Column, planes: list[Column]) -> Column:
+    """Bucket key: concatenated sign bits, one per plane ('1'/'0' string
+    — string form keeps the key portable to the SQL oracle)."""
+    return F.concat(
+        *[
+            F.when(dot(vec, pl) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for pl in planes
+        ]
+    )
+
+
+def ann_selfjoin_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    min_cosine: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 8,
+    max_bucket: int = 1024,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Batch ANN: all near-neighbor PAIRS (a < b, cosine ≥ min_cosine) —
+    the semantic-dedup primitive at 100 TB. Multi-table hyperplane LSH
+    buckets candidates (OR-amplified: any shared (table, signature)), the
+    bucket groupBy is the only shuffle of the full table, and candidates
+    are exactly reranked by cosine. hash_family 'md5' derives planes from
+    md5 so the DuckDB oracle reproduces bucketing bit-for-bit."""
+    from .dedup import bucket_candidate_pairs
+
+    vec = F.col(vec_col).cast("array<double>")
+
+    if hash_family == "md5":
+        sigs = F.array(
+            *[
+                _sign_bits(
+                    vec, [_md5_plane(t * 1009 + p, dim) for p in range(n_planes)]
+                )
+                for t in range(n_tables)
+            ]
+        )
+    else:
+        sigs = F.array(
+            *[
+                lsh_signature(vec, dim, n_planes, table=t).cast("string")
+                for t in range(n_tables)
+            ]
+        )
+
+    banded = embeddings.select(
+        F.col(id_col), F.posexplode(sigs).alias("band", "bucket")
+    )
+    pairs = bucket_candidate_pairs(banded, id_col, max_bucket)
+
+    va = embeddings.select(F.col(id_col).alias("a"), vec.alias("_va"))
+    vb = embeddings.select(F.col(id_col).alias("b"), vec.alias("_vb"))
+    cos = cosine(F.col("_va"), F.col("_vb"))
+    return (
+        pairs.join(va, "a").join(vb, "b")
+        .filter(cos >= F.lit(float(min_cosine)))
+        .select("a", "b", F.round(cos, 4).alias("cosine"))
+    )
+
+
 def ann_topk(
     embeddings: DataFrame,
     query_vec: list[float],

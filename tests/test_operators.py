@@ -138,3 +138,67 @@ def test_streaming_extract(spark, tmp_path_factory):
     q2 = stream_extract(spark, in_dir, cp, out_dir, Options())
     q2.awaitTermination(120)
     assert spark.read.parquet(out_dir).count() == 100
+
+
+# -- batch ANN self-join + simhash Hamming-radius probing -------------------
+
+def test_ann_selfjoin_recall_vs_bruteforce(spark):
+    """LSH self-join must recover every pair brute force finds at the
+    threshold (planted exact dups ⇒ identical signatures in all tables)."""
+    import pyspark.sql.functions as F
+
+    from go_htmldate_spark.operators.similarity import ann_selfjoin_pairs, cosine
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    dup = emb.filter(F.col("vec_id") % 9 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(dup)
+
+    got = {
+        (r.a, r.b)
+        for r in ann_selfjoin_pairs(
+            corpus, dim=64, min_cosine=0.9, n_planes=8, n_tables=8
+        ).collect()
+    }
+    va = corpus.select(F.col("vec_id").alias("a"), F.col("embedding").cast("array<double>").alias("va"))
+    vb = corpus.select(F.col("vec_id").alias("b"), F.col("embedding").cast("array<double>").alias("vb"))
+    brute = {
+        (r.a, r.b)
+        for r in va.join(vb, F.col("a") < F.col("b"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= 0.9)
+        .select("a", "b")
+        .collect()
+    }
+    assert brute, "planted dups must exist"
+    assert got == brute
+
+
+def test_simhash_near_pairs_finds_small_edits(spark):
+    """Texts differing by a few tokens land within the Hamming radius and
+    must surface as pairs; the pair set equals a brute-force bit_count
+    check (pigeonhole banding is lossless within the radius)."""
+    import pyspark.sql.functions as F
+
+    from go_htmldate_spark.operators.dedup import simhash, simhash_near_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    rows = [(1, base), (2, base.replace("lazy", "sleepy", 1)),
+            (3, base.replace("quick", "rapid", 1).replace("dog", "cat", 1)),
+            (4, "completely different text about spark shuffle partitions " * 6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.a, r.b): r.hamming
+        for r in simhash_near_pairs(df, radius=7, n_bits=64).collect()
+    }
+    sigs = {r.doc_id: r.simhash for r in simhash(df).collect()}
+    def ham(x, y):
+        return bin((sigs[x] ^ sigs[y]) & ((1 << 64) - 1)).count("1")
+    brute = {
+        (a, b): ham(a, b)
+        for a in sigs for b in sigs if a < b and ham(a, b) <= 7
+    }
+    assert (1, 2) in brute  # one-token edit is a near-dup
+    assert got == brute

@@ -78,10 +78,40 @@ def main() -> None:
         "minmax_reference", "anti_join_seen", "eval_scoring",
         "token_count", "quality_score", "lang_id",
         "exact_dedup", "jaccard_pairs", "ann_cosine_topk",
-        "minhash_lsh_pairs", "simhash_groups",
     ]:
         fn = queries[name]
         run(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())
+
+    # 2b. dedup/ANN at the at-scale hash family (xxhash64 — the default;
+    # the driver gate runs the same operators with the portable md5
+    # family so DuckDB can recompute them, which is 3-10x more hashing)
+    import pyspark.sql.functions as F
+    from go_htmldate_spark.operators.dedup import (
+        lsh_candidate_pairs, minhash_signatures, simhash_dup_groups,
+        simhash_near_pairs,
+    )
+    from go_htmldate_spark.operators.similarity import ann_selfjoin_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    dup = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(dup)
+    run("minhash_lsh_pairs", lambda: lsh_candidate_pairs(
+        minhash_signatures(corpus, n_hashes=32), bands=8
+    ).write.format("noop").mode("overwrite").save())
+    run("simhash_groups", lambda: simhash_dup_groups(corpus)
+        .write.format("noop").mode("overwrite").save())
+    run("simhash_near_pairs", lambda: simhash_near_pairs(corpus, radius=3)
+        .write.format("noop").mode("overwrite").save())
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    edup = emb.filter(F.col("vec_id") % 9 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    ecorpus = emb.unionByName(edup)
+    run("ann_selfjoin", lambda: ann_selfjoin_pairs(
+        ecorpus, dim=64, min_cosine=0.9, n_planes=8, n_tables=8
+    ).write.format("noop").mode("overwrite").save())
 
     # 3. one full crawl-frontier round (schedule + fetch + extract +
     # discover + snapshot) over a skewed corpus

@@ -375,6 +375,44 @@ def q_ann_selfjoin(spark, sf_dir):
     )
 
 
+def q_robots_parse(spark, sf_dir):
+    """§2.1 robots.txt source: bodies synthesized by pure arithmetic,
+    parsed by the real native parser (sources/robots.parse_robots); the
+    oracle derives the expected rule table from the same arithmetic —
+    covering UA-group selection, comment stripping, empty-directive
+    drops, rule order, and crawl-delay extraction."""
+    from go_htmldate_spark.sources.robots import parse_robots
+
+    df = spark.range(240)
+    i = F.col("id")
+    istr = i.cast("string")
+    gbot = F.when(i % 5 == 0,
+                  F.lit("User-agent: googlebot\nDisallow: /gbot-only\n\n")
+                  ).otherwise(F.lit(""))
+    delay = F.when(i % 3 == 0,
+                   F.concat(F.lit("Crawl-delay: "), ((i % 7) + 1).cast("string"),
+                            F.lit("\n"))).otherwise(F.lit(""))
+    allow = F.when(i % 2 == 0,
+                   F.concat(F.lit("Allow: /private-"), istr, F.lit("/ok\n"))
+                   ).otherwise(F.lit(""))
+    emptyd = F.when(i % 4 == 0, F.lit("Disallow:\n")).otherwise(F.lit(""))
+    body = F.concat(
+        gbot, F.lit("# synthetic robots\nUser-agent: *\n"), delay,
+        F.lit("Disallow: /private-"), istr, F.lit("\n"), allow, emptyd,
+    )
+    host = F.concat(F.lit("site"), istr, F.lit(".example.org"))
+    parsed = parse_robots(df.select(host.alias("host"), body.alias("robots_txt")))
+    return parsed.select(
+        "host", "crawl_delay", F.posexplode("rules").alias("rule_idx", "r")
+    ).select(
+        "host",
+        F.col("rule_idx").cast("int").alias("rule_idx"),
+        F.col("r.path_prefix").alias("path_prefix"),
+        F.col("r.allow").alias("allow"),
+        "crawl_delay",
+    )
+
+
 def q_extract_cascade(spark, sf_dir):
     """Flagship cascade, hard-gated per document: pages planted by pure
     arithmetic (sources/pages.synth_pages_arith), the REAL cascade runs
@@ -462,6 +500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_groups": q_simhash_groups,
         "simhash_near_pairs": q_simhash_near_pairs,
         "ann_selfjoin": q_ann_selfjoin,
+        "robots_parse": q_robots_parse,
         "extract_cascade": q_extract_cascade,
         "media_features": q_media_features,
     }
@@ -823,6 +862,28 @@ def oracle_sql() -> dict[str, str]:
                 FROM cand JOIN e ea ON ea.vec_id = a JOIN e eb ON eb.vec_id = b
             )
             SELECT a, b, round(cos, 4) AS cosine FROM rerank WHERE cos >= 0.9
+        """,
+        # expected robots rule table from the same arithmetic that
+        # synthesized the bodies
+        "robots_parse": """
+            WITH g AS (SELECT i FROM range(240) t(i)),
+            d AS (
+                SELECT i,
+                       CASE WHEN i % 3 = 0 THEN CAST((i % 7) + 1 AS DOUBLE) END
+                           AS crawl_delay
+                FROM g
+            )
+            SELECT 'site' || i || '.example.org' AS host,
+                   CAST(0 AS INT) AS rule_idx,
+                   '/private-' || i AS path_prefix,
+                   FALSE AS allow, crawl_delay
+            FROM d
+            UNION ALL
+            SELECT 'site' || i || '.example.org',
+                   CAST(1 AS INT),
+                   '/private-' || i || '/ok',
+                   TRUE, crawl_delay
+            FROM d WHERE i % 2 = 0
         """,
         # independent derivation of what the cascade must return per page:
         # synth_pages_arith plants stage = id%10, date = 2000-01-01 +

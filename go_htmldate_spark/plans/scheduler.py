@@ -85,16 +85,46 @@ def fetch_join(corpus: DataFrame, sched_keys: DataFrame, mode: str = "broadcast"
     broadcast: stream the full-payload corpus and hash-probe the small
     scheduled side — the corpus html never shuffles (at 100 TB a
     corpus-side Exchange is the scale-killer; test_plan_shape pins its
-    absence). shuffle_hash: fallback when a round schedules more rows
-    than fit in a broadcast; build on the scheduled side, stream the
-    corpus (never sort-merge — it would sort the html payload)."""
+    absence). bucketed: the corpus is a table bucketed+sorted on
+    url_canon (write_bucketed_corpus) — only the scheduled side is
+    exchanged/sorted to the bucket count, the corpus scans in place;
+    the right shape when a round schedules more rows than fit in a
+    broadcast. shuffle_hash: last-resort fallback for an unbucketed
+    corpus + huge scheduled set; build on the scheduled side, stream
+    the corpus (never sort-merge there — it would sort the payload)."""
     if mode == "broadcast":
         return corpus.join(
             F.broadcast(sched_keys), sched_keys["url"] == corpus["url_canon"], "inner"
         )
+    if mode == "bucketed":
+        # plain equi-join: Catalyst reads the bucket metadata and plans
+        # the corpus side exchange-free (sorted buckets ⇒ no sort either)
+        return corpus.join(
+            sched_keys, sched_keys["url"] == corpus["url_canon"], "inner"
+        )
     return sched_keys.hint("shuffle_hash").join(
         corpus, sched_keys["url"] == corpus["url_canon"], "inner"
     )
+
+
+def write_bucketed_corpus(
+    pages: DataFrame, table: str, n_buckets: int, path: str | None = None
+) -> None:
+    """Persist the pages corpus as a parquet table bucketed AND sorted on
+    url_canon — the at-scale fetch substrate: every round's fetch join
+    then shuffles only the scheduled side (see fetch_join 'bucketed')."""
+    with_canon = pages if "url_canon" in pages.columns else pages.withColumn(
+        "url_canon", canonicalize_url(F.col("url"))
+    )
+    writer = (
+        with_canon.write.bucketBy(n_buckets, "url_canon")
+        .sortBy("url_canon")
+        .mode("overwrite")
+        .format("parquet")
+    )
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
 
 
 def robots_allowed(path_col, rules_col):
@@ -128,8 +158,16 @@ class CrawlScheduler:
         self.spark = spark
         self.config = config
         self.state_dir = state_dir
-        # the fetchable universe, keyed by canonical url
-        self.pages = pages.withColumn("url_canon", canonicalize_url(F.col("url")))
+        # the fetchable universe, keyed by canonical url. A corpus that
+        # already carries url_canon (e.g. a bucketed table written by
+        # write_bucketed_corpus) is used as-is — recomputing the column
+        # would discard the table's bucketing metadata
+        if "url_canon" in pages.columns:
+            self.pages = pages
+        else:
+            self.pages = pages.withColumn(
+                "url_canon", canonicalize_url(F.col("url"))
+            )
         self.robots = robots
         self.host_budget = host_budget
         self.round = 0
@@ -168,8 +206,12 @@ class CrawlScheduler:
         self.round = 0
 
     # -- resume ------------------------------------------------------------
-    def resume(self) -> int:
-        """Load the latest complete snapshot; returns the next round no."""
+    def resume(self, round: int | None = None) -> int:
+        """Load a complete snapshot — the latest by default, or an
+        explicit earlier `round` (snapshot time travel: every round dir
+        is self-contained, so re-crawling from round r replays exactly
+        the crawl an uninterrupted run would have produced from there).
+        Returns the next round number."""
         rounds = []
         for name in os.listdir(self.state_dir):
             mf = os.path.join(self.state_dir, name, "manifest.json")
@@ -177,7 +219,14 @@ class CrawlScheduler:
                 rounds.append(int(name.split("_")[1]))
         if not rounds:
             raise FileNotFoundError(f"no snapshots under {self.state_dir}")
-        r = max(rounds)
+        if round is not None:
+            if round not in rounds:
+                raise FileNotFoundError(
+                    f"no complete snapshot for round {round} under {self.state_dir}"
+                )
+            r = round
+        else:
+            r = max(rounds)
         base = os.path.join(self.state_dir, f"round_{r}")
         self.frontier = self.spark.read.parquet(f"{base}/frontier")
         self.seen = self.spark.read.parquet(f"{base}/seen")

@@ -288,3 +288,90 @@ def test_scheduler_parity_without_bloom_prefilter(
     orc = _run_oracle(corpus_dates, seeds, n_rounds=2)
     log = _spark_fetch_log(spark, d, 2)
     assert log == orc.fetch_log[: len(log)]
+
+
+def test_resume_time_travel(spark, corpus, tmp_path_factory):
+    """Every snapshot is self-contained: resuming from an EARLIER round
+    replays the exact crawl an uninterrupted run produced from there."""
+    import shutil
+
+    seeds = _seeds(corpus)
+    d_full = tmp_path_factory.mktemp("tt_full")
+    _run_spark(spark, corpus, seeds, d_full, n_rounds=3)
+
+    d_replay = tmp_path_factory.mktemp("tt_replay")
+    for name in ("round_0", "round_1", "round_2"):
+        shutil.copytree(f"{d_full}/{name}", f"{d_replay}/{name}")
+    sched = CrawlScheduler(
+        spark, corpus, robots=_robots_df(spark), host_budget=_budget_df(spark),
+        state_dir=str(d_replay),
+        config=CrawlConfig(n_bloom_partitions=4, bloom_bits=1 << 16, n_salts=4),
+    )
+    assert sched.resume(round=0) == 1
+    sched.run(2)  # rewrites round_1, round_2 from the round_0 state
+
+    assert _spark_fetch_log(spark, d_replay, 3) == _spark_fetch_log(spark, d_full, 3)
+
+
+def test_parse_robots_feeds_scheduler(spark, corpus, corpus_dates, tmp_path_factory):
+    """robots.txt TEXT → parse_robots → scheduler produces the same
+    crawl as the hand-built rules table (same spec as ROBOTS)."""
+    from go_htmldate_spark.sources.robots import parse_robots
+
+    texts = [
+        ("site0.example.org",
+         "# per-path rules\nUser-agent: googlebot\nDisallow: /elsewhere\n\n"
+         "User-agent: *\nCrawl-delay: 1\n"
+         "Disallow: /posts/article-1\nAllow: /posts/article-12\n"),
+        ("site3.example.org",
+         "User-agent: *\nCrawl-delay: 1\nDisallow: /\nDisallow:\n"),
+    ]
+    robots_df = parse_robots(
+        spark.createDataFrame(texts, "host string, robots_txt string")
+    )
+    seeds = _seeds(corpus)
+    d = tmp_path_factory.mktemp("robots_txt")
+    _run_spark(spark, corpus, seeds, d, n_rounds=2, robots_df=robots_df)
+    orc = _run_oracle(corpus_dates, seeds, n_rounds=2)
+    log = _spark_fetch_log(spark, d, 2)
+    assert log == orc.fetch_log[: len(log)]
+
+
+def test_bucketed_corpus_fetch(spark, corpus, corpus_dates, tmp_path_factory):
+    """Bucketed-corpus fetch path: the corpus table (bucketed+sorted on
+    url_canon) joins exchange-free — only the scheduled side shuffles —
+    and the crawl still matches the oracle exactly."""
+    from go_htmldate_spark.plans.canonical import url_hash, url_host
+    from go_htmldate_spark.plans.scheduler import fetch_join, write_bucketed_corpus
+
+    tdir = tmp_path_factory.mktemp("bucketed_tbl")
+    write_bucketed_corpus(corpus, "pages_bucketed", n_buckets=4, path=str(tdir))
+    table = spark.table("pages_bucketed")
+
+    # plan shape: force the non-broadcast path and pin corpus-side
+    # exchange-freedom (bucket metadata consumed)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        sched_keys = corpus.select(
+            canonicalize_url(F.col("url")).alias("url")
+        ).limit(20).select(
+            "url", url_hash(F.col("url")).alias("url_hash"),
+            url_host(F.col("url")).alias("host"), F.lit(1.0).alias("priority"),
+        )
+        plan = fetch_join(
+            table.select("url_canon", "html", "outlinks"), sched_keys, "bucketed"
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
+        # exactly one exchange — the scheduled side; the corpus scans in place
+        assert plan.count("Exchange hashpartitioning") == 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    # full parity through the scheduler on the bucketed table
+    seeds = _seeds(corpus)
+    d = tmp_path_factory.mktemp("bucketed_crawl")
+    _run_spark(spark, table, seeds, d, n_rounds=2, fetch_join="bucketed")
+    orc = _run_oracle(corpus_dates, seeds, n_rounds=2)
+    log = _spark_fetch_log(spark, d, 2)
+    assert log == orc.fetch_log[: len(log)]

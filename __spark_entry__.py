@@ -81,6 +81,46 @@ _SQL_URL_DATE = f"""
 """
 
 
+# shared CTEs: the ann_selfjoin pipeline (corpus + portable md5
+# hyperplane signatures + bucket candidates + exact rerank), reused by
+# the semantic-dedup components oracle
+_SQL_ANN_CTES = """
+    e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings
+        WHERE vec_id % 9 = 0
+    ),
+    sig AS (
+        SELECT vec_id, t.t AS band,
+               array_to_string(list_transform(range(0, 8), p ->
+                   CASE WHEN list_reduce(list_transform(range(1, 65), i ->
+                       v[CAST(i AS INT)] *
+                       ((CAST('0x' || substr(md5((t.t * 1009 + p) || ':' || (i - 1)), 1, 15) AS BIGINT)
+                         % 20000) / 10000.0 - 1.0)),
+                       (x, y) -> x + y) >= 0
+                   THEN '1' ELSE '0' END), '') AS bucket
+        FROM e, range(0, 8) t(t)
+    ),
+    cand AS (
+        SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+        FROM sig x JOIN sig y
+          ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+    ),
+    rerank AS (
+        SELECT a, b,
+               list_reduce(list_transform(range(1, 65), i ->
+                   ea.v[CAST(i AS INT)] * eb.v[CAST(i AS INT)]), (x, y) -> x + y)
+               / (sqrt(list_reduce(list_transform(range(1, 65), i ->
+                      ea.v[CAST(i AS INT)] * ea.v[CAST(i AS INT)]), (x, y) -> x + y))
+                  * sqrt(list_reduce(list_transform(range(1, 65), i ->
+                      eb.v[CAST(i AS INT)] * eb.v[CAST(i AS INT)]), (x, y) -> x + y)))
+                   AS cos
+        FROM cand JOIN e ea ON ea.vec_id = a JOIN e eb ON eb.vec_id = b
+    )
+"""
+
+
 def _url_date_col():
     from go_htmldate_spark.functions.native import RX_COMPLETE_URL_JAVA
 
@@ -375,6 +415,25 @@ def q_ann_selfjoin(spark, sf_dir):
     )
 
 
+def q_semantic_dedup_components(spark, sf_dir):
+    """Pipeline: semantic-dedup grouping — ANN self-join edges fed into
+    iterative min-label connected components; the oracle recomputes the
+    same components with a recursive CTE over the identical edge set
+    (md5-derived hyperplanes make the edges bit-reproducible)."""
+    from go_htmldate_spark.operators.dedup import connected_components
+    from go_htmldate_spark.operators.similarity import ann_selfjoin_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = emb.filter(F.col("vec_id") % 9 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    pairs = ann_selfjoin_pairs(
+        emb.unionByName(dup), dim=64, min_cosine=0.9,
+        n_planes=8, n_tables=8, hash_family="md5", max_bucket=1_000_000,
+    )
+    return connected_components(pairs)
+
+
 def q_robots_parse(spark, sf_dir):
     """§2.1 robots.txt source: bodies synthesized by pure arithmetic,
     parsed by the real native parser (sources/robots.parse_robots); the
@@ -500,6 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_groups": q_simhash_groups,
         "simhash_near_pairs": q_simhash_near_pairs,
         "ann_selfjoin": q_ann_selfjoin,
+        "semantic_dedup_components": q_semantic_dedup_components,
         "robots_parse": q_robots_parse,
         "extract_cascade": q_extract_cascade,
         "media_features": q_media_features,
@@ -827,41 +887,26 @@ def oracle_sql() -> dict[str, str]:
         # hyperplane component j of plane (t*1009+p) is
         # ((md5-60bit mod 20000)/10000 - 1); left-fold dot products make
         # every double bit-identical to the Spark expression.
-        "ann_selfjoin": """
-            WITH e AS (
-                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-                UNION ALL
-                SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings
-                WHERE vec_id % 9 = 0
-            ),
-            sig AS (
-                SELECT vec_id, t.t AS band,
-                       array_to_string(list_transform(range(0, 8), p ->
-                           CASE WHEN list_reduce(list_transform(range(1, 65), i ->
-                               v[CAST(i AS INT)] *
-                               ((CAST('0x' || substr(md5((t.t * 1009 + p) || ':' || (i - 1)), 1, 15) AS BIGINT)
-                                 % 20000) / 10000.0 - 1.0)),
-                               (x, y) -> x + y) >= 0
-                           THEN '1' ELSE '0' END), '') AS bucket
-                FROM e, range(0, 8) t(t)
-            ),
-            cand AS (
-                SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
-                FROM sig x JOIN sig y
-                  ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id
-            ),
-            rerank AS (
-                SELECT a, b,
-                       list_reduce(list_transform(range(1, 65), i ->
-                           ea.v[CAST(i AS INT)] * eb.v[CAST(i AS INT)]), (x, y) -> x + y)
-                       / (sqrt(list_reduce(list_transform(range(1, 65), i ->
-                              ea.v[CAST(i AS INT)] * ea.v[CAST(i AS INT)]), (x, y) -> x + y))
-                          * sqrt(list_reduce(list_transform(range(1, 65), i ->
-                              eb.v[CAST(i AS INT)] * eb.v[CAST(i AS INT)]), (x, y) -> x + y)))
-                           AS cos
-                FROM cand JOIN e ea ON ea.vec_id = a JOIN e eb ON eb.vec_id = b
-            )
+        "ann_selfjoin": f"""
+            WITH {_SQL_ANN_CTES}
             SELECT a, b, round(cos, 4) AS cosine FROM rerank WHERE cos >= 0.9
+        """,
+        # same edge set, components via recursive transitive closure —
+        # matches the Spark side's iterative min-label propagation
+        "semantic_dedup_components": f"""
+            WITH RECURSIVE {_SQL_ANN_CTES},
+            edges0 AS (SELECT a, b FROM rerank WHERE cos >= 0.9),
+            edges AS (
+                SELECT a AS x, b AS y FROM edges0
+                UNION
+                SELECT b, a FROM edges0
+            ),
+            reach(x, y) AS (
+                SELECT x, y FROM edges
+                UNION
+                SELECT r.x, e2.y FROM reach r JOIN edges e2 ON r.y = e2.x
+            )
+            SELECT x AS id, least(x, MIN(y)) AS comp FROM reach GROUP BY x
         """,
         # expected robots rule table from the same arithmetic that
         # synthesized the bodies

@@ -298,6 +298,78 @@ def simhash_near_pairs(
 
 
 # ---------------------------------------------------------------------------
+# connected components / semantic dedup
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame, a_col: str = "a", b_col: str = "b", max_iter: int = 25
+) -> DataFrame:
+    """(a,b) undirected near-dup edges → (id, comp) with comp = smallest
+    id in the component. Min-label propagation: each sweep takes the min
+    over neighbors, converging in O(component diameter) sweeps — the
+    standard large-graph shape (one shuffle per sweep, lineage truncated
+    per iteration so plans stay flat). Iterative by nature, so the
+    driver checks a convergence count per sweep."""
+    edges = pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+    edges = (
+        edges.unionByName(edges.select(F.col("y").alias("x"), F.col("x").alias("y")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select("x").distinct().select(F.col("x").alias("id"), F.col("x").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["y"] == labels["id"])
+            .groupBy("x").agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["x"], "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    dim: int,
+    min_cosine: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **ann_kwargs,
+) -> DataFrame:
+    """Embedding-cosine near-dup removal: ANN self-join → connected
+    components → keep only the smallest id of each component (plus all
+    singletons). Returns the deduplicated embeddings table."""
+    from .similarity import ann_selfjoin_pairs
+
+    pairs = ann_selfjoin_pairs(
+        embeddings, dim=dim, min_cosine=min_cosine,
+        id_col=id_col, vec_col=vec_col, **ann_kwargs,
+    )
+    comps = connected_components(pairs)
+    losers = comps.filter(F.col("id") != F.col("comp")).select(
+        F.col("id").alias(id_col)
+    )
+    return embeddings.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard (exact, for candidate verification / small scopes)
 # ---------------------------------------------------------------------------
 

@@ -202,3 +202,31 @@ def test_simhash_near_pairs_finds_small_edits(spark):
     }
     assert (1, 2) in brute  # one-token edit is a near-dup
     assert got == brute
+
+
+def test_connected_components_chains(spark):
+    from go_htmldate_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)], "a long, b long"
+    )
+    got = {(r.id, r.comp) for r in connected_components(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10),
+                   (20, 20), (21, 20), (22, 20), (23, 20)}
+
+
+def test_semantic_dedup_removes_planted(spark):
+    import pyspark.sql.functions as F
+
+    from go_htmldate_spark.operators.dedup import semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    dup = emb.filter(F.col("vec_id") % 9 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    out = semantic_dedup(emb.unionByName(dup), dim=64, min_cosine=0.9)
+    kept = {r.vec_id for r in out.select("vec_id").collect()}
+    originals = {r.vec_id for r in emb.select("vec_id").collect()}
+    assert kept == originals  # every planted copy dropped, every original kept

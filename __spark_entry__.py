@@ -415,6 +415,30 @@ def q_ann_selfjoin(spark, sf_dir):
     )
 
 
+def q_pipeline_clean(spark, sf_dir):
+    """Pipeline composition: the training-data cleaning flow end-to-end —
+    exact dedup (keep lowest id per content hash) → quality gate →
+    language ID → per-language corpus stats. One oracle gates the whole
+    chain, not just the pieces."""
+    from go_htmldate_spark.operators.dedup import exact_dedup
+    from go_htmldate_spark.operators.textstats import lang_id, token_count, with_text_stats
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    deduped = exact_dedup(d.unionByName(dup))
+    scored = with_text_stats(deduped).filter(F.col("quality") >= 0.5)
+    tagged = scored.select(
+        "doc_id", lang_id(F.col("text")).alias("lang_pred"),
+        token_count(F.col("text")).alias("n_tok"),
+    )
+    return tagged.groupBy("lang_pred").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+    )
+
+
 def q_semantic_dedup_components(spark, sf_dir):
     """Pipeline: semantic-dedup grouping — ANN self-join edges fed into
     iterative min-label connected components; the oracle recomputes the
@@ -560,6 +584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": q_simhash_near_pairs,
         "ann_selfjoin": q_ann_selfjoin,
         "semantic_dedup_components": q_semantic_dedup_components,
+        "pipeline_clean": q_pipeline_clean,
         "robots_parse": q_robots_parse,
         "extract_cascade": q_extract_cascade,
         "media_features": q_media_features,
@@ -907,6 +932,63 @@ def oracle_sql() -> dict[str, str]:
                 SELECT r.x, e2.y FROM reach r JOIN edges e2 ON r.y = e2.x
             )
             SELECT x AS id, least(x, MIN(y)) AS comp FROM reach GROUP BY x
+        """,
+        # end-to-end cleaning pipeline: dedup → quality gate → lang ID →
+        # per-language stats, one oracle over the whole chain
+        "pipeline_clean": f"""
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+            ),
+            keep AS (SELECT md5(text) AS fp, MIN(doc_id) AS doc_id
+                     FROM corpus GROUP BY 1),
+            dd AS (SELECT c.doc_id, c.text FROM corpus c
+                   JOIN keep k ON c.doc_id = k.doc_id),
+            stats AS (
+                SELECT doc_id, text,
+                       length(text) AS n_chars,
+                       length(text) - length(regexp_replace(text, '[\\pP]', '', 'g'))
+                           AS n_punct,
+                       len({toks}) AS n_tok,
+                       list_aggregate(list_transform({toks}, t -> length(t)), 'sum')
+                           AS tok_chars
+                FROM dd
+            ),
+            q AS (
+                SELECT doc_id, text, n_tok,
+                       least(CAST(n_tok AS DOUBLE) / 100.0, 1.0)
+                       * greatest(0.0, 1.0 - (CASE WHEN n_chars > 0
+                              THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END) * 4)
+                       * (CASE WHEN n_tok > 0
+                               AND CAST(tok_chars AS DOUBLE) / n_tok >= 3
+                               AND CAST(tok_chars AS DOUBLE) / n_tok <= 10
+                          THEN 1.0 ELSE 0.5 END) AS quality
+                FROM stats
+            ),
+            f AS (SELECT doc_id, text, n_tok FROM q WHERE quality >= 0.5),
+            hits AS (
+                SELECT doc_id, n_tok,
+                       {marker_hits('en')} AS en_h,
+                       {marker_hits('de')} AS de_h,
+                       {marker_hits('fr')} AS fr_h,
+                       {marker_hits('tr')} AS tr_h,
+                       {marker_hits('id')} AS id_h
+                FROM f
+            ),
+            lang AS (
+                SELECT n_tok,
+                       CASE WHEN greatest(en_h, de_h, fr_h, tr_h, id_h) = 0 THEN 'unknown'
+                            WHEN en_h = greatest(en_h, de_h, fr_h, tr_h, id_h) THEN 'en'
+                            WHEN de_h = greatest(en_h, de_h, fr_h, tr_h, id_h) THEN 'de'
+                            WHEN fr_h = greatest(en_h, de_h, fr_h, tr_h, id_h) THEN 'fr'
+                            WHEN tr_h = greatest(en_h, de_h, fr_h, tr_h, id_h) THEN 'tr'
+                            ELSE 'id' END AS lang_pred
+                FROM hits
+            )
+            SELECT lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+            FROM lang GROUP BY 1
         """,
         # expected robots rule table from the same arithmetic that
         # synthesized the bodies

@@ -214,25 +214,60 @@ def simhash(
 
     hash_family "md5_seeded" uses the DuckDB-reproducible 60-bit md5
     stream (cap n_bits ≤ 60 there) so the oracle can recompute
-    signatures."""
+    signatures with the same per-bit expression; the xxhash64 family
+    runs a SWAR variant — 16 lane-packed counters accumulated with ONE
+    mask+add per (token, lane-phase) instead of 64 per-bit folds, a 4×
+    cut in the interpreted-HOF work (identical sign rule: a bit is set
+    iff 2·count_ones(bit) > n_tokens; equality with the per-bit fold is
+    test-pinned)."""
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     tok_hash = md5_h1 if hash_family == "md5_seeded" else F.xxhash64
     with_hashes = df.select(
         F.col(id_col),
         F.transform(F.split(norm, " "), lambda t: tok_hash(t)).alias("_hashes"),
     )
-    sh = F.expr(
-        f"""
-        aggregate(
-          transform(sequence(0, {n_bits - 1}), b ->
-            CASE WHEN aggregate(_hashes, 0,
-                   (acc, h) -> acc + CASE WHEN shiftright(h, b) & 1 = 1
-                                     THEN 1 ELSE -1 END) > 0
-                 THEN shiftleft(1L, b) ELSE 0L END),
-          0L, (acc, x) -> acc | x)
-        """
+    if hash_family == "md5_seeded":
+        sh = F.expr(
+            f"""
+            aggregate(
+              transform(sequence(0, {n_bits - 1}), b ->
+                CASE WHEN aggregate(_hashes, 0,
+                       (acc, h) -> acc + CASE WHEN shiftright(h, b) & 1 = 1
+                                         THEN 1 ELSE -1 END) > 0
+                     THEN shiftleft(1L, b) ELSE 0L END),
+              0L, (acc, x) -> acc | x)
+            """
+        )
+        return with_hashes.select(F.col(id_col), sh.alias("simhash"))
+
+    # SWAR path: acc_p packs four 16-bit counters (bits p, 16+p, 32+p,
+    # 48+p); lanes hold ≤ 65535 tokens, so cap the token array there
+    mask16 = 0x0001000100010001
+    out = with_hashes.select(
+        F.col(id_col),
+        F.slice(F.col("_hashes"), 1, 65535).alias("_hashes"),
     )
-    return with_hashes.select(F.col(id_col), sh.alias("simhash"))
+    n_tok = F.size("_hashes")
+    accs = [
+        F.expr(
+            f"aggregate(_hashes, 0L, (acc, h) -> "
+            f"acc + (shiftrightunsigned(h, {p}) & {mask16}L))"
+        ).alias(f"_acc{p}")
+        for p in range(16)
+    ]
+    packed = out.select(id_col, n_tok.alias("_t"), *accs)
+    bit_terms = []
+    for p in range(16):
+        for lane in range(4):
+            b = 16 * lane + p
+            if b >= n_bits:
+                continue
+            cnt = f"(shiftrightunsigned(_acc{p}, {16 * lane}) & 65535L)"
+            bit_terms.append(
+                f"CASE WHEN 2 * {cnt} > _t THEN shiftleft(1L, {b}) ELSE 0L END"
+            )
+    sig = F.expr(" | ".join(bit_terms))
+    return packed.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_dup_groups(

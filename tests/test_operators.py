@@ -230,3 +230,36 @@ def test_semantic_dedup_removes_planted(spark):
     kept = {r.vec_id for r in out.select("vec_id").collect()}
     originals = {r.vec_id for r in emb.select("vec_id").collect()}
     assert kept == originals  # every planted copy dropped, every original kept
+
+
+def test_simhash_swar_equals_per_bit_fold(spark):
+    """The SWAR lane-packed simhash must produce bit-identical signatures
+    to the straightforward per-bit fold over the same xxhash64 stream."""
+    import pyspark.sql.functions as F
+
+    from go_htmldate_spark.operators.dedup import simhash
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    swar = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+
+    # reference: the per-bit fold (the md5-family code path) applied to
+    # xxhash64 token hashes
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    with_hashes = docs.select(
+        "doc_id", F.transform(F.split(norm, " "), lambda t: F.xxhash64(t)).alias("_hashes")
+    )
+    fold = F.expr(
+        """
+        aggregate(
+          transform(sequence(0, 63), b ->
+            CASE WHEN aggregate(_hashes, 0,
+                   (acc, h) -> acc + CASE WHEN shiftright(h, b) & 1 = 1
+                                     THEN 1 ELSE -1 END) > 0
+                 THEN shiftleft(1L, b) ELSE 0L END),
+          0L, (acc, x) -> acc | x)
+        """
+    )
+    ref = {r.doc_id: r.sh for r in with_hashes.select("doc_id", fold.alias("sh")).collect()}
+    assert swar == ref

@@ -263,3 +263,38 @@ def test_simhash_swar_equals_per_bit_fold(spark):
     )
     ref = {r.doc_id: r.sh for r in with_hashes.select("doc_id", fold.alias("sh")).collect()}
     assert swar == ref
+
+
+def test_stream_dedup_urls_stateful(spark, tmp_path):
+    """applyInPandasWithState URL-seen dedup: first occurrence passes,
+    duplicates drop within AND across micro-batches, and the state
+    survives a query restart through the checkpoint."""
+    import pyspark.sql.functions as F
+
+    from go_htmldate_spark.streaming.frontier import stream_dedup_urls
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_batch(urls, fname):
+        spark.createDataFrame([(u,) for u in urls], "url string").coalesce(
+            1
+        ).write.mode("append").parquet(in_dir)
+        stream = spark.readStream.schema("url string").parquet(in_dir)
+        q = (
+            stream_dedup_urls(stream, n_partitions=4)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_batch(["https://a.org/x", "https://b.org/y", "https://a.org/x"], "b1")
+    run_batch(["https://b.org/y", "https://c.org/z"], "b2")
+
+    got = sorted(r.url for r in spark.read.parquet(out_dir).collect())
+    assert got == ["https://a.org/x", "https://b.org/y", "https://c.org/z"]

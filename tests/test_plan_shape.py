@@ -63,3 +63,24 @@ def test_staged_extraction_prunes_columns(spark):
     plan = _plan(out)
     assert "ArrowEvalPython" in plan
     assert "CASE WHEN" in plan  # native URL fast path gates the UDF input
+
+
+def test_ann_selfjoin_no_cartesian(spark):
+    """Batch ANN must stay bucket-joined — no cartesian/nested-loop
+    product anywhere in the plan."""
+    from go_htmldate_spark.operators.similarity import ann_selfjoin_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select("vec_id", "embedding")
+    plan = _plan(ann_selfjoin_pairs(emb, dim=64, min_cosine=0.9))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_swar_single_shuffle(spark):
+    """SWAR simhash groups: one hash-partitioned exchange (the groupBy),
+    signature computation fully map-side."""
+    from go_htmldate_spark.operators.dedup import simhash_dup_groups
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    plan = _plan(simhash_dup_groups(docs))
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -526,6 +526,18 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_media_frames(spark, sf_dir):
+    """Pipeline: video frame-sampling plan — the per-frame fan-out shape
+    (explode of sampled timestamps) over an arithmetic media table the
+    oracle re-derives row for row."""
+    from go_htmldate_spark.operators.multimodal import frame_sample_plan, synth_media_arith
+
+    media = synth_media_arith(spark, 300)
+    return frame_sample_plan(media, every_ms=1000).select(
+        "media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: wrap sf0.001 documents in HTML pages with planted dates,
     run the staged extraction engine, return per-document results."""
@@ -585,6 +597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_selfjoin": q_ann_selfjoin,
         "semantic_dedup_components": q_semantic_dedup_components,
         "pipeline_clean": q_pipeline_clean,
+        "media_frames": q_media_frames,
         "robots_parse": q_robots_parse,
         "extract_cascade": q_extract_cascade,
         "media_features": q_media_features,
@@ -1030,6 +1043,14 @@ def oracle_sql() -> dict[str, str]:
                         WHEN sid = 9 THEN ''
                         ELSE strftime(planted, '%Y-%m-%d') END AS date
             FROM g
+        """,
+        # frame sampling: video rows (id%3==2), frames at 0..duration
+        # step 1000 inclusive, duration = (id*37)%60000
+        "media_frames": """
+            SELECT i AS media_id, CAST(f.ts AS BIGINT) AS frame_ts_ms
+            FROM range(300) t(i),
+                 LATERAL (SELECT unnest(range(0, ((i * 37) % 60000) + 1, 1000)) AS ts) f
+            WHERE i % 3 = 2
         """,
         # synth_media payload = UTF-8 bytes of sha256-hex('42' || id); the
         # stub decode path fingerprints the payload with another sha256.

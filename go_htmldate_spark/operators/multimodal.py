@@ -67,6 +67,25 @@ def synth_media(spark, n_rows: int, seed: int = 42) -> DataFrame:
     )
 
 
+def synth_media_arith(spark, n_rows: int) -> DataFrame:
+    """Oracle-checkable media table: every column a pure-arithmetic
+    function of the id (kind = id%3, duration_ms = (id*37)%60000) so a
+    SQL oracle can re-derive downstream plans (e.g. frame sampling)."""
+    i = F.col("id")
+    return spark.range(n_rows).select(
+        i.alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (i % 3).cast("int") + 1,
+        ).alias("kind"),
+        F.encode(F.sha2(F.concat(F.lit("m"), i), 256), "UTF-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        ((i * 13) % 1920 + 16).cast("int").alias("width"),
+        ((i * 29) % 1080 + 16).cast("int").alias("height"),
+        ((i * 37) % 60000).cast("int").alias("duration_ms"),
+    )
+
+
 def _decode_image_bytes(payload: bytes, width: int, height: int) -> list[float]:
     """STUB decode: a real deployment calls PIL/ffmpeg here. This
     deterministic fake derives an 8-dim feature from the payload hash so

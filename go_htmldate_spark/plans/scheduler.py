@@ -65,6 +65,11 @@ class CrawlConfig:
     # "shuffle_hash" is the fallback when a round schedules more rows
     # than fit in a broadcast (then prefer a corpus bucketed on url).
     fetch_join: str = "broadcast"
+    # URL-seen pre-filter family: "bloom" (plans/bloom.py) or "cuckoo"
+    # (plans/cuckoo.py — deletion-capable, denser at equal FPP). Both are
+    # advisory; the exact anti-join backstop owns correctness.
+    seen_filter: str = "bloom"
+    cuckoo_buckets: int = 1 << 15
 
 
 def recency_score(date_col):
@@ -175,6 +180,31 @@ class CrawlScheduler:
         self.seen: DataFrame | None = None
         self.blooms: DataFrame | None = None
 
+    # -- seen-filter family dispatch ----------------------------------------
+    def _filter_fns(self):
+        cfg = self.config
+        if cfg.seen_filter == "cuckoo":
+            from .cuckoo import build_cuckoo, merge_cuckoo, probe_cuckoo
+
+            return (
+                lambda df: build_cuckoo(df, cfg.n_bloom_partitions, cfg.cuckoo_buckets),
+                lambda a, b: merge_cuckoo(a, b, cfg.cuckoo_buckets),
+                lambda cand, st: probe_cuckoo(
+                    cand, st, cfg.n_bloom_partitions, cfg.cuckoo_buckets
+                ),
+            )
+        state_bytes = cfg.n_bloom_partitions * (cfg.bloom_bits // 8)
+        probe = (
+            probe_blooms_cogrouped
+            if state_bytes > cfg.bloom_broadcast_max_bytes
+            else probe_blooms
+        )
+        return (
+            lambda df: build_blooms(df, cfg.n_bloom_partitions, cfg.bloom_bits),
+            merge_blooms,
+            lambda cand, st: probe(cand, st, cfg.n_bloom_partitions, cfg.bloom_bits),
+        )
+
     # -- state bootstrap ---------------------------------------------------
     def init_from_seeds(self, seeds: DataFrame) -> None:
         """seeds(url, priority)"""
@@ -197,11 +227,8 @@ class CrawlScheduler:
             )
         )
         self.seen = self.spark.createDataFrame([], "url_hash long")
-        self.blooms = build_blooms(
-            self.spark.createDataFrame([], "url_hash long"),
-            self.config.n_bloom_partitions,
-            self.config.bloom_bits,
-        )
+        build, _, _ = self._filter_fns()
+        self.blooms = build(self.spark.createDataFrame([], "url_hash long"))
         self._seen_count = 0
         self.round = 0
 
@@ -243,21 +270,15 @@ class CrawlScheduler:
 
         pending = self.frontier
 
-        # 2. URL-seen: bloom pre-filter (once the seen set is big enough
-        # to be worth it), exact anti-join backstop either way. The probe
-        # variant is picked by state size: small states broadcast from the
-        # driver; past bloom_broadcast_max_bytes the cogrouped path keeps
-        # all shards executor-side (driver never holds P × m/8 bytes).
+        # 2. URL-seen: bloom/cuckoo pre-filter (once the seen set is big
+        # enough to be worth it), exact anti-join backstop either way.
+        # The bloom probe variant is picked by state size: small states
+        # broadcast from the driver; past bloom_broadcast_max_bytes the
+        # cogrouped path keeps all shards executor-side (the driver never
+        # holds P × m/8 bytes).
+        build_filter, merge_filter, probe_filter = self._filter_fns()
         if self._seen_count >= cfg.bloom_min_seen:
-            state_bytes = cfg.n_bloom_partitions * (cfg.bloom_bits // 8)
-            probe = (
-                probe_blooms_cogrouped
-                if state_bytes > cfg.bloom_broadcast_max_bytes
-                else probe_blooms
-            )
-            probed = probe(
-                pending, self.blooms, cfg.n_bloom_partitions, cfg.bloom_bits
-            )
+            probed = probe_filter(pending, self.blooms)
             definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
             maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
             confirmed_new = maybe.join(self.seen, "url_hash", "left_anti")
@@ -436,17 +457,12 @@ class CrawlScheduler:
         # the exact n_scheduled is free from the observation.
         if n_seen >= cfg.bloom_min_seen:
             if self._seen_count < cfg.bloom_min_seen:
-                new_blooms = build_blooms(  # first crossing: full rebuild
-                    self.spark.read.parquet(f"{base}/seen"),
-                    cfg.n_bloom_partitions, cfg.bloom_bits,
+                new_blooms = build_filter(  # first crossing: full rebuild
+                    self.spark.read.parquet(f"{base}/seen")
                 )
             else:
-                new_blooms = merge_blooms(
-                    self.blooms,
-                    build_blooms(
-                        scheduled.select("url_hash"),
-                        cfg.n_bloom_partitions, cfg.bloom_bits,
-                    ),
+                new_blooms = merge_filter(
+                    self.blooms, build_filter(scheduled.select("url_hash"))
                 )
         else:
             new_blooms = self.blooms

@@ -375,3 +375,54 @@ def test_bucketed_corpus_fetch(spark, corpus, corpus_dates, tmp_path_factory):
     orc = _run_oracle(corpus_dates, seeds, n_rounds=2)
     log = _spark_fetch_log(spark, d, 2)
     assert log == orc.fetch_log[: len(log)]
+
+
+def test_cuckoo_soundness_merge_delete(spark):
+    from go_htmldate_spark.plans.cuckoo import (
+        build_cuckoo, delete_cuckoo, merge_cuckoo, probe_cuckoo,
+    )
+
+    NB = 1 << 12
+    df = spark.range(0, 5000).select(F.xxhash64("id").alias("url_hash"))
+    state = build_cuckoo(df, 4, n_buckets=NB)
+    # no false negatives
+    assert probe_cuckoo(df, state, 4, n_buckets=NB).filter(
+        ~F.col("maybe_seen")
+    ).count() == 0
+    # sane false-positive rate
+    other = spark.range(10_000, 15_000).select(F.xxhash64("id").alias("url_hash"))
+    fp = probe_cuckoo(other, state, 4, n_buckets=NB).filter("maybe_seen").count()
+    assert fp / 5000 < 0.05
+
+    # merge: both sides' members still present
+    extra = spark.range(20_000, 22_000).select(F.xxhash64("id").alias("url_hash"))
+    merged = merge_cuckoo(state, build_cuckoo(extra, 4, n_buckets=NB), n_buckets=NB)
+    assert probe_cuckoo(df, merged, 4, n_buckets=NB).filter(
+        ~F.col("maybe_seen")
+    ).count() == 0
+    assert probe_cuckoo(extra, merged, 4, n_buckets=NB).filter(
+        ~F.col("maybe_seen")
+    ).count() == 0
+
+    # delete the extras: originals keep zero false negatives, and the
+    # deleted keys mostly drop out (residual hits are other keys' fps)
+    pruned = delete_cuckoo(merged, extra, 4, n_buckets=NB)
+    assert probe_cuckoo(df, pruned, 4, n_buckets=NB).filter(
+        ~F.col("maybe_seen")
+    ).count() == 0
+    still = probe_cuckoo(extra, pruned, 4, n_buckets=NB).filter("maybe_seen").count()
+    assert still / 2000 < 0.05
+
+
+def test_scheduler_parity_with_cuckoo_filter(
+    spark, corpus, corpus_dates, tmp_path_factory
+):
+    """Swapping the bloom for the cuckoo pre-filter must not change the
+    crawl at all (the filter is advisory; the anti-join owns truth)."""
+    seeds = _seeds(corpus)
+    d = tmp_path_factory.mktemp("cuckoo_crawl")
+    _run_spark(spark, corpus, seeds, d, n_rounds=3,
+               seen_filter="cuckoo", cuckoo_buckets=1 << 12)
+    orc = _run_oracle(corpus_dates, seeds, n_rounds=3)
+    log = _spark_fetch_log(spark, d, 3)
+    assert log == orc.fetch_log[: len(log)]

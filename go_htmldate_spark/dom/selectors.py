@@ -25,10 +25,12 @@ def date_rule(n: Node) -> bool:
     # element of every page — three n.attr() scans were the #2 hotspot)
     attrs = n._attrs
     if attrs is None:
-        raw = n._raw_attrs
         # the rule only consults id/class/itemprop values; if none of
         # those attribute names can occur in the raw tag text, the rule
-        # can't match — skip the attribute parse entirely
+        # can't match — skip the attribute parse entirely.  x/net/html
+        # lowercases attribute names at parse time, so the substring test
+        # must run on a lowercased view (ID=/CLASS= in legacy HTML).
+        raw = n._raw_attrs.lower()
         if "id" not in raw and "class" not in raw and "itemprop" not in raw:
             return False
         attrs = n.attrs

@@ -54,6 +54,17 @@ MAX_KICKS = 500
 DEFAULT_BUCKETS = 1 << 15  # 32k buckets × 4 slots × 1B = 128 KiB / partition
 
 
+def _require_pow2(n_buckets: int) -> None:
+    """The alt-bucket map i XOR H(fp) is an involution (alt(alt(i)) == i)
+    only when n_buckets is a power of two; any other size silently makes
+    relocated/merged fingerprints unfindable (false negatives).  Fail
+    loudly instead."""
+    if n_buckets <= 0 or (n_buckets & (n_buckets - 1)) != 0:
+        raise ValueError(
+            f"cuckoo n_buckets must be a power of two, got {n_buckets}"
+        )
+
+
 def _fingerprint(h: np.ndarray) -> np.ndarray:
     """Nonzero 1-byte fingerprint from the high hash bits."""
     return ((h.astype(np.uint64) >> np.uint64(40)) % np.uint64(255) + np.uint64(1)).astype(
@@ -66,9 +77,12 @@ def _i1(h: np.ndarray, n_buckets: int) -> np.ndarray:
 
 
 def _alt(i: np.ndarray, fp: np.ndarray, n_buckets: int) -> np.ndarray:
-    # H(fp): odd multiplier scramble of the fingerprint byte
-    hfp = (fp.astype(np.uint64) * np.uint64(0x5BD1E995)) % np.uint64(n_buckets)
-    return (i.astype(np.uint64) ^ hfp).astype(np.int64) % np.int64(n_buckets)
+    # H(fp): odd multiplier scramble of the fingerprint byte.  n_buckets
+    # is validated power-of-two, so masking keeps XOR an involution
+    # (alt(alt(i)) == i) — required for lookups after eviction/merge.
+    mask = np.uint64(n_buckets - 1)
+    hfp = (fp.astype(np.uint64) * np.uint64(0x5BD1E995)) & mask
+    return ((i.astype(np.uint64) ^ hfp) & mask).astype(np.int64)
 
 
 def _insert_one(table: np.ndarray, fp: int, i1: int, n_buckets: int, rng_state: int) -> bool:
@@ -108,6 +122,8 @@ def build_cuckoo(
     n_buckets: int = DEFAULT_BUCKETS,
     hash_col: str = "url_hash",
 ) -> DataFrame:
+    _require_pow2(n_buckets)
+
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         table = np.zeros((n_buckets, SLOTS), dtype=np.uint8)
         h = pdf[hash_col].to_numpy()
@@ -138,6 +154,7 @@ def merge_cuckoo(
 ) -> DataFrame:
     """Partition-wise merge by re-inserting the RHS fingerprints (the
     alternate bucket is recoverable from (bucket, fp) alone)."""
+    _require_pow2(n_buckets)
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         acc = None
@@ -177,6 +194,7 @@ def delete_cuckoo(
 ) -> DataFrame:
     """Remove one fingerprint copy per key (keys must have been
     inserted — the standard cuckoo-filter deletion precondition)."""
+    _require_pow2(n_buckets)
     keyed = hashes.select(
         F.col(hash_col), partition_of(F.col(hash_col), n_partitions).alias("partition_id")
     ).groupBy("partition_id")
@@ -226,6 +244,7 @@ def probe_cuckoo(
 ) -> DataFrame:
     """candidates + maybe_seen flag; vectorized 8-slot gather per key.
     Missing partition ⇒ definitely new; saturated partition ⇒ all maybe."""
+    _require_pow2(n_buckets)
     spark = candidates.sparkSession
     rows = state.collect()
     tables = {

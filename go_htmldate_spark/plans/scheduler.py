@@ -254,6 +254,17 @@ class CrawlScheduler:
             r = round
         else:
             r = max(rounds)
+        if round is not None:
+            # Explicit time travel abandons the old timeline: mark every
+            # later snapshot superseded (manifest renamed, data kept for
+            # audit) so a crash before the replay overwrites them can't
+            # make a later argless resume() mix two crawl histories.
+            for later in rounds:
+                if later > r:
+                    mf = os.path.join(
+                        self.state_dir, f"round_{later}", "manifest.json"
+                    )
+                    os.replace(mf, mf + ".superseded")
         base = os.path.join(self.state_dir, f"round_{r}")
         self.frontier = self.spark.read.parquet(f"{base}/frontier")
         self.seen = self.spark.read.parquet(f"{base}/seen")

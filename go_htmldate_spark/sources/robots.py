@@ -9,7 +9,9 @@ missing step between a crawled `/robots.txt` corpus and
 - consecutive `User-agent:` lines open ONE group; the group's rules run
   until the next group starts
 - only groups naming the target agent (default `*`) apply; multiple
-  matching groups merge in file order
+  matching groups merge in file order; when NO group names the specific
+  agent, the `*` groups apply instead (RFC 9309 §2.2.1 — specific wins
+  over `*`, never merged with it)
 - empty `Disallow:` / `Allow:` values impose no rule
 - `Crawl-delay` is the minimum across matching groups
 
@@ -82,7 +84,21 @@ def parse_robots(
         ).alias("crawl_delay"),
     )
 
-    matching = groups.filter(F.array_contains("uas", user_agent.lower()))
+    # RFC 9309 group selection: groups naming the specific agent win; if
+    # none do, fall back to the '*' groups (specific-or-star, not merged).
+    # Without the fallback a named crawler would see NO rules from a
+    # '*'-only file and fetch disallowed paths (fails impolite).
+    hw = Window.partitionBy("host")
+    flagged = groups.withColumn(
+        "_m_specific", F.array_contains("uas", user_agent.lower())
+    ).withColumn(
+        "_has_specific",
+        F.max(F.col("_m_specific").cast("int")).over(hw) == 1,
+    )
+    matching = flagged.filter(
+        F.col("_m_specific")
+        | (~F.col("_has_specific") & F.array_contains("uas", "*"))
+    )
     return (
         matching.groupBy("host")
         .agg(

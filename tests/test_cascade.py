@@ -252,3 +252,26 @@ def test_time_and_timezone_fields():
         "2020-07-21", True, True, 7200,
     )
     assert r.wall_datetime.strftime("%H:%M:%S") == "06:32:14"
+
+
+def test_uppercase_attr_names_hit_date_rule():
+    # Legacy HTML with uppercase attribute names: x/net/html lowercases
+    # attr names at parse time, so CLASS= must still trigger the
+    # date-element stage (round-2 ADVICE high: the raw-attrs fast gate
+    # was case-sensitive and skipped the stage, extracting the decoy).
+    html = (
+        "<html><body>"
+        '<span CLASS="post-date">5.3.2019</span>'
+        "<p>decoy text 2021-11-11</p>"
+        "</body></html>"
+    )
+    assert run(html) == "2019-03-05"
+    # mixed case on id as well (span: divs are masked because
+    # discard_rule parses their attrs before date_rule runs)
+    html2 = (
+        "<html><body>"
+        '<span Id="post-date">1.1.2018</span>'
+        "<p>decoy 2022-12-12</p>"
+        "</body></html>"
+    )
+    assert run(html2) == "2018-01-01"

@@ -426,3 +426,92 @@ def test_scheduler_parity_with_cuckoo_filter(
     orc = _run_oracle(corpus_dates, seeds, n_rounds=3)
     log = _spark_fetch_log(spark, d, 3)
     assert log == orc.fetch_log[: len(log)]
+
+
+def test_cuckoo_rejects_non_pow2_buckets(spark):
+    # round-2 ADVICE: i XOR H(fp) is only an involution for power-of-two
+    # bucket counts; any other size silently breaks the no-false-negative
+    # contract after eviction/merge.  Must raise at every entry point.
+    import pytest as _pytest
+
+    from go_htmldate_spark.plans.cuckoo import (
+        _alt, build_cuckoo, delete_cuckoo, merge_cuckoo, probe_cuckoo,
+    )
+
+    df = spark.range(0, 10).select(F.xxhash64("id").alias("url_hash"))
+    for fn in (
+        lambda: build_cuckoo(df, 4, n_buckets=30000),
+        lambda: merge_cuckoo(df, df, n_buckets=30000),
+        lambda: delete_cuckoo(df, df, 4, n_buckets=30000),
+        lambda: probe_cuckoo(df, df, 4, n_buckets=30000),
+    ):
+        with _pytest.raises(ValueError, match="power of two"):
+            fn()
+
+    # involution property on the valid path
+    import numpy as np
+
+    nb = 1 << 12
+    i = np.arange(nb, dtype=np.int64)
+    for fp in (1, 77, 255):
+        fps = np.full(nb, fp, dtype=np.uint8)
+        assert (_alt(_alt(i, fps, nb), fps, nb) == i).all()
+
+
+def test_parse_robots_star_fallback_for_named_agent(spark):
+    """RFC 9309 group selection: a named crawler falls back to the '*'
+    group when no group names it, and a specific group SUPPRESSES the
+    '*' group (specific-or-star, never merged)."""
+    from go_htmldate_spark.sources.robots import parse_robots
+
+    texts = [
+        # only a '*' group: mybot must inherit its rules
+        ("star-only.example.org",
+         "User-agent: *\nDisallow: /private\nCrawl-delay: 2\n"),
+        # both groups: mybot takes ONLY its own group
+        ("both.example.org",
+         "User-agent: *\nDisallow: /\n\n"
+         "User-agent: mybot\nDisallow: /mine\nCrawl-delay: 5\n"),
+        # unrelated agent only: no rules for mybot
+        ("other.example.org",
+         "User-agent: googlebot\nDisallow: /g\n"),
+    ]
+    df = spark.createDataFrame(texts, "host string, robots_txt string")
+    out = {
+        r["host"]: r
+        for r in parse_robots(df, user_agent="mybot").collect()
+    }
+    assert [x["path_prefix"] for x in out["star-only.example.org"]["rules"]] == ["/private"]
+    assert out["star-only.example.org"]["crawl_delay"] == 2.0
+    assert [x["path_prefix"] for x in out["both.example.org"]["rules"]] == ["/mine"]
+    assert out["both.example.org"]["crawl_delay"] == 5.0
+    assert "other.example.org" not in out
+
+
+def test_time_travel_supersedes_later_rounds(spark, corpus, tmp_path_factory):
+    """resume(round=r) abandons the old timeline: rounds > r are marked
+    superseded immediately, so crashing before the replay rewrites them
+    cannot leave a later argless resume() loading a stale snapshot from
+    the abandoned history (round-2 ADVICE low)."""
+    import os as _os
+
+    seeds = _seeds(corpus)
+    d = tmp_path_factory.mktemp("tt_crash")
+    _run_spark(spark, corpus, seeds, d, n_rounds=3)
+
+    sched = CrawlScheduler(
+        spark, corpus, robots=_robots_df(spark), host_budget=_budget_df(spark),
+        state_dir=str(d),
+        config=CrawlConfig(n_bloom_partitions=4, bloom_bits=1 << 16, n_salts=4),
+    )
+    assert sched.resume(round=0) == 1
+    # simulate a crash here: NO run() — later snapshots must already be
+    # invisible to a fresh argless resume
+    assert not _os.path.exists(f"{d}/round_1/manifest.json")
+    assert _os.path.exists(f"{d}/round_1/manifest.json.superseded")
+    sched2 = CrawlScheduler(
+        spark, corpus, robots=_robots_df(spark), host_budget=_budget_df(spark),
+        state_dir=str(d),
+        config=CrawlConfig(n_bloom_partitions=4, bloom_bits=1 << 16, n_salts=4),
+    )
+    assert sched2.resume() == 1  # head is round_0, not the stale round_2

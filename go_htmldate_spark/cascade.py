@@ -593,6 +593,9 @@ def _prune_and_collect(doc: domp.Node) -> list[domp.Node]:
     subtrees are detached and never visited, survivors come back in
     document order. Identical result to running the three passes — the
     prune rules are independent per-node predicates."""
+    cdom = domp._CDOM
+    if cdom is not None and isinstance(doc, cdom.NodeBase):
+        return cdom.prune_and_collect(doc, _CLEAN_TAGS)
     out: list[domp.Node] = []
     push = out.append
     stack = list(reversed(doc.children))
@@ -650,8 +653,14 @@ def find_date(doc: domp.Node, opts: Options) -> DateHit:
     pruned = doc
     post_elems = _prune_and_collect(pruned)
 
-    date_selector = sel.fast_date if opts.skip_extensive_search else sel.slow_date
-    date_elements = [e for e in post_elems if date_selector(e)]
+    cdom = domp._CDOM
+    if cdom is not None:
+        date_elements = cdom.filter_date(post_elems, opts.skip_extensive_search)
+    else:
+        date_selector = (
+            sel.fast_date if opts.skip_extensive_search else sel.slow_date
+        )
+        date_elements = [e for e in post_elems if date_selector(e)]
     raw_string, date_result = examine_other_elements(date_elements, opts)
     if date_result is not None:
         return raw_string, date_result

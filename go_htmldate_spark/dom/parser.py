@@ -55,18 +55,18 @@ COMMENT = 2
 
 _NO_ATTRS: list = []
 
+# optional C accelerator: NodeBase (field layout + init) and the
+# tokenizer live in _cdom; the Python class below supplies every method
+# either way, so the two Node variants are behaviorally identical.
+from . import cnative as _cnative  # noqa: E402
 
-class Node:
-    __slots__ = ("kind", "tag", "_attrs", "_raw_attrs", "children", "parent", "data")
+_CDOM = _cnative.get()
 
-    def __init__(self, kind: int, tag: str = "", data: str = ""):
-        self.kind = kind
-        self.tag = tag
-        self._attrs: Optional[list[tuple[str, str]]] = _NO_ATTRS
-        self._raw_attrs: Optional[str] = None
-        self.children: list["Node"] = []
-        self.parent: Optional["Node"] = None
-        self.data = data
+
+class _NodeOps:
+    """Node methods shared by the pure-Python and C-backed variants."""
+
+    __slots__ = ()
 
     @property
     def attrs(self) -> list[tuple[str, str]]:
@@ -74,9 +74,12 @@ class Node:
         elements' attributes are never inspected). Treated as immutable
         after creation — clones share the list."""
         if self._attrs is None:
-            from .fastparse import _parse_attrs
+            if _CDOM is not None:
+                self._attrs = _CDOM.parse_attrs(self._raw_attrs or "")
+            else:
+                from .fastparse import _parse_attrs
 
-            self._attrs = _parse_attrs(self._raw_attrs or "")
+                self._attrs = _parse_attrs(self._raw_attrs or "")
         return self._attrs
 
     @attrs.setter
@@ -171,6 +174,36 @@ class Node:
         return root
 
 
+if _CDOM is not None:
+    _CDOM.configure(_NO_ATTRS, __import__("html").unescape)
+
+    class Node(_NodeOps, _CDOM.NodeBase):  # type: ignore[misc]
+        """C-backed Node: field storage + __init__ in _cdom.NodeBase
+        (kind, tag, _attrs, _raw_attrs, children, parent, data), all
+        methods from _NodeOps."""
+
+        __slots__ = ()
+
+        def iter_elements(self) -> list["Node"]:
+            return _CDOM.iter_elements(self)
+
+else:
+
+    class Node(_NodeOps):  # type: ignore[no-redef]
+        __slots__ = (
+            "kind", "tag", "_attrs", "_raw_attrs", "children", "parent", "data"
+        )
+
+        def __init__(self, kind: int, tag: str = "", data: str = ""):
+            self.kind = kind
+            self.tag = tag
+            self._attrs: Optional[list[tuple[str, str]]] = _NO_ATTRS
+            self._raw_attrs: Optional[str] = None
+            self.children: list["Node"] = []
+            self.parent: Optional["Node"] = None
+            self.data = data
+
+
 def _escape(s: str) -> str:
     """x/net/html escape set: & ' < > \" (render.go)."""
     return (
@@ -218,6 +251,8 @@ def render_node(node: Node, out: list[str]) -> None:
 
 
 def inner_html(node: Node) -> str:
+    if _CDOM is not None and isinstance(node, _CDOM.NodeBase):
+        return _CDOM.render_inner(node)
     out: list[str] = []
     render_children(node, out)
     return "".join(out)
@@ -287,12 +322,19 @@ def parse_html(html: str, fast: bool = True) -> Node:
     with the stdlib html.parser builder as the fallback path."""
     raw_root = None
     if fast:
-        try:
-            from .fastparse import build_tree
+        if _CDOM is not None:
+            try:
+                raw_root = Node(ELEMENT, "#root")
+                _CDOM.build_into(raw_root, html)
+            except Exception:
+                raw_root = None  # partial tree discarded; reparse below
+        if raw_root is None:
+            try:
+                from .fastparse import build_tree
 
-            raw_root = build_tree(html)
-        except Exception:
-            raw_root = None
+                raw_root = build_tree(html)
+            except Exception:
+                raw_root = None
     if raw_root is None:
         builder = _TreeBuilder()
         try:

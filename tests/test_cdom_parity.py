@@ -1,0 +1,260 @@
+"""Differential parity: C tokenizer (_cdom) vs pure-Python tokenizer.
+
+The C accelerator must produce byte-identical trees to the regex
+tokenizer (whose behavior the golden suites pin) on every mock page
+plus a battery of adversarial token-boundary cases.  Tree equality is
+checked structurally (kind/tag/attrs/data over a full DFS, parsed
+attrs compared — not raw text) AND via the serializer, which the
+extensive-search stages regex over, so byte parity matters twice.
+"""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+
+from go_htmldate_spark.dom import parser as domp
+from go_htmldate_spark.dom.fastparse import build_tree as py_build_tree
+from go_htmldate_spark.dom.parser import ELEMENT, Node, render_children
+
+cdom = domp._CDOM
+
+
+def pure_inner_html(node: Node) -> str:
+    """The pure-Python serializer, bypassing the C render_inner."""
+    out: list[str] = []
+    render_children(node, out)
+    return "".join(out)
+
+
+def inner_html(node: Node) -> str:
+    """C serializer when available (what production inner_html uses)."""
+    if cdom is not None:
+        return cdom.render_inner(node)
+    return pure_inner_html(node)
+
+pytestmark = pytest.mark.skipif(
+    cdom is None, reason="C DOM accelerator unavailable (no compiler?)"
+)
+
+MOCK_PAGES = sorted(glob.glob("/root/reference/test-files/mock/*.html"))
+
+EDGE_CASES = [
+    "",
+    "plain text only",
+    "a<3 and b<4",
+    "<",
+    "tail<",
+    "<b>unclosed",
+    "</b>stray close",
+    "</3> bad close",
+    "<!doctype html><p>x",
+    "<!>empty decl",
+    "<! unterminated decl",
+    "<? pi ?><p>x</p>",
+    "<? unterminated pi",
+    "<!-- comment --><p>x</p>",
+    "<!--unterminated comment <p>y</p>",
+    "<!---->",
+    "<!-->",
+    "<p>one<p>two<p>three",
+    "<div><p>a<div>b</div>",
+    "<ul><li>1<li>2<li>3</ul>",
+    "<table><tr><td>a<td>b<tr><td>c</table>",
+    "<dl><dt>t<dd>d<dt>t2</dl>",
+    "<select><option>a<option>b<optgroup><option>c</select>",
+    "<br/><hr/><img src=x/>",
+    "<svg/><p>after svg</p>",
+    "<math/>tail",
+    "<html/>opens html",
+    '<span CLASS="post-date">5.3.2019</span>',
+    '<a HREF="/x" Id=Y itemPROP="datePublished">t</a>',
+    "<a href='sq'>q</a>",
+    "<a href=unquoted>u</a>",
+    "<a href>novalue</a>",
+    "<a href=>empty</a>",
+    '<a href="unterminated>x</a>',
+    '<a b="x<y">lt in attr</a>',
+    "<a b='5 > 4'>gt in attr</a>",
+    "<a  =leading-eq foo=1>x</a>",
+    "<a data-x=1/>selfclose-attr",
+    "<a/ >slash-space",
+    "<script>if(a<b && c>d){}</script><p>after</p>",
+    "<script>no close tag at all",
+    "<SCRIPT>upper</SCRIPT><p>x</p>",
+    "<script>x</script >ws in close<p>y</p>",
+    "<style>a{content:'</div>'}</style>",
+    "<textarea>a &amp; b <not-a-tag></textarea>",
+    "<title>T &amp; &lt;U&gt;</title>",
+    "<xmp><p>literal</p></xmp>",
+    "<plaintext>everything <b>after",
+    "text &amp; entities &#65; &unknown; &",
+    "&nbsp;&copy;2019",
+    "tab\tand\nnewlines<p> spaced </p>",
+    "unicode é中文<p>рус</p>",
+    "<p  >nbsp attr gap</p>",
+    "<meta charset=utf-8><META NAME=date CONTENT=2020-01-02>",
+    "<time datetime=2020-05-06>x</time>",
+    "<footer><small>(c) 2018</small></footer>",
+    "<h1>h<h2>i</h2></h1>after",
+    "<form><fieldset><p>a<fieldset>b</form>",
+    "< notag>",
+    "<1digit>",
+    "<-dash>",
+    "nested <b><i><u>deep</u></i></b> ok",
+    "<div" + " " * 5000 + "id=far>spaces</div>",
+    "<p \x1cX=1>fs-space</p>",
+    "<a\u2003b=1>em-space</a>",
+    "<a b\xa0=c>nbsp in attrs</a>",
+    "<script>x</script\u2009>ts close<p>y</p>",
+    "<p>" + "x" * 100000 + "</p>",
+]
+
+
+def _tree_sig(n: Node) -> list:
+    """Structural signature: DFS list of (kind, tag, attrs, data)."""
+    out = []
+    stack = [n]
+    while stack:
+        node = stack.pop()
+        attrs = node.attrs if node.kind == ELEMENT else []
+        out.append((node.kind, node.tag, list(attrs), node.data))
+        stack.extend(reversed(node.children))
+    return out
+
+
+def _c_build_tree(html: str) -> Node:
+    root = Node(ELEMENT, "#root")
+    cdom.build_into(root, html)
+    return root
+
+
+@pytest.mark.parametrize("path", MOCK_PAGES, ids=[p.rsplit("/", 1)[1] for p in MOCK_PAGES])
+def test_mock_page_parity(path):
+    html = open(path, encoding="utf-8", errors="replace").read()
+    c_root = _c_build_tree(html)
+    p_root = py_build_tree(html)
+    # C tokenizer + C serializer vs pure tokenizer + pure serializer
+    assert inner_html(c_root) == pure_inner_html(p_root)
+    assert _tree_sig(c_root) == _tree_sig(p_root)
+
+
+@pytest.mark.parametrize(
+    "path", MOCK_PAGES[::4], ids=[p.rsplit("/", 1)[1] for p in MOCK_PAGES[::4]]
+)
+def test_traversal_helper_parity(path):
+    """iter_elements / prune_and_collect / filter_date C paths match the
+    pure-Python implementations on real pages."""
+    from go_htmldate_spark import cascade
+    from go_htmldate_spark.dom import selectors as sel
+
+    html = open(path, encoding="utf-8", errors="replace").read()
+    doc = domp.parse_html(html)
+
+    # iter_elements
+    c_elems = cdom.iter_elements(doc)
+    p_elems = []
+    stack = list(reversed(doc.children))
+    while stack:
+        node = stack.pop()
+        if node.kind == ELEMENT:
+            p_elems.append(node)
+            if node.children:
+                stack.extend(reversed(node.children))
+    assert [id(e) for e in c_elems] == [id(e) for e in p_elems]
+
+    # filter_date (both modes) vs the pure selectors
+    for fast in (False, True):
+        rule = sel.fast_date if fast else sel.slow_date
+        c_sel = cdom.filter_date(c_elems, fast)
+        p_sel = [e for e in c_elems if rule(e)]
+        assert [id(e) for e in c_sel] == [id(e) for e in p_sel]
+
+    # prune_and_collect on two independent clones
+    d1, d2 = doc.clone(), doc.clone()
+    c_out = cdom.prune_and_collect(d1, cascade._CLEAN_TAGS)
+    p_out = []
+    stack = list(reversed(d2.children))
+    while stack:
+        node = stack.pop()
+        if node.kind != ELEMENT:
+            continue
+        if node.tag in cascade._CLEAN_TAGS or sel.discard_rule(node):
+            node.remove()
+            continue
+        p_out.append(node)
+        if node.children:
+            stack.extend(reversed(node.children))
+    assert [(e.tag, len(e.children)) for e in c_out] == [
+        (e.tag, len(e.children)) for e in p_out
+    ]
+    assert pure_inner_html(d1) == pure_inner_html(d2)
+
+
+@pytest.mark.parametrize("html", EDGE_CASES, ids=range(len(EDGE_CASES)))
+def test_edge_case_parity(html):
+    c_root = _c_build_tree(html)
+    p_root = py_build_tree(html)
+    assert _tree_sig(c_root) == _tree_sig(p_root)
+    assert inner_html(c_root) == inner_html(p_root)
+
+
+def test_tag_sets_in_sync():
+    """The tag sets compiled into _cdom.c must mirror parser.py's."""
+    sets = cdom.tag_sets()
+    assert set(sets["void"]) == domp.VOID_ELEMENTS
+    assert set(sets["p_closers"]) == domp._P_CLOSERS
+    from go_htmldate_spark.dom.fastparse import _RAWTEXT
+
+    assert set(sets["rawtext"]) == _RAWTEXT
+    assert set(sets["raw_render"]) == domp.RAW_TEXT_TAGS
+
+
+def test_parse_attrs_parity():
+    from go_htmldate_spark.dom.fastparse import _parse_attrs
+
+    cases = [
+        "",
+        " ",
+        'href="/x" id=Y',
+        "a=1 b='2' c=\"3\"",
+        "checked",
+        "a= b",
+        "a =b",
+        "a = b",
+        'a="x<y" b="5>4"',
+        'CLASS="Post-Date" ITEMPROP=datePublished',
+        'a="unterminated',
+        "a='unterminated",
+        "a=&amp;x b=\"&copy;\"",
+        "data-é=1 中=v",
+        "/ a=1 / b=2 /",
+        "= == a",
+        'single"quote inside=x',
+    ]
+    for raw in cases:
+        assert cdom.parse_attrs(raw) == _parse_attrs(raw), raw
+
+
+def test_eval_corpus_sample_parity():
+    """Tree parity over a slice of the real 1000-doc eval corpus."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    from eval_corpus import find_file, load_entries
+
+    docs = 0
+    for e in load_entries():
+        p = find_file(e["file"])
+        if p is None:
+            continue
+        html = open(p, encoding="utf-8", errors="replace").read()
+        c_root = _c_build_tree(html)
+        p_root = py_build_tree(html)
+        assert inner_html(c_root) == inner_html(p_root), e["file"]
+        assert _tree_sig(c_root) == _tree_sig(p_root), e["file"]
+        docs += 1
+        if docs >= 120:
+            break
+    assert docs >= 100

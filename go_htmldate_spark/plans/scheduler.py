@@ -70,6 +70,15 @@ class CrawlConfig:
     # advisory; the exact anti-join backstop owns correctness.
     seen_filter: str = "bloom"
     cuckoo_buckets: int = 1 << 15
+    # URL-seen state maintenance: each round appends ONLY that round's
+    # scheduled hashes as a bucket-partitioned delta (write volume
+    # O(new), not O(total seen) — at 10^10 URLs a full rewrite per round
+    # is the scale killer); every seen_compact_every rounds the chain is
+    # compacted into one table to bound read fan-in.  Deltas are
+    # disjoint by construction (scheduled ⊆ candidates, which were
+    # anti-joined against seen), so no distinct() is ever needed.
+    seen_buckets: int = 64
+    seen_compact_every: int = 8
 
 
 def recency_score(date_col):
@@ -230,7 +239,24 @@ class CrawlScheduler:
         build, _, _ = self._filter_fns()
         self.blooms = build(self.spark.createDataFrame([], "url_hash long"))
         self._seen_count = 0
+        self._seen_chain: list[str] = []  # relative dirs under state_dir
         self.round = 0
+
+    def _seen_from_chain(self, chain: list[str]) -> DataFrame:
+        """The URL-seen set as the union of its delta/compact segments
+        (bucket-partitioned parquet; read volume is columnar on one
+        long column, write volume per round was O(new))."""
+        if not chain:
+            return self.spark.createDataFrame([], "url_hash long")
+        from functools import reduce
+
+        dfs = [
+            self.spark.read.parquet(
+                os.path.join(self.state_dir, rel)
+            ).select("url_hash")
+            for rel in chain
+        ]
+        return reduce(DataFrame.unionByName, dfs)
 
     # -- resume ------------------------------------------------------------
     def resume(self, round: int | None = None) -> int:
@@ -267,10 +293,14 @@ class CrawlScheduler:
                     os.replace(mf, mf + ".superseded")
         base = os.path.join(self.state_dir, f"round_{r}")
         self.frontier = self.spark.read.parquet(f"{base}/frontier")
-        self.seen = self.spark.read.parquet(f"{base}/seen")
         self.blooms = self.spark.read.parquet(f"{base}/blooms")
         with open(f"{base}/manifest.json") as f:
-            self._seen_count = json.load(f)["n_seen"]
+            manifest = json.load(f)
+        self._seen_count = manifest["n_seen"]
+        # delta-chain layout (manifest lists the segments); legacy
+        # snapshots fall back to the monolithic round_r/seen table
+        self._seen_chain = manifest.get("seen_chain", [f"round_{r}/seen"])
+        self.seen = self._seen_from_chain(self._seen_chain)
         self.round = r + 1
         return self.round
 
@@ -419,15 +449,20 @@ class CrawlScheduler:
         # (file-level stats, the Iceberg-manifest analog). Per round:
         # exactly 4 jobs — the 4 snapshot writes.
         obs_sched = Observation(f"scheduled_r{self.round}")
-        obs_seen = Observation(f"seen_r{self.round}")
         obs_fetched = Observation(f"fetched_r{self.round}")
         scheduled_hashes = scheduled.select("url_hash").observe(
             obs_sched, F.count(F.lit(1)).alias("n")
         )
-        new_seen = (
-            self.seen.unionByName(scheduled_hashes)
-            .distinct()
-            .observe(obs_seen, F.count(F.lit(1)).alias("n"))
+        # URL-seen delta: ONLY this round's scheduled hashes, laid out
+        # by hash bucket.  Deltas are disjoint by construction (scheduled
+        # came out of the seen anti-join), so seen == union of segments
+        # with no distinct(): per-round seen write volume is O(new URLs),
+        # never O(total seen) — the 10^10-URL-safe shape.
+        seen_delta = scheduled_hashes.withColumn(
+            "b", F.pmod(F.col("url_hash"), F.lit(cfg.seen_buckets)).cast("int")
+        )
+        new_seen_hashes = self.seen.unionByName(
+            scheduled_hashes.select("url_hash")
         )
         leftover = pending.join(scheduled_hashes, "url_hash", "left_anti")
         new_frontier = (
@@ -435,31 +470,53 @@ class CrawlScheduler:
             .groupBy("url", "url_hash", "host")
             .agg(F.max("priority").alias("priority"))
             # drop anything already seen so the frontier stays bounded
-            .join(new_seen, "url_hash", "left_anti")
+            .join(new_seen_hashes, "url_hash", "left_anti")
         )
         base = os.path.join(self.state_dir, f"round_{self.round}")
         fetch_order = extracted.select("url", "priority", "date").orderBy(
             F.desc("priority"), F.asc("url")
         ).observe(obs_fetched, F.count(F.lit(1)).alias("n"))
 
-        # fetched/frontier/seen writes are independent: submit them as
-        # concurrent Spark jobs (threads share the session's scheduler)
+        # fetched/frontier/seen-delta writes are independent: submit them
+        # as concurrent Spark jobs (threads share the session's scheduler)
         from concurrent.futures import ThreadPoolExecutor
 
         writes = [
-            (fetch_order, f"{base}/fetched"),
-            (new_frontier, f"{base}/frontier"),
-            (new_seen, f"{base}/seen"),
+            (fetch_order, None, f"{base}/fetched"),
+            (new_frontier, None, f"{base}/frontier"),
+            (seen_delta, "b", f"{base}/seen_delta"),
         ]
+
+        def _write(w):
+            df, part_col, path = w
+            writer = df.write.mode("overwrite")
+            if part_col is not None:
+                writer = writer.partitionBy(part_col)
+            writer.parquet(path)
+
         with ThreadPoolExecutor(3) as pool:
-            list(
-                pool.map(
-                    lambda w: w[0].write.mode("overwrite").parquet(w[1]), writes
-                )
-            )
+            list(pool.map(_write, writes))
         n_scheduled = int(obs_sched.get["n"])
-        n_seen = int(obs_seen.get["n"])
+        n_seen = self._seen_count + n_scheduled  # deltas are disjoint
         n_fetched = int(obs_fetched.get["n"])
+
+        # chain maintenance + periodic compaction (amortizes the only
+        # O(total) operation across seen_compact_every rounds); empty
+        # rounds append nothing (a zero-row partitioned dir can't be
+        # re-read)
+        new_chain = list(self._seen_chain)
+        if n_scheduled > 0:
+            new_chain.append(f"round_{self.round}/seen_delta")
+        if len(new_chain) > cfg.seen_compact_every:
+            compacted = self._seen_from_chain(new_chain).withColumn(
+                "b",
+                F.pmod(F.col("url_hash"), F.lit(cfg.seen_buckets)).cast("int"),
+            )
+            compacted.write.mode("overwrite").partitionBy("b").parquet(
+                f"{base}/seen_compact"
+            )
+            new_chain = [f"round_{self.round}/seen_compact"]
+        self._seen_chain = new_chain
 
         # Bloom maintenance is adaptive: below the threshold the state
         # stays empty (the exact anti-join covers dedup alone); when
@@ -469,7 +526,7 @@ class CrawlScheduler:
         if n_seen >= cfg.bloom_min_seen:
             if self._seen_count < cfg.bloom_min_seen:
                 new_blooms = build_filter(  # first crossing: full rebuild
-                    self.spark.read.parquet(f"{base}/seen")
+                    self._seen_from_chain(self._seen_chain)
                 )
             else:
                 new_blooms = merge_filter(
@@ -481,7 +538,7 @@ class CrawlScheduler:
 
         # reload from snapshot: truncates lineage (no ever-growing plan)
         self.frontier = self.spark.read.parquet(f"{base}/frontier")
-        self.seen = self.spark.read.parquet(f"{base}/seen")
+        self.seen = self._seen_from_chain(self._seen_chain)
         self.blooms = self.spark.read.parquet(f"{base}/blooms")
 
         import pyarrow.parquet as pq
@@ -501,6 +558,7 @@ class CrawlScheduler:
             "n_scheduled": n_scheduled,
             "n_fetched": n_fetched,
             "n_missing": n_scheduled - n_fetched,
+            "seen_chain": self._seen_chain,
             "n_frontier": sum(p["rows"] for p in part_stats),
             "n_seen": n_seen,
             "wall_ms": int((time.time() - t0) * 1000),

@@ -515,3 +515,69 @@ def test_time_travel_supersedes_later_rounds(spark, corpus, tmp_path_factory):
         config=CrawlConfig(n_bloom_partitions=4, bloom_bits=1 << 16, n_salts=4),
     )
     assert sched2.resume() == 1  # head is round_0, not the stale round_2
+
+
+def test_seen_delta_write_volume_is_o_new(spark, corpus, corpus_dates, tmp_path_factory):
+    """Round-3 scale fix: each round writes ONLY its scheduled hashes as
+    a bucket-partitioned seen delta — write volume O(new URLs), never
+    O(total seen) — and the union of deltas equals the exact seen set."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    seeds = _seeds(corpus)
+    d = tmp_path_factory.mktemp("seen_delta")
+    sched, manifests = _run_spark(spark, corpus, seeds, d, n_rounds=3)
+
+    total = 0
+    for m in manifests:
+        base = f"{d}/round_{m['round']}"
+        # the monolithic per-round rewrite is gone
+        assert not _os.path.exists(f"{base}/seen"), "full seen rewrite!"
+        delta_rows = sum(
+            _pq.ParquetFile(p).metadata.num_rows
+            for p in _glob.glob(f"{base}/seen_delta/**/*.parquet", recursive=True)
+        )
+        # O(new): the delta holds exactly this round's scheduled count
+        assert delta_rows == m["n_scheduled"]
+        total += delta_rows
+        assert m["n_seen"] == total  # disjoint deltas sum to the seen count
+        chain = _json.load(open(f"{base}/manifest.json"))["seen_chain"]
+        assert chain == [f"round_{r}/seen_delta" for r in range(m["round"] + 1)]
+
+    # union of deltas == the scheduler's in-memory seen set, no dupes
+    seen = sched._seen_from_chain(sched._seen_chain)
+    assert seen.count() == seen.distinct().count() == total
+
+
+def test_seen_compaction_keeps_parity(spark, corpus, corpus_dates, tmp_path_factory):
+    """seen_compact_every=1 forces a compaction every round; the crawl
+    must still match the oracle exactly and resume from the compacted
+    chain."""
+    import json as _json
+
+    seeds = _seeds(corpus)
+    d = tmp_path_factory.mktemp("seen_compact")
+    _run_spark(spark, corpus, seeds, d, n_rounds=3, seen_compact_every=1)
+    orc = _run_oracle(corpus_dates, seeds, n_rounds=3)
+    log = _spark_fetch_log(spark, d, 3)
+    assert log == orc.fetch_log[: len(log)]
+
+    # later rounds carry a single compacted segment
+    chain = _json.load(open(f"{d}/round_2/manifest.json"))["seen_chain"]
+    assert chain == ["round_2/seen_compact"]
+
+    # resume from the compacted snapshot and keep crawling
+    sched = CrawlScheduler(
+        spark, corpus, robots=_robots_df(spark), host_budget=_budget_df(spark),
+        state_dir=str(d),
+        config=CrawlConfig(n_bloom_partitions=4, bloom_bits=1 << 16, n_salts=4,
+                           seen_compact_every=1),
+    )
+    assert sched.resume() == 3
+    m = sched.run_round()
+    orc4 = _run_oracle(corpus_dates, seeds, n_rounds=4)
+    log4 = _spark_fetch_log(spark, d, 4)
+    assert log4 == orc4.fetch_log[: len(log4)]

@@ -284,3 +284,58 @@ def probe_cuckoo(
         return pd.Series(out)
 
     return candidates.withColumn("maybe_seen", maybe_seen(F.col(hash_col)))
+
+
+def _probe_table(
+    table: np.ndarray | None, saturated: bool, h: np.ndarray, n_buckets: int
+) -> np.ndarray:
+    """Vectorized membership check of hashes against one shard table."""
+    if table is None:
+        return np.zeros(len(h), dtype=bool)
+    if saturated:
+        return np.ones(len(h), dtype=bool)
+    fp = _fingerprint(h)
+    i1 = _i1(h, n_buckets)
+    i2 = _alt(i1, fp, n_buckets)
+    return (table[i1] == fp[:, None]).any(axis=1) | (
+        table[i2] == fp[:, None]
+    ).any(axis=1)
+
+
+def probe_cuckoo_cogrouped(
+    candidates: DataFrame,
+    state: DataFrame,
+    n_partitions: int,
+    n_buckets: int = DEFAULT_BUCKETS,
+    hash_col: str = "url_hash",
+) -> DataFrame:
+    """Probe without broadcasting: cogroup candidates with their state
+    shard on partition_id — the 10^10-URL path (mirrors
+    bloom.probe_blooms_cogrouped): shard tables stay on executors, the
+    driver never holds P × B × S bytes, candidates shuffle once on the
+    same key the state is partitioned by. Missing shard ⇒ definitely
+    new; saturated shard ⇒ all maybe (sound, backstopped by the exact
+    anti-join)."""
+    _require_pow2(n_buckets)
+    out_schema = f"{hash_col} long, maybe_seen boolean"
+
+    def probe(key, cand_pdf: pd.DataFrame, state_pdf: pd.DataFrame) -> pd.DataFrame:
+        h = cand_pdf[hash_col].to_numpy()
+        seen = np.zeros(len(h), dtype=bool)
+        # normally one row per shard; an unmerged union is still sound —
+        # membership in ANY table counts (tables can't be OR'd like
+        # bloom bitsets, so probe each)
+        for _, row in state_pdf.iterrows():
+            t = np.frombuffer(row["table"], dtype=np.uint8).reshape(
+                n_buckets, SLOTS
+            )
+            seen |= _probe_table(t, bool(row["saturated"]), h, n_buckets)
+        return pd.DataFrame({hash_col: h, "maybe_seen": seen})
+
+    cand_keyed = candidates.select(
+        F.col(hash_col),
+        partition_of(F.col(hash_col), n_partitions).alias("partition_id"),
+    ).groupBy("partition_id")
+    state_keyed = state.groupBy("partition_id")
+    flags = cand_keyed.cogroup(state_keyed).applyInPandas(probe, out_schema)
+    return candidates.join(flags, hash_col)

@@ -193,12 +193,27 @@ class CrawlScheduler:
     def _filter_fns(self):
         cfg = self.config
         if cfg.seen_filter == "cuckoo":
-            from .cuckoo import build_cuckoo, merge_cuckoo, probe_cuckoo
+            from .cuckoo import (
+                SLOTS,
+                build_cuckoo,
+                merge_cuckoo,
+                probe_cuckoo,
+                probe_cuckoo_cogrouped,
+            )
 
+            # same size switch as the bloom family: past the broadcast
+            # budget the cogrouped probe keeps every shard executor-side
+            # (the driver never holds P × B × S bytes)
+            state_bytes = cfg.n_bloom_partitions * cfg.cuckoo_buckets * SLOTS
+            cuckoo_probe = (
+                probe_cuckoo_cogrouped
+                if state_bytes > cfg.bloom_broadcast_max_bytes
+                else probe_cuckoo
+            )
             return (
                 lambda df: build_cuckoo(df, cfg.n_bloom_partitions, cfg.cuckoo_buckets),
                 lambda a, b: merge_cuckoo(a, b, cfg.cuckoo_buckets),
-                lambda cand, st: probe_cuckoo(
+                lambda cand, st: cuckoo_probe(
                     cand, st, cfg.n_bloom_partitions, cfg.cuckoo_buckets
                 ),
             )

@@ -581,3 +581,45 @@ def test_seen_compaction_keeps_parity(spark, corpus, corpus_dates, tmp_path_fact
     orc4 = _run_oracle(corpus_dates, seeds, n_rounds=4)
     log4 = _spark_fetch_log(spark, d, 4)
     assert log4 == orc4.fetch_log[: len(log4)]
+
+
+def test_cuckoo_cogrouped_probe_matches_broadcast(spark):
+    """Cuckoo analog of the bloom cogrouped-vs-broadcast parity: the
+    executor-side cogroup path returns identical flags to the
+    driver-broadcast path, and inserted keys never flag new."""
+    from go_htmldate_spark.plans.cuckoo import (
+        build_cuckoo, probe_cuckoo, probe_cuckoo_cogrouped,
+    )
+
+    NB = 1 << 12
+    df = spark.range(0, 3000).select(F.xxhash64("id").alias("url_hash"))
+    state = build_cuckoo(df, 4, n_buckets=NB)
+    mixed = spark.range(0, 6000).select(F.xxhash64("id").alias("url_hash"))
+    a = {
+        (r.url_hash, r.maybe_seen)
+        for r in probe_cuckoo(mixed, state, 4, n_buckets=NB).collect()
+    }
+    b = {
+        (r.url_hash, r.maybe_seen)
+        for r in probe_cuckoo_cogrouped(mixed, state, 4, n_buckets=NB).collect()
+    }
+    assert a == b
+    inserted = {r.url_hash for r in df.collect()}
+    assert all(seen for h, seen in a if h in inserted)
+
+
+def test_scheduler_parity_with_cogrouped_cuckoo(
+    spark, corpus, corpus_dates, tmp_path_factory
+):
+    """Crawl parity with the cuckoo filter forced onto the cogrouped
+    path (broadcast budget 0) — the full-scale shape end to end."""
+    seeds = _seeds(corpus)
+    d = tmp_path_factory.mktemp("cuckoo_cogroup")
+    _run_spark(
+        spark, corpus, seeds, d, n_rounds=2,
+        seen_filter="cuckoo", cuckoo_buckets=1 << 12,
+        bloom_broadcast_max_bytes=0,
+    )
+    orc = _run_oracle(corpus_dates, seeds, n_rounds=2)
+    log = _spark_fetch_log(spark, d, 2)
+    assert log == orc.fetch_log[: len(log)]

@@ -340,43 +340,84 @@ def connected_components(
     pairs: DataFrame, a_col: str = "a", b_col: str = "b", max_iter: int = 25
 ) -> DataFrame:
     """(a,b) undirected near-dup edges → (id, comp) with comp = smallest
-    id in the component. Min-label propagation: each sweep takes the min
-    over neighbors, converging in O(component diameter) sweeps — the
-    standard large-graph shape (one shuffle per sweep, lineage truncated
-    per iteration so plans stay flat). Iterative by nature, so the
-    driver checks a convergence count per sweep."""
+    id in the component.
+
+    Min-label propagation accelerated with pointer jumping: each sweep
+    takes the min over graph neighbors AND shortcuts through the label
+    of the current label (path halving), so convergence needs
+    O(log diameter) sweeps, not O(diameter) — 25 sweeps covers any
+    component a real near-dup graph can produce.
+
+    Fault tolerance: when the session has a reliable checkpoint dir
+    (spark.sparkContext.setCheckpointDir — HDFS/S3 on a real cluster),
+    per-sweep state is checkpointed there and survives executor loss;
+    otherwise it falls back to localCheckpoint (executor-local blocks,
+    fine for local mode). Lineage truncates either way, so plans stay
+    flat. Convergence is probed with a limit-1 scan of the just-
+    checkpointed `changed` flags — no full count job per sweep."""
+    import warnings
+
+    sc = pairs.sparkSession.sparkContext
+
+    def ckpt(df: DataFrame) -> DataFrame:
+        if sc.getCheckpointDir() is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     edges = pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
-    edges = (
-        edges.unionByName(edges.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    edges = ckpt(
+        edges.unionByName(
+            edges.select(F.col("y").alias("x"), F.col("x").alias("y"))
+        ).distinct()
+    )
+    labels = ckpt(
+        edges.select("x")
         .distinct()
-        .localCheckpoint(eager=True)
+        .select(F.col("x").alias("id"), F.col("x").alias("comp"))
     )
-    labels = (
-        edges.select("x").distinct().select(F.col("x").alias("id"), F.col("x").alias("comp"))
-        .localCheckpoint(eager=True)
-    )
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges["y"] == labels["id"])
             .groupBy("x").agg(F.min("comp").alias("nbr_comp"))
         )
-        new_labels = (
+        stepped = (
             labels.join(nbr_min, labels["id"] == nbr_min["x"], "left")
             .select(
                 "id",
-                F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
+                F.col("comp").alias("prev"),
+                F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias(
+                    "comp"
+                ),
             )
-            .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
+        # pointer jumping: comp ← min(comp, label(comp)); labels only
+        # decrease and stay in-component, so this halves path lengths
+        hop = labels.select(
+            F.col("id").alias("h_id"), F.col("comp").alias("h_comp")
         )
-        labels = new_labels
+        final_comp = F.least(F.col("comp"), F.coalesce("h_comp", "comp"))
+        new_labels = ckpt(
+            stepped.join(hop, stepped["comp"] == hop["h_id"], "left")
+            .select(
+                "id",
+                final_comp.alias("comp"),
+                (final_comp != F.col("prev")).alias("_stepped"),
+            )
+        )
+        labels = new_labels.select("id", "comp")
+        # limit-1 probe over checkpointed flags — early-exits on the
+        # first changed row instead of counting them all
+        changed = new_labels.filter("_stepped").limit(1).count()
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        warnings.warn(
+            f"connected_components: not converged after {max_iter} sweeps; "
+            "labels may be partially propagated (under-deduplication)",
+            RuntimeWarning,
+        )
     return labels
 
 

@@ -298,3 +298,40 @@ def test_stream_dedup_urls_stateful(spark, tmp_path):
 
     got = sorted(r.url for r in spark.read.parquet(out_dir).collect())
     assert got == ["https://a.org/x", "https://b.org/y", "https://c.org/z"]
+
+
+def test_connected_components_long_chain_log_convergence(spark, tmp_path):
+    """Pointer jumping: a 300-node path graph (diameter 300) must
+    converge exactly within the default 25 sweeps (O(log d), not O(d)),
+    with reliable checkpointing enabled, and warn when sweeps run out."""
+    import warnings
+
+    from go_htmldate_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], "a long, b long"
+    )
+    sc = spark.sparkContext
+    old_dir = sc.getCheckpointDir()
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # any RuntimeWarning fails
+            got = {
+                (r.id, r.comp)
+                for r in connected_components(pairs).collect()
+            }
+        assert got == {(i, 0) for i in range(301)}
+
+        # exhausting max_iter must warn, not silently under-deduplicate
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            connected_components(pairs, max_iter=2).collect()
+        assert any("not converged" in str(x.message) for x in w)
+    finally:
+        if old_dir is None:
+            getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+                sc._jvm.scala.Option.empty()
+            )
+        else:
+            sc.setCheckpointDir(old_dir)

@@ -511,6 +511,25 @@ def q_extract_cascade(spark, sf_dir):
     return out.select("page_id", "planted_stage", "date")
 
 
+def q_extract_time(spark, sf_dir):
+    """Time/timezone fields hard-gated (core.go:111-125 findTime +
+    parseTimezoneCode, pinned by core_test.go:716-777): arithmetic
+    pages plant wall times and tz offsets (sources/pages.
+    synth_pages_time), the REAL cascade runs with extract_time=True,
+    and the oracle derives the full (date, datetime, has_time, has_tz,
+    tz_offset) tuple per page."""
+    from go_htmldate_spark.operators.extract import extract_dates
+    from go_htmldate_spark.options import Options
+    from go_htmldate_spark.sources.pages import synth_pages_time
+
+    pages = synth_pages_time(spark, 500)
+    out = extract_dates(pages, Options(extract_time=True))
+    return out.select(
+        "page_id", "planted_stage", "date", "datetime",
+        "has_time", "has_tz", "tz_offset",
+    )
+
+
 def q_media_features(spark, sf_dir):
     """Pipeline: multimodal feature extraction plumbing (stubbed decode);
     the decode path's sha256 payload fingerprint is recomputed by the
@@ -600,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames": q_media_frames,
         "robots_parse": q_robots_parse,
         "extract_cascade": q_extract_cascade,
+        "extract_time": q_extract_time,
         "media_features": q_media_features,
     }
 
@@ -1042,6 +1062,36 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN sid = 8 THEN strftime(planted, '%Y') || '-01-01'
                         WHEN sid = 9 THEN ''
                         ELSE strftime(planted, '%Y-%m-%d') END AS date
+            FROM g
+        """,
+        # time/tz gate: sid=i%5 stage cycle; wall = (i%24, (i*7)%60,
+        # (i*13)%60); tz offsets [+02:00, Z, -05:30, +00:00] -> seconds
+        # [7200, 0, -19800, 0]; only meta_published/jsonld carry a time
+        "extract_time": """
+            WITH g AS (
+                SELECT i, CAST(i % 5 AS INT) AS sid,
+                       DATE '2000-01-01' + CAST((i * 2654435761) % 9000 AS INT)
+                           AS planted,
+                       lpad(CAST(i % 24 AS VARCHAR), 2, '0') || ':' ||
+                       lpad(CAST((i * 7) % 60 AS VARCHAR), 2, '0') || ':' ||
+                       lpad(CAST((i * 13) % 60 AS VARCHAR), 2, '0') AS wall,
+                       CAST(i % 4 AS INT) AS tzid
+                FROM range(500) t(i)
+            )
+            SELECT i AS page_id,
+                   (['meta_published','jsonld','time_tag','div_class','url'])
+                       [sid + 1] AS planted_stage,
+                   strftime(planted, '%Y-%m-%d') AS date,
+                   CASE WHEN sid IN (0, 1)
+                        THEN strftime(planted, '%Y-%m-%d') || ' ' || wall
+                        ELSE strftime(planted, '%Y-%m-%d') || ' 00:00:00'
+                   END AS datetime,
+                   sid IN (0, 1) AS has_time,
+                   sid IN (0, 1) AS has_tz,
+                   CASE WHEN sid IN (0, 1)
+                        THEN CAST(([7200, 0, -19800, 0])[tzid + 1] AS INTEGER)
+                        ELSE NULL
+                   END AS tz_offset
             FROM g
         """,
         # frame sampling: video rows (id%3==2), frames at 0..duration

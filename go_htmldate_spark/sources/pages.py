@@ -261,3 +261,90 @@ def synth_pages_arith(spark: SparkSession, n_rows: int) -> DataFrame:
         _expected_date(stage, planted).alias("expected_date"),
         host.alias("host"),
     )
+
+
+def synth_pages_time(spark: SparkSession, n_rows: int) -> DataFrame:
+    """Arithmetic corpus for hard-gating the TIME/TIMEZONE fields
+    (core.go:111-125, findTime/parseTimezoneCode — reference pins
+    core_test.go:716-777): every planted wall time and tz offset is a
+    pure function of the row id, so a DuckDB oracle derives the full
+    (date, datetime, has_time, has_tz, tz_offset) tuple the cascade
+    must return with Options(extract_time=True).
+
+        sid       = id % 5   (meta_published, jsonld, time_tag,
+                              div_class, url)
+        hh/mm/ss  = id%24, (id*7)%60, (id*13)%60
+        tzid      = id % 4   ('+02:00' 7200, 'Z' 0, '-05:30' -19800,
+                              '+00:00' 0)
+
+    Time-carrying stages: meta_published (content time) and jsonld
+    (dateModified time — the default-options pick).  time_tag carries a
+    datetime attr but the cascade extracts the element TEXT (no time),
+    and div_class/url never had one — planted has_time=false coverage.
+    """
+    df = spark.range(0, n_rows, 1, spark.sparkContext.defaultParallelism)
+    i = F.col("id")
+
+    sid = (i % 5).cast("int")
+    planted = F.date_add(
+        F.to_date(F.lit("2000-01-01")), ((i * F.lit(2654435761)) % 9000).cast("int")
+    )
+    y, m2, d2, iso, dotted = _date_parts(planted)
+    hh = F.lpad((i % 24).cast("string"), 2, "0")
+    mm = F.lpad(((i * 7) % 60).cast("string"), 2, "0")
+    ss = F.lpad(((i * 13) % 60).cast("string"), 2, "0")
+    wall = F.concat_ws(":", hh, mm, ss)
+    tz = F.element_at(
+        F.array(F.lit("+02:00"), F.lit("Z"), F.lit("-05:30"), F.lit("+00:00")),
+        (i % 4).cast("int") + 1,
+    )
+
+    host = F.concat(F.lit("site"), (i % 13).cast("string"), F.lit(".example.org"))
+    slug = F.concat(F.lit("article-"), i.cast("string"))
+    url = F.when(
+        sid == 4,
+        F.concat(F.lit("https://"), host, F.lit("/"), y, F.lit("/"), m2,
+                 F.lit("/"), d2, F.lit("/"), slug),
+    ).otherwise(F.concat(F.lit("https://"), host, F.lit("/posts/"), slug))
+    title = F.concat(F.lit("Article "), (i + 90000).cast("string"))
+    filler = F.lit(_FILLER)
+
+    head_extra = (
+        F.when(sid == 0,
+               F.concat(F.lit('<meta property="article:published_time" content="'),
+                        iso, F.lit("T"), wall, tz, F.lit('"/>')))
+        .when(sid == 1,
+              F.concat(F.lit('<script type="application/ld+json">'
+                             '{"@type":"NewsArticle","datePublished":"'),
+                       iso, F.lit('T06:00:00'), tz,
+                       F.lit('","dateModified":"'), iso, F.lit("T"), wall, tz,
+                       F.lit('"}</script>')))
+        .otherwise(F.lit(""))
+    )
+    body_extra = (
+        F.when(sid == 2,
+               F.concat(F.lit('<time class="entry-date" datetime="'), iso,
+                        F.lit("T"), wall, tz, F.lit('">'), iso, F.lit("</time>")))
+        .when(sid == 3,
+              F.concat(F.lit('<div class="post-date">'), dotted, F.lit("</div>")))
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(
+        F.lit("<!doctype html><html><head><title>"), title, F.lit("</title>"),
+        head_extra,
+        F.lit("</head><body><h1>"), title, F.lit("</h1><p>"), filler,
+        F.lit("</p>"), body_extra, F.lit("<p>"), filler,
+        F.lit("</p></body></html>"),
+    )
+
+    stage = F.element_at(
+        F.array(F.lit("meta_published"), F.lit("jsonld"), F.lit("time_tag"),
+                F.lit("div_class"), F.lit("url")),
+        sid + 1,
+    )
+    return df.select(
+        i.alias("page_id"),
+        url.alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+        stage.alias("planted_stage"),
+    )

@@ -295,12 +295,27 @@ def q_exact_dedup(spark, sf_dir):
 
 
 def q_jaccard_pairs(spark, sf_dir):
-    """Pipeline: exact distinct-token Jaccard near-dup pairs within a
-    co-group key."""
-    from go_htmldate_spark.operators.dedup import token_jaccard_pairs
+    """Pipeline: exact distinct-token Jaccard as the VERIFY stage over
+    LSH candidate pairs — the at-scale composition (cost O(pairs),
+    never quadratic; the bucket key is a real minhash band, not a
+    synthetic column). Portable md5-seeded family so DuckDB recomputes
+    the whole signature→band→pair→verify chain independently."""
+    from go_htmldate_spark.operators.dedup import (
+        jaccard_verify_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
 
-    d = _t(spark, sf_dir, "documents")
-    return token_jaccard_pairs(d, min_jaccard=0.5)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = d.unionByName(dup)
+    sigs = minhash_signatures(corpus, n_hashes=16, hash_family="md5_seeded")
+    pairs = lsh_candidate_pairs(
+        sigs, bands=4, max_bucket=1_000_000, hashed_buckets=False
+    )
+    return jaccard_verify_pairs(corpus, pairs, min_jaccard=0.5)
 
 
 def q_ann_cosine_topk(spark, sf_dir):
@@ -785,21 +800,62 @@ def oracle_sql() -> dict[str, str]:
                    MIN(doc_id) AS rep_id
             FROM corpus GROUP BY 1 HAVING COUNT(*) > 1
         """,
-        "jaccard_pairs": """
-            WITH toks AS (
-                SELECT doc_id, source,
-                       list_distinct(string_split(
-                           lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '))
-                           AS t
-                FROM documents
+        # LSH-candidate generation (same algebra as minhash_lsh_pairs)
+        # followed by the exact distinct-token Jaccard verify stage
+        "jaccard_pairs": r"""
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 11 = 0
+            ),
+            norm AS (
+                SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+                FROM corpus
+            ),
+            sh AS (
+                SELECT doc_id,
+                       CASE WHEN length(t) >= 5
+                            THEN list_distinct(list_transform(
+                                range(1, length(t) - 3),
+                                i -> substr(t, CAST(i AS INT), 5)))
+                            ELSE [t] END AS shingles
+                FROM norm
+            ),
+            sig AS (
+                SELECT doc_id,
+                       list_transform(range(0, 16), j ->
+                           list_aggregate(list_transform(shingles, g ->
+                               CAST('0x' || substr(md5(j || ':' || g), 1, 15) AS BIGINT)),
+                               'min')) AS mh
+                FROM sh
+            ),
+            band AS (
+                SELECT doc_id, t.band AS band,
+                       array_to_string(
+                           mh[CAST(t.band * 4 + 1 AS INT):CAST(t.band * 4 + 4 AS INT)],
+                           ',') AS bucket
+                FROM sig, range(0, 4) t(band)
+            ),
+            cand AS (
+                SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                FROM band x JOIN band y
+                  ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+            ),
+            toks AS (
+                SELECT doc_id,
+                       list_distinct(string_split(t, ' ')) AS tk
+                FROM norm
             )
-            SELECT a.doc_id AS a, b.doc_id AS b,
-                   round(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
-                         / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))), 6)
-                       AS jaccard
-            FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
-            WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
-                  / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) >= 0.5
+            SELECT c.a, c.b,
+                   round(CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
+                         / (len(ta.tk) + len(tb.tk)
+                            - len(list_intersect(ta.tk, tb.tk))), 6) AS jaccard
+            FROM cand c
+            JOIN toks ta ON ta.doc_id = c.a
+            JOIN toks tb ON tb.doc_id = c.b
+            WHERE CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
+                  / (len(ta.tk) + len(tb.tk) - len(list_intersect(ta.tk, tb.tk)))
+                  >= 0.5
         """,
         "canonicalize_url": """
             -- independent derivation of the expected canonical form

@@ -480,3 +480,36 @@ def token_jaccard_pairs(
     return pairs.select(
         "a", "b", F.round(jac, 6).alias("jaccard")
     ).filter(F.col("jaccard") >= min_jaccard)
+
+
+def jaccard_verify_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Exact distinct-token Jaccard over CANDIDATE pairs — the verify
+    stage of the LSH pipeline and the at-scale shape: cost is O(pairs),
+    never quadratic; the token-set join shuffles on the pair ids and the
+    intersection runs JVM-native (array_intersect)."""
+    toks = df.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.split(
+                F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))),
+                " ",
+            )
+        ).alias("_t"),
+    )
+    ta = toks.select(F.col(id_col).alias("a"), F.col("_t").alias("_ta"))
+    tb = toks.select(F.col(id_col).alias("b"), F.col("_t").alias("_tb"))
+    joined = pairs.join(ta, "a").join(tb, "b")
+    inter = F.size(F.array_intersect("_ta", "_tb"))
+    union = F.size("_ta") + F.size("_tb") - inter
+    jac = inter.cast("double") / union
+    return (
+        joined.withColumn("jaccard", F.round(jac, 6))
+        .filter(jac >= F.lit(min_jaccard))
+        .select("a", "b", "jaccard")
+    )

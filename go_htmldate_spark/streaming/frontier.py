@@ -64,3 +64,85 @@ def stream_dedup_urls(urls: DataFrame, n_partitions: int = 16) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# -- bounded-state variant ---------------------------------------------------
+
+BLOOM_STATE_SCHEMA = "bits binary, recent array<long>"
+
+
+def _make_bloom_dedup(m_bits: int, k: int, exact_cap: int):
+    """Group function for the bounded-state variant: per-shard state is
+    a fixed-size bloom bitset (m_bits/8 bytes, the FULL crawl history)
+    plus an exact recent-hash window capped at exact_cap entries.
+
+    Membership: recent-window hit → dup (exact); bloom hit → dup (the
+    long tail — wrong with probability ≤ the bloom FPP, the standard
+    at-scale dedup trade: state stays O(m + cap) forever instead of
+    growing linearly with distinct URLs). The batch scheduler keeps
+    exactness via its on-disk anti-join backstop; a pure stream has no
+    such table, so the bounded variant is explicitly approximate."""
+    import numpy as np
+
+    from ..plans.bloom import _positions, _set_bits, _test_bits
+
+    def dedup(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            bits_bytes, recent_list = state.get
+            bits = np.frombuffer(bits_bytes, dtype=np.uint8).copy()
+            recent = list(recent_list)
+            recent_set = set(recent)
+        else:
+            bits = np.zeros(m_bits // 8, dtype=np.uint8)
+            recent = []
+            recent_set = set()
+        for pdf in pdfs:
+            keep_rows = []
+            hs = pdf["url_hash"].to_numpy()
+            pos = _positions(hs, m_bits, k)
+            for i, (url, h) in enumerate(zip(pdf["url"], hs)):
+                h = int(h)
+                # bloom test must run against the CURRENT bits: a dup
+                # later in the same batch whose hash already aged out of
+                # the exact window is only caught by the bits set when
+                # its first occurrence was inserted
+                if h in recent_set or _test_bits(bits, pos[:, i : i + 1])[0]:
+                    continue
+                _set_bits(bits, pos[:, i : i + 1])
+                recent_set.add(h)
+                recent.append(h)
+                if len(recent) > exact_cap:
+                    recent_set.discard(recent.pop(0))
+                keep_rows.append((url, h))
+            if keep_rows:
+                yield pd.DataFrame(keep_rows, columns=["url", "url_hash"])
+        state.update((bits.tobytes(), recent))
+
+    return dedup
+
+
+def stream_dedup_urls_bloom(
+    urls: DataFrame,
+    n_partitions: int = 16,
+    m_bits: int = 1 << 20,
+    k: int = 6,
+    exact_cap: int = 4096,
+) -> DataFrame:
+    """Bounded-state streaming URL dedup: same output contract as
+    stream_dedup_urls up to the bloom FPP, with per-shard state fixed at
+    m_bits/8 bytes + exact_cap longs no matter how many URLs stream
+    through — the 10^10-URL shape the exact-array variant can't hold."""
+    keyed = urls.select(
+        canonicalize_url(F.col("url")).alias("url")
+    ).select(
+        "url", url_hash(F.col("url")).alias("url_hash")
+    ).withColumn(
+        "shard", F.pmod(F.col("url_hash"), F.lit(n_partitions)).cast("int")
+    )
+    return keyed.groupBy("shard").applyInPandasWithState(
+        _make_bloom_dedup(m_bits, k, exact_cap),
+        outputStructType=OUT_SCHEMA,
+        stateStructType=BLOOM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

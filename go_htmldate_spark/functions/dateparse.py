@@ -217,13 +217,31 @@ _EXT_TIME_TOKEN = re.compile(
 _EXT_NUM = re.compile(r"^[0-9]{1,4}$")
 _EXT_SPLIT = re.compile(r"[\s|,،\-/]+")
 
+# CJK calendar-marker dates (go-dateparser parses these via its zh/ja/ko
+# locales, extractors.go:193-207): 2023年3月15日 / 2023년 3월 15일.
+# Strict full Y/M/D only, matching the mini-parser's completeness rule.
+_EXT_CJK = re.compile(
+    r"([0-9]{2,4})\s*[年년]\s*([0-9]{1,2})\s*[月월]\s*([0-9]{1,2})\s*[日일]"
+)
+
 
 def external_parse(s: str, opts: Options) -> Optional[date]:
     """Deterministic mini-dateparser (extractors.go:193-207 stand-in).
 
     Tokenize → drop weekday names and time-of-day tokens → resolve the
     remaining (number|month-name) tokens into a complete Y/M/D. Strict:
-    anything leftover or incomplete ⇒ no date."""
+    anything leftover or incomplete ⇒ no date.
+
+    CJK fast path first: 年月日/년월일 marker dates carry their own
+    field labels, so they resolve directly (2-digit years completed
+    like everywhere else)."""
+    cm = _EXT_CJK.search(s)
+    if cm:
+        y = atoi(cm.group(1))
+        if len(cm.group(1)) == 2:
+            y = correct_year(y)
+        dt = _mk(y, atoi(cm.group(2)), atoi(cm.group(3)))
+        return dt if validate_date(dt, opts) else None
     tokens = [t for t in _EXT_SPLIT.split(s) if t]
 
     nums: list[str] = []

@@ -148,6 +148,12 @@ def test_regex_parse_month_matrix(names):
         ("2.2250738585072011e-308", ""),
         ("⁰⁴⁵₀₁₂", ""),
         ("Fri | September 1 | 2017", "2017-09-01"),
+        # CJK marker dates (go-dateparser zh/ja/ko locales)
+        ("2023年3月15日", "2023-03-15"),
+        ("発表 2021年12月3日 12時30分", "2021-12-03"),
+        ("작성일 2019년 7월 8일", "2019-07-08"),
+        ("23年3月15日", "2023-03-15"),
+        ("2023年13月1日", ""),
     ],
 )
 def test_external_parse(s, expected):

@@ -45,6 +45,7 @@ from .functions.validate import (
     validate_date,
     validate_date_parts,
 )
+from .logutil import apply_log_option, log
 from .options import Options
 
 DateHit = tuple[str, Optional[date]]
@@ -108,6 +109,7 @@ def examine_meta_elements(metas: list[domp.Node], opts: Options) -> DateHit:
                 str_reserve = content
                 t_reserve = extract_url_date(content, opts)
             elif name in P.DATE_ATTRIBUTES:
+                log.debug("examining meta name: %s", name)  # core.go:384
                 str_meta, t_meta = try_date_expr(content, opts)
             elif name in P.ATTR_MODIFIED_NAMES:
                 if not opts.use_original_date:
@@ -119,6 +121,7 @@ def examine_meta_elements(metas: list[domp.Node], opts: Options) -> DateHit:
             in_modified = attribute in P.PROPERTY_MODIFIED
             in_date_attrs = attribute in P.DATE_ATTRIBUTES
             if in_date_attrs or in_modified:
+                log.debug("examining meta property: %s", prop)  # core.go:400
                 str_attempt, t_attempt = try_date_expr(content, opts)
                 if t_attempt is not None:
                     if (in_date_attrs and opts.use_original_date) or (
@@ -697,6 +700,7 @@ def find_date(doc: domp.Node, opts: Options) -> DateHit:
         return raw_string, text_result
 
     if not opts.skip_extensive_search:
+        log.debug("extensive search started")  # core.go:243
         ref_value = 0
         ref_string = ""
         free_text_nodes = [
@@ -729,6 +733,7 @@ def from_document(doc: domp.Node, opts: Options) -> ExtractionResult:
     """Top-level extraction incl. canonical-URL recovery and optional
     time/timezone add-on (core.go:59-133)."""
     opts = opts.with_defaults()
+    apply_log_option(opts.enable_log)  # core.go:97-99
 
     if not opts.url:
         href = domp.query_meta_canonical_url(doc)

@@ -14,6 +14,7 @@ import re
 from datetime import date
 from typing import Optional
 
+from ..logutil import log
 from ..options import Options
 from . import patterns as P
 from .textkit import atoi, digit_count, normalize_spaces, str_limit
@@ -57,9 +58,12 @@ def extract_url_date(url: str, opts: Options) -> Optional[date]:
     m = P.RX_COMPLETE_URL.search(url)
     if m is None:
         return None
-    return validate_date_parts(
+    dt = validate_date_parts(
         atoi(m.group(1)), atoi(m.group(2)), atoi(m.group(3)), opts
     )
+    if dt is not None:
+        log.debug("found date in url: %s", m.group(0))  # extractors.go:67
+    return dt
 
 
 def regex_parse(s: str, opts: Options) -> Optional[date]:

@@ -35,6 +35,8 @@ class Options:
     max_date: date | None = None
     skip_extensive_search: bool = False
     defer_url_extractor: bool = False
+    # core-options.go:44-45: diagnostic stage logging (logutil.py)
+    enable_log: bool = False
 
     def with_defaults(self) -> "Options":
         if self.max_date is None:

@@ -275,3 +275,18 @@ def test_uppercase_attr_names_hit_date_rule():
         "</body></html>"
     )
     assert run(html2) == "2018-01-01"
+
+
+def test_enable_log_diagnostic_mode(caplog):
+    # core-options.go:44-45 + core.go:97-99: EnableLog flips the package
+    # logger to debug; stage probes become visible
+    import logging
+
+    html = (
+        '<html><head><meta property="article:published_time" '
+        'content="2020-07-21T06:32:14+02:00"/></head><body/></html>'
+    )
+    with caplog.at_level(logging.DEBUG, logger="go_htmldate_spark"):
+        r = from_html(html, Options(enable_log=True))
+    assert r.date == "2020-07-21"
+    assert any("examining meta property" in m for m in caplog.messages)

@@ -81,6 +81,19 @@ _SQL_URL_DATE = f"""
 """
 
 
+def _sql_cos(a: str, b: str, dim: int = 64) -> str:
+    """DuckDB cosine with the exact fold order of similarity.cosine():
+    left-fold adds over per-index products — bit-identical doubles."""
+    def fold(x: str, y: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, {dim + 1}), i -> "
+            f"{x}[CAST(i AS INT)] * {y}[CAST(i AS INT)]), (x, y) -> x + y)"
+        )
+    return (
+        f"({fold(a, b)} / (sqrt({fold(a, a)}) * sqrt({fold(b, b)})))"
+    )
+
+
 # shared CTEs: the ann_selfjoin pipeline (corpus + portable md5
 # hyperplane signatures + bucket candidates + exact rerank), reused by
 # the semantic-dedup components oracle
@@ -326,6 +339,16 @@ def q_ann_cosine_topk(spark, sf_dir):
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     out = brute_force_topk(emb, list(qvec), k=10)
     return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """Pipeline: IVF ANN top-10 for the vec_id=0 query — 16-centroid
+    sampled codebook, nprobe=4, map-only assignment + pruned exact
+    rerank (operators/similarity.ivf_topk)."""
+    from go_htmldate_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, query_id=0, k=10, n_centroids=16, nprobe=4)
 
 
 def q_canonicalize_url(spark, sf_dir):
@@ -622,6 +645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "jaccard_pairs": q_jaccard_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "canonicalize_url": q_canonicalize_url,
         "priority_recency": q_priority_recency,
         "host_topk": q_host_topk,
@@ -890,6 +914,35 @@ def oracle_sql() -> dict[str, str]:
                        CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])), 4) AS cosine
             FROM embeddings, q
             ORDER BY cosine DESC, vec_id ASC
+            LIMIT 10
+        """,
+        # IVF: same left-fold double arithmetic as the Spark cosine()
+        # helper (bit-identical, proven by the ann_selfjoin rerank CTE),
+        # so cluster argmax and the nprobe probe set match exactly.
+        "ann_ivf_topk": f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+            scored AS (
+                SELECT e.vec_id, c.cid, {_sql_cos('e.v', 'c.cv')} AS cs
+                FROM e, c
+            ),
+            assigned AS (
+                SELECT vec_id, cid AS cluster FROM scored
+                QUALIFY row_number() OVER (
+                    PARTITION BY vec_id ORDER BY cs DESC, cid ASC) = 1
+            ),
+            q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+            probe AS (
+                SELECT cid FROM c, q
+                ORDER BY {_sql_cos('cv', 'qv')} DESC, cid ASC
+                LIMIT 4
+            )
+            SELECT e.vec_id, a.cluster,
+                   round({_sql_cos('e.v', 'qv')}, 6) AS cosine
+            FROM e JOIN assigned a USING (vec_id), q
+            WHERE a.cluster IN (SELECT cid FROM probe)
+            ORDER BY cosine DESC, e.vec_id ASC
             LIMIT 10
         """,
         # seed-prefixed md5 prefixes (h_j(g) = 60-bit prefix of md5('j:'||g))

@@ -7,6 +7,11 @@
   (hyperplane components derived from xxhash64, not runtime RNG) →
   probe only matching buckets. The scale path: the bucket join replaces
   the full cross product.
+- IVF ANN: a tiny coarse codebook (sampled centroids; k-means|| offline
+  at real scale) broadcast into the plan, map-only cluster assignment,
+  nprobe-nearest-centroid probing. With the corpus written partitioned
+  by the assigned cluster, the probe is partition pruning — the scan
+  touches nprobe/nlist of the data.
 """
 
 from __future__ import annotations
@@ -220,6 +225,118 @@ def ann_topk(
     return (
         candidates.select(
             F.col(id_col), F.round(cosine(F.col("v"), q), 6).alias("cosine")
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN
+# ---------------------------------------------------------------------------
+
+
+def _ivf_codebook_row(
+    embeddings: DataFrame,
+    n_centroids: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """One-row DataFrame holding the coarse codebook as an array of
+    (cid, cv) structs sorted by cid. Centroids are the vectors of the
+    n_centroids smallest ids — a deterministic sample (the standard IVF
+    init; at 100 TB the codebook is trained offline with k-means|| and
+    broadcast exactly the same way). The codebook is O(nlist · dim) —
+    kilobytes — so it rides as a broadcast single row; the corpus never
+    shuffles for it."""
+    vec = F.col(vec_col).cast("array<double>")
+    return (
+        embeddings.filter(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("cid"), vec.alias("cv"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias("cents"))
+    )
+
+
+def _argmax_cluster(vec: Column) -> Column:
+    """Cluster = cid of the first centroid attaining the max cosine
+    (ties → smallest cid, because `cents` is cid-sorted and
+    array_position returns the first hit)."""
+    scores = F.transform(F.col("cents"), lambda c: cosine(vec, c["cv"]))
+    return F.element_at(
+        F.col("cents"), F.array_position(scores, F.array_max(scores)).cast("int")
+    )["cid"].alias("cluster")
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster) coarse-quantizer assignment. Map-only over the
+    corpus: the codebook arrives as a broadcast 1-row cross join, scores
+    are a native array fold per row, no shuffle of the embedding table.
+    At scale, write the corpus `partitionBy('cluster')` once; every
+    downstream IVF probe then prunes partitions instead of scanning."""
+    vec = F.col(vec_col).cast("array<double>")
+    cents = _ivf_codebook_row(embeddings, n_centroids, id_col, vec_col)
+    return embeddings.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col), _argmax_cluster(vec)
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k for the query vector stored at `query_id`: assign
+    each row to its nearest centroid, keep only rows whose cluster is
+    among the query's nprobe nearest centroids, exact-cosine rerank the
+    survivors. The whole probe is one map-only pass + TakeOrderedAndProject:
+    codebook and query ride in a single broadcast row, so the only
+    corpus-wide work is the pruned scan — the IVF contract (nprobe/nlist
+    of the data) once the table is partitioned by `ivf_assign`'s cluster."""
+    vec = F.col(vec_col).cast("array<double>")
+    cents = _ivf_codebook_row(embeddings, n_centroids, id_col, vec_col)
+    qrow = embeddings.filter(F.col(id_col) == query_id).select(
+        vec.alias("qv")
+    )
+    # probe list: centroids sorted by (cosine desc, cid asc) — encoded as
+    # default struct ordering on (-cosine, cid) so it stays native
+    probe = cents.crossJoin(qrow).select(
+        "cents",
+        "qv",
+        F.transform(
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        F.col("cents"),
+                        lambda c: F.struct(
+                            (-cosine(F.col("qv"), c["cv"])).alias("neg"),
+                            c["cid"].alias("cid"),
+                        ),
+                    )
+                ),
+                1,
+                nprobe,
+            ),
+            lambda s: s["cid"],
+        ).alias("probe_ids"),
+    )
+    return (
+        embeddings.crossJoin(F.broadcast(probe))
+        .withColumn("cluster", _argmax_cluster(vec))
+        .filter(F.array_contains(F.col("probe_ids"), F.col("cluster")))
+        .select(
+            F.col(id_col),
+            F.col("cluster"),
+            F.round(cosine(vec, F.col("qv")), 6).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)

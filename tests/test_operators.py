@@ -79,6 +79,32 @@ def test_ann_lsh_recall_vs_brute_force(spark):
     assert len(exact & approx) >= 5
 
 
+def test_ivf_recall_and_assignment(spark):
+    from go_htmldate_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_assign,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    q = list(emb.filter(F.col("vec_id") == 3).select("embedding").head()[0])
+    exact = {r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()}
+    top = ivf_topk(emb, query_id=3, k=10, n_centroids=16, nprobe=4).collect()
+    aset = {r["vec_id"] for r in top}
+    assert 3 in aset  # the query's own cluster is always probed
+    assert len(exact & aset) >= 7  # nprobe=4/16 keeps most true neighbors
+    sims = [r["cosine"] for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+    asg = ivf_assign(emb, n_centroids=16)
+    rows = asg.collect()
+    assert len(rows) == emb.count()  # total assignment, one cluster each
+    assert {r["cluster"] for r in rows} <= set(range(16))
+    # each centroid seed vector belongs to its own cluster (cosine=1)
+    own = {r["vec_id"]: r["cluster"] for r in rows if r["vec_id"] < 16}
+    assert own == {i: i for i in range(16)}
+
+
 def test_text_stats_schema_and_ranges(spark, docs):
     from go_htmldate_spark.operators.textstats import with_text_stats
 

@@ -84,3 +84,15 @@ def test_simhash_swar_single_shuffle(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
     plan = _plan(simhash_dup_groups(docs))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_ivf_topk_map_only_probe(spark):
+    """IVF probe: codebook + query ride a broadcast row; the corpus side
+    is a pruned map-only scan feeding a heap top-k — no hash-partitioned
+    exchange anywhere."""
+    from go_htmldate_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(ivf_topk(emb, query_id=3, k=10))
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert "TakeOrderedAndProject" in plan

@@ -77,7 +77,7 @@ def main() -> None:
         "url_date_extract", "plausible_year_count", "candidate_topk",
         "minmax_reference", "anti_join_seen", "eval_scoring",
         "token_count", "quality_score", "lang_id",
-        "exact_dedup", "jaccard_pairs", "ann_cosine_topk",
+        "exact_dedup", "jaccard_pairs", "ann_cosine_topk", "ann_ivf_topk",
     ]:
         fn = queries[name]
         run(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())

@@ -67,3 +67,72 @@ def stream_extract(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def host_fetch_rates(pages: DataFrame, window: str = "10 minutes",
+                     watermark: str = "20 minutes") -> DataFrame:
+    """Event-time windowed per-host fetch/extraction rates with a
+    watermark for late WARC records (crawl telemetry the politeness
+    budget consumes). Works identically on a batch or streaming
+    DataFrame — on a stream the watermark bounds window state: windows
+    older than max(warc_ts) - watermark are finalized and dropped from
+    the state store, and later-arriving rows for them are discarded
+    (the at-scale guarantee that state is O(open windows × hosts), not
+    O(history)).
+
+    Shuffle shape: one hash partition on (window, host) — the same
+    single-exchange aggregation whether batch or micro-batch."""
+    from pyspark.sql import functions as F
+
+    from ..plans.canonical import url_host
+
+    dated = extract_dates(pages, Options()).select(
+        "url", "warc_ts", (F.col("date") != "").alias("dated")
+    )
+    return (
+        dated.withWatermark("warc_ts", watermark)
+        .groupBy(
+            F.window("warc_ts", window).alias("win"),
+            url_host(F.col("url")).alias("host"),
+        )
+        .agg(
+            F.count("*").alias("n_fetched"),
+            F.sum(F.col("dated").cast("long")).alias("n_dated"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "host", "n_fetched", "n_dated",
+        )
+    )
+
+
+def stream_host_rates(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    output_dir: str,
+    window: str = "10 minutes",
+    watermark: str = "20 minutes",
+    max_files_per_trigger: int | None = None,
+):
+    """host_fetch_rates as an append-mode file-source stream: a window's
+    row is emitted exactly once, in the first micro-batch whose watermark
+    passes its end (the watermark advances between batches of a run —
+    availableNow + maxFilesPerTrigger splits a backlog into ordered
+    batches). Rows older than the current watermark are dropped; rows
+    for still-open windows fold into checkpointed state
+    (tests/test_operators.py pins both behaviors)."""
+    reader = spark.readStream.schema(PAGES_SCHEMA).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.load(input_dir)
+    rates = host_fetch_rates(stream, window=window, watermark=watermark)
+    return (
+        rates.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -417,3 +417,88 @@ def test_stream_dedup_urls_bloom_bounded_state(spark, tmp_path):
     for r in rows:
         assert len(r.bits) == M_BITS // 8  # fixed bitset, never grows
         assert len(r.recent) <= CAP        # capped exact window
+
+
+# -- watermarked event-time windowed aggregation ----------------------------
+
+def _rate_pages(spark, rows):
+    """rows: [(url, ts)] → pages frame with the streaming PAGES_SCHEMA."""
+    import datetime as dt
+
+    from go_htmldate_spark.streaming.extractor import PAGES_SCHEMA
+
+    data = [
+        (url, dt.datetime(2021, 5, 10, h, m), b"", "", "en")
+        for url, (h, m) in rows
+    ]
+    return spark.createDataFrame(data, PAGES_SCHEMA)
+
+
+def test_host_rates_watermark_late_data(spark, tmp_path_factory):
+    """Append-mode event-time windows over two availableNow runs sharing
+    a checkpoint: closed windows emit exactly once, sub-watermark late
+    rows are dropped, open-window late rows are folded in."""
+    from go_htmldate_spark.streaming.extractor import stream_host_rates
+
+    base = tmp_path_factory.mktemp("rates")
+    in_dir, cp, out = str(base / "in"), str(base / "cp"), str(base / "out")
+    u = "https://a.example/2021/05/10/p{}.html".format
+
+    def emitted():
+        try:
+            return {
+                (r["win_start"].minute + 60 * r["win_start"].hour):
+                    r["n_fetched"]
+                for r in spark.read.parquet(out).collect()
+            }
+        except Exception:  # no files yet: nothing emitted
+            return {}
+
+    # Single-file micro-batches in one availableNow run. Batch N executes
+    # under the watermark computed from batch N-1's event times (one-batch
+    # lag), so the sub-watermark late row rides two files behind its
+    # watermark-advancer:
+    #   b1 (exec wm epoch-0): opens [00:00) n=2, [00:10), [01:00);
+    #       post-batch wm = 01:00 - 20min = 00:40
+    #   b2 (exec wm 00:40): [00:00) and [00:10) emit; post-wm unchanged
+    #   b3 (exec wm 00:40): ts 00:02 is sub-watermark -> DROPPED ([00:00)
+    #       already emitted n=2 and is never revised); ts 01:05 folds into
+    #       the still-open [01:00); ts 02:30 pushes post-wm to 02:10
+    #   final no-data batch (exec wm 02:10): [01:00) emits with BOTH its
+    #       rows, [01:20) emits; [02:30) stays open forever
+    import time as _time
+
+    _rate_pages(spark, [
+        (u(1), (0, 0)), (u(2), (0, 5)), (u(3), (0, 15)), (u(4), (1, 0)),
+    ]).coalesce(1).write.mode("append").parquet(in_dir)
+    _time.sleep(1.1)  # mtime-orders the file-source batches
+    _rate_pages(spark, [(u(5), (1, 20))]).coalesce(1).write.mode(
+        "append").parquet(in_dir)
+    _time.sleep(1.1)
+    _rate_pages(spark, [
+        (u(6), (0, 2)), (u(7), (1, 5)), (u(8), (2, 30)),
+    ]).coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream_host_rates(
+        spark, in_dir, cp, out, max_files_per_trigger=1
+    ).awaitTermination(180)
+    assert emitted() == {0: 2, 10: 1, 60: 2, 80: 1}
+    rows = spark.read.parquet(out).collect()
+    assert all(r["host"] == "a.example" for r in rows)
+    assert sum(r["n_dated"] for r in rows) == 6  # every kept row has a URL date
+
+
+def test_host_rates_batch_equals_stream_shape(spark):
+    """host_fetch_rates on a batch frame: same columns, one hash
+    exchange (the window×host groupBy)."""
+    from go_htmldate_spark.streaming.extractor import host_fetch_rates
+
+    pages = _rate_pages(spark, [
+        ("https://a.example/2021/05/10/p1.html", (0, 0)),
+        ("https://b.example/2021/05/11/p2.html", (0, 5)),
+    ])
+    out = host_fetch_rates(pages)
+    assert out.columns == ["win_start", "win_end", "host", "n_fetched", "n_dated"]
+    rows = out.collect()
+    assert {r["host"] for r in rows} == {"a.example", "b.example"}
+    assert all(r["n_fetched"] == 1 and r["n_dated"] == 1 for r in rows)

@@ -770,7 +770,14 @@ def from_document(doc: domp.Node, opts: Options) -> ExtractionResult:
     )
 
 
-def from_html(html: str, opts: Options) -> ExtractionResult:
-    """Parse + extract — the reference's FromReader (core.go:48-56)."""
+def from_html(html: str | bytes, opts: Options) -> ExtractionResult:
+    """Parse + extract — the reference's FromReader (core.go:48-56).
+    bytes input goes through the WHATWG charset sniff (FromReader reads
+    raw bytes too); previously it fell through the parser's str checks
+    and silently produced an empty result."""
+    if isinstance(html, (bytes, bytearray)):
+        from .operators.extract import sniff_decode
+
+        html = sniff_decode(bytes(html))
     doc = domp.parse_html(html)
     return from_document(doc, opts)

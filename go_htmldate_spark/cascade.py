@@ -780,4 +780,9 @@ def from_html(html: str | bytes, opts: Options) -> ExtractionResult:
 
         html = sniff_decode(bytes(html))
     doc = domp.parse_html(html)
-    return from_document(doc, opts)
+    try:
+        return from_document(doc, opts)
+    finally:
+        # the result is plain strings; breaking the parent cycles here
+        # lets the tree free by refcount instead of cyclic GC
+        domp.release_tree(doc)

@@ -1611,6 +1611,40 @@ fail:
     return NULL;
 }
 
+/* Break every parent back-link in the tree so it frees by pure
+ * refcounting instead of waiting for the cyclic collector — the
+ * collector otherwise re-walks every node of every dead tree (the
+ * dominant GC cost of the hot loop; see gctune.py). Iterative: the
+ * node stack, not the C stack, carries the depth. */
+static PyObject *
+cdom_release_tree(PyObject *self, PyObject *arg)
+{
+    if (!PyObject_TypeCheck(arg, &NodeBase_Type))
+        Py_RETURN_NONE; /* pure-Python node: caller's fallback handles */
+    NStack st;
+    stack_init(&st);
+    if (stack_push(&st, (CNode *)arg) < 0)
+        return PyErr_NoMemory();
+    while (st.len) {
+        CNode *n = st.items[--st.len];
+        Py_INCREF(Py_None);
+        Py_XSETREF(n->parent, Py_None);
+        if (n->children != NULL && PyList_Check(n->children)) {
+            Py_ssize_t m = PyList_GET_SIZE(n->children);
+            for (Py_ssize_t i = 0; i < m; i++) {
+                PyObject *ch = PyList_GET_ITEM(n->children, i);
+                if (PyObject_TypeCheck(ch, &NodeBase_Type) &&
+                    stack_push(&st, (CNode *)ch) < 0) {
+                    stack_free(&st);
+                    return PyErr_NoMemory();
+                }
+            }
+        }
+    }
+    stack_free(&st);
+    Py_RETURN_NONE;
+}
+
 static PyMethodDef cdom_methods[] = {
     {"configure", cdom_configure, METH_VARARGS,
      "configure(no_attrs_list, unescape_callable)"},
@@ -1628,6 +1662,8 @@ static PyMethodDef cdom_methods[] = {
      "filter_date(elements, fast) -> elements passing fast/slow date rule"},
     {"render_inner", cdom_render_inner, METH_O,
      "render_inner(node) -> serialized children (parser.inner_html)"},
+    {"release_tree", cdom_release_tree, METH_O,
+     "release_tree(root) -> None: clear parent links (refcount-freeable)"},
     {NULL, NULL, 0, NULL},
 };
 

@@ -407,3 +407,21 @@ def query_meta_canonical_url(doc: Node) -> str:
             if href:
                 return href
     return ""
+
+
+def release_tree(root: Node) -> None:
+    """Break every parent back-link so a dropped tree frees by pure
+    refcounting. Parent links make trees cyclic, and the cyclic
+    collector re-walks every node of every dead tree — ~40% of parse
+    wall in the hot loop (gctune.py pairs with this). Safe after
+    extraction: results are plain strings; only parent traversal on a
+    kept subtree would notice."""
+    if _CDOM is not None and hasattr(_CDOM, "release_tree"):
+        _CDOM.release_tree(root)
+        if isinstance(root, _CDOM.NodeBase):
+            return  # handled in C
+    stack = [root]
+    while stack:
+        n = stack.pop()
+        n.parent = None
+        stack.extend(c for c in n.children if isinstance(c, Node))

@@ -108,21 +108,27 @@ def make_extract_udf(opts: Options):
     def extract(
         it: Iterator[tuple[pd.Series, pd.Series]],
     ) -> Iterator[pd.DataFrame]:
+        from ..gctune import GcPacer
+
         cols = list(RESULT_SCHEMA.fieldNames())
-        for html_s, url_s in it:
-            rows = []
-            for html, url in zip(html_s, url_s):
-                if html is None:
-                    rows.append(_EMPTY_ROW)  # engine-side resolved row
-                    continue
-                if isinstance(html, (bytes, bytearray, memoryview)):
-                    html = sniff_decode(bytes(html))
-                try:
-                    res = from_html(html, opts.with_url(url or ""))
-                except Exception:
-                    res = EMPTY_RESULT  # never fail a whole Arrow batch
-                rows.append(_result_row(res))
-            yield pd.DataFrame(rows, columns=cols)
+        # DOM trees are cyclic (parent links): pace the collector to one
+        # gen-0 pass per 256 docs instead of ~1/page (gctune.py)
+        with GcPacer() as pacer:
+            for html_s, url_s in it:
+                rows = []
+                for html, url in zip(html_s, url_s):
+                    if html is None:
+                        rows.append(_EMPTY_ROW)  # engine-side resolved row
+                        continue
+                    if isinstance(html, (bytes, bytearray, memoryview)):
+                        html = sniff_decode(bytes(html))
+                    try:
+                        res = from_html(html, opts.with_url(url or ""))
+                    except Exception:
+                        res = EMPTY_RESULT  # never fail a whole Arrow batch
+                    pacer.tick()
+                    rows.append(_result_row(res))
+                yield pd.DataFrame(rows, columns=cols)
 
     return extract
 

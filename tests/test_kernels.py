@@ -327,3 +327,31 @@ def test_search_page(html, expected, use_original):
     opts = OPTS_ORIG if use_original else OPTS
     _, dt = search_page(html, opts)
     assert _fmt(dt) == expected, html
+
+
+def test_gc_pacer_restores_state_and_collects():
+    import gc
+
+    from go_htmldate_spark.gctune import GcPacer
+
+    class Cyc:
+        def __init__(self):
+            self.me = self
+
+    assert gc.isenabled()
+    with GcPacer(every=10) as p:
+        assert not gc.isenabled()
+        for _ in range(25):
+            Cyc()  # dead cycle per iteration
+            p.tick()
+    assert gc.isenabled()  # restored
+    # the exit pass reclaimed the tail: no Cyc survives
+    assert not any(type(o).__name__ == "Cyc" for o in gc.get_objects())
+
+    gc.disable()
+    try:
+        with GcPacer():
+            pass
+        assert not gc.isenabled()  # nested: caller's disabled state kept
+    finally:
+        gc.enable()

@@ -449,6 +449,8 @@ stack_free(NStack *st)
         PyMem_Free(st->items);
 }
 
+static int release_subtree(CNode *root); /* defined with release_tree */
+
 static int
 tag_is(CNode *n, const char *t)
 {
@@ -1094,11 +1096,18 @@ cdom_prune_and_collect(PyObject *self, PyObject *args)
                 goto fail;
         }
         if (clean || is_discard(c)) {
-            /* remove in place: delete at the current index, detach */
-            if (PySequence_DelItem(f->list, f->i) < 0)
+            /* remove in place: delete at the current index, then break
+             * the detached subtree's internal parent cycles so it frees
+             * by refcount (release_subtree also clears c->parent). The
+             * INCREF guards c across DelItem — a childless discard node
+             * would otherwise be freed by the delete itself. */
+            Py_INCREF(child);
+            if (PySequence_DelItem(f->list, f->i) < 0 ||
+                release_subtree(c) < 0) {
+                Py_DECREF(child);
                 goto fail;
-            Py_INCREF(Py_None);
-            Py_XSETREF(c->parent, Py_None);
+            }
+            Py_DECREF(child);
             continue; /* next sibling shifted into slot i */
         }
         f->i++;
@@ -1611,20 +1620,20 @@ fail:
     return NULL;
 }
 
-/* Break every parent back-link in the tree so it frees by pure
- * refcounting instead of waiting for the cyclic collector — the
- * collector otherwise re-walks every node of every dead tree (the
- * dominant GC cost of the hot loop; see gctune.py). Iterative: the
- * node stack, not the C stack, carries the depth. */
-static PyObject *
-cdom_release_tree(PyObject *self, PyObject *arg)
+/* Break every parent back-link under (and including) `root` so the
+ * subtree frees by pure refcounting instead of waiting for the cyclic
+ * collector — the collector otherwise re-walks every node of every
+ * dead tree (the dominant GC cost of the hot loop; see gctune.py).
+ * Iterative: the node stack, not the C stack, carries the depth. */
+static int
+release_subtree(CNode *root)
 {
-    if (!PyObject_TypeCheck(arg, &NodeBase_Type))
-        Py_RETURN_NONE; /* pure-Python node: caller's fallback handles */
     NStack st;
     stack_init(&st);
-    if (stack_push(&st, (CNode *)arg) < 0)
-        return PyErr_NoMemory();
+    if (stack_push(&st, root) < 0) {
+        PyErr_NoMemory();
+        return -1;
+    }
     while (st.len) {
         CNode *n = st.items[--st.len];
         Py_INCREF(Py_None);
@@ -1636,12 +1645,23 @@ cdom_release_tree(PyObject *self, PyObject *arg)
                 if (PyObject_TypeCheck(ch, &NodeBase_Type) &&
                     stack_push(&st, (CNode *)ch) < 0) {
                     stack_free(&st);
-                    return PyErr_NoMemory();
+                    PyErr_NoMemory();
+                    return -1;
                 }
             }
         }
     }
     stack_free(&st);
+    return 0;
+}
+
+static PyObject *
+cdom_release_tree(PyObject *self, PyObject *arg)
+{
+    if (!PyObject_TypeCheck(arg, &NodeBase_Type))
+        Py_RETURN_NONE; /* pure-Python node: caller's fallback handles */
+    if (release_subtree((CNode *)arg) < 0)
+        return NULL;
     Py_RETURN_NONE;
 }
 

@@ -395,6 +395,11 @@ def parse_html(html: str, fast: bool = True) -> Node:
     html_el.append(head)
     html_el.append(body)
     doc.append(html_el)
+    # drop the raw parse root: transplanted nodes now parent into doc,
+    # and emptying the list lets the leftovers (doctype text, stray
+    # comments, dropped whitespace — whose parent links would otherwise
+    # pin a raw_root cycle) free by refcount
+    raw_root.children = []
     return doc
 
 

@@ -355,3 +355,37 @@ def test_gc_pacer_restores_state_and_collects():
         assert not gc.isenabled()  # nested: caller's disabled state kept
     finally:
         gc.enable()
+
+
+def test_extraction_leaves_no_cyclic_garbage():
+    """Dead DOM trees must free by refcount: parse_html drops the raw
+    root's leftovers, release_tree breaks parent links after extraction,
+    and the C prune releases detached subtrees. Regression: each of
+    those paths once stranded thousands of cyclic nodes per document."""
+    import gc
+
+    from go_htmldate_spark import Options, from_html
+
+    html = (
+        "<!doctype html><!-- top comment --><html><head>"
+        "<meta property='article:published_time' content='2021-05-10'>"
+        "</head><body><script>var x=1;</script>"
+        "<div id='wm-ipp'><p>banner<span>deep</span></p></div>"
+        + "<p>text</p>" * 50
+        + "</body></html>"
+    )
+    opts = Options(use_original_date=True)
+    assert from_html(html, opts).date == "2021-05-10"
+    gc.collect()
+    gc.disable()
+    try:
+        base = len(gc.get_objects())
+        for _ in range(50):
+            from_html(html, opts)
+        growth = len(gc.get_objects()) - base
+    finally:
+        gc.enable()
+        gc.collect()
+    # ~200 nodes/doc x 50 docs would strand >10k objects; transient
+    # module-level noise stays far below that
+    assert growth < 1000, f"cyclic garbage: {growth} objects stranded"

@@ -323,7 +323,11 @@ def q_jaccard_pairs(spark, sf_dir):
     dup = d.filter(F.col("doc_id") % 11 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
-    corpus = d.unionByName(dup)
+    # the md5 signature map is the CPU stage: spread it over every core
+    # (the parquet source reads this small table as 2 partitions)
+    corpus = d.unionByName(dup).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     sigs = minhash_signatures(corpus, n_hashes=16, hash_family="md5_seeded")
     pairs = lsh_candidate_pairs(
         sigs, bands=4, max_bucket=1_000_000, hashed_buckets=False
@@ -403,7 +407,10 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     dup = d.filter(F.col("doc_id") % 11 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
-    sigs = minhash_signatures(d.unionByName(dup), n_hashes=16, hash_family="md5_seeded")
+    corpus = d.unionByName(dup).repartition(
+        spark.sparkContext.defaultParallelism  # md5 map over every core
+    )
+    sigs = minhash_signatures(corpus, n_hashes=16, hash_family="md5_seeded")
     return lsh_candidate_pairs(
         sigs, bands=4, max_bucket=1_000_000, hashed_buckets=False
     )

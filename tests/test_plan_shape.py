@@ -96,3 +96,27 @@ def test_ivf_topk_map_only_probe(spark):
     plan = _plan(ivf_topk(emb, query_id=3, k=10))
     assert plan.count("Exchange hashpartitioning") == 0
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ivf_partitioned_write_prunes_scan(spark, tmp_path_factory):
+    """The IVF scale path: corpus written partitionBy(cluster) turns the
+    probe filter into partition pruning — the scan reads nprobe/nlist of
+    the data, visible as PartitionFilters in the plan."""
+    import pyspark.sql.functions as F
+
+    from go_htmldate_spark.operators.similarity import ivf_assign
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = str(tmp_path_factory.mktemp("ivf") / "bucketed")
+    emb.join(ivf_assign(emb, n_centroids=16), "vec_id").write.partitionBy(
+        "cluster"
+    ).parquet(out)
+
+    probed = spark.read.parquet(out).filter(F.col("cluster").isin([1, 5, 9]))
+    plan = _plan(probed)
+    assert "PartitionFilters" in plan and "cluster" in plan.split(
+        "PartitionFilters"
+    )[1][:80]
+    # pruned scan touches only the probed clusters' rows
+    asg = {r["cluster"] for r in probed.select("cluster").distinct().collect()}
+    assert asg == {1, 5, 9}

@@ -345,6 +345,27 @@ def q_ann_cosine_topk(spark, sf_dir):
     return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
+def q_event_time_windows(spark, sf_dir):
+    """Event-time windowed per-host rates (streaming/extractor.
+    host_fetch_rates — identical operator runs under readStream with a
+    watermark; the batch form is the oracle-checkable projection).
+    Events become crawl records: deterministic URL per event, ts as
+    warc_ts."""
+    from go_htmldate_spark.streaming.extractor import host_fetch_rates
+
+    ev = _t(spark, sf_dir, "events")
+    pages = ev.select(
+        F.concat(
+            F.lit("https://h"), (F.col("user_id") % 7).cast("string"),
+            F.lit(".example/"), F.date_format("ts", "yyyy/MM/dd"),
+            F.lit("/e"), F.col("event_id").cast("string"), F.lit(".html"),
+        ).alias("url"),
+        F.col("ts").alias("warc_ts"),
+        F.lit("").cast("binary").alias("html"),
+    )
+    return host_fetch_rates(pages, window="1 hour", watermark="2 hours")
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     """Pipeline: IVF ANN top-10 for the vec_id=0 query — 16-centroid
     sampled codebook, nprobe=4, map-only assignment + pruned exact
@@ -653,6 +674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "event_time_windows": q_event_time_windows,
         "canonicalize_url": q_canonicalize_url,
         "priority_recency": q_priority_recency,
         "host_topk": q_host_topk,
@@ -922,6 +944,23 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings, q
             ORDER BY cosine DESC, vec_id ASC
             LIMIT 10
+        """,
+        "event_time_windows": """
+            WITH pages AS (
+                SELECT 'h' || CAST(user_id % 7 AS VARCHAR) || '.example'
+                           AS host,
+                       ts,
+                       strftime(ts, '%Y/%m/%d') AS url_date_part
+                FROM events
+            )
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+                   time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+                       AS win_end,
+                   host,
+                   CAST(COUNT(*) AS BIGINT) AS n_fetched,
+                   CAST(COUNT(*) AS BIGINT) AS n_dated
+            FROM pages
+            GROUP BY 1, 2, 3
         """,
         # IVF: same left-fold double arithmetic as the Spark cosine()
         # helper (bit-identical, proven by the ann_selfjoin rerank CTE),

@@ -187,6 +187,16 @@ def main() -> None:
         "meets_0.8_target": eff >= 0.8,
     }
     print(json.dumps(summary))
+    # preserve everything after the scaling section (kernel/eval/suite
+    # tables maintained by hand) — only the measured block is rewritten
+    marker = "<!-- scaling:end -->"
+    tail = ""
+    try:
+        old = open("BENCH.md").read()
+        if marker in old:
+            tail = old.split(marker, 1)[1]
+    except FileNotFoundError:
+        pass
     with open("BENCH.md", "w") as f:
         f.write(
             "# BENCH — scaling evidence (north-rule two-cluster-size proxy)\n\n"
@@ -204,7 +214,7 @@ def main() -> None:
             f"**Scaling efficiency (full pipeline)** T4N/(4·TN) = **{eff}** "
             f"(target ≥ 0.8: {'MET' if eff >= 0.8 else 'NOT MET'})\n\n"
             f"**Scaling efficiency (extraction kernel only)** = **{ex_eff}**\n\n"
-            f"Raw: `{json.dumps(summary)}`\n"
+            f"Raw: `{json.dumps(summary)}`\n\n{marker}{tail}"
         )
 
 

@@ -258,3 +258,46 @@ def test_eval_corpus_sample_parity():
         if docs >= 120:
             break
     assert docs >= 100
+
+
+# -- property-based differential fuzz ---------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _FRAGMENTS = [
+        "<div>", "</div>", "<p>", "</p>", "<br/>", "<br />", "<img src=x>",
+        "<span class='a b'>", '<a href="u?x=1&y=2">', "<A HREF=UP>",
+        "<script>", "</script>", "</script >", "<style>", "</style>",
+        "<!-- c -->", "<!--", "-->", "<!doctype html>", "<?pi?>",
+        "&amp;", "&lt;", "&#65;", "&bogus;", "&", "<", ">", "/>", "='",
+        "text", " ", "\t", "\n", " ", "\xa0", "x<y", "a=b", '"',
+        "'", "<time datetime=2021-05-10>", "</time>", "<li>", "<td>",
+        "<table>", "<tr>", "<option>", "<p", " id=", "<b><i>", "</i></b>",
+        "<meta charset=utf-8>", "\x00", "\x1c", "é", "日本語",
+    ]
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.lists(
+            st.one_of(
+                st.sampled_from(_FRAGMENTS),
+                st.text(min_size=0, max_size=12),
+            ),
+            min_size=0,
+            max_size=40,
+        )
+    )
+    def test_fuzz_c_vs_python_tokenizer(parts):
+        """Any byte soup must tokenize identically in C and pure Python —
+        structural tree signature AND serialized bytes (the extensive
+        stages regex over the serialization, so byte parity matters)."""
+        html = "".join(parts)
+        c_root = _c_build_tree(html)
+        p_root = py_build_tree(html)
+        assert _tree_sig(c_root) == _tree_sig(p_root)
+        assert pure_inner_html(c_root) == pure_inner_html(p_root)
+
+except ImportError:  # hypothesis not installed: covered by EDGE_CASES
+    pass

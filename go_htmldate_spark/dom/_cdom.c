@@ -93,9 +93,6 @@ node_init(CNode *self, PyObject *args, PyObject *kwds)
         tag = g_empty;
     if (data == NULL)
         data = g_empty;
-    PyObject *children = PyList_New(0);
-    if (children == NULL)
-        return -1;
     self->kind = kind;
     Py_INCREF(tag);
     Py_XSETREF(self->tag, tag);
@@ -103,7 +100,7 @@ node_init(CNode *self, PyObject *args, PyObject *kwds)
     Py_XSETREF(self->attrs, g_no_attrs);
     Py_INCREF(Py_None);
     Py_XSETREF(self->raw_attrs, Py_None);
-    Py_XSETREF(self->children, children);
+    Py_CLEAR(self->children); /* lazily created via the getset */
     Py_INCREF(Py_None);
     Py_XSETREF(self->parent, Py_None);
     Py_INCREF(data);
@@ -118,9 +115,43 @@ static PyMemberDef node_members[] = {
      "parsed attr list or None when deferred"},
     {"_raw_attrs", T_OBJECT_EX, offsetof(CNode, raw_attrs), 0,
      "raw tag text pending lazy attr parse"},
-    {"children", T_OBJECT_EX, offsetof(CNode, children), 0, "child list"},
     {"parent", T_OBJECT_EX, offsetof(CNode, parent), 0, "parent node or None"},
     {"data", T_OBJECT_EX, offsetof(CNode, data), 0, "text/comment payload"},
+    {NULL},
+};
+
+/* children is a getset, not a member: the list is created lazily on
+ * first access/append — the majority of nodes (text, void elements)
+ * never have children, and skipping their PyList_New is a measurable
+ * slice of parse time. The created list is cached in the slot so
+ * Python-side `node.children.append(...)` mutates the stored list. */
+static PyObject *
+node_get_children(CNode *self, void *closure)
+{
+    if (self->children == NULL) {
+        self->children = PyList_New(0);
+        if (self->children == NULL)
+            return NULL;
+    }
+    Py_INCREF(self->children);
+    return self->children;
+}
+
+static int
+node_set_children(CNode *self, PyObject *value, void *closure)
+{
+    if (value == NULL) {
+        Py_CLEAR(self->children);
+        return 0;
+    }
+    Py_INCREF(value);
+    Py_XSETREF(self->children, value);
+    return 0;
+}
+
+static PyGetSetDef node_getset[] = {
+    {"children", (getter)node_get_children, (setter)node_set_children,
+     "child list (lazily created)", NULL},
     {NULL},
 };
 
@@ -135,6 +166,7 @@ static PyTypeObject NodeBase_Type = {
     .tp_traverse = (traverseproc)node_traverse,
     .tp_clear = (inquiry)node_clear,
     .tp_members = node_members,
+    .tp_getset = node_getset,
     .tp_init = (initproc)node_init,
     .tp_new = PyType_GenericNew,
 };
@@ -307,12 +339,7 @@ new_node(PyTypeObject *tp, int kind, PyObject *tag /*borrowed*/,
         Py_XDECREF(data);
         return NULL;
     }
-    n->children = PyList_New(0);
-    if (n->children == NULL) {
-        Py_XDECREF(data);
-        Py_DECREF(n);
-        return NULL;
-    }
+    n->children = NULL; /* lazily created: most nodes are leaves */
     n->kind = kind;
     Py_INCREF(tag);
     n->tag = tag;
@@ -332,6 +359,13 @@ append_child(CNode *parent, CNode *child)
 {
     if (child == NULL)
         return -1;
+    if (parent->children == NULL) {
+        parent->children = PyList_New(0);
+        if (parent->children == NULL) {
+            Py_DECREF(child);
+            return -1;
+        }
+    }
     int rc = PyList_Append(parent->children, (PyObject *)child);
     if (rc == 0) {
         Py_INCREF((PyObject *)parent);

@@ -301,3 +301,50 @@ try:
 
 except ImportError:  # hypothesis not installed: covered by EDGE_CASES
     pass
+
+
+try:
+    from hypothesis import given as _given, settings as _settings
+    from hypothesis import strategies as _st
+
+    from go_htmldate_spark import Options, from_html
+
+    # exclude openers that legitimately swallow everything after them
+    # (unclosed rawtext tags, unclosed comments): the assertion is that
+    # NOISE can't beat the meta stage, not that HTML semantics vanish
+    _SWALLOWERS = ("<script>", "<style>", "<!--")
+    _NOISE = _st.lists(
+        _st.one_of(
+            _st.sampled_from(
+                [f for f in _FRAGMENTS if f not in _SWALLOWERS]
+            ),
+            _st.text(min_size=0, max_size=10).filter(
+                lambda t: "<!--" not in t
+            ),
+        ),
+        min_size=0,
+        max_size=20,
+    ).map("".join)
+
+    @_settings(max_examples=150, deadline=None)
+    @_given(noise_head=_NOISE, noise_body=_NOISE)
+    def test_fuzz_planted_meta_date_survives(noise_head, noise_body):
+        """A well-formed article:published_time meta tag must win no
+        matter what byte soup surrounds it — the cascade's meta stage
+        outranks anything the noise can plant, and the parse must never
+        raise. (Noise containing '<' can swallow a following tag, so the
+        plant is fenced with a closing '>' on each side.)"""
+        html = (
+            "<html><head>>"
+            + noise_head
+            + "><meta property='article:published_time' "
+            "content='2021-05-10T10:00:00Z'>"
+            + "<title>t</title></head><body>>"
+            + noise_body
+            + "></body></html>"
+        )
+        res = from_html(html, Options(use_original_date=True))
+        assert res.date == "2021-05-10"
+
+except ImportError:
+    pass

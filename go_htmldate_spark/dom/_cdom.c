@@ -560,6 +560,13 @@ cdom_build_into(PyObject *self, PyObject *args)
                 if (e != NULL) {
                     ce2 = e - buf;
                     pos = ce2 + 3;
+                } else if (n > cs2 && buf[n - 1] == '\n') {
+                    /* regex parity: the tokenizer's (?:-->|$) uses a
+                     * non-MULTILINE $, which the lazy body matches
+                     * BEFORE a final trailing newline — so that one
+                     * newline stays outside the comment as text */
+                    ce2 = n - 1;
+                    pos = n - 1;
                 } else {
                     ce2 = n;
                     pos = n;

@@ -109,6 +109,10 @@ EDGE_CASES = [
     "<a b\xa0=c>nbsp in attrs</a>",
     "<script>x</script\u2009>ts close<p>y</p>",
     "<p>" + "x" * 100000 + "</p>",
+    "<!--\n",            # unterminated comment: $ matches before a FINAL newline
+    "<!--a\n",
+    "<!--a\nb",          # ...but not before an interior newline
+    "<!--a\n\n",
 ]
 
 

@@ -871,11 +871,21 @@ cdom_parse_attrs(PyObject *self, PyObject *arg)
                     while (ve < n && buf[ve] != '>' &&
                            !space_at(buf, ve, n, &wl))
                         ve += ((unsigned char)buf[ve] < 0x80) ? 1 : wl;
-                    /* the pure path strips first+last char of ANY match
+                    /* the pure path strips first+last CHAR of ANY match
                      * starting with a quote (val[1:-1]) — even this
-                     * unterminated fallback.  Mirror the quirk. */
+                     * unterminated fallback.  Mirror the quirk; the last
+                     * char may be multi-byte, so walk back over UTF-8
+                     * continuation bytes instead of slicing one byte
+                     * (a byte slice mid-sequence raised UnicodeDecodeError
+                     * — found by the attr fuzz). */
                     Py_ssize_t sa = vs + 1;
-                    Py_ssize_t sb = (ve - 1 > sa) ? ve - 1 : sa;
+                    Py_ssize_t sb = ve;
+                    if (sb > sa) {
+                        sb--;
+                        while (sb > sa &&
+                               ((unsigned char)buf[sb] & 0xC0) == 0x80)
+                            sb--;
+                    }
                     val = make_text(buf, sa, sb);
                     p = ve;
                 }

@@ -352,3 +352,45 @@ try:
 
 except ImportError:
     pass
+
+
+try:
+    from hypothesis import given as _g2, settings as _s2
+    from hypothesis import strategies as _st2
+
+    from go_htmldate_spark.dom.fastparse import _parse_attrs as _pure_attrs
+
+    _ATTR_FRAG = [
+        "a=1", " ", "=", "'", '"', "b='x'", 'c="y"', "checked", "/", ">",
+        "<", "a = b", "\t", "\n", "\xa0", "é=1", "x=''", 'y=""', "z=a'b",
+        "=v", "a==b", "data-x", "\x1c", "a=b=c", "'unterminated", '"open',
+        "\x80", "中", "𝒳",
+    ]
+
+    @_s2(max_examples=300, deadline=None)
+    @_g2(
+        _st2.lists(
+            _st2.one_of(
+                _st2.sampled_from(_ATTR_FRAG),
+                _st2.text(min_size=0, max_size=8),
+            ),
+            min_size=0,
+            max_size=25,
+        )
+    )
+    def test_fuzz_parse_attrs_parity(parts):
+        """C attr parser must match the regex parser on any raw tag text
+        — including the val[1:-1] strip of unterminated quoted values,
+        which must strip a CHARACTER, not a byte (a multi-byte final
+        char once raised UnicodeDecodeError in C)."""
+        raw = "".join(parts)
+        assert cdom.parse_attrs(raw) == _pure_attrs(raw)
+
+    def test_parse_attrs_unterminated_quote_multibyte_tail():
+        raw = "0='unterminated\x80"
+        assert cdom.parse_attrs(raw) == _pure_attrs(raw) == [
+            ("0", "unterminated")
+        ]
+
+except ImportError:
+    pass

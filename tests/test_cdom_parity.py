@@ -394,3 +394,28 @@ try:
 
 except ImportError:
     pass
+
+
+try:
+    from hypothesis import given as _g3, settings as _s3
+    from hypothesis import strategies as _st3
+
+    @_s3(max_examples=200, deadline=None)
+    @_g3(
+        _st3.lists(
+            _st3.one_of(
+                _st3.sampled_from(_FRAGMENTS),
+                _st3.text(min_size=0, max_size=12),
+            ),
+            min_size=0,
+            max_size=40,
+        )
+    )
+    def test_fuzz_serializer_parity(parts):
+        """C render_inner must serialize any tree byte-identically to the
+        pure-Python renderer (the extensive stages regex over it)."""
+        root = _c_build_tree("".join(parts))
+        assert cdom.render_inner(root) == pure_inner_html(root)
+
+except ImportError:
+    pass

@@ -120,12 +120,30 @@ def bucket_candidate_pairs(
     banded: DataFrame, id_col: str, max_bucket: int
 ) -> DataFrame:
     """(id, band, bucket) → distinct candidate pairs (a < b) sharing a
-    bucket. The groupBy bounds each bucket at max_bucket ids (skew guard
-    for boilerplate that all hashes together); pair fan-out happens
-    bucket-locally, no self-join of the banded table."""
+    bucket. Each bucket is bounded at its max_bucket SMALLEST ids (skew
+    guard for boilerplate that all hashes together); pair fan-out happens
+    bucket-locally, no self-join of the banded table.
+
+    Scale note: the cap is applied with a row_number window BEFORE the
+    collect_list, so a boilerplate mega-bucket (10^7 identical pages in
+    one band bucket at 100 TB) streams through the window's sort-based
+    processing and is dropped to max_bucket rows before any aggregation
+    buffer materializes it. The window partitions on the same
+    (band, bucket) key as the groupBy, so Catalyst reuses one exchange —
+    plan-pinned in test_plan_shape.py. Semantics are identical to the
+    previous slice(sort_array(collect_list)) form (keep the max_bucket
+    smallest ids): the LSH oracles stay hash-exact."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "bucket").orderBy(F.col(id_col).asc())
+    capped = (
+        banded.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_bucket)
+        .drop("_rn")
+    )
     buckets = (
-        banded.groupBy("band", "bucket")
-        .agg(F.slice(F.sort_array(F.collect_list(id_col)), 1, max_bucket).alias("ids"))
+        capped.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
     return buckets.select(

@@ -120,3 +120,39 @@ def test_ivf_partitioned_write_prunes_scan(spark, tmp_path_factory):
     # pruned scan touches only the probed clusters' rows
     asg = {r["cluster"] for r in probed.select("cluster").distinct().collect()}
     assert asg == {1, 5, 9}
+
+
+def test_bucket_pairs_cap_shares_exchange(spark):
+    """The row_number pre-cap in bucket_candidate_pairs must ride the
+    SAME (band, bucket) exchange as the collect_list groupBy — exactly
+    one (band, bucket) exchange plus the final pair-distinct exchange,
+    nothing more. This is the mega-bucket OOM guard's plan contract."""
+    from go_htmldate_spark.operators.dedup import bucket_candidate_pairs
+
+    banded = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("int").alias("band"),
+        (F.col("id") % 7).alias("bucket"),
+    )
+    plan = _plan(bucket_candidate_pairs(banded, "doc_id", 16))
+    assert plan.count("Exchange hashpartitioning") == 2  # (band,bucket) + distinct
+    assert "row_number" in plan  # cap applied pre-collect
+
+
+def test_bucket_pairs_mega_bucket_bounded(spark):
+    """A single boilerplate bucket with 200k members (the 100 TB skew
+    hazard) must be cut to max_bucket rows BEFORE aggregation: the pair
+    count is exactly C(max_bucket, 2) over the SMALLEST ids, and the job
+    completes without materializing a 200k-element aggregation buffer."""
+    from go_htmldate_spark.operators.dedup import bucket_candidate_pairs
+
+    n, cap = 200_000, 32
+    banded = spark.range(0, n).select(
+        F.col("id").alias("doc_id"),
+        F.lit(0).alias("band"),
+        F.lit(0).cast("long").alias("bucket"),
+    )
+    pairs = bucket_candidate_pairs(banded, "doc_id", cap).collect()
+    assert len(pairs) == cap * (cap - 1) // 2
+    # survivors are the cap smallest ids
+    assert max(max(r["a"], r["b"]) for r in pairs) == cap - 1

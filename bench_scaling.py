@@ -195,6 +195,10 @@ def main() -> None:
         old = open("BENCH.md").read()
         if marker in old:
             tail = old.split(marker, 1)[1]
+        elif old.strip():
+            # pre-marker BENCH.md: keep the whole old body as the tail
+            # rather than silently dropping hand-maintained sections
+            tail = "\n\n<!-- preserved pre-marker BENCH.md body -->\n\n" + old
     except FileNotFoundError:
         pass
     with open("BENCH.md", "w") as f:

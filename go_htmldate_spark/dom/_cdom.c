@@ -144,6 +144,16 @@ node_set_children(CNode *self, PyObject *value, void *closure)
         Py_CLEAR(self->children);
         return 0;
     }
+    /* Every C traversal (render_inner, prune_and_collect,
+     * release_subtree) guards with PyList_Check and silently SKIPS a
+     * non-list subtree — so an accidental `node.children = (a, b)`
+     * would corrupt traversal invisibly. Fail loudly here instead. */
+    if (!PyList_Check(value)) {
+        PyErr_Format(PyExc_TypeError,
+                     "children must be a list, not %.100s",
+                     Py_TYPE(value)->tp_name);
+        return -1;
+    }
     Py_INCREF(value);
     Py_XSETREF(self->children, value);
     return 0;

@@ -248,11 +248,17 @@ def _ivf_codebook_row(
     init; at 100 TB the codebook is trained offline with k-means|| and
     broadcast exactly the same way). The codebook is O(nlist · dim) —
     kilobytes — so it rides as a broadcast single row; the corpus never
-    shuffles for it."""
+    shuffles for it.
+
+    Selection is order-by-id + limit (a TakeOrdered reduction, no hash
+    exchange), NOT a `id < n_centroids` value filter — so sparse or
+    offset id spaces still yield exactly min(n_centroids, |corpus|)
+    centroids instead of a silently short (or empty) codebook."""
     vec = F.col(vec_col).cast("array<double>")
     return (
-        embeddings.filter(F.col(id_col) < n_centroids)
-        .select(F.col(id_col).alias("cid"), vec.alias("cv"))
+        embeddings.select(F.col(id_col).alias("cid"), vec.alias("cv"))
+        .orderBy("cid")
+        .limit(n_centroids)
         .groupBy()
         .agg(F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias("cents"))
     )

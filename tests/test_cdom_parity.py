@@ -419,3 +419,16 @@ try:
 
 except ImportError:
     pass
+
+
+def test_cdom_children_setter_rejects_non_list():
+    """The C traversals guard subtrees with PyList_Check and silently
+    skip non-lists; the setter must therefore fail loudly on misuse."""
+    import pytest
+
+    from go_htmldate_spark.dom import parser as P
+
+    n = P.Node(P.ELEMENT_NODE if hasattr(P, "ELEMENT_NODE") else 1, tag="div")
+    with pytest.raises(TypeError):
+        n.children = ("a", "b")
+    n.children = []  # lists stay fine

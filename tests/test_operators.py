@@ -105,6 +105,27 @@ def test_ivf_recall_and_assignment(spark):
     assert own == {i: i for i in range(16)}
 
 
+def test_ivf_codebook_survives_sparse_offset_ids(spark):
+    """Centroid selection is order-by-id + limit, so an id space that is
+    sparse or doesn't start at 0 still yields a full n_centroids
+    codebook (previously `id < n_centroids` silently produced a short or
+    empty one)."""
+    from go_htmldate_spark.operators.similarity import ivf_assign, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # offset + sparsify: ids become 1M + 7*vec_id — none below n_centroids
+    off = emb.select(
+        (F.col("vec_id") * 7 + 1_000_000).alias("vec_id"), "embedding"
+    ).cache()
+    asg = ivf_assign(off, n_centroids=16)
+    rows = asg.collect()
+    assert len(rows) == off.count()
+    assert len({r["cluster"] for r in rows}) == 16  # full codebook
+    qid = 1_000_000 + 7 * 3
+    top = ivf_topk(off, query_id=qid, k=5, n_centroids=16, nprobe=4).collect()
+    assert top and top[0]["vec_id"] == qid and top[0]["cosine"] == 1.0
+
+
 def test_text_stats_schema_and_ranges(spark, docs):
     from go_htmldate_spark.operators.textstats import with_text_stats
 

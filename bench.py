@@ -97,9 +97,12 @@ def main() -> None:
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
     corpus = docs.unionByName(dup)
+    # reps=3: round-3's driver run caught a host-noise phase on both
+    # default reps (9.17 s vs 3.3-4.0 s interleaved warm); one extra
+    # rep makes the best-of robust to a single multi-second phase
     run("minhash_lsh_pairs", lambda: lsh_candidate_pairs(
         minhash_signatures(corpus, n_hashes=32), bands=8
-    ).write.format("noop").mode("overwrite").save())
+    ).write.format("noop").mode("overwrite").save(), reps=3)
     run("simhash_groups", lambda: simhash_dup_groups(corpus)
         .write.format("noop").mode("overwrite").save())
     run("simhash_near_pairs", lambda: simhash_near_pairs(corpus, radius=3)
@@ -122,29 +125,39 @@ def main() -> None:
 
     from go_htmldate_spark.plans.scheduler import CrawlConfig, CrawlScheduler
 
-    state_dir = tempfile.mkdtemp(prefix="bench_crawl_")
-    try:
-        crawl_pages = synth_pages(
-            spark, max(5000, int(50_000 * sf)), seed=42, heavy_host_share=30
-        ).cache()
-        crawl_pages.count()
-        sched = CrawlScheduler(
-            spark, crawl_pages, robots=None, host_budget=None,
-            state_dir=state_dir,
-            config=CrawlConfig(n_bloom_partitions=8, bloom_bits=1 << 18),
-        )
-        seeds = crawl_pages.select("url").limit(256).withColumn(
-            "priority", F.lit(1.0)
-        )
-        sched.init_from_seeds(seeds)
-        t0 = time.time()
-        manifest = sched.run_round()
-        timings["frontier_round"] = round(time.time() - t0, 3)
-        extras["frontier_scheduled"] = manifest["n_scheduled"]
-        extras["frontier_new_urls"] = manifest["n_frontier"]
-        crawl_pages.unpersist()
-    finally:
-        shutil.rmtree(state_dir, ignore_errors=True)
+    crawl_pages = synth_pages(
+        spark, max(5000, int(50_000 * sf)), seed=42, heavy_host_share=30
+    ).cache()
+    crawl_pages.count()
+
+    # best-of-2 with a fresh scheduler + state dir per rep: the first
+    # round pays one-time costs (codegen, bloom-kernel import) that a
+    # single-shot timing mis-attributes to the frontier, and the
+    # sandbox host has noisy phases (BENCH.md) — round-3's driver
+    # number (10.0 s vs 4.0-4.6 s warm interleaved) was exactly that.
+    best = None
+    for _ in range(2):
+        state_dir = tempfile.mkdtemp(prefix="bench_crawl_")
+        try:
+            sched = CrawlScheduler(
+                spark, crawl_pages, robots=None, host_budget=None,
+                state_dir=state_dir,
+                config=CrawlConfig(n_bloom_partitions=8, bloom_bits=1 << 18),
+            )
+            seeds = crawl_pages.select("url").limit(256).withColumn(
+                "priority", F.lit(1.0)
+            )
+            sched.init_from_seeds(seeds)
+            t0 = time.time()
+            manifest = sched.run_round()
+            el = time.time() - t0
+            best = el if best is None or el < best else best
+            extras["frontier_scheduled"] = manifest["n_scheduled"]
+            extras["frontier_new_urls"] = manifest["n_frontier"]
+        finally:
+            shutil.rmtree(state_dir, ignore_errors=True)
+    timings["frontier_round"] = round(best, 3)
+    crawl_pages.unpersist()
 
     total = round(sum(timings.values()), 3)
     result = {

@@ -133,6 +133,33 @@ def make_extract_udf(opts: Options):
     return extract
 
 
+# Java-regex translations of the findTime trigger patterns
+# (constant.go:118-120 / functions/patterns.py RX_ISO_TIME, RX_TZ_CODE,
+# RX_COMMON_TIME). Used only as a conservative COULD-MATCH gate: a URL
+# matching none of them (and containing no whitespace, so the named-tz
+# token scan sees one token that can never be an IANA name — every
+# resolved URL carries a 4-digit year, no tz name does) provably makes
+# findTime return not-found, so the row stays fully native even in time
+# mode. Any possible match routes the row to the Python kernel, which
+# runs the real consume-in-order findTime (core.go:273-350).
+_J_ISO_TIME = (
+    r"(?i)[0-9]{2}:[0-9]{2}(?::[0-9]{2}(?:\.[0-9]+)?)?"
+    r"(?:Z|[+-][0-9]{2}(?::?[0-9]{2})?)"
+)
+_J_TZ_CODE = r"(?:^|[\t\n\f\r ])[-+][0-9]{2}"
+_J_COMMON_TIME = r"(?i)(?:[^0-9]|^)[0-9]{1,2}(?::|\s*h\s*)[0-9]{1,2}"
+
+
+def _url_time_free(url: Column) -> Column:
+    """True when findTime(url) provably finds neither time nor tz."""
+    return (
+        ~url.rlike(r"\s")
+        & ~url.rlike(_J_ISO_TIME)
+        & ~url.rlike(_J_TZ_CODE)
+        & ~url.rlike(_J_COMMON_TIME)
+    )
+
+
 def extract_dates(
     pages: DataFrame,
     opts: Options = Options(),
@@ -147,10 +174,12 @@ def extract_dates(
     url = F.col(url_col)
 
     # The native fast path replicates the URL stage only when it
-    # short-circuits the whole cascade in the reference: URL present,
-    # extractor not deferred, and no time extraction requested (findTime
-    # inspects the raw string Python-side).
-    use_fast_path = staged and not opts.defer_url_extractor and not opts.extract_time
+    # short-circuits the whole cascade in the reference: URL present and
+    # extractor not deferred (core.go:135-144). With extract_time=True
+    # the reference additionally runs findTime on the URL srcString
+    # (core.go:111-125); rows whose URL provably contains no time/tz
+    # pattern stay native, the rest fall through to the kernel.
+    use_fast_path = staged and not opts.defer_url_extractor
 
     if not use_fast_path:
         res = udf(F.col(html_col), url)
@@ -158,8 +187,26 @@ def extract_dates(
 
     u_date = url_date(url, opts.min_date, opts.max_date)
     resolved = u_date.isNotNull()
+    if opts.extract_time:
+        from pyspark.sql.types import BinaryType
 
-    gated_html = F.when(~resolved, F.col(html_col))  # NULL html for resolved rows
+        native_ok = resolved & _url_time_free(url)
+        # URL-resolved rows that might carry a time still short-circuit
+        # the DOM (find_date returns on the URL before parsing matters),
+        # so ship EMPTY html, not the page bytes — the kernel re-derives
+        # the URL date and runs the real findTime on the srcString. The
+        # empty literal keeps the column's own type (binary html keeps
+        # its charset-sniff path intact).
+        is_bin = isinstance(pages.schema[html_col].dataType, BinaryType)
+        empty = F.lit(b"" if is_bin else "")
+        gated_html = (
+            F.when(native_ok, F.lit(None))
+            .when(resolved, empty)
+            .otherwise(F.col(html_col))
+        )
+    else:
+        native_ok = resolved
+        gated_html = F.when(~resolved, F.col(html_col))  # NULL html for resolved rows
     res = udf(gated_html, url)
 
     native = F.struct(
@@ -173,5 +220,5 @@ def extract_dates(
         normalize_spaces_col(url).alias("src_string"),
     )
 
-    combined = F.when(resolved, native).otherwise(res)
+    combined = F.when(native_ok, native).otherwise(res)
     return pages.withColumn("_r", combined).select("*", "_r.*").drop("_r")

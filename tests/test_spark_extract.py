@@ -106,3 +106,53 @@ def test_extract_latin1_page_end_to_end(spark):
     # both encodings must extract the same planted date
     assert got["https://legacy.example.org/posts/a"] == "2019-03-15"
     assert got["https://legacy.example.org/posts/b"] == "2019-03-15"
+
+
+def test_time_mode_staged_equals_unstaged(spark):
+    """extract_time=True keeps the native URL fast path (new in r4):
+    staged output must be row-identical to the all-Python unstaged run
+    over the time corpus — including the URL-resolved rows that now stay
+    native (time-free URLs) or ship empty html (maybe-time URLs)."""
+    from go_htmldate_spark.operators.extract import extract_dates
+    from go_htmldate_spark.options import Options
+    from go_htmldate_spark.sources.pages import synth_pages_time
+
+    pages = synth_pages_time(spark, 300).cache()
+    opts = Options(extract_time=True)
+    cols = ["url", "date", "datetime", "has_time", "has_tz", "tz_offset", "src_string"]
+    fast = {r["url"]: r for r in extract_dates(pages, opts).select(cols).collect()}
+    slow = {r["url"]: r for r in
+            extract_dates(pages, opts, staged=False).select(cols).collect()}
+    assert fast == slow and len(fast) == 300
+
+
+def test_time_mode_url_carrying_time_routes_to_kernel(spark):
+    """URL-resolved rows whose URL could match a findTime pattern must
+    fall through to the real kernel (empty-html short-circuit) and
+    produce the reference's findTime-on-srcString result."""
+    from go_htmldate_spark.operators.extract import extract_dates
+    from go_htmldate_spark.options import Options
+
+    rows = [
+        # ISO time with tz inside the URL: findTime finds it
+        ("https://ex.org/2020/05/06/live-12:30:01Z", "<html></html>"),
+        # French 7h08 form inside the slug
+        ("https://ex.org/2020/05/06/show-7h08", "<html></html>"),
+        # time-free URL: fully native
+        ("https://ex.org/2020/05/06/plain-article", "<html></html>"),
+    ]
+    pages = spark.createDataFrame(rows, ["url", "html"])
+    opts = Options(extract_time=True)
+    got = {r["url"]: r for r in extract_dates(pages, opts).collect()}
+    slow = {r["url"]: r for r in
+            extract_dates(pages, opts, staged=False).collect()}
+    for u in got:
+        for f in ["date", "datetime", "has_time", "has_tz", "tz_offset", "src_string"]:
+            assert got[u][f] == slow[u][f], (u, f, got[u][f], slow[u][f])
+    iso = got["https://ex.org/2020/05/06/live-12:30:01Z"]
+    assert iso["has_time"] and iso["has_tz"] and iso["tz_offset"] == 0
+    assert iso["datetime"] == "2020-05-06 12:30:01"
+    fr = got["https://ex.org/2020/05/06/show-7h08"]
+    assert fr["has_time"] and fr["datetime"] == "2020-05-06 07:08:00"
+    plain = got["https://ex.org/2020/05/06/plain-article"]
+    assert not plain["has_time"] and plain["datetime"] == "2020-05-06 00:00:00"

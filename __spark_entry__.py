@@ -655,6 +655,36 @@ def entry(spark: SparkSession) -> DataFrame:
     return out.select("url", "date", "src_string", "lang")
 
 
+
+def q_mock_corpus_parity(spark, sf_dir):
+    """Kernel parity on the reference's REAL mock corpus as a driver
+    gate: the full cascade (fast + extensive paths — modes 'default' and
+    'original' run the extensive search, 'skip' pins the fast-only
+    result) over all 78 pinned cases (core_test.go:33-714 expectations,
+    mock_test.go:114-184 url->file map). The oracle is the pinned
+    expectation table itself, so a hash match means byte-exact date
+    parity on real-world HTML is verified by the driver, not only
+    pytest."""
+    from go_htmldate_spark.operators.extract import extract_dates
+    from go_htmldate_spark.sources.mockcorpus import MODE_OPTIONS, mock_cases_df
+
+    cases = mock_cases_df(spark)
+    out = None
+    for mode, opts in MODE_OPTIONS.items():
+        part = extract_dates(
+            cases.filter(F.col("mode") == mode), opts
+        ).select("url", "mode", "date")
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+
+def _mockcorpus_expected_sql() -> str:
+    from go_htmldate_spark.sources.mockcorpus import expected_values_sql
+
+    return expected_values_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "url_date_extract": q_url_date_extract,
@@ -689,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_cascade": q_extract_cascade,
         "extract_time": q_extract_time,
         "media_features": q_media_features,
+        "mock_corpus_parity": q_mock_corpus_parity,
     }
 
 
@@ -1266,4 +1297,7 @@ def oracle_sql() -> dict[str, str]:
                    'ok' AS decode_ok
             FROM range(200) t(i)
         """,
+        # real-HTML kernel parity: the oracle IS the pinned expectation
+        # table (core_test.go:33-714), rendered as a VALUES list
+        "mock_corpus_parity": _mockcorpus_expected_sql(),
     }

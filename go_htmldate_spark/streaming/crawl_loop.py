@@ -1,0 +1,175 @@
+"""The streaming analog of the batch crawl round: one file-source
+readStream of fetched-page batches driving BOTH stateful pieces at once.
+
+Composition (the proof the stateful parts compose — round-4 item 7):
+
+    readStream(pages)
+      ├─ q1: per-shard bounded-state URL dedup (bloom bitset + exact
+      │      recent window, payload passed through) → staged extraction
+      │      → parquet fetch-set sink
+      └─ q2: watermarked event-time host rates → parquet telemetry sink
+
+Each landing file is one micro-batch of fetched pages (the streaming
+analog of run_round's fetch stage). q1's output is the crawl's fetch
+set: exactly the FIRST occurrence of every canonical URL across all
+micro-batches — the same seen-set semantics as the batch scheduler's
+anti-join (whose fetch set equals the unseen set whenever the
+politeness budget doesn't bind), with per-shard state bounded at
+m_bits/8 bytes + exact_cap longs forever. q2 is the politeness
+telemetry the budget consumes, with watermark-bounded window state.
+
+Two streaming queries share one input directory; Spark tracks file
+progress per query in its own checkpoint, so both resume independently
+— same recovery contract as the batch snapshot chain [north-rule
+resumability].
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators.extract import extract_dates
+from ..options import Options
+from ..plans.canonical import canonicalize_url, url_hash
+from .extractor import PAGES_SCHEMA, host_fetch_rates
+from .frontier import BLOOM_STATE_SCHEMA
+
+DEDUP_PAGES_SCHEMA = (
+    "url string, url_canon string, url_hash long, warc_ts timestamp, "
+    "html binary, text string, lang string"
+)
+
+
+def _make_bloom_page_dedup(m_bits: int, k: int, exact_cap: int):
+    """frontier._make_bloom_dedup generalized to pass the page payload
+    through: state layout and membership rule are identical (bloom
+    bitset = full history, exact recent window = FPP-free hot set);
+    the kept rows carry (url, url_canon, url_hash, warc_ts, html,
+    text, lang) instead of just the key."""
+    import numpy as np
+
+    from ..plans.bloom import _positions, _set_bits, _test_bits
+
+    cols = [
+        "url", "url_canon", "url_hash", "warc_ts", "html", "text", "lang"
+    ]
+
+    def dedup(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            bits_bytes, recent_list = state.get
+            bits = np.frombuffer(bits_bytes, dtype=np.uint8).copy()
+            recent = list(recent_list)
+            recent_set = set(recent)
+        else:
+            bits = np.zeros(m_bits // 8, dtype=np.uint8)
+            recent = []
+            recent_set = set()
+        for pdf in pdfs:
+            hs = pdf["url_hash"].to_numpy()
+            pos = _positions(hs, m_bits, k)
+            keep_idx = []
+            for i, h in enumerate(hs):
+                h = int(h)
+                if h in recent_set or _test_bits(bits, pos[:, i : i + 1])[0]:
+                    continue
+                _set_bits(bits, pos[:, i : i + 1])
+                recent_set.add(h)
+                recent.append(h)
+                if len(recent) > exact_cap:
+                    recent_set.discard(recent.pop(0))
+                keep_idx.append(i)
+            if keep_idx:
+                yield pdf.iloc[keep_idx][cols]
+        state.update((bits.tobytes(), recent))
+
+    return dedup
+
+
+def dedup_pages_stream(
+    pages,
+    n_partitions: int = 16,
+    m_bits: int = 1 << 20,
+    k: int = 6,
+    exact_cap: int = 4096,
+):
+    """pages stream → first-occurrence-only page stream (keyed by
+    canonical URL, stateful across micro-batches, bounded state)."""
+    keyed = pages.withColumn(
+        "url_canon", canonicalize_url(F.col("url"))
+    ).withColumn(
+        "url_hash", url_hash(F.col("url_canon"))
+    ).withColumn(
+        "shard", F.pmod(F.col("url_hash"), F.lit(n_partitions)).cast("int")
+    )
+    return keyed.groupBy("shard").applyInPandasWithState(
+        _make_bloom_page_dedup(m_bits, k, exact_cap),
+        outputStructType=DEDUP_PAGES_SCHEMA,
+        stateStructType=BLOOM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stream_crawl(
+    spark: SparkSession,
+    input_dir: str,
+    work_dir: str,
+    opts: Options = Options(skip_extensive_search=True),
+    n_partitions: int = 8,
+    m_bits: int = 1 << 18,
+    exact_cap: int = 4096,
+    window: str = "10 minutes",
+    watermark: str = "20 minutes",
+    max_files_per_trigger: int | None = 1,
+):
+    """Start both halves of the streaming crawl loop over `input_dir`
+    and drain everything available (availableNow), then return
+    (fetch_set_dir, rates_dir). maxFilesPerTrigger=1 makes each landed
+    file its own micro-batch — the streaming analog of one run_round."""
+    fetch_dir = f"{work_dir}/fetch_set"
+    rates_dir = f"{work_dir}/host_rates"
+
+    reader = spark.readStream.schema(PAGES_SCHEMA).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    pages = reader.load(input_dir)
+
+    deduped = dedup_pages_stream(
+        pages, n_partitions=n_partitions, m_bits=m_bits, exact_cap=exact_cap
+    )
+    extracted = extract_dates(deduped, opts).select(
+        "url", "url_canon", "url_hash", "warc_ts", "date", "src_string", "lang"
+    )
+    q1 = (
+        extracted.writeStream.format("parquet")
+        .option("path", fetch_dir)
+        .option("checkpointLocation", f"{work_dir}/ckpt_fetch")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+    reader2 = spark.readStream.schema(PAGES_SCHEMA).format("parquet")
+    if max_files_per_trigger is not None:
+        reader2 = reader2.option("maxFilesPerTrigger", max_files_per_trigger)
+    rates = host_fetch_rates(
+        reader2.load(input_dir), window=window, watermark=watermark
+    )
+    q2 = (
+        rates.writeStream.format("parquet")
+        .option("path", rates_dir)
+        .option("checkpointLocation", f"{work_dir}/ckpt_rates")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination()
+    q2.awaitTermination()
+    return fetch_dir, rates_dir

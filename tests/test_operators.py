@@ -523,3 +523,81 @@ def test_host_rates_batch_equals_stream_shape(spark):
     rows = out.collect()
     assert {r["host"] for r in rows} == {"a.example", "b.example"}
     assert all(r["n_fetched"] == 1 and r["n_dated"] == 1 for r in rows)
+
+
+def test_stream_crawl_loop_composes(spark, tmp_path_factory):
+    """Round-4 item 7: the streaming crawl loop — bounded-state URL
+    dedup + staged extraction + watermarked host rates — over one file
+    source of page batches. Three landed files = three micro-batches
+    (maxFilesPerTrigger=1); the fetch set must be exactly the first
+    occurrence of every canonical URL across all batches (the batch
+    scheduler's seen-set semantics: its fetch set equals the unseen set
+    when the politeness budget doesn't bind), with dates equal to the
+    batch extraction of that set."""
+    import datetime
+
+    from go_htmldate_spark.plans.canonical import canonicalize_url
+    from go_htmldate_spark.streaming.crawl_loop import run_stream_crawl
+
+    base = tmp_path_factory.mktemp("stream_crawl")
+    in_dir, work = str(base / "in"), str(base / "work")
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def page(i, minute):
+        # planted meta date -> deterministic extraction result
+        d = f"2021-03-{(i % 27) + 1:02d}"
+        html = f'<html><head><meta property="article:published_time" content="{d}"/></head><body>x</body></html>'
+        return (
+            f"https://h{i % 5}.example.org/p/{i}",
+            t0 + datetime.timedelta(minutes=minute),
+            html.encode(), "x", "en",
+        )
+
+    # batch 1: pages 0-39; batch 2: 20-59 (20 dups); batch 3: 0-79 (60 dups)
+    batches = [
+        [page(i, 0) for i in range(40)],
+        [page(i, 30) for i in range(20, 60)],
+        [page(i, 60) for i in range(80)],
+    ]
+    import os
+
+    os.makedirs(in_dir, exist_ok=True)
+    cols = ["url", "warc_ts", "html", "text", "lang"]
+    for bi, rows in enumerate(batches):
+        spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+        ).coalesce(1).write.parquet(f"{in_dir}/b{bi}", mode="overwrite")
+        # file source watches one flat dir: move the part file up
+        import glob
+        import shutil
+
+        part = glob.glob(f"{in_dir}/b{bi}/part-*.parquet")[0]
+        shutil.move(part, f"{in_dir}/batch_{bi}.parquet")
+        shutil.rmtree(f"{in_dir}/b{bi}")
+
+    fetch_dir, rates_dir = run_stream_crawl(spark, in_dir, work)
+
+    got = spark.read.parquet(fetch_dir)
+    # exactly the 80 distinct canonical URLs, first occurrence only
+    assert got.count() == 80
+    assert got.select("url_canon").distinct().count() == 80
+    # dates equal the batch extraction of the same first-occurrence set
+    expected = {
+        (f"https://h{i % 5}.example.org/p/{i}", f"2021-03-{(i % 27) + 1:02d}")
+        for i in range(80)
+    }
+    assert {(r["url"], r["date"]) for r in got.collect()} == expected
+    # three micro-batches really ran (one offsets file per batch)
+    offsets = os.listdir(f"{work}/ckpt_fetch/offsets")
+    assert len([f for f in offsets if not f.startswith(".")]) >= 3
+    # telemetry half: finalized windows landed with per-host counts
+    rates = spark.read.parquet(rates_dir)
+    finalized = {
+        (r["win_start"], r["host"]): (r["n_fetched"], r["n_dated"])
+        for r in rates.collect()
+    }
+    # the [00:00, 00:10) window (batch-1 pages 0-39, 8 per host)
+    # finalizes once the watermark passes it (batch-2 max ts 00:30
+    # - 20 min = 00:10 >= window end, so it emits during batch 3)
+    for h in range(5):
+        assert finalized[(t0, f"h{h}.example.org")] == (8, 8)

@@ -116,6 +116,40 @@ def main() -> None:
         ecorpus, dim=64, min_cosine=0.9, n_planes=8, n_tables=8
     ).write.format("noop").mode("overwrite").save())
 
+    # 2c. IVF at the scale shape: materialize the corpus
+    # partitionBy(cluster) once (untimed — the one-time write a real
+    # deployment amortizes across every probe), then time the pruned
+    # probe. The timed plan is asserted to carry PartitionFilters: the
+    # scan reads nprobe/nlist of the files, not the corpus.
+    import shutil
+    import tempfile
+
+    from go_htmldate_spark.operators.similarity import (
+        ivf_assign, ivf_codebook_local, ivf_topk_pruned,
+    )
+
+    ivf_dir = tempfile.mkdtemp(prefix="bench_ivf_")
+    try:
+        emb.join(ivf_assign(emb, n_centroids=16), "vec_id").write.partitionBy(
+            "cluster"
+        ).mode("overwrite").parquet(ivf_dir)
+        parted = spark.read.parquet(ivf_dir)
+        codebook = ivf_codebook_local(emb, n_centroids=16)
+        qvec = list(emb.filter(F.col("vec_id") == 3).head()["embedding"])
+
+        def pruned():
+            return ivf_topk_pruned(parted, codebook, qvec, k=10, nprobe=4)
+
+        plan = pruned()._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "TakeOrderedAndProject" in plan, (
+            "IVF pruned-probe plan lost partition pruning"
+        )
+        extras["ivf_pruned_plan_partition_filters"] = 1
+        run("ann_ivf_pruned", lambda: pruned()
+            .write.format("noop").mode("overwrite").save())
+    finally:
+        shutil.rmtree(ivf_dir, ignore_errors=True)
+
     # 3. one full crawl-frontier round (schedule + fetch + extract +
     # discover + snapshot) over a skewed corpus
     import shutil

@@ -347,3 +347,70 @@ def ivf_topk(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+def ivf_codebook_local(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """The coarse codebook as driver-side data: [(cid, vector), ...]
+    sorted by cid. O(nlist · dim) — kilobytes — so the collect is
+    bounded regardless of corpus size; at 100 TB this is the k-means||
+    output loaded once per job, not a per-query cost."""
+    rows = (
+        embeddings.select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
+        .orderBy("cid")
+        .limit(n_centroids)
+        .collect()
+    )
+    return [(int(r["cid"]), list(r["cv"])) for r in rows]
+
+
+def ivf_topk_pruned(
+    parted: DataFrame,
+    codebook: list[tuple[int, list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """IVF probe against a MATERIALIZED cluster-partitioned table (the
+    100 TB shape: corpus written once with partitionBy(cluster) from
+    ivf_assign). The probe list is ranked driver-side from the kilobyte
+    codebook, so the cluster filter is a LITERAL isin — Catalyst turns
+    it into PartitionFilters on the parquet scan and only nprobe/nlist
+    of the files are read (plan-pinned in tests + bench). Rerank is
+    exact cosine against the literal query vector, compiled to
+    TakeOrderedAndProject.
+
+    Output contract matches ivf_topk(query at the same vector): same
+    assignment (the table's cluster column came from the same codebook)
+    and same probe ranking (cosine desc, cid asc)."""
+    import math
+
+    qn = math.sqrt(sum(x * x for x in query_vec))
+    scored = []
+    for cid, cv in codebook:
+        cn = math.sqrt(sum(x * x for x in cv))
+        cos = sum(a * b for a, b in zip(query_vec, cv)) / (qn * cn)
+        scored.append((-cos, cid))
+    probe_ids = [cid for _neg, cid in sorted(scored)[:nprobe]]
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    vec = F.col(vec_col).cast("array<double>")
+    return (
+        parted.filter(F.col(cluster_col).isin(probe_ids))
+        .select(
+            F.col(id_col),
+            F.col(cluster_col).cast("int").alias(cluster_col),
+            F.round(cosine(vec, q), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

@@ -156,3 +156,39 @@ def test_bucket_pairs_mega_bucket_bounded(spark):
     assert len(pairs) == cap * (cap - 1) // 2
     # survivors are the cap smallest ids
     assert max(max(r["a"], r["b"]) for r in pairs) == cap - 1
+
+
+def test_ivf_pruned_probe_matches_and_prunes(spark, tmp_path_factory):
+    """ivf_topk_pruned over a materialized partitionBy(cluster) table:
+    result must equal the on-the-fly ivf_topk for the same query, and
+    the TIMED plan must carry PartitionFilters on cluster (the scan
+    reads nprobe/nlist of the files, not the corpus)."""
+    from go_htmldate_spark.operators.similarity import (
+        ivf_assign,
+        ivf_codebook_local,
+        ivf_topk,
+        ivf_topk_pruned,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = str(tmp_path_factory.mktemp("ivfp") / "parted")
+    emb.join(ivf_assign(emb, n_centroids=16), "vec_id").write.partitionBy(
+        "cluster"
+    ).parquet(out)
+    parted = spark.read.parquet(out)
+
+    codebook = ivf_codebook_local(emb, n_centroids=16)
+    qvec = list(emb.filter(F.col("vec_id") == 3).head()["embedding"])
+    pruned = ivf_topk_pruned(parted, codebook, qvec, k=10, nprobe=4)
+
+    plan = _plan(pruned)
+    assert "PartitionFilters" in plan
+    assert "cluster" in plan.split("PartitionFilters")[1][:120]
+    assert "TakeOrderedAndProject" in plan
+
+    got = [(r["vec_id"], r["cluster"], r["cosine"]) for r in pruned.collect()]
+    ref = [
+        (r["vec_id"], r["cluster"], r["cosine"])
+        for r in ivf_topk(emb, query_id=3, k=10, n_centroids=16, nprobe=4).collect()
+    ]
+    assert got == ref

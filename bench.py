@@ -141,9 +141,13 @@ def main() -> None:
             return ivf_topk_pruned(parted, codebook, qvec, k=10, nprobe=4)
 
         plan = pruned()._jdf.queryExecution().executedPlan().toString()
-        assert "PartitionFilters" in plan and "TakeOrderedAndProject" in plan, (
-            "IVF pruned-probe plan lost partition pruning"
-        )
+        # FileSourceScanExec prints 'PartitionFilters: []' even when
+        # nothing is pushed — require the cluster predicate inside it
+        assert (
+            "PartitionFilters" in plan
+            and "cluster" in plan.split("PartitionFilters")[1][:120]
+            and "TakeOrderedAndProject" in plan
+        ), "IVF pruned-probe plan lost partition pruning"
         extras["ivf_pruned_plan_partition_filters"] = 1
         run("ann_ivf_pruned", lambda: pruned()
             .write.format("noop").mode("overwrite").save())

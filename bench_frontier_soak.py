@@ -120,11 +120,15 @@ def main() -> None:
                 break
 
         # flat-wall check: mean wall of the last 3 rounds vs rounds 2-4
-        # (round 0-1 pay bloom-crossing one-time costs)
+        # (round 0-1 pay bloom-crossing one-time costs); short soaks
+        # (frontier exhausted early) report growth=None instead of
+        # crashing away the collected rows
         early = [r["wall_sec"] for r in rows[2:5]]
         late = [r["wall_sec"] for r in rows[-3:]]
-        growth = round(
-            (sum(late) / len(late)) / max(sum(early) / len(early), 0.1), 2
+        growth = (
+            round((sum(late) / len(late)) / max(sum(early) / len(early), 0.1), 2)
+            if early and late
+            else None
         )
         print(
             "RESULT "
@@ -132,8 +136,8 @@ def main() -> None:
                 {
                     "n_pages": n_pages,
                     "n_rounds": len(rows),
-                    "final_seen": rows[-1]["n_seen"],
-                    "final_frontier": rows[-1]["n_frontier"],
+                    "final_seen": rows[-1]["n_seen"] if rows else 0,
+                    "final_frontier": rows[-1]["n_frontier"] if rows else 0,
                     "wall_growth_late_vs_early": growth,
                     "o_new_assertion": "green all rounds",
                     "chain_integrity": "green all rounds",

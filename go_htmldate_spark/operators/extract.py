@@ -148,12 +148,21 @@ _J_ISO_TIME = (
 )
 _J_TZ_CODE = r"(?:^|[\t\n\f\r ])[-+][0-9]{2}"
 _J_COMMON_TIME = r"(?i)(?:[^0-9]|^)[0-9]{1,2}(?::|\s*h\s*)[0-9]{1,2}"
+# Python's \s (what normalize_spaces and the kernel regexes split on) is
+# UNICODE whitespace; Java's \s is ASCII-only. The whitespace rejection
+# must use the full Python set, else a URL with U+00A0/U+2000… between
+# tokens would wrongly stay native while find_time sees split tokens
+# (e.g. '7 h 08' is a French time to the kernel).
+_J_ANY_WS = (
+    "[\\s\\x1c-\\x1f\\x85\\u00a0\\u1680\\u2000-\\u200a"
+    "\\u2028\\u2029\\u202f\\u205f\\u3000]"
+)
 
 
 def _url_time_free(url: Column) -> Column:
     """True when findTime(url) provably finds neither time nor tz."""
     return (
-        ~url.rlike(r"\s")
+        ~url.rlike(_J_ANY_WS)
         & ~url.rlike(_J_ISO_TIME)
         & ~url.rlike(_J_TZ_CODE)
         & ~url.rlike(_J_COMMON_TIME)

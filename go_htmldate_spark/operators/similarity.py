@@ -398,8 +398,15 @@ def ivf_topk_pruned(
     scored = []
     for cid, cv in codebook:
         cn = math.sqrt(sum(x * x for x in cv))
-        cos = sum(a * b for a, b in zip(query_vec, cv)) / (qn * cn)
-        scored.append((-cos, cid))
+        # zero-norm centroid/query → NaN, the engine-side cosine()'s
+        # behavior (ivf_topk degrades, never crashes); NaN never ranks
+        cos = (
+            sum(a * b for a, b in zip(query_vec, cv)) / (qn * cn)
+            if qn * cn != 0.0
+            else float("nan")
+        )
+        if not math.isnan(cos):
+            scored.append((-cos, cid))
     probe_ids = [cid for _neg, cid in sorted(scored)[:nprobe]]
 
     q = F.array(*[F.lit(float(x)) for x in query_vec])

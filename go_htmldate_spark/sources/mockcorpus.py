@@ -205,8 +205,11 @@ def mock_cases_df(spark: SparkSession) -> DataFrame:
 def expected_values_sql() -> str:
     """The pinned expectations as an ANSI VALUES table for the DuckDB
     oracle: (url, mode, date)."""
+    def q(x: str) -> str:
+        return x.replace("'", "''")
+
     vals = ",\n".join(
-        f"('{u}', '{m}', '{e}')" for u, e, m in CASES
+        f"('{q(u)}', '{q(m)}', '{q(e)}')" for u, e, m in CASES
     )
     return (
         "SELECT url, mode, date FROM (VALUES\n"

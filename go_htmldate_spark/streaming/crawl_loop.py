@@ -26,70 +26,24 @@ resumability].
 
 from __future__ import annotations
 
-from typing import Iterator
-
-import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.state import GroupStateTimeout
 
 from ..operators.extract import extract_dates
 from ..options import Options
 from ..plans.canonical import canonicalize_url, url_hash
 from .extractor import PAGES_SCHEMA, host_fetch_rates
-from .frontier import BLOOM_STATE_SCHEMA
+from .frontier import BLOOM_STATE_SCHEMA, _make_bloom_dedup
 
 DEDUP_PAGES_SCHEMA = (
     "url string, url_canon string, url_hash long, warc_ts timestamp, "
     "html binary, text string, lang string"
 )
 
-
-def _make_bloom_page_dedup(m_bits: int, k: int, exact_cap: int):
-    """frontier._make_bloom_dedup generalized to pass the page payload
-    through: state layout and membership rule are identical (bloom
-    bitset = full history, exact recent window = FPP-free hot set);
-    the kept rows carry (url, url_canon, url_hash, warc_ts, html,
-    text, lang) instead of just the key."""
-    import numpy as np
-
-    from ..plans.bloom import _positions, _set_bits, _test_bits
-
-    cols = [
-        "url", "url_canon", "url_hash", "warc_ts", "html", "text", "lang"
-    ]
-
-    def dedup(
-        key, pdfs: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
-        if state.exists:
-            bits_bytes, recent_list = state.get
-            bits = np.frombuffer(bits_bytes, dtype=np.uint8).copy()
-            recent = list(recent_list)
-            recent_set = set(recent)
-        else:
-            bits = np.zeros(m_bits // 8, dtype=np.uint8)
-            recent = []
-            recent_set = set()
-        for pdf in pdfs:
-            hs = pdf["url_hash"].to_numpy()
-            pos = _positions(hs, m_bits, k)
-            keep_idx = []
-            for i, h in enumerate(hs):
-                h = int(h)
-                if h in recent_set or _test_bits(bits, pos[:, i : i + 1])[0]:
-                    continue
-                _set_bits(bits, pos[:, i : i + 1])
-                recent_set.add(h)
-                recent.append(h)
-                if len(recent) > exact_cap:
-                    recent_set.discard(recent.pop(0))
-                keep_idx.append(i)
-            if keep_idx:
-                yield pdf.iloc[keep_idx][cols]
-        state.update((bits.tobytes(), recent))
-
-    return dedup
+_PAGE_COLS = [
+    "url", "url_canon", "url_hash", "warc_ts", "html", "text", "lang"
+]
 
 
 def dedup_pages_stream(
@@ -109,7 +63,7 @@ def dedup_pages_stream(
         "shard", F.pmod(F.col("url_hash"), F.lit(n_partitions)).cast("int")
     )
     return keyed.groupBy("shard").applyInPandasWithState(
-        _make_bloom_page_dedup(m_bits, k, exact_cap),
+        _make_bloom_dedup(m_bits, k, exact_cap, out_cols=_PAGE_COLS),
         outputStructType=DEDUP_PAGES_SCHEMA,
         stateStructType=BLOOM_STATE_SCHEMA,
         outputMode="append",

@@ -71,7 +71,9 @@ def stream_dedup_urls(urls: DataFrame, n_partitions: int = 16) -> DataFrame:
 BLOOM_STATE_SCHEMA = "bits binary, recent array<long>"
 
 
-def _make_bloom_dedup(m_bits: int, k: int, exact_cap: int):
+def _make_bloom_dedup(
+    m_bits: int, k: int, exact_cap: int, out_cols: list[str] | None = None
+):
     """Group function for the bounded-state variant: per-shard state is
     a fixed-size bloom bitset (m_bits/8 bytes, the FULL crawl history)
     plus an exact recent-hash window capped at exact_cap entries.
@@ -81,10 +83,18 @@ def _make_bloom_dedup(m_bits: int, k: int, exact_cap: int):
     at-scale dedup trade: state stays O(m + cap) forever instead of
     growing linearly with distinct URLs). The batch scheduler keeps
     exactness via its on-disk anti-join backstop; a pure stream has no
-    such table, so the bounded variant is explicitly approximate."""
+    such table, so the bounded variant is explicitly approximate.
+
+    out_cols selects which input columns the kept rows carry (default
+    just (url, url_hash); the streaming crawl loop passes the full page
+    payload) — one implementation, so the membership invariants (the
+    bloom test against CURRENT bits, the eviction order) stay in sync
+    for every caller."""
     import numpy as np
 
     from ..plans.bloom import _positions, _set_bits, _test_bits
+
+    cols = out_cols or ["url", "url_hash"]
 
     def dedup(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         if state.exists:
@@ -97,10 +107,10 @@ def _make_bloom_dedup(m_bits: int, k: int, exact_cap: int):
             recent = []
             recent_set = set()
         for pdf in pdfs:
-            keep_rows = []
+            keep_idx = []
             hs = pdf["url_hash"].to_numpy()
             pos = _positions(hs, m_bits, k)
-            for i, (url, h) in enumerate(zip(pdf["url"], hs)):
+            for i, h in enumerate(hs):
                 h = int(h)
                 # bloom test must run against the CURRENT bits: a dup
                 # later in the same batch whose hash already aged out of
@@ -113,9 +123,9 @@ def _make_bloom_dedup(m_bits: int, k: int, exact_cap: int):
                 recent.append(h)
                 if len(recent) > exact_cap:
                     recent_set.discard(recent.pop(0))
-                keep_rows.append((url, h))
-            if keep_rows:
-                yield pd.DataFrame(keep_rows, columns=["url", "url_hash"])
+                keep_idx.append(i)
+            if keep_idx:
+                yield pdf.iloc[keep_idx][cols]
         state.update((bits.tobytes(), recent))
 
     return dedup

@@ -156,3 +156,30 @@ def test_time_mode_url_carrying_time_routes_to_kernel(spark):
     assert fr["has_time"] and fr["datetime"] == "2020-05-06 07:08:00"
     plain = got["https://ex.org/2020/05/06/plain-article"]
     assert not plain["has_time"] and plain["datetime"] == "2020-05-06 00:00:00"
+
+
+def test_time_mode_unicode_whitespace_url_routes_to_kernel(spark):
+    """The native time-free gate must reject URLs containing UNICODE
+    whitespace (Python's \\s, not Java's ASCII \\s): '7\\u00a0h\\u00a008'
+    is a French time to the kernel once normalize_spaces splits on
+    U+00A0 — staged output must equal unstaged for such URLs."""
+    from go_htmldate_spark.operators.extract import extract_dates
+    from go_htmldate_spark.options import Options
+
+    rows = [
+        ("https://ex.org/2020/05/06/7 h 08", "<html></html>"),
+        ("https://ex.org/2020/05/06/foo UTC", "<html></html>"),
+        ("https://ex.org/2020/05/06/x +0500", "<html></html>"),
+    ]
+    pages = spark.createDataFrame(rows, ["url", "html"])
+    opts = Options(extract_time=True)
+    got = {r["url"]: r for r in extract_dates(pages, opts).collect()}
+    slow = {r["url"]: r for r in
+            extract_dates(pages, opts, staged=False).collect()}
+    for u in got:
+        for f in ["date", "datetime", "has_time", "has_tz", "tz_offset", "src_string"]:
+            assert got[u][f] == slow[u][f], (u, f, got[u][f], slow[u][f])
+    fr = got["https://ex.org/2020/05/06/7 h 08"]
+    assert fr["has_time"] and fr["datetime"] == "2020-05-06 07:08:00"
+    tz = got["https://ex.org/2020/05/06/foo UTC"]
+    assert tz["has_tz"] and tz["tz_offset"] == 0

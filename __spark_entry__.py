@@ -724,6 +724,45 @@ def _mockcorpus_expected_sql() -> str:
     return expected_values_sql()
 
 
+
+def q_gopher_repetition(spark, sf_dir):
+    """Pipeline: Gopher/MassiveText repetition quality signals — top
+    n-gram fraction for n=2,3,4 + duplicate-word fraction + the
+    published thresholds verdict (operators/textstats.gopher_repetition;
+    Rae et al. 2021 table A1). One exploded stream tagged by n, a single
+    (id, n, gram) exchange."""
+    from go_htmldate_spark.operators.textstats import gopher_repetition
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return gopher_repetition(docs)
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Pipeline: deterministic hash-threshold stratified sampling (the
+    training-mix primitive) — keep 100% en, 30% de, 5% other, decided by
+    the portable 60-bit md5 uniform of (seed, doc_id). Map-only: zero
+    exchanges, exactly reproducible across engines and reruns."""
+    from go_htmldate_spark.operators.curation import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    return stratified_sample(
+        docs, "lang", {"en": 1.0, "de": 0.3}, "doc_id", seed=7,
+        default_fraction=0.05,
+    )
+
+
+def q_ngram_contamination(spark, sf_dir):
+    """Pipeline: benchmark 8-gram decontamination stats — fraction of
+    each document's distinct word 8-grams found anywhere in a benchmark
+    set (every 17th doc), the standard train/test overlap test
+    (operators/curation.ngram_contamination)."""
+    from go_htmldate_spark.operators.curation import ngram_contamination
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 17 == 0).select("text")
+    return ngram_contamination(docs, bench, n=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "url_date_extract": q_url_date_extract,
@@ -760,6 +799,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_time": q_extract_time,
         "media_features": q_media_features,
         "mock_corpus_parity": q_mock_corpus_parity,
+        "gopher_repetition": q_gopher_repetition,
+        "stratified_sample": q_stratified_sample,
+        "ngram_contamination": q_ngram_contamination,
     }
 
 
@@ -1366,4 +1408,80 @@ def oracle_sql() -> dict[str, str]:
         # real-HTML kernel parity: the oracle IS the pinned expectation
         # table (core_test.go:33-714), rendered as a VALUES list
         "mock_corpus_parity": _mockcorpus_expected_sql(),
+        # Gopher repetition: same normalization, list-comprehension
+        # n-grams, max/total per (doc, n); thresholds applied to the
+        # ROUNDED fractions exactly like the Spark side
+        "gopher_repetition": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, ns.n AS n,
+                     unnest([array_to_string(t[i : i + ns.n - 1], ' ')
+                             for i in range(1, len(t) - ns.n + 2)]) AS gram
+              FROM toks, (VALUES (1),(2),(3),(4)) ns(n)
+            ),
+            per_gram AS (
+              SELECT doc_id, n, gram, count(*) AS c
+              FROM grams GROUP BY 1, 2, 3
+            ),
+            per_doc AS (
+              SELECT doc_id, n, max(c) AS mx, sum(c) AS tot,
+                     count(*) AS nd
+              FROM per_gram GROUP BY 1, 2
+            ),
+            wide AS (
+              SELECT doc_id,
+                     round(max(CASE WHEN n = 2 THEN mx / tot END), 6) AS top_2gram_frac,
+                     round(max(CASE WHEN n = 3 THEN mx / tot END), 6) AS top_3gram_frac,
+                     round(max(CASE WHEN n = 4 THEN mx / tot END), 6) AS top_4gram_frac,
+                     round(1.0 - max(CASE WHEN n = 1 THEN nd / tot END), 6) AS dup_word_frac
+              FROM per_doc GROUP BY 1
+            )
+            SELECT doc_id, top_2gram_frac, top_3gram_frac, top_4gram_frac,
+                   dup_word_frac,
+                   (coalesce(top_2gram_frac, 0.0) <= 0.20
+                    AND coalesce(top_3gram_frac, 0.0) <= 0.18
+                    AND coalesce(top_4gram_frac, 0.0) <= 0.16) AS gopher_ok
+            FROM wide
+        """,
+        # stratified sampling: the portable 60-bit md5 uniform
+        # (CAST('0x'||substr(md5('7:'||id),1,15) AS BIGINT) / 2^60),
+        # thresholded per stratum — bit-identical to sample_uniform
+        "stratified_sample": """
+            SELECT doc_id, source, lang FROM documents
+            WHERE CAST('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                  / 1152921504606846976.0
+                  < CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.3 ELSE 0.05 END
+        """,
+        # contamination: distinct doc 8-grams left-joined to the distinct
+        # benchmark 8-gram set (docs with doc_id % 17 = 0)
+        "ngram_contamination": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+              FROM documents
+            ),
+            dg AS (
+              SELECT DISTINCT doc_id,
+                     unnest([array_to_string(t[i : i + 7], ' ')
+                             for i in range(1, len(t) - 6)]) AS g
+              FROM toks
+            ),
+            dgf AS (SELECT doc_id, g FROM dg WHERE g <> ''),
+            bg AS (
+              SELECT DISTINCT unnest([array_to_string(t[i : i + 7], ' ')
+                                      for i in range(1, len(t) - 6)]) AS g
+              FROM toks WHERE doc_id % 17 = 0
+            ),
+            bgf AS (SELECT g, 1 AS hit FROM bg WHERE g <> '')
+            SELECT doc_id,
+                   count(*) AS n_grams,
+                   coalesce(sum(hit), 0) AS n_contaminated,
+                   round(coalesce(sum(hit), 0) / count(*), 6) AS contamination_frac
+            FROM dgf LEFT JOIN bgf USING (g)
+            GROUP BY doc_id
+        """,
     }

@@ -1,0 +1,128 @@
+"""Corpus-curation operators: deterministic stratified sampling and
+benchmark n-gram decontamination — the two remaining staples of a
+training-data pipeline beyond dedup/quality (SURVEY.md §2 extensions).
+
+Both are fully native (no Python in the hot path) and DuckDB-oracle
+checkable: sampling decisions come from the portable 60-bit md5 stream
+(operators/dedup.md5_h1 — DuckDB recomputes the same uniform), and
+contamination joins on the n-gram STRING (exact; at 100 TB pass
+hashed=True to shuffle xxhash64 longs instead of strings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import md5_h1
+from .textstats import word_ngrams
+
+_U60 = float(1 << 60)
+
+
+def sample_uniform(key: Column, seed: int = 0) -> Column:
+    """Deterministic uniform in [0, 1) from a row key: the 60-bit md5
+    prefix of 'seed:key' scaled down. Reproducible across engines (the
+    DuckDB oracle recomputes it bit-for-bit) and across reruns — the
+    sampling decision is a pure function of (seed, key), which is what
+    makes a 100 TB sample auditable and resumable."""
+    return md5_h1(F.concat(F.lit(f"{seed}:"), key.cast("string"))) / F.lit(_U60)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    seed: int = 0,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Keep each row iff its deterministic uniform is below its
+    stratum's fraction — hash-threshold stratified sampling (the
+    training-mix primitive: e.g. keep 100% of en, 30% of de, 5% of the
+    rest). Map-only: no shuffle, no state, exact reproducibility;
+    strata fractions ride as a literal CASE, so Catalyst folds them
+    into the scan filter."""
+    u = sample_uniform(F.col(key_col), seed)
+    frac = F.lit(default_fraction)
+    for stratum, f in sorted(fractions.items()):
+        frac = F.when(F.col(strata_col) == stratum, F.lit(float(f))).otherwise(frac)
+    return df.filter(u < frac)
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    hashed: bool = False,
+) -> DataFrame:
+    """Per-document benchmark contamination: the fraction of the
+    document's distinct word n-grams that appear anywhere in the
+    benchmark corpus (the standard train/test decontamination test —
+    e.g. 8-gram ("13-gram" in token terms) overlap in GPT-3/Gopher
+    dataset reports).
+
+    Returns (id, n_grams, n_contaminated, contamination_frac).
+
+    Scale shape: the benchmark side reduces to its DISTINCT n-gram set
+    (one shuffle over the benchmark only, typically tiny vs the corpus);
+    the doc side explodes to distinct (id, gram) pairs and LEFT SEMI
+    logic is expressed as an aggregated left join so one pass computes
+    both totals. hashed=True joins on xxhash64(gram) so the shuffle
+    carries 8-byte keys instead of strings (collision odds ~n²/2⁶⁴ —
+    the at-scale default; keep strings for oracle-exact runs)."""
+    bench_text = bench_text_col or text_col
+
+    def gram_key(col: Column) -> Column:
+        return F.xxhash64(col) if hashed else col
+
+    doc_grams = (
+        docs.select(
+            F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("gram")
+        )
+        .filter(F.col("gram") != "")
+        .select(F.col(id_col), gram_key(F.col("gram")).alias("g"))
+        .distinct()
+    )
+    bench_grams = (
+        benchmark.select(F.explode(word_ngrams(bench_text, n)).alias("gram"))
+        .filter(F.col("gram") != "")
+        .select(gram_key(F.col("gram")).alias("g"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    joined = doc_grams.join(bench_grams, "g", "left")
+    out = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_contaminated"),
+    )
+    return out.select(
+        F.col(id_col),
+        "n_grams",
+        "n_contaminated",
+        F.round(
+            F.col("n_contaminated").cast("double") / F.col("n_grams"), 6
+        ).alias("contamination_frac"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    max_frac: float = 0.05,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """Drop documents whose benchmark n-gram contamination exceeds
+    max_frac; docs with no n-grams (shorter than n words) are kept."""
+    contam = ngram_contamination(
+        docs, benchmark, n=n, text_col=text_col, id_col=id_col, **kwargs
+    ).filter(F.col("contamination_frac") > max_frac)
+    return docs.join(
+        contam.select(id_col), id_col, "left_anti"
+    )

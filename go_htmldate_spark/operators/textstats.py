@@ -178,3 +178,88 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .drop("_ts")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher/MassiveText-style repetition quality signals
+# ---------------------------------------------------------------------------
+
+def word_ngrams(text_col: str, n: int) -> Column:
+    """Word n-grams over whitespace tokens (normalized, lowercased) as
+    an array of space-joined strings — native HOFs, no Python."""
+    toks = (
+        f"split(lower(trim(regexp_replace({text_col}, '\\\\s+', ' '))), ' ')"
+    )
+    if n == 1:
+        return F.expr(toks)
+    return F.expr(
+        f"""
+        CASE WHEN size({toks}) >= {n}
+        THEN transform(sequence(1, size({toks}) - {n - 1}),
+                       i -> concat_ws(' ', slice({toks}, i, {n})))
+        ELSE array() END
+        """
+    )
+
+
+def gopher_repetition(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_top_frac: dict[int, float] | None = None,
+) -> DataFrame:
+    """Repetition-based quality signals in the style of the Gopher /
+    MassiveText filtering rules (Rae et al. 2021, arXiv:2112.11446,
+    table A1): the fraction of the document taken by its most frequent
+    word n-gram, for n = 2, 3, 4, plus the duplicate-word fraction.
+    `gopher_ok` applies the paper's published thresholds (top 2-gram
+    <= 0.20, 3-gram <= 0.18, 4-gram <= 0.16). Documents here are
+    single-line, so the line-level rules degenerate and the word-level
+    family is the meaningful subset.
+
+    Scale shape: ALL n-gram sizes ride ONE exploded stream tagged by n,
+    so the whole computation is a single hash exchange on
+    (id, n, gram) + a map-side-combined re-aggregation to (id, n) —
+    fractions need only the max and total counts per (doc, n), never
+    the argmax gram, so no window/tie-break is involved."""
+    thresholds = max_top_frac or {2: 0.20, 3: 0.18, 4: 0.16}
+
+    grams = None
+    for n in (1, 2, 3, 4):
+        g = df.select(
+            F.col(id_col),
+            F.lit(n).alias("n"),
+            F.explode(word_ngrams(text_col, n)).alias("gram"),
+        )
+        grams = g if grams is None else grams.unionByName(g)
+
+    per_gram = grams.groupBy(id_col, "n", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_doc = per_gram.groupBy(id_col, "n").agg(
+        F.max("c").alias("mx"),
+        F.sum("c").alias("tot"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+    frac = (F.col("mx") / F.col("tot")).cast("double")
+    wide = (
+        per_doc.groupBy(id_col)
+        .pivot("n", [1, 2, 3, 4])
+        .agg(
+            F.first(F.round(frac, 6)).alias("top_frac"),
+            F.first(F.col("n_distinct") / F.col("tot")).alias("uniq_frac"),
+        )
+    )
+    out = wide.select(
+        F.col(id_col),
+        F.col("2_top_frac").alias("top_2gram_frac"),
+        F.col("3_top_frac").alias("top_3gram_frac"),
+        F.col("4_top_frac").alias("top_4gram_frac"),
+        F.round(1.0 - F.col("1_uniq_frac"), 6).alias("dup_word_frac"),
+    )
+    ok = (
+        (F.coalesce(F.col("top_2gram_frac"), F.lit(0.0)) <= thresholds[2])
+        & (F.coalesce(F.col("top_3gram_frac"), F.lit(0.0)) <= thresholds[3])
+        & (F.coalesce(F.col("top_4gram_frac"), F.lit(0.0)) <= thresholds[4])
+    )
+    return out.withColumn("gopher_ok", ok)

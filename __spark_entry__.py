@@ -763,6 +763,47 @@ def q_ngram_contamination(spark, sf_dir):
     return ngram_contamination(docs, bench, n=8)
 
 
+def q_pipeline_curate(spark, sf_dir):
+    """Pipeline composition: the full training-data CURATION flow —
+    exact dedup (planted %7 duplicates) → Gopher repetition gate
+    (top-n-gram thresholds) → benchmark 8-gram decontamination
+    (benchmark = every 17th doc, drop frac > 0.05) → deterministic
+    stratified sampling (en 100%, de 30%, rest 5%, seed 7) → per-doc
+    token stats. One oracle replays the entire chain in DuckDB, so the
+    gate covers stage COMPOSITION, not just the pieces. Every stage is
+    native Catalyst; the only exchanges are the dedup hash-agg, the
+    gram aggregations, and the contamination join."""
+    from go_htmldate_spark.operators.curation import (
+        decontaminate,
+        stratified_sample,
+    )
+    from go_htmldate_spark.operators.dedup import exact_dedup
+    from go_htmldate_spark.operators.textstats import (
+        gopher_repetition,
+        token_count,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    dup = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang"
+    )
+    deduped = exact_dedup(d.unionByName(dup))
+    rep = gopher_repetition(deduped)
+    gated = deduped.join(
+        rep.filter(~F.col("gopher_ok")).select("doc_id"), "doc_id", "left_anti"
+    )
+    bench = d.filter(F.col("doc_id") % 17 == 0).select("text")
+    decon = decontaminate(gated, bench, max_frac=0.05, n=8)
+    sampled = stratified_sample(
+        decon, "lang", {"en": 1.0, "de": 0.3}, "doc_id", seed=7,
+        default_fraction=0.05,
+    )
+    return sampled.select(
+        "doc_id", "lang",
+        token_count(F.col("text")).cast("long").alias("n_tok"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "url_date_extract": q_url_date_extract,
@@ -802,6 +843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": q_gopher_repetition,
         "stratified_sample": q_stratified_sample,
         "ngram_contamination": q_ngram_contamination,
+        "pipeline_curate": q_pipeline_curate,
     }
 
 
@@ -1483,5 +1525,96 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(sum(hit), 0) / count(*), 6) AS contamination_frac
             FROM dgf LEFT JOIN bgf USING (g)
             GROUP BY doc_id
+        """,
+        # full curation chain: dedup -> gopher gate (rounded fracs, the
+        # Spark side rounds before thresholding) -> 8-gram decontam
+        # (> 0.05 dropped; short docs kept) -> md5-uniform stratified
+        # sample (seed 7) -> whitespace token count
+        "pipeline_curate": """
+            WITH corpus AS (
+              SELECT doc_id, text, lang FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text, lang FROM documents WHERE doc_id % 7 = 0
+            ),
+            keep AS (
+              SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)
+            ),
+            deduped AS (
+              SELECT c.doc_id, c.text, c.lang FROM corpus c JOIN keep USING (doc_id)
+            ),
+            toks AS (
+              SELECT doc_id,
+                     string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+              FROM deduped
+            ),
+            grams AS (
+              SELECT doc_id, ns.n AS n,
+                     unnest([array_to_string(t[i : i + ns.n - 1], ' ')
+                             for i in range(1, len(t) - ns.n + 2)]) AS gram
+              FROM toks, (VALUES (2),(3),(4)) ns(n)
+            ),
+            per_gram AS (
+              SELECT doc_id, n, gram, count(*) AS c FROM grams GROUP BY 1, 2, 3
+            ),
+            per_doc AS (
+              SELECT doc_id, n, max(c) AS mx, sum(c) AS tot
+              FROM per_gram GROUP BY 1, 2
+            ),
+            wide AS (
+              SELECT doc_id,
+                     round(max(CASE WHEN n = 2 THEN mx / tot END), 6) AS f2,
+                     round(max(CASE WHEN n = 3 THEN mx / tot END), 6) AS f3,
+                     round(max(CASE WHEN n = 4 THEN mx / tot END), 6) AS f4
+              FROM per_doc GROUP BY 1
+            ),
+            bad AS (
+              SELECT doc_id FROM wide
+              WHERE NOT (coalesce(f2, 0.0) <= 0.20
+                         AND coalesce(f3, 0.0) <= 0.18
+                         AND coalesce(f4, 0.0) <= 0.16)
+            ),
+            gated AS (
+              SELECT * FROM deduped
+              WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+            ),
+            gtoks AS (
+              SELECT doc_id,
+                     string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+              FROM gated
+            ),
+            dg AS (
+              SELECT DISTINCT doc_id,
+                     unnest([array_to_string(t[i : i + 7], ' ')
+                             for i in range(1, len(t) - 6)]) AS g
+              FROM gtoks
+            ),
+            dgf AS (SELECT doc_id, g FROM dg WHERE g <> ''),
+            bg AS (
+              SELECT DISTINCT
+                     unnest([array_to_string(t[i : i + 7], ' ')
+                             for i in range(1, len(t) - 6)]) AS g
+              FROM (SELECT string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+                    FROM documents WHERE doc_id % 17 = 0)
+            ),
+            bgf AS (SELECT g, 1 AS hit FROM bg WHERE g <> ''),
+            contam AS (
+              SELECT doc_id
+              FROM dgf LEFT JOIN bgf USING (g)
+              GROUP BY doc_id
+              HAVING round(coalesce(sum(hit), 0) / count(*), 6) > 0.05
+            ),
+            decon AS (
+              SELECT * FROM gated
+              WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+            ),
+            sampled AS (
+              SELECT * FROM decon
+              WHERE CAST('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                    / 1152921504606846976.0
+                    < CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.3 ELSE 0.05 END
+            )
+            SELECT doc_id, lang,
+                   CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tok
+            FROM sampled
         """,
     }

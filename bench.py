@@ -78,6 +78,8 @@ def main() -> None:
         "minmax_reference", "anti_join_seen", "eval_scoring",
         "token_count", "quality_score", "lang_id",
         "exact_dedup", "jaccard_pairs", "ann_cosine_topk", "ann_ivf_topk",
+        "gopher_repetition", "stratified_sample", "ngram_contamination",
+        "pipeline_curate",
     ]:
         fn = queries[name]
         run(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())

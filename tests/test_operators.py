@@ -661,3 +661,27 @@ def test_ngram_contamination_and_decontaminate(spark):
     ch = {r["doc_id"]: r["contamination_frac"]
           for r in ngram_contamination(docs, bench, n=8, hashed=True).collect()}
     assert ch == {k: v["contamination_frac"] for k, v in c.items()}
+
+
+def test_pipeline_curate_composes_all_stages(spark):
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()["pipeline_curate"]
+    df = q(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    rows = df.collect()
+    assert rows and all(r["n_tok"] > 0 for r in rows)
+    ids = {r["doc_id"] for r in rows}
+    # planted duplicates (+1000000) never survive exact dedup
+    assert not any(i >= 1000000 for i in ids)
+    # benchmark docs (doc_id % 17 == 0) with >= 8 words are 100%
+    # self-contaminated, so decontamination drops them
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    long_bench = {
+        r["doc_id"]
+        for r in docs.filter("doc_id % 17 = 0")
+        .filter("size(split(trim(regexp_replace(text, '\\\\s+', ' ')), ' ')) >= 8")
+        .collect()
+    }
+    assert not (ids & long_bench)

@@ -804,6 +804,59 @@ def q_pipeline_curate(spark, sf_dir):
     )
 
 
+def q_pii_scrub(spark, sf_dir):
+    """Pipeline: PII redaction (emails / IPv4 / intl phone numbers) with
+    per-type counts — RefinedWeb-style scrubbing as a map-only native
+    transform (operators/curation.pii_scrub). Deterministic PII is
+    injected per doc_id so the patterns are actually exercised; the
+    oracle replays the same injection and the same RE2-subset regexes."""
+    from go_htmldate_spark.operators.curation import pii_scrub
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 5 == 0,
+                F.concat(F.lit(" contact user"), did.cast("string"),
+                         F.lit("@test.org")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 7 == 3,
+                F.concat(F.lit(" ip 10.0."), (did % 256).cast("string"),
+                         F.lit(".17")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 11 == 5,
+                F.concat(F.lit(" call +1 (555) 010-"),
+                         (did % 90 + 10).cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = pii_scrub(injected)
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        "clean_text",
+    )
+
+
+def q_c4_heuristics(spark, sf_dir):
+    """Pipeline: C4/Gopher document-heuristic quality flags — word-count
+    and mean-word-length bounds, terminal punctuation, brace /
+    lorem-ipsum / javascript exclusions (operators/curation.c4_heuristics).
+    Map-only native; the oracle recomputes every flag including the
+    rounded mean-word-length threshold."""
+    from go_htmldate_spark.operators.curation import c4_heuristics
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return c4_heuristics(d)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "url_date_extract": q_url_date_extract,
@@ -844,6 +897,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "ngram_contamination": q_ngram_contamination,
         "pipeline_curate": q_pipeline_curate,
+        "pii_scrub": q_pii_scrub,
+        "c4_heuristics": q_c4_heuristics,
     }
 
 
@@ -1616,5 +1671,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang,
                    CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tok
             FROM sampled
+        """,
+        # PII scrub: identical injection, identical RE2-subset regexes,
+        # identical replace order (email -> ipv4 -> phone)
+        "pii_scrub": r"""
+            WITH injected AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 5 = 0
+                             THEN ' contact user' || doc_id || '@test.org' ELSE '' END
+                     || CASE WHEN doc_id % 7 = 3
+                             THEN ' ip 10.0.' || (doc_id % 256) || '.17' ELSE '' END
+                     || CASE WHEN doc_id % 11 = 5
+                             THEN ' call +1 (555) 010-' || (doc_id % 90 + 10) ELSE '' END
+                     AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(text,
+                        '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(text,
+                        '\+[0-9][0-9 ()./\-]{6,}[0-9]')) AS BIGINT) AS n_phone,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                        '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                        '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+                        '\+[0-9][0-9 ()./\-]{6,}[0-9]', '<PHONE>', 'g') AS clean_text
+            FROM injected
+        """,
+        # C4/Gopher heuristics: rounded mean-word-length enters the
+        # threshold exactly as on the Spark side
+        "c4_heuristics": """
+            WITH t AS (
+              SELECT doc_id, text,
+                     string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id, text, toks,
+                     CAST(len(toks) AS BIGINT) AS n_words,
+                     round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                           / len(toks), 6) AS mean_word_len,
+                     regexp_matches(trim(text), '[.!?"'']$') AS ends_punct,
+                     (contains(lower(text), '{') OR contains(lower(text), '}')) AS has_brace,
+                     contains(lower(text), 'lorem ipsum') AS has_lorem,
+                     contains(lower(text), 'javascript') AS has_js
+              FROM t
+            )
+            SELECT doc_id, n_words, mean_word_len, ends_punct, has_brace,
+                   has_lorem, has_js,
+                   (n_words >= 5 AND n_words <= 100000
+                    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                    AND ends_punct AND NOT has_brace AND NOT has_lorem
+                    AND NOT has_js) AS c4_ok
+            FROM s
         """,
     }

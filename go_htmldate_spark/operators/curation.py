@@ -126,3 +126,90 @@ def decontaminate(
     return docs.join(
         contam.select(id_col), id_col, "left_anti"
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (the redaction staple of web-text pipelines)
+# ---------------------------------------------------------------------------
+#
+# Patterns are written in the RE2-compatible subset shared by Java
+# regex (Spark) and RE2 (DuckDB) so the DuckDB oracle replays the exact
+# same matches: no lookaround, no backrefs, character classes and \b
+# only.
+
+RX_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+RX_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+RX_PHONE = r"\+[0-9][0-9 ()./\-]{6,}[0-9]"
+
+_PII = (
+    ("email", RX_EMAIL, "<EMAIL>"),
+    ("ipv4", RX_IPV4, "<IP>"),
+    ("phone", RX_PHONE, "<PHONE>"),
+)
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact emails, IPv4 addresses, and international-format phone
+    numbers, returning per-type match counts plus the scrubbed text
+    (RefinedWeb/FineWeb-style PII removal). Map-only native Catalyst:
+    three regexp_count + three chained regexp_replace, zero exchanges,
+    so at 100 TB this is a pure scan-transform that rides whatever
+    partitioning the corpus already has. Order matters: emails are
+    scrubbed before phones so a numeric local-part can't be re-matched."""
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(rx)).alias(f"n_{name}")
+        for name, rx, _ in _PII
+    ]
+    clean = F.col(text_col)
+    for _, rx, token in _PII:
+        clean = F.regexp_replace(clean, rx, token)
+    return df.select(F.col(id_col), *counts, clean.alias("clean_text"))
+
+
+# ---------------------------------------------------------------------------
+# C4 / Gopher document-heuristic filters
+# ---------------------------------------------------------------------------
+
+def c4_heuristics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    min_words: int = 5, max_words: int = 100000,
+    min_mean_word_len: float = 3.0, max_mean_word_len: float = 10.0,
+) -> DataFrame:
+    """Document-level heuristic quality flags in the style of C4
+    (Raffel et al. 2020) and Gopher (Rae et al. 2021): word-count
+    bounds, mean-word-length bounds, terminal punctuation, curly-brace
+    / 'lorem ipsum' / 'javascript' exclusions; `c4_ok` is the AND of
+    all rules. All native (split + HOF aggregate + contains), map-only,
+    DuckDB-replicable. The corpus here is single-line, so C4's
+    line-level variants collapse to the document level."""
+    toks = F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
+    n_words = F.size(toks)
+    mean_len = F.round(
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        ).cast("double")
+        / n_words,
+        6,
+    )
+    lower = F.lower(F.col(text_col))
+    ends_punct = F.trim(F.col(text_col)).rlike(r"""[.!?"']$""")
+    has_brace = lower.contains("{") | lower.contains("}")
+    has_lorem = lower.contains("lorem ipsum")
+    has_js = lower.contains("javascript")
+    ok = (
+        (n_words >= min_words) & (n_words <= max_words)
+        & (mean_len >= min_mean_word_len) & (mean_len <= max_mean_word_len)
+        & ends_punct & ~has_brace & ~has_lorem & ~has_js
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        ends_punct.alias("ends_punct"),
+        has_brace.alias("has_brace"),
+        has_lorem.alias("has_lorem"),
+        has_js.alias("has_js"),
+        ok.alias("c4_ok"),
+    )

@@ -685,3 +685,49 @@ def test_pipeline_curate_composes_all_stages(spark):
         .collect()
     }
     assert not (ids & long_bench)
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from go_htmldate_spark.operators.curation import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (0, "write to alice.smith+x@mail.example.co or bob@x.io today"),
+            (1, "server at 10.0.255.7 then call +44 (0)20 7946-0958 now"),
+            (2, "no pii here at all, just words."),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert rows[0]["n_email"] == 2 and "<EMAIL>" in rows[0]["clean_text"]
+    assert "alice" not in rows[0]["clean_text"] and "bob@" not in rows[0]["clean_text"]
+    assert rows[1]["n_ipv4"] == 1 and rows[1]["n_phone"] == 1
+    assert "<IP>" in rows[1]["clean_text"] and "<PHONE>" in rows[1]["clean_text"]
+    assert rows[2]["clean_text"] == "no pii here at all, just words."
+    assert rows[2]["n_email"] == rows[2]["n_ipv4"] == rows[2]["n_phone"] == 0
+    # map-only: zero exchanges
+    plan = pii_scrub(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 0
+
+
+def test_c4_heuristics_flags(spark):
+    from go_htmldate_spark.operators.curation import c4_heuristics
+
+    df = spark.createDataFrame(
+        [
+            (0, "This sentence has enough normal words to pass easily."),
+            (1, "short one."),                              # < 5 words
+            (2, "function foo() { return javascript; }"),   # brace + js
+            (3, "Lorem ipsum dolor sit amet consectetur adipiscing."),
+            (4, "a b c d e f g h i j"),                     # mean len 1
+            (5, "No terminal punctuation in this document at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in c4_heuristics(df).collect()}
+    assert rows[0]["c4_ok"]
+    assert not rows[1]["c4_ok"] and rows[1]["n_words"] == 2
+    assert not rows[2]["c4_ok"] and rows[2]["has_brace"] and rows[2]["has_js"]
+    assert not rows[3]["c4_ok"] and rows[3]["has_lorem"]
+    assert not rows[4]["c4_ok"] and rows[4]["mean_word_len"] == 1.0
+    assert not rows[5]["c4_ok"] and not rows[5]["ends_punct"]

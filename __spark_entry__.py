@@ -772,9 +772,19 @@ def q_pipeline_curate(spark, sf_dir):
     token stats. One oracle replays the entire chain in DuckDB, so the
     gate covers stage COMPOSITION, not just the pieces. Every stage is
     native Catalyst; the only exchanges are the dedup hash-agg, the
-    gram aggregations, and the contamination join."""
+    gram aggregations, and the contamination join.
+
+    Physical-plan note (the 100 TB lever): the sample predicate is a
+    deterministic per-row function of (doc_id, lang), and the gopher +
+    contamination gates are per-doc (contamination references only the
+    fixed benchmark set), so all three filters COMMUTE. The sample is
+    therefore applied right after dedup — Catalyst cannot hoist it
+    through the gram-explosion aggregations itself — so the expensive
+    n-gram stages run over only the sampled ~50%, and the two gates are
+    flat flag-joins on doc_id rather than nested anti-joins. Result set
+    (and oracle, which spells the chain in pipeline order) unchanged."""
     from go_htmldate_spark.operators.curation import (
-        decontaminate,
+        ngram_contamination,
         stratified_sample,
     )
     from go_htmldate_spark.operators.dedup import exact_dedup
@@ -788,17 +798,23 @@ def q_pipeline_curate(spark, sf_dir):
         (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang"
     )
     deduped = exact_dedup(d.unionByName(dup))
-    rep = gopher_repetition(deduped)
-    gated = deduped.join(
-        rep.filter(~F.col("gopher_ok")).select("doc_id"), "doc_id", "left_anti"
-    )
-    bench = d.filter(F.col("doc_id") % 17 == 0).select("text")
-    decon = decontaminate(gated, bench, max_frac=0.05, n=8)
     sampled = stratified_sample(
-        decon, "lang", {"en": 1.0, "de": 0.3}, "doc_id", seed=7,
+        deduped, "lang", {"en": 1.0, "de": 0.3}, "doc_id", seed=7,
         default_fraction=0.05,
     )
-    return sampled.select(
+    rep = gopher_repetition(sampled)
+    bench = d.filter(F.col("doc_id") % 17 == 0).select("text")
+    contam = ngram_contamination(sampled, bench, n=8)
+    flags = sampled.join(
+        rep.select("doc_id", "gopher_ok"), "doc_id"
+    ).join(
+        contam.select("doc_id", "contamination_frac"), "doc_id", "left"
+    )
+    final = flags.filter(
+        F.col("gopher_ok")
+        & (F.coalesce(F.col("contamination_frac"), F.lit(0.0)) <= 0.05)
+    )
+    return final.select(
         "doc_id", "lang",
         token_count(F.col("text")).cast("long").alias("n_tok"),
     )

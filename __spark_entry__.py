@@ -873,6 +873,18 @@ def q_c4_heuristics(spark, sf_dir):
     return c4_heuristics(d)
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Pipeline: GPT-style sequence packing — concatenate docs in id
+    order per shard, chunk into 256-token windows; per doc: token
+    count, start offset, first/last sequence index
+    (operators/curation.pack_sequences). One exchange on shard; each
+    shard packs as an independent parallel stream."""
+    from go_htmldate_spark.operators.curation import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_sequences(docs, seq_len=256, n_shards=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "url_date_extract": q_url_date_extract,
@@ -915,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_curate": q_pipeline_curate,
         "pii_scrub": q_pii_scrub,
         "c4_heuristics": q_c4_heuristics,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -1742,5 +1755,24 @@ def oracle_sql() -> dict[str, str]:
                     AND ends_punct AND NOT has_brace AND NOT has_lorem
                     AND NOT has_js) AS c4_ok
             FROM s
+        """,
+        # sequence packing: shard cumsum window, floor-div chunking;
+        # HUGEINT window sums cast back to BIGINT for schema parity
+        "pack_sequences": """
+            WITH t AS (
+              SELECT doc_id, doc_id % 8 AS shard,
+                     CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tok
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, shard, n_tok,
+                     sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+              FROM t
+            )
+            SELECT doc_id, shard, n_tok,
+                   CAST(cum - n_tok AS BIGINT) AS start_offset,
+                   CAST(floor((cum - n_tok) / 256.0) AS BIGINT) AS start_seq,
+                   CAST(floor((cum - 1) / 256.0) AS BIGINT) AS end_seq
+            FROM c
         """,
     }

@@ -213,3 +213,47 @@ def c4_heuristics(
         has_js.alias("has_js"),
         ok.alias("c4_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concatenate-then-chunk training prep)
+# ---------------------------------------------------------------------------
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int = 2048,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """GPT-style sequence packing: documents are concatenated in id
+    order within a shard and chunked into fixed seq_len windows; each
+    doc gets its token count, its start offset in the shard stream, and
+    the first/last sequence index it lands in (a doc spanning a chunk
+    boundary appears in both — the standard concatenate-then-chunk
+    semantics, no padding waste).
+
+    Scale shape: the cumulative sum is a window PARTITION BY shard
+    ORDER BY id — one exchange on shard, each shard an independent
+    parallel stream (shard = id % n_shards, the same layout a real
+    writer uses for output files). No global single-task window: at
+    100 TB you raise n_shards with the cluster, and packing stays
+    embarrassingly parallel per shard."""
+    from pyspark.sql import Window
+
+    from .textstats import token_count
+
+    toks = df.select(
+        F.col(id_col),
+        (F.col(id_col) % n_shards).alias("shard"),
+        token_count(F.col(text_col)).cast("long").alias("n_tok"),
+    )
+    w = Window.partitionBy("shard").orderBy(id_col)
+    cum = F.sum("n_tok").over(w)
+    start = (cum - F.col("n_tok")).alias("start_offset")
+    return toks.select(
+        id_col, "shard", "n_tok",
+        start,
+        F.floor((cum - F.col("n_tok")) / seq_len).cast("long").alias("start_seq"),
+        F.floor((cum - 1) / seq_len).cast("long").alias("end_seq"),
+    )

@@ -731,3 +731,25 @@ def test_c4_heuristics_flags(spark):
     assert not rows[3]["c4_ok"] and rows[3]["has_lorem"]
     assert not rows[4]["c4_ok"] and rows[4]["mean_word_len"] == 1.0
     assert not rows[5]["c4_ok"] and not rows[5]["ends_punct"]
+
+
+def test_pack_sequences_chunking_semantics(spark):
+    from go_htmldate_spark.operators.curation import pack_sequences
+
+    # one shard (n_shards=1): 3 docs of 5/3/4 tokens, seq_len=6
+    df = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "f g h"), (2, "i j k l")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in pack_sequences(df, seq_len=6, n_shards=1).collect()}
+    # doc 0: offsets 0-4 -> seq 0 only
+    assert (rows[0]["start_offset"], rows[0]["start_seq"], rows[0]["end_seq"]) == (0, 0, 0)
+    # doc 1: offsets 5-7 -> spans the 6-token boundary (seqs 0 and 1)
+    assert (rows[1]["start_offset"], rows[1]["start_seq"], rows[1]["end_seq"]) == (5, 0, 1)
+    # doc 2: offsets 8-11 -> seq 1 only
+    assert (rows[2]["start_offset"], rows[2]["start_seq"], rows[2]["end_seq"]) == (8, 1, 1)
+    # plan: exactly one exchange (hashpartitioning on shard), no
+    # single-task global window
+    plan = pack_sequences(df, seq_len=6, n_shards=4)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SinglePartition" not in plan

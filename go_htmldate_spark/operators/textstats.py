@@ -221,17 +221,29 @@ def gopher_repetition(
     so the whole computation is a single hash exchange on
     (id, n, gram) + a map-side-combined re-aggregation to (id, n) —
     fractions need only the max and total counts per (doc, n), never
-    the argmax gram, so no window/tie-break is involved."""
+    the argmax gram, so no window/tie-break is involved. The tagged
+    stream comes from ONE scan: the token array is materialized once
+    per row and all four gram sizes flatten into a single explode
+    (a 4-way union would scan and re-tokenize the corpus 4 times)."""
     thresholds = max_top_frac or {2: 0.20, 3: 0.18, 4: 0.16}
 
-    grams = None
-    for n in (1, 2, 3, 4):
-        g = df.select(
-            F.col(id_col),
-            F.lit(n).alias("n"),
-            F.explode(word_ngrams(text_col, n)).alias("gram"),
-        )
-        grams = g if grams is None else grams.unionByName(g)
+    toks_df = df.select(
+        F.col(id_col),
+        F.expr(
+            f"split(lower(trim(regexp_replace({text_col}, '\\\\s+', ' '))), ' ')"
+        ).alias("_t"),
+    )
+    per_n = [
+        f"""CASE WHEN size(_t) >= {n}
+            THEN transform(sequence(1, size(_t) - {n - 1}),
+                 i -> struct({n} AS n, concat_ws(' ', slice(_t, i, {n})) AS gram))
+            ELSE array() END"""
+        for n in (1, 2, 3, 4)
+    ]
+    grams = toks_df.select(
+        F.col(id_col),
+        F.explode(F.expr(f"flatten(array({', '.join(per_n)}))")).alias("_g"),
+    ).select(F.col(id_col), F.col("_g.n").alias("n"), F.col("_g.gram").alias("gram"))
 
     per_gram = grams.groupBy(id_col, "n", "gram").agg(
         F.count(F.lit(1)).alias("c")

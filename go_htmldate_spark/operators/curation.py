@@ -58,6 +58,7 @@ def ngram_contamination(
     id_col: str = "doc_id",
     bench_text_col: str | None = None,
     hashed: bool = False,
+    broadcast_benchmark: bool = True,
 ) -> DataFrame:
     """Per-document benchmark contamination: the fraction of the
     document's distinct word n-grams that appear anywhere in the
@@ -73,7 +74,12 @@ def ngram_contamination(
     logic is expressed as an aggregated left join so one pass computes
     both totals. hashed=True joins on xxhash64(gram) so the shuffle
     carries 8-byte keys instead of strings (collision odds ~n²/2⁶⁴ —
-    the at-scale default; keep strings for oracle-exact runs)."""
+    the at-scale default; keep strings for oracle-exact runs).
+    broadcast_benchmark (default True) broadcasts the distinct
+    benchmark gram set — benchmark suites are small by construction,
+    and broadcasting removes the shuffle of the full doc-gram stream
+    onto the join key (at 100 TB that shuffle dwarfs everything else);
+    set False if the benchmark side is genuinely large."""
     bench_text = bench_text_col or text_col
 
     def gram_key(col: Column) -> Column:
@@ -94,6 +100,8 @@ def ngram_contamination(
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
     joined = doc_grams.join(bench_grams, "g", "left")
     out = joined.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_grams"),

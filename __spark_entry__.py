@@ -873,6 +873,19 @@ def q_c4_heuristics(spark, sf_dir):
     return c4_heuristics(d)
 
 
+def q_lm_score(spark, sf_dir):
+    """Pipeline: CCNet-style bigram-LM quality scoring — fit add-one
+    smoothed bigram counts on the English slice, score every document
+    by average log P(w_i | w_{i-1}) (operators/curation.lm_score).
+    Double accumulation is a position-sorted left fold so the oracle
+    reproduces it bit-for-bit."""
+    from go_htmldate_spark.operators.curation import lm_score
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    ref = d.filter(F.col("lang") == "en").select("text")
+    return lm_score(d.select("doc_id", "text"), ref)
+
+
 def q_pack_sequences(spark, sf_dir):
     """Pipeline: GPT-style sequence packing — concatenate docs in id
     order per shard, chunk into 256-token windows; per doc: token
@@ -928,6 +941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "c4_heuristics": q_c4_heuristics,
         "pack_sequences": q_pack_sequences,
+        "lm_score": q_lm_score,
     }
 
 
@@ -1774,5 +1788,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor((cum - n_tok) / 256.0) AS BIGINT) AS start_seq,
                    CAST(floor((cum - 1) / 256.0) AS BIGINT) AS end_seq
             FROM c
+        """,
+        # bigram LM: identical tokenization, add-one smoothing, rounded
+        # per-bigram ln, position-ordered left fold (list_reduce has no
+        # init, but 0.0 + x == x so the folds agree)
+        "lm_score": """
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+              FROM documents
+            ),
+            uni AS (
+              SELECT w, count(*) AS cp FROM (
+                SELECT unnest(t) AS w FROM toks WHERE lang = 'en'
+              ) WHERE w <> '' GROUP BY w
+            ),
+            big AS (
+              SELECT w1, w2, count(*) AS cb FROM (
+                SELECT unnest([{'w1': t[i], 'w2': t[i + 1]}
+                               for i in range(1, len(t))], recursive := true)
+                FROM toks WHERE lang = 'en'
+              ) GROUP BY w1, w2
+            ),
+            dbg AS (
+              SELECT doc_id,
+                     unnest([{'pos': i, 'w1': t[i], 'w2': t[i + 1]}
+                             for i in range(1, len(t))], recursive := true)
+              FROM toks
+            ),
+            lp AS (
+              SELECT d.doc_id, d.pos,
+                     round(ln((coalesce(b.cb, 0) + 1.0)
+                              / (coalesce(u.cp, 0)
+                                 + (SELECT CAST(count(*) AS DOUBLE) FROM uni))), 6) AS lp
+              FROM dbg d
+              LEFT JOIN uni u ON d.w1 = u.w
+              LEFT JOIN big b ON d.w1 = b.w1 AND d.w2 = b.w2
+            ),
+            agg AS (
+              SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_bigrams,
+                     round(list_reduce(list(lp ORDER BY pos), (x, y) -> x + y)
+                           / count(*), 6) AS avg_logp
+              FROM lp GROUP BY doc_id
+            )
+            SELECT doc_id, n_bigrams, avg_logp,
+                   round(exp(-avg_logp), 6) AS ppl
+            FROM agg
         """,
     }

@@ -265,3 +265,105 @@ def pack_sequences(
         F.floor((cum - F.col("n_tok")) / seq_len).cast("long").alias("start_seq"),
         F.floor((cum - 1) / seq_len).cast("long").alias("end_seq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style bigram-LM quality scoring
+# ---------------------------------------------------------------------------
+
+def lm_score(
+    docs: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Perplexity-style quality score against a reference language
+    model, the CCNet/FineWeb curation signal (Wenzek et al. 2020): fit
+    add-one-smoothed bigram counts on the reference corpus, then score
+    each document by its average log P(w_i | w_{i-1}). Returns
+    (id, n_bigrams, avg_logp, ppl); higher avg_logp = more
+    reference-like text. Docs with fewer than two tokens have no
+    bigrams and are omitted.
+
+    Determinism contract (the oracle gate): each bigram's log-prob is
+    rounded to 6 decimals, collected as (pos, lp) structs, sorted by
+    position, and summed by an explicit left fold — so the double
+    accumulation has ONE defined order and DuckDB reproduces it
+    bit-for-bit (groupBy sum(double) would be partition-order
+    dependent).
+
+    Scale shape: the count tables are corpus-derived (potentially large
+    at 100 TB) so the count joins stay shuffle joins on the bigram /
+    unigram key and benefit from AQE; the vocabulary size rides as a
+    one-row broadcast. The per-doc collect_list is bounded by document
+    length, the same buffer shape as a minhash signature row."""
+    def toks(col):
+        return F.split(
+            F.lower(F.trim(F.regexp_replace(col, r"\s+", " "))), " "
+        )
+
+    ref_toks = reference.select(
+        F.explode(toks(F.col(text_col))).alias("w")
+    ).filter(F.col("w") != "")
+    uni = ref_toks.groupBy("w").agg(F.count(F.lit(1)).alias("cp"))
+    vocab = uni.agg(
+        F.count(F.lit(1)).cast("double").alias("v_size")
+    )
+
+    def bigrams(df):
+        t = df.select(F.col(id_col), toks(F.col(text_col)).alias("_t"))
+        return t.select(
+            F.col(id_col),
+            F.posexplode(
+                F.expr(
+                    """CASE WHEN size(_t) >= 2
+                       THEN transform(sequence(1, size(_t) - 1),
+                            i -> struct(element_at(_t, i) AS w1,
+                                        element_at(_t, i + 1) AS w2))
+                       ELSE array() END"""
+                )
+            ).alias("pos", "bg"),
+        ).select(
+            F.col(id_col), "pos",
+            F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"),
+        )
+
+    big = (
+        bigrams(reference.select(F.lit(0).alias(id_col), F.col(text_col)))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+
+    scored = (
+        bigrams(docs)
+        .join(uni.withColumnRenamed("w", "w1"), "w1", "left")
+        .join(big, ["w1", "w2"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col), "pos",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(1.0))
+                    / (F.coalesce(F.col("cp"), F.lit(0)) + F.col("v_size"))
+                ),
+                6,
+            ).alias("lp"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sort_array(F.collect_list(F.struct("pos", "lp"))).alias("_lps"),
+    )
+    avg = F.round(
+        F.aggregate(
+            F.col("_lps"), F.lit(0.0), lambda a, x: a + x["lp"]
+        )
+        / F.col("n_bigrams"),
+        6,
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        avg.alias("avg_logp"),
+        F.round(F.exp(-avg), 6).alias("ppl"),
+    )

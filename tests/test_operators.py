@@ -753,3 +753,25 @@ def test_pack_sequences_chunking_semantics(spark):
     plan = pack_sequences(df, seq_len=6, n_shards=4)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "SinglePartition" not in plan
+
+
+def test_lm_score_ranks_reference_like_text_higher(spark):
+    from go_htmldate_spark.operators.curation import lm_score
+
+    ref = spark.createDataFrame(
+        [("the cat sat on the mat",), ("the dog sat on the rug",),
+         ("a cat and a dog sat down",)],
+        ["text"],
+    )
+    docs = spark.createDataFrame(
+        [(0, "the cat sat on the rug"),     # in-distribution
+         (1, "zq xv qqq zzz vvv kkk")],     # out-of-vocabulary gibberish
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in lm_score(docs, ref).collect()}
+    assert rows[0]["avg_logp"] > rows[1]["avg_logp"]
+    assert rows[0]["ppl"] < rows[1]["ppl"]
+    assert rows[0]["n_bigrams"] == 5
+    # a one-token doc has no bigrams and is omitted
+    one = spark.createDataFrame([(9, "hello")], ["doc_id", "text"])
+    assert lm_score(one, ref).count() == 0

@@ -898,6 +898,20 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(docs, seq_len=256, n_shards=8)
 
 
+def q_token_budget_sample(spark, sf_dir):
+    """Pipeline: token-budget mix building — take docs per language in
+    deterministic md5-uniform order until the stratum's token budget is
+    crossed (operators/curation.token_budget_sample): 20k en tokens,
+    5k de tokens. The window runs per stratum; the oracle replays the
+    identical order and running total."""
+    from go_htmldate_spark.operators.curation import token_budget_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return token_budget_sample(
+        docs, {"en": 20000, "de": 5000}, strata_col="lang", seed=11
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "url_date_extract": q_url_date_extract,
@@ -942,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_heuristics": q_c4_heuristics,
         "pack_sequences": q_pack_sequences,
         "lm_score": q_lm_score,
+        "token_budget_sample": q_token_budget_sample,
     }
 
 
@@ -1835,5 +1850,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_bigrams, avg_logp,
                    round(exp(-avg_logp), 6) AS ppl
             FROM agg
+        """,
+        # token-budget sampling: same uniform, same (u, id) order, same
+        # budget-crossing rule (start-of-doc < budget)
+        "token_budget_sample": """
+            WITH t AS (
+              SELECT doc_id, lang,
+                     CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tok,
+                     CAST('0x' || substr(md5('11:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                       / 1152921504606846976.0 AS u,
+                     CASE lang WHEN 'en' THEN 20000 WHEN 'de' THEN 5000 END AS budget
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, lang, n_tok, budget,
+                     CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY u, doc_id) AS BIGINT) AS cum_tok
+              FROM t WHERE budget IS NOT NULL
+            )
+            SELECT doc_id, lang, n_tok, cum_tok
+            FROM c WHERE cum_tok - n_tok < budget
         """,
     }

@@ -80,7 +80,7 @@ def main() -> None:
         "exact_dedup", "jaccard_pairs", "ann_cosine_topk", "ann_ivf_topk",
         "gopher_repetition", "stratified_sample", "ngram_contamination",
         "pipeline_curate", "pii_scrub", "c4_heuristics", "pack_sequences",
-        "lm_score",
+        "lm_score", "token_budget_sample",
     ]:
         fn = queries[name]
         run(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())

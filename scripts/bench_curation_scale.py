@@ -6,9 +6,10 @@ token stats — over the same replicated corpus at local[N] and
 local[4N], and report throughput at both plus scaling efficiency
 (eff = T_N / (4 * T_4N); 1.0 = perfect).
 
-The input is sf0.1 documents replicated REPLICATE× with distinct ids
-(~100k docs), large enough that per-query fixed costs (job scheduling,
-codegen) don't dominate the parallel region.
+The input is sf0.1 documents replicated REPLICATE x (default 100 ->
+500k docs) with distinct ids, large enough that fixed per-stage
+scheduling latency (~15 sequential AQE stages regardless of cores)
+doesn't dominate the parallel region.
 
 Usage: python scripts/bench_curation_scale.py [low_cores] [high_cores]
 Prints one JSON line.
@@ -23,11 +24,39 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-REPLICATE = 20
+REPLICATE = int(os.environ.get("CURATION_REPLICATE", "100"))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def run_chain(spark, n_docs_out):
+def materialize_corpus(spark, out_dir: str, partitions: int) -> None:
+    """Write the replicated corpus as a parquet table ONCE (untimed) —
+    a real corpus is a table on disk, and timing a 20-way inline union
+    would measure driver-side plan optimization of the union replicated
+    across the chain's branches, not the engine."""
+    import pyspark.sql.functions as F
+
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    corpus = None
+    for k in range(REPLICATE):
+        # distinct ids per replica; every 4th replica repeats its texts
+        # verbatim (so dedup has real work) while the rest get a
+        # replica-tag token appended (so the gram stages see a corpus
+        # that GROWS with replication instead of collapsing back to the
+        # base after dedup)
+        text = F.col("text") if k % 4 == 0 else F.concat(
+            F.col("text"), F.lit(f" r{k}")
+        )
+        rep = base.select(
+            (F.col("doc_id") + k * 10_000_000).alias("doc_id"),
+            text.alias("text"), "lang",
+        )
+        corpus = rep if corpus is None else corpus.unionByName(rep)
+    corpus.repartition(partitions).write.mode("overwrite").parquet(out_dir)
+
+
+def run_chain(spark, corpus_dir, n_docs_out):
     import pyspark.sql.functions as F
 
     from go_htmldate_spark.operators.curation import (
@@ -41,22 +70,7 @@ def run_chain(spark, n_docs_out):
     base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
         "doc_id", "text", "lang"
     )
-    corpus = None
-    for k in range(REPLICATE):
-        # distinct ids per replica; every 4th replica repeats its texts
-        # verbatim (so dedup has real work) while the rest get a
-        # replica-tag token appended (so the gram stages see a corpus
-        # that GROWS with replication instead of collapsing back to the
-        # base after dedup — otherwise the run times fixed overhead,
-        # not the parallel region)
-        text = F.col("text") if k % 4 == 0 else F.concat(
-            F.col("text"), F.lit(f" r{k}")
-        )
-        rep = base.select(
-            (F.col("doc_id") + k * 10_000_000).alias("doc_id"),
-            text.alias("text"), "lang",
-        )
-        corpus = rep if corpus is None else corpus.unionByName(rep)
+    corpus = spark.read.parquet(corpus_dir)
 
     deduped = exact_dedup(corpus)
     sampled = stratified_sample(
@@ -79,27 +93,30 @@ def run_chain(spark, n_docs_out):
 
 
 def time_at(cores: int) -> tuple[float, int, int]:
+    import shutil
+    import tempfile
+
     from go_htmldate_spark.session import get_spark
 
     spark = get_spark(
         app_name=f"curation-scale-{cores}", master=f"local[{cores}]",
         shuffle_partitions=max(cores, 8),
     )
-    n_in = 0
+    corpus_dir = tempfile.mkdtemp(prefix="curation_scale_")
     try:
+        materialize_corpus(spark, corpus_dir, partitions=128)
         out = []
-        run_chain(spark, out)  # warm: codegen + python workers
+        run_chain(spark, corpus_dir, out)  # warm: codegen + python workers
         best = None
         for _ in range(2):
             t0 = time.time()
-            run_chain(spark, out)
+            run_chain(spark, corpus_dir, out)
             el = time.time() - t0
             best = el if best is None or el < best else best
-        n_in = REPLICATE * spark.read.parquet(
-            f"{SF_DIR}/documents.parquet"
-        ).count()
+        n_in = spark.read.parquet(corpus_dir).count()
         return best, out[-1], n_in
     finally:
+        shutil.rmtree(corpus_dir, ignore_errors=True)
         spark.stop()
 
 

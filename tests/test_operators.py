@@ -799,3 +799,48 @@ def test_token_budget_sample_meets_budget_exactly_once(spark):
     # different seed -> (almost surely) different pick
     other = token_budget_sample(docs, {"en": 55, "de": 25}, seed=4).collect()
     assert {r["doc_id"] for r in other} != {r["doc_id"] for r in out}
+
+
+def test_streaming_curation_composes(spark, tmp_path_factory):
+    """The stateless curation operators (c4 heuristics, PII scrub,
+    stratified sample) are pure row transforms, so they compose
+    directly into a Structured Streaming pipeline — same code path
+    batch and stream."""
+    from go_htmldate_spark.operators.curation import (
+        pii_scrub, stratified_sample,
+    )
+
+    base = tmp_path_factory.mktemp("stream_cur")
+    in_dir, cp, out_dir = str(base / "in"), str(base / "cp"), str(base / "out")
+    docs = spark.createDataFrame(
+        [(i,
+          f"Contact user{i}@mail.example.org about doc number {i} today."
+          if i % 3 == 0 else
+          f"This is perfectly ordinary document number {i} with words.",
+          "en" if i % 2 == 0 else "de")
+         for i in range(60)],
+        ["doc_id", "text", "lang"],
+    )
+    docs.write.parquet(in_dir)
+
+    stream = spark.readStream.schema(docs.schema).parquet(in_dir)
+    curated = stratified_sample(
+        stream, "lang", {"en": 1.0, "de": 0.5}, "doc_id", seed=5
+    )
+    scrubbed = pii_scrub(curated)
+    q = (
+        scrubbed.writeStream.format("parquet")
+        .option("path", out_dir).option("checkpointLocation", cp)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir)
+    batch = pii_scrub(
+        stratified_sample(docs, "lang", {"en": 1.0, "de": 0.5}, "doc_id", seed=5)
+    )
+    # stream output == batch output, row for row
+    sg = sorted((r["doc_id"], r["n_email"], r["clean_text"]) for r in got.collect())
+    sb = sorted((r["doc_id"], r["n_email"], r["clean_text"]) for r in batch.collect())
+    assert sg == sb and sg
+    assert any(n == 1 for _, n, _ in sg) and all("@" not in t for _, _, t in sg)

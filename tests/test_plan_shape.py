@@ -192,3 +192,22 @@ def test_ivf_pruned_probe_matches_and_prunes(spark, tmp_path_factory):
         for r in ivf_topk(emb, query_id=3, k=10, n_centroids=16, nprobe=4).collect()
     ]
     assert got == ref
+
+
+def test_gopher_gram_plan_no_hof_and_agg_rides_window(spark):
+    """The gram stream must be window/lead-generated (lambda HOFs
+    evaluate interpreted — no whole-stage codegen) and the (id, n,
+    gram) aggregation must reuse the window's id-keyed exchange: one
+    hashpartitioning exchange on doc_id feeds window + both gram aggs;
+    only the final pivot adds its own."""
+    from go_htmldate_spark.operators.textstats import gopher_repetition
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    plan = _plan(gopher_repetition(docs))
+    # no interpreted lambda HOFs in the gram path
+    assert "lambdafunction" not in plan.lower()
+    # the window sort + gram aggs share one doc_id exchange; the pivot
+    # re-aggregation adds one more — anything beyond that is a
+    # regression reintroducing a shuffle of the raw gram stream
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+

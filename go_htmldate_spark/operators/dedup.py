@@ -63,18 +63,6 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def _shingle_expr(text_col: str, k: int) -> Column:
-    # substring with a dynamic start needs expr-lambda form
-    return F.expr(
-        f"""
-        CASE WHEN length(_norm_{text_col}) >= {k}
-        THEN transform(sequence(1, length(_norm_{text_col}) - {k - 1}),
-                       i -> substring(_norm_{text_col}, i, {k}))
-        ELSE array(_norm_{text_col}) END
-        """
-    )
-
-
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -96,9 +84,25 @@ def minhash_signatures(
     correctness oracle. Same banding algebra either way."""
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     out = df.withColumn(f"_norm_{text_col}", norm)
-    shingles = _shingle_expr(text_col, shingle_k)
+    # Shingles come from exploding the POSITION sequence and slicing
+    # with a plain substring(col, p, k) — all codegen'd. The previous
+    # transform-lambda array build evaluated interpreted per shingle
+    # (lambda HOFs have no whole-stage codegen). array_distinct is
+    # dropped on purpose: min over the duplicate multiset equals min
+    # over the set, so dedup before the agg only cost memory.
+    # length < k (incl. empty text) degenerates to p=1 → the whole
+    # string as one shingle, exactly like the old array(_norm) branch.
     exploded = out.select(
-        F.col(id_col), F.explode(F.array_distinct(shingles)).alias("_sh")
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"sequence(1, greatest(length(_norm_{text_col}) - {shingle_k - 1}, 1))"
+            )
+        ).alias("_p"),
+        F.col(f"_norm_{text_col}"),
+    ).select(
+        F.col(id_col),
+        F.expr(f"substring(_norm_{text_col}, _p, {shingle_k})").alias("_sh"),
     )
     if hash_family == "md5_seeded":
         mins = [

@@ -844,3 +844,47 @@ def test_streaming_curation_composes(spark, tmp_path_factory):
     sb = sorted((r["doc_id"], r["n_email"], r["clean_text"]) for r in batch.collect())
     assert sg == sb and sg
     assert any(n == 1 for _, n, _ in sg) and all("@" not in t for _, _, t in sg)
+
+
+def test_window_grams_differential_fuzz(spark):
+    """Differential fuzz: the window/lead gram generator must emit
+    exactly the grams an independent pure-Python reference derives
+    from the same normalization (lowercase, ASCII-whitespace runs to
+    one space, trim). Alphabet is printable ASCII + whitespace — the
+    engines' trim/lower agree there; engine-vs-engine parity at the
+    unicode fringe is the DuckDB oracle gate's job."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from go_htmldate_spark.operators.curation import _window_word_ngrams
+
+    def ref_grams(text, n):
+        toks = re.sub(r"\s+", " ", text.strip(" \t\n\r\f\x0b")).lower().split(" ")
+        if n == 1:
+            return toks
+        return [
+            " ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)
+        ]
+
+    texts_strategy = st.lists(
+        st.text(alphabet="abcXYZ019 .!-\t\n", min_size=0, max_size=24),
+        min_size=1, max_size=8,
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(texts=texts_strategy, n=st.sampled_from([1, 2, 3, 8]))
+    def check(texts, n):
+        df = spark.createDataFrame(
+            list(enumerate(texts)), ["doc_id", "text"]
+        )
+        got = {}
+        for r in _window_word_ngrams(df, n, "text", "doc_id").collect():
+            got.setdefault(r["doc_id"], []).append(r["gram"])
+        for i, text in enumerate(texts):
+            assert sorted(got.get(i, [])) == sorted(ref_grams(text, n)), (
+                repr(text), n
+            )
+
+    check()

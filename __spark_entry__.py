@@ -912,6 +912,36 @@ def q_token_budget_sample(spark, sf_dir):
     )
 
 
+_BLOCKLIST_DOMAINS = [
+    "ads.example", "h3.news.example", "tracker.shop.example", "h7.blog.example",
+]
+
+
+def q_url_blocklist(spark, sf_dir):
+    """Pipeline: UT1-style host-suffix blocklist gate
+    (operators/curation.host_blocklist_flag) — a host is blocked iff the
+    list holds the host or any parent domain, matched on label
+    boundaries via per-depth broadcast joins (the URL table never
+    shuffles; plan-pinned in test_plan_shape). Hosts synthesized from
+    orders; 'ads.example' blocks a quarter of them by suffix, two
+    entries match exact hosts, one matches nothing."""
+    from go_htmldate_spark.operators.curation import host_blocklist_flag
+
+    o = _t(spark, sf_dir, "orders")
+    part = F.element_at(
+        F.array(*[F.lit(p) for p in
+                  ("ads.example", "news.example", "blog.example", "shop.example")]),
+        (F.col("o_orderkey") % 4).cast("int") + 1,
+    )
+    hosts = o.select(
+        "o_orderkey",
+        F.concat(F.lit("h"), (F.col("o_custkey") % 50).cast("string"),
+                 F.lit("."), part).alias("host"),
+    )
+    bl = spark.createDataFrame([(d,) for d in _BLOCKLIST_DOMAINS], "domain string")
+    return host_blocklist_flag(hosts, bl)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "url_date_extract": q_url_date_extract,
@@ -957,6 +987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "lm_score": q_lm_score,
         "token_budget_sample": q_token_budget_sample,
+        "url_blocklist": q_url_blocklist,
     }
 
 
@@ -1869,5 +1900,19 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, lang, n_tok, cum_tok
             FROM c WHERE cum_tok - n_tok < budget
+        """,
+        "url_blocklist": f"""
+            WITH hosts AS (
+              SELECT o_orderkey,
+                     'h' || CAST(o_custkey % 50 AS VARCHAR) || '.' ||
+                     (['ads.example','news.example','blog.example','shop.example'])[CAST(o_orderkey % 4 AS INT) + 1] AS host
+              FROM orders
+            ),
+            bl(domain) AS (VALUES {", ".join(f"('{d}')" for d in _BLOCKLIST_DOMAINS)})
+            SELECT o_orderkey, host,
+                   EXISTS (SELECT 1 FROM bl
+                           WHERE hosts.host = bl.domain
+                              OR hosts.host LIKE '%.' || bl.domain) AS blocked
+            FROM hosts
         """,
     }

@@ -459,3 +459,78 @@ def token_budget_sample(
         .filter(F.col("cum_tok") - F.col("n_tok") < F.col("_budget"))
         .select(id_col, strata_col, "n_tok", "cum_tok")
     )
+
+
+# ---------------------------------------------------------------------------
+# UT1-style host blocklist filtering
+# ---------------------------------------------------------------------------
+
+def host_suffix(host: Column, depth: int) -> Column:
+    """The last `depth` dot-labels of a host, NULL when the host has
+    fewer labels — label-boundary suffixes ('b.example.org' at depth 2
+    is 'example.org', never 'le.org')."""
+    return F.when(
+        F.size(F.split(host, r"\.")) >= depth,
+        F.substring_index(host, ".", -depth),
+    )
+
+
+def host_blocklist_flag(
+    df: DataFrame,
+    blocklist: DataFrame,
+    host_col: str = "host",
+    domain_col: str = "domain",
+    max_depth: int = 5,
+    flag_col: str = "blocked",
+) -> DataFrame:
+    """Flag rows whose host matches a domain blocklist by label-boundary
+    suffix — the UT1/adult-list gate every web-text pipeline runs
+    (RefinedWeb §3.1, FineWeb use the UT1 list the same way): a host is
+    blocked iff the blocklist contains the host itself or any parent
+    domain ('ads.example' blocks 'x.ads.example' but not 'bads.example').
+
+    Scale shape: the list side is split per label-depth d and each slice
+    is broadcast-hash-joined against `substring_index(host, '.', -d)` —
+    a blocklist entry with d labels can only equal a d-label suffix, so
+    each row matches each entry at most once and row identity is
+    preserved without a distinct. The URL table never shuffles
+    (plan-pinned: zero hashpartitioning exchanges); cost is max_depth
+    map-side probes of kilobyte-to-megabyte broadcast tables. Entries
+    deeper than max_depth labels never match — raise max_depth to cover
+    the deepest entry in your list (UT1 is ≤5).
+    """
+    from functools import reduce
+    from operator import or_
+
+    bl = blocklist.select(
+        F.lower(F.trim(F.col(domain_col))).alias("_bl_domain")
+    ).distinct()
+    host_lc = F.lower(F.col(host_col))
+    out = df
+    markers = []
+    for d in range(1, max_depth + 1):
+        m = f"_blm{d}"
+        bl_d = bl.filter(F.size(F.split(F.col("_bl_domain"), r"\.")) == d)
+        out = out.join(
+            F.broadcast(bl_d.withColumnRenamed("_bl_domain", m)),
+            host_suffix(host_lc, d) == F.col(m),
+            "left",
+        )
+        markers.append(m)
+    blocked = reduce(or_, [F.col(m).isNotNull() for m in markers])
+    return out.withColumn(flag_col, blocked).drop(*markers)
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocklist: DataFrame,
+    host_col: str = "host",
+    domain_col: str = "domain",
+    max_depth: int = 5,
+) -> DataFrame:
+    """Drop blocklisted rows (see host_blocklist_flag for semantics)."""
+    flagged = host_blocklist_flag(
+        df, blocklist, host_col=host_col, domain_col=domain_col,
+        max_depth=max_depth, flag_col="_blocked",
+    )
+    return flagged.filter(~F.col("_blocked")).drop("_blocked")

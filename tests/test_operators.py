@@ -888,3 +888,29 @@ def test_window_grams_differential_fuzz(spark):
             )
 
     check()
+
+
+def test_host_blocklist_label_boundary_semantics(spark):
+    from go_htmldate_spark.operators.curation import blocklist_filter, host_blocklist_flag
+
+    hosts = spark.createDataFrame(
+        [
+            (1, "x.ads.example"),      # suffix match on ads.example
+            (2, "ads.example"),        # exact match
+            (3, "bads.example"),       # NOT a label-boundary match
+            (4, "news.example"),       # clean
+            (5, "h3.news.example"),    # exact 3-label entry
+            (6, "deep.h3.news.example"),  # suffix of 3-label entry
+            (7, "example"),            # fewer labels than any entry
+            (8, "ADS.Example"),        # case-insensitive
+        ],
+        ["id", "host"],
+    )
+    bl = spark.createDataFrame([("ads.example",), ("h3.news.example",)], "domain string")
+    flagged = {r["id"]: r["blocked"] for r in host_blocklist_flag(hosts, bl).collect()}
+    assert flagged == {1: True, 2: True, 3: False, 4: False,
+                       5: True, 6: True, 7: False, 8: True}
+    kept = sorted(r["id"] for r in blocklist_filter(hosts, bl).collect())
+    assert kept == [3, 4, 7]
+    # row identity preserved: no duplicates even when several depths probe
+    assert host_blocklist_flag(hosts, bl).count() == 8

@@ -211,3 +211,22 @@ def test_gopher_gram_plan_no_hof_and_agg_rides_window(spark):
     # regression reintroducing a shuffle of the raw gram stream
     assert plan.count("Exchange hashpartitioning") <= 2, plan
 
+
+
+def test_blocklist_is_broadcast_only_no_shuffle(spark):
+    """The URL side of the blocklist gate must never shuffle: every
+    depth probe is a BroadcastHashJoin against a per-depth list slice."""
+    from go_htmldate_spark.operators.curation import host_blocklist_flag
+
+    urls = spark.read.parquet(f"{SF}/orders.parquet").select(
+        F.concat(F.lit("h"), (F.col("o_custkey") % 50).cast("string"),
+                 F.lit(".ads.example")).alias("host"))
+    bl = spark.createDataFrame([("ads.example",), ("x.y.example",)], "domain string")
+    plan = _plan(host_blocklist_flag(urls, bl, max_depth=4))
+    assert "BroadcastHashJoin" in plan
+    # the only shuffles are the kilobyte list side's dedup (_bl_domain);
+    # the URL table itself never hits an exchange
+    import re
+    exchanges = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert exchanges and all(c.startswith("_bl_domain") for c in exchanges), plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

@@ -912,6 +912,85 @@ def q_token_budget_sample(spark, sf_dir):
     )
 
 
+def _warc_fixture_dir(spark, sf_dir: str) -> str:
+    """Deterministic WARC shards derived from the documents table —
+    built once per sf into a content-addressed tmp dir (fixture
+    generation, driver-side by design: the unit under test is the
+    distributed READER; the collect here is the same bounded fixture
+    cost as writing any test file). 4 gzip-member shard files, records
+    sorted by doc_id within shard doc_id % 4."""
+    import hashlib
+    import io
+    import os
+    import tempfile
+
+    from go_htmldate_spark.sources.warc import (
+        http_response_payload, write_warc_record,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"spark_graft_warc_{tag}")
+    done = os.path.join(d, "_DONE")
+    if os.path.exists(done):
+        return d
+    rows = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", "text", "lang").orderBy("doc_id").collect()
+    )
+    os.makedirs(d, exist_ok=True)
+    from datetime import datetime, timedelta
+
+    shards = [io.BytesIO() for _ in range(4)]
+    epoch = datetime(2024, 1, 1)
+    for r in rows:
+        doc_id = r["doc_id"]
+        body = f"<html><body><p>{r['text']}</p></body></html>".encode()
+        # doc_id seconds past 2024-01-01T00:00:00Z
+        warc_date = (epoch + timedelta(seconds=doc_id)).strftime(
+            "%Y-%m-%dT%H:%M:%SZ"
+        )
+        write_warc_record(
+            shards[doc_id % 4], "response",
+            http_response_payload(body, content_type="text/html; charset=utf-8"),
+            url=f"https://warc.example/{r['lang']}/doc-{doc_id}",
+            warc_date=warc_date, record_id=f"urn:uuid:{doc_id}",
+            gzip_member=True,
+        )
+    for i, s in enumerate(shards):
+        tmp = os.path.join(d, f".shard-{i}.tmp")
+        with open(tmp, "wb") as f:
+            f.write(s.getvalue())
+        os.replace(tmp, os.path.join(d, f"shard-{i}.warc.gz"))
+    with open(done, "w") as f:
+        f.write("ok")
+    return d
+
+
+def q_warc_roundtrip(spark, sf_dir):
+    """§2.1 sources: Common-Crawl-native WARC ingestion
+    (sources/warc.read_warc) — binaryFile file-granular parallelism +
+    stdlib record parser in mapInPandas. The fixture shards are
+    generated from the documents table; the oracle reconstructs every
+    field (url, timestamp, HTTP status/content-type, body length and
+    md5) independently in SQL, so a parse bug anywhere in the gzip /
+    header / HTTP-split chain breaks the hash."""
+    import os
+
+    from go_htmldate_spark.sources.warc import read_warc
+
+    d = _warc_fixture_dir(spark, sf_dir)
+    recs = read_warc(spark, os.path.join(d, "*.warc.gz"))
+    return recs.select(
+        F.regexp_extract("url", r"doc-(\d+)$", 1).cast("long").alias("doc_id"),
+        "url",
+        F.to_timestamp(F.col("warc_date"), "yyyy-MM-dd'T'HH:mm:ssX").alias("warc_ts"),
+        F.col("http_status"),
+        F.col("http_content_type"),
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.md5("payload").alias("body_md5"),
+    )
+
+
 _BLOCKLIST_DOMAINS = [
     "ads.example", "h3.news.example", "tracker.shop.example", "h7.blog.example",
 ]
@@ -988,6 +1067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "token_budget_sample": q_token_budget_sample,
         "url_blocklist": q_url_blocklist,
+        "warc_roundtrip": q_warc_roundtrip,
     }
 
 
@@ -1914,5 +1994,22 @@ def oracle_sql() -> dict[str, str]:
                            WHERE hosts.host = bl.domain
                               OR hosts.host LIKE '%.' || bl.domain) AS blocked
             FROM hosts
+        """,
+        "warc_roundtrip": """
+            WITH recs AS (
+              SELECT doc_id,
+                     'https://warc.example/' || lang || '/doc-' ||
+                       CAST(doc_id AS VARCHAR) AS url,
+                     TIMESTAMP '2024-01-01 00:00:00'
+                       + doc_id * INTERVAL 1 SECOND AS warc_ts,
+                     '<html><body><p>' || text || '</p></body></html>' AS body
+              FROM documents
+            )
+            SELECT doc_id, url, warc_ts,
+                   CAST(200 AS INT) AS http_status,
+                   'text/html; charset=utf-8' AS http_content_type,
+                   CAST(strlen(body) AS BIGINT) AS n_bytes,
+                   md5(body) AS body_md5
+            FROM recs
         """,
     }

@@ -1,0 +1,260 @@
+"""WARC source: read Common-Crawl-style WARC files into the pages table.
+
+The north rule's input is an Iceberg/parquet table of Common-Crawl-style
+pages; Common Crawl itself ships WARC (ISO 28500) files, so this module
+is the ingestion edge: WARC-on-disk → DataFrame in the input_hint shape
+(url, warc_ts, html, ...). Pure stdlib parser (no warcio in this
+sandbox — the format is simple enough that a from-scratch reader is
+~100 lines and auditable).
+
+Scale shape: one WARC file = one task. Common Crawl's convention is
+~1 GB gzip per file with each record its own gzip member; members are
+not splittable without an external index, so the standard distributed
+strategy — what warcio+Spark pipelines and CC's own examples do — is
+file-level parallelism: `spark.read.format("binaryFile")` lists the
+glob (distributed listing), each task decompresses + parses its file
+streaming record-by-record, and `mapInPandas` emits Arrow batches of
+records. 100 TB = ~100k files ≫ cores, so file granularity saturates
+any cluster; html payloads go straight into Arrow binary columns for
+the extraction kernel (operators/extract.py) with no per-row Python
+beyond the parser itself.
+
+Format notes (ISO 28500 / WARC 1.0-1.1):
+- record = version line 'WARC/1.x\r\n', header lines 'Name: value\r\n',
+  blank line, Content-Length payload bytes, '\r\n\r\n' terminator.
+- header names are case-insensitive; values may be %-escaped URIs in
+  '<...>' (WARC-Record-ID).
+- response records carry an HTTP message as payload: status line +
+  headers + '\r\n\r\n' + body.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import zlib
+from typing import BinaryIO, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType, IntegerType, LongType, StringType, StructField, StructType,
+    TimestampType,
+)
+
+CRLF = b"\r\n"
+
+WARC_SCHEMA = StructType([
+    StructField("warc_file", StringType()),
+    StructField("record_offset", LongType()),
+    StructField("warc_type", StringType()),
+    StructField("url", StringType()),
+    StructField("warc_date", StringType()),
+    StructField("record_id", StringType()),
+    StructField("content_type", StringType()),
+    StructField("http_status", IntegerType()),
+    StructField("http_content_type", StringType()),
+    StructField("payload", BinaryType()),
+])
+
+
+# ---------------------------------------------------------------------------
+# record-level parser (pure stdlib, streaming)
+# ---------------------------------------------------------------------------
+
+def _maybe_decompress(data: bytes) -> bytes:
+    """Whole-buffer gzip sniff. Handles multi-member gzip (Common
+    Crawl's one-member-per-record layout) by looping decompressobj
+    over the remaining tail."""
+    if data[:2] != b"\x1f\x8b":
+        return data
+    out = []
+    rest = data
+    while rest[:2] == b"\x1f\x8b":
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        out.append(d.decompress(rest))
+        rest = d.unused_data
+    return b"".join(out)
+
+
+def iter_warc_records(data: bytes) -> Iterator[dict]:
+    """Yield one dict per WARC record: raw headers (lower-cased names)
+    plus 'payload' bytes and 'offset' (byte offset in the decompressed
+    stream). Tolerates leading/trailing blank lines; raises ValueError
+    on a malformed version line or short payload (truncated files fail
+    loudly, not silently)."""
+    buf = _maybe_decompress(data)
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        # skip inter-record blank lines
+        while pos < n and buf[pos:pos + 2] == CRLF:
+            pos += 2
+        if pos >= n:
+            return
+        offset = pos
+        eol = buf.find(CRLF, pos)
+        if eol < 0:
+            raise ValueError(f"no version line at offset {pos}")
+        version = buf[pos:eol].decode("ascii", "replace")
+        if not version.startswith("WARC/"):
+            raise ValueError(f"bad WARC version line at {pos}: {version!r}")
+        pos = eol + 2
+        headers: dict[str, str] = {}
+        while True:
+            eol = buf.find(CRLF, pos)
+            if eol < 0:
+                raise ValueError(f"unterminated header block at {pos}")
+            line = buf[pos:eol]
+            pos = eol + 2
+            if not line:
+                break
+            # continuation lines (obs-fold) append to the previous value
+            if line[:1] in (b" ", b"\t") and headers:
+                last = next(reversed(headers))
+                headers[last] += " " + line.strip().decode("utf-8", "replace")
+                continue
+            name, _, value = line.partition(b":")
+            headers[name.strip().decode("ascii", "replace").lower()] = (
+                value.strip().decode("utf-8", "replace")
+            )
+        try:
+            clen = int(headers.get("content-length", ""))
+        except ValueError as exc:
+            raise ValueError(f"missing/bad Content-Length at {offset}") from exc
+        payload = buf[pos:pos + clen]
+        if len(payload) != clen:
+            raise ValueError(
+                f"truncated record at {offset}: want {clen}, have {len(payload)}"
+            )
+        pos += clen
+        yield {"version": version, "offset": offset,
+               "headers": headers, "payload": payload}
+
+
+def split_http_response(payload: bytes) -> tuple[int | None, str | None, bytes]:
+    """(status, content-type, body) from an HTTP response message; a
+    payload with no HTTP preamble comes back as (None, None, payload)."""
+    if not payload.startswith(b"HTTP/"):
+        return None, None, payload
+    sep = payload.find(b"\r\n\r\n")
+    if sep < 0:
+        return None, None, payload
+    head, body = payload[:sep], payload[sep + 4:]
+    lines = head.split(CRLF)
+    try:
+        status = int(lines[0].split()[1])
+    except (IndexError, ValueError):
+        status = None
+    ctype = None
+    for line in lines[1:]:
+        name, _, value = line.partition(b":")
+        if name.strip().lower() == b"content-type":
+            ctype = value.strip().decode("latin-1")
+            break
+    return status, ctype, body
+
+
+def _clean_record_id(raw: str | None) -> str | None:
+    if raw is None:
+        return None
+    return raw.strip().removeprefix("<").removesuffix(">")
+
+
+# ---------------------------------------------------------------------------
+# writer (deterministic fixtures + export sink)
+# ---------------------------------------------------------------------------
+
+def write_warc_record(
+    out: BinaryIO,
+    warc_type: str,
+    payload: bytes,
+    url: str | None = None,
+    warc_date: str = "2024-01-01T00:00:00Z",
+    record_id: str = "urn:uuid:00000000-0000-0000-0000-000000000000",
+    content_type: str = "application/http; msgtype=response",
+    gzip_member: bool = False,
+) -> None:
+    """One spec-shaped record; gzip_member wraps it in its own gzip
+    member (the Common Crawl layout)."""
+    head = [
+        b"WARC/1.0",
+        b"WARC-Type: " + warc_type.encode(),
+        b"WARC-Date: " + warc_date.encode(),
+        b"WARC-Record-ID: <" + record_id.encode() + b">",
+        b"Content-Type: " + content_type.encode(),
+        b"Content-Length: " + str(len(payload)).encode(),
+    ]
+    if url is not None:
+        head.insert(2, b"WARC-Target-URI: " + url.encode())
+    blob = CRLF.join(head) + CRLF + CRLF + payload + CRLF + CRLF
+    if gzip_member:
+        gz = io.BytesIO()
+        # mtime=0 + fixed filename keep the bytes deterministic
+        with gzip.GzipFile(fileobj=gz, mode="wb", mtime=0) as g:
+            g.write(blob)
+        blob = gz.getvalue()
+    out.write(blob)
+
+
+def http_response_payload(
+    body: bytes, status: int = 200, content_type: str = "text/html"
+) -> bytes:
+    return (
+        f"HTTP/1.1 {status} OK\r\nContent-Type: {content_type}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode() + body
+
+
+# ---------------------------------------------------------------------------
+# Spark reader
+# ---------------------------------------------------------------------------
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    warc_types: tuple[str, ...] = ("response",),
+) -> DataFrame:
+    """WARC glob → one row per record of the requested types.
+
+    binaryFile handles distributed listing + whole-file bytes (CC files
+    are ~1 GB — well under binaryFile's 2 GB ceiling and sized to be
+    one task's unit of work); the parser streams records out of each
+    file inside mapInPandas, so parallelism is file-granular and the
+    only Python cost is the parse itself, Arrow-batched on the way out.
+    """
+    types = set(warc_types) if warc_types else None
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                for rec in iter_warc_records(bytes(content)):
+                    h = rec["headers"]
+                    wtype = h.get("warc-type", "")
+                    if types is not None and wtype not in types:
+                        continue
+                    status, http_ctype, body = split_http_response(rec["payload"])
+                    rows.append((
+                        fpath, rec["offset"], wtype,
+                        h.get("warc-target-uri"), h.get("warc-date"),
+                        _clean_record_id(h.get("warc-record-id")),
+                        h.get("content-type"), status, http_ctype, body,
+                    ))
+            yield pd.DataFrame(rows, columns=[f.name for f in WARC_SCHEMA.fields])
+
+    return files.mapInPandas(parse, WARC_SCHEMA)
+
+
+def warc_to_pages(records: DataFrame) -> DataFrame:
+    """Project response records into the input_hint pages shape
+    (url, warc_ts, html binary); text/lang are downstream concerns
+    (extraction kernel / lang-ID operator)."""
+    return records.filter(F.col("warc_type") == "response").select(
+        F.col("url"),
+        F.to_timestamp(F.col("warc_date"), "yyyy-MM-dd'T'HH:mm:ssX").alias("warc_ts"),
+        F.col("payload").alias("html"),
+    )

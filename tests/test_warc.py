@@ -1,0 +1,133 @@
+"""WARC source: pure-stdlib parser + Spark binaryFile/mapInPandas reader
+(sources/warc.py). Fixtures are written with the module's own writer —
+the reader is the unit under test; the driver-level `warc_roundtrip`
+query additionally oracle-checks the chain against an independent
+DuckDB reconstruction."""
+
+from __future__ import annotations
+
+import gzip
+import io
+
+import pytest
+
+from go_htmldate_spark.sources.warc import (
+    http_response_payload,
+    iter_warc_records,
+    read_warc,
+    split_http_response,
+    warc_to_pages,
+    write_warc_record,
+)
+
+
+def _one_file(records, gzip_member=False) -> bytes:
+    out = io.BytesIO()
+    for i, (url, body) in enumerate(records):
+        write_warc_record(
+            out, "response", http_response_payload(body), url=url,
+            warc_date=f"2024-01-01T00:00:{i:02d}Z",
+            record_id=f"urn:uuid:{i}", gzip_member=gzip_member,
+        )
+    return out.getvalue()
+
+
+def test_parser_roundtrip_plain_and_gzip_members():
+    raw = _one_file([("https://a.example/x", b"<html>a</html>"),
+                     ("https://b.example/y", b"<html>b</html>")])
+    for data in (raw, _one_file(
+        [("https://a.example/x", b"<html>a</html>"),
+         ("https://b.example/y", b"<html>b</html>")], gzip_member=True)):
+        recs = list(iter_warc_records(data))
+        assert [r["headers"]["warc-target-uri"] for r in recs] == [
+            "https://a.example/x", "https://b.example/y"]
+        status, ctype, body = split_http_response(recs[0]["payload"])
+        assert (status, ctype, body) == (200, "text/html", b"<html>a</html>")
+
+
+def test_parser_whole_file_gzip():
+    raw = _one_file([("https://a.example/x", b"<p>hi</p>")])
+    gz = io.BytesIO()
+    with gzip.GzipFile(fileobj=gz, mode="wb", mtime=0) as g:
+        g.write(raw)
+    recs = list(iter_warc_records(gz.getvalue()))
+    assert len(recs) == 1 and recs[0]["headers"]["warc-type"] == "response"
+
+
+def test_parser_case_insensitive_headers_and_payload_binary_safety():
+    # hand-built record with odd header casing and CRLF bytes inside the payload
+    body = b"\r\n\r\nbinary\x00stuff\r\n"
+    payload = http_response_payload(body)
+    blob = (
+        b"WARC/1.1\r\n"
+        b"warc-type: response\r\n"
+        b"WARC-TARGET-URI: https://c.example/z\r\n"
+        b"CONTENT-LENGTH: " + str(len(payload)).encode() + b"\r\n"
+        b"\r\n" + payload + b"\r\n\r\n"
+    )
+    recs = list(iter_warc_records(blob))
+    assert len(recs) == 1
+    assert recs[0]["headers"]["warc-target-uri"] == "https://c.example/z"
+    assert split_http_response(recs[0]["payload"])[2] == body
+
+
+def test_parser_truncated_record_fails_loudly():
+    raw = _one_file([("https://a.example/x", b"<html>a</html>")])
+    with pytest.raises(ValueError, match="truncated"):
+        list(iter_warc_records(raw[:-20]))
+
+
+def test_parser_rejects_garbage_version_line():
+    with pytest.raises(ValueError, match="version"):
+        list(iter_warc_records(b"NOT-A-WARC\r\nfoo: bar\r\n\r\n"))
+
+
+def test_read_warc_spark_roundtrip(spark, tmp_path):
+    # two files, mixed record types; reader keeps responses only
+    f1 = tmp_path / "shard-0.warc.gz"
+    out = io.BytesIO()
+    write_warc_record(out, "warcinfo", b"software: test", gzip_member=True,
+                      content_type="application/warc-fields")
+    write_warc_record(out, "response", http_response_payload(b"<html>one</html>"),
+                      url="https://w.example/1",
+                      warc_date="2024-01-01T00:00:01Z", gzip_member=True)
+    write_warc_record(out, "request", b"GET /2 HTTP/1.1\r\n\r\n",
+                      url="https://w.example/2", gzip_member=True,
+                      content_type="application/http; msgtype=request")
+    f1.write_bytes(out.getvalue())
+    f2 = tmp_path / "shard-1.warc.gz"
+    out2 = io.BytesIO()
+    write_warc_record(out2, "response", http_response_payload(b"<html>two</html>"),
+                      url="https://w.example/2",
+                      warc_date="2024-01-01T00:00:02Z", gzip_member=True)
+    f2.write_bytes(out2.getvalue())
+
+    df = read_warc(spark, str(tmp_path / "*.warc.gz"))
+    rows = {r["url"]: r for r in df.collect()}
+    assert set(rows) == {"https://w.example/1", "https://w.example/2"}
+    assert bytes(rows["https://w.example/1"]["payload"]) == b"<html>one</html>"
+    assert rows["https://w.example/2"]["http_status"] == 200
+    assert rows["https://w.example/1"]["warc_type"] == "response"
+
+    pages = warc_to_pages(df).collect()
+    assert {str(r["warc_ts"]) for r in pages} == {
+        "2024-01-01 00:00:01", "2024-01-01 00:00:02"}
+    assert {bytes(r["html"]) for r in pages} == {
+        b"<html>one</html>", b"<html>two</html>"}
+
+
+def test_read_warc_feeds_extraction_kernel(spark, tmp_path):
+    """The ingestion edge composes with the cascade: WARC response html
+    → extract_dates finds the planted meta date."""
+    from go_htmldate_spark.operators.extract import extract_dates
+
+    html = (b'<html><head><meta property="article:published_time" '
+            b'content="2021-05-04"></head><body>x</body></html>')
+    out = io.BytesIO()
+    write_warc_record(out, "response", http_response_payload(html),
+                      url="https://k.example/post", gzip_member=True,
+                      warc_date="2024-01-01T00:00:00Z")
+    (tmp_path / "s.warc.gz").write_bytes(out.getvalue())
+    pages = warc_to_pages(read_warc(spark, str(tmp_path / "s.warc.gz")))
+    got = extract_dates(pages.withColumn("html", pages["html"].cast("string"))).collect()
+    assert len(got) == 1 and got[0]["date"] == "2021-05-04"

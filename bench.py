@@ -80,7 +80,7 @@ def main() -> None:
         "exact_dedup", "jaccard_pairs", "ann_cosine_topk", "ann_ivf_topk",
         "gopher_repetition", "stratified_sample", "ngram_contamination",
         "pipeline_curate", "pii_scrub", "c4_heuristics", "pack_sequences",
-        "lm_score", "token_budget_sample",
+        "lm_score", "token_budget_sample", "url_blocklist",
     ]:
         fn = queries[name]
         run(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())
@@ -156,6 +156,13 @@ def main() -> None:
             .write.format("noop").mode("overwrite").save())
     finally:
         shutil.rmtree(ivf_dir, ignore_errors=True)
+
+    # 2d. WARC ingestion rate: fixture shards built once untimed (the
+    # files exist ahead of time in a real crawl store); the timed path
+    # is the distributed gzip+parse+HTTP-split read.
+    entrymod._warc_fixture_dir(spark, sf_dir)  # warm the fixture
+    run("warc_roundtrip", lambda: entrymod.q_warc_roundtrip(spark, sf_dir)
+        .write.format("noop").mode("overwrite").save())
 
     # 3. one full crawl-frontier round (schedule + fetch + extract +
     # discover + snapshot) over a skewed corpus

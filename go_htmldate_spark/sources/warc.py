@@ -258,3 +258,62 @@ def warc_to_pages(records: DataFrame) -> DataFrame:
         F.to_timestamp(F.col("warc_date"), "yyyy-MM-dd'T'HH:mm:ssX").alias("warc_ts"),
         F.col("payload").alias("html"),
     )
+
+
+# ---------------------------------------------------------------------------
+# distributed writer sink
+# ---------------------------------------------------------------------------
+
+def write_warc_shards(
+    pages: DataFrame,
+    out_dir: str,
+    url_col: str = "url",
+    html_col: str = "html",
+    ts_col: str = "warc_ts",
+    n_shards: int | None = None,
+) -> None:
+    """pages(url, warc_ts, html) → WARC shard files, one per partition
+    (the export sink mirroring read_warc): each task streams its rows
+    into `part-{pid:05d}.warc.gz` with one gzip member per record —
+    re-readable by any WARC consumer, including read_warc.
+
+    Deterministic layout: rows are range-partitioned + sorted on url,
+    so the same input always produces the same shard contents (gzip
+    mtime pinned to 0). Scale shape: no shuffle beyond the one
+    repartitionByRange (needed for determinism; pass n_shards=None to
+    keep the input partitioning and skip it), no driver involvement —
+    each executor writes its own file.
+    """
+    import os
+
+    cols = [F.col(url_col), F.col(ts_col).cast("timestamp"),
+            F.col(html_col).cast("binary")]
+    df = pages.select(*cols)
+    if n_shards is not None:
+        df = df.repartitionByRange(n_shards, F.col(url_col)).sortWithinPartitions(url_col)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def dump(pid, rows):
+        path = os.path.join(out_dir, f"part-{pid:05d}.warc.gz")
+        tmp = path + ".tmp"
+        wrote = False
+        with open(tmp, "wb") as out:
+            for r in rows:
+                wrote = True
+                body = bytes(r[2]) if r[2] is not None else b""
+                ts = r[1]
+                write_warc_record(
+                    out, "response", http_response_payload(body),
+                    url=r[0],
+                    warc_date=ts.strftime("%Y-%m-%dT%H:%M:%SZ") if ts else
+                    "1970-01-01T00:00:00Z",
+                    record_id=f"urn:warc-export:{pid}:{r[0]}",
+                    gzip_member=True,
+                )
+        if wrote:
+            os.replace(tmp, path)
+        else:
+            os.remove(tmp)
+        return iter(())
+
+    df.rdd.mapPartitionsWithIndex(dump).count()

@@ -10,6 +10,7 @@ import gzip
 import io
 
 import pytest
+from pyspark.sql import functions as F
 
 from go_htmldate_spark.sources.warc import (
     http_response_payload,
@@ -131,3 +132,39 @@ def test_read_warc_feeds_extraction_kernel(spark, tmp_path):
     pages = warc_to_pages(read_warc(spark, str(tmp_path / "s.warc.gz")))
     got = extract_dates(pages.withColumn("html", pages["html"].cast("string"))).collect()
     assert len(got) == 1 and got[0]["date"] == "2021-05-04"
+
+
+def test_write_warc_shards_roundtrip(spark, tmp_path):
+    """Export sink → reader parity: a pages DataFrame written as WARC
+    shards reads back row-identical (url, ts, html), and the layout is
+    deterministic across reruns."""
+    import hashlib
+    import pathlib
+
+    from go_htmldate_spark.sources.warc import write_warc_shards
+
+    pages = spark.createDataFrame(
+        [(f"https://s.example/p{i}", f"2024-02-0{1 + i % 3}T00:00:{i:02d}",
+          f"<html>{i}</html>".encode()) for i in range(20)],
+        "url string, warc_ts string, html binary",
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts", "yyyy-MM-dd'T'HH:mm:ss"))
+
+    out1, out2 = tmp_path / "w1", tmp_path / "w2"
+    write_warc_shards(pages, str(out1), n_shards=3)
+    write_warc_shards(pages, str(out2), n_shards=3)
+
+    def digest(d):
+        return {p.name: hashlib.md5(p.read_bytes()).hexdigest()
+                for p in pathlib.Path(d).glob("*.warc.gz")}
+
+    assert digest(out1) == digest(out2) and len(digest(out1)) >= 1
+
+    back = read_warc(spark, str(out1 / "*.warc.gz"))
+    got = {(r["url"], str(r["warc_date"]), bytes(r["payload"]))
+           for r in back.select("url", "warc_date", "payload").collect()}
+    want = {(f"https://s.example/p{i}",
+             f"2024-02-0{1 + i % 3}T00:00:{i:02d}Z",
+             f"<html>{i}</html>".encode()) for i in range(20)}
+    # payload comes back through the HTTP split
+    got_bodies = {(u, d, b) for (u, d, b) in got}
+    assert got_bodies == want

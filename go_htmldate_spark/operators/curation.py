@@ -480,7 +480,7 @@ def host_blocklist_flag(
     blocklist: DataFrame,
     host_col: str = "host",
     domain_col: str = "domain",
-    max_depth: int = 5,
+    max_depth: int | None = None,
     flag_col: str = "blocked",
 ) -> DataFrame:
     """Flag rows whose host matches a domain blocklist by label-boundary
@@ -495,9 +495,11 @@ def host_blocklist_flag(
     each row matches each entry at most once and row identity is
     preserved without a distinct. The URL table never shuffles
     (plan-pinned: zero hashpartitioning exchanges); cost is max_depth
-    map-side probes of kilobyte-to-megabyte broadcast tables. Entries
-    deeper than max_depth labels never match — raise max_depth to cover
-    the deepest entry in your list (UT1 is ≤5).
+    map-side probes of kilobyte-to-megabyte broadcast tables.
+    max_depth=None (default) self-tunes to the deepest entry in the
+    list — one scalar agg over the same small table the joins broadcast
+    anyway; pass it explicitly to skip that action (entries deeper than
+    max_depth labels then never match; UT1 is ≤5 labels).
     """
     from functools import reduce
     from operator import or_
@@ -505,6 +507,11 @@ def host_blocklist_flag(
     bl = blocklist.select(
         F.lower(F.trim(F.col(domain_col))).alias("_bl_domain")
     ).distinct()
+    if max_depth is None:
+        row = bl.agg(
+            F.max(F.size(F.split(F.col("_bl_domain"), r"\."))).alias("d")
+        ).head()
+        max_depth = int(row["d"] or 1)
     host_lc = F.lower(F.col(host_col))
     out = df
     markers = []
@@ -526,7 +533,7 @@ def blocklist_filter(
     blocklist: DataFrame,
     host_col: str = "host",
     domain_col: str = "domain",
-    max_depth: int = 5,
+    max_depth: int | None = None,
 ) -> DataFrame:
     """Drop blocklisted rows (see host_blocklist_flag for semantics)."""
     flagged = host_blocklist_flag(

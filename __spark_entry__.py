@@ -991,6 +991,41 @@ def q_warc_roundtrip(spark, sf_dir):
     )
 
 
+def q_warc_curate(spark, sf_dir):
+    """End-to-end ingest→curate composition: WARC shards → distributed
+    parse (sources/warc.read_warc) → text recovery from the HTTP body →
+    deterministic stratified sample (en 100% / de 50% / rest 10%,
+    seed 5) → token stats + content hash. The oracle computes the same
+    chain straight from the documents table, so a single hash mismatch
+    anywhere — gzip, WARC headers, HTTP split, byte→string decode,
+    sampling uniform, tokenizer — breaks the gate: the WARC edge is
+    proven byte-transparent to the curation operators."""
+    import os
+
+    from go_htmldate_spark.operators.curation import stratified_sample
+    from go_htmldate_spark.operators.textstats import token_count
+    from go_htmldate_spark.sources.warc import read_warc
+
+    d = _warc_fixture_dir(spark, sf_dir)
+    recs = read_warc(spark, os.path.join(d, "*.warc.gz"))
+    docs = recs.select(
+        F.regexp_extract("url", r"doc-(\d+)$", 1).cast("long").alias("doc_id"),
+        F.regexp_extract("url", r"warc\.example/([a-z]+)/", 1).alias("lang"),
+        F.regexp_extract(
+            F.col("payload").cast("string"), r"<p>(.*)</p>", 1
+        ).alias("text"),
+    )
+    sampled = stratified_sample(
+        docs, "lang", {"en": 1.0, "de": 0.5}, key_col="doc_id",
+        seed=5, default_fraction=0.1,
+    )
+    return sampled.select(
+        "doc_id", "lang",
+        token_count(F.col("text")).cast("long").alias("n_tok"),
+        F.md5("text").alias("text_md5"),
+    )
+
+
 _BLOCKLIST_DOMAINS = [
     "ads.example", "h3.news.example", "tracker.shop.example", "h7.blog.example",
 ]
@@ -1068,6 +1103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": q_token_budget_sample,
         "url_blocklist": q_url_blocklist,
         "warc_roundtrip": q_warc_roundtrip,
+        "warc_curate": q_warc_curate,
     }
 
 
@@ -2011,5 +2047,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strlen(body) AS BIGINT) AS n_bytes,
                    md5(body) AS body_md5
             FROM recs
+        """,
+        "warc_curate": """
+            WITH t AS (
+              SELECT doc_id, lang, text,
+                     CAST('0x' || substr(md5('5:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                       / 1152921504606846976.0 AS u,
+                     CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.5
+                          ELSE 0.1 END AS frac
+              FROM documents
+            )
+            SELECT doc_id, lang,
+                   CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tok,
+                   md5(text) AS text_md5
+            FROM t WHERE u < frac
         """,
     }

@@ -168,3 +168,38 @@ def test_write_warc_shards_roundtrip(spark, tmp_path):
     # payload comes back through the HTTP split
     got_bodies = {(u, d, b) for (u, d, b) in got}
     assert got_bodies == want
+
+
+def test_warc_roundtrip_property_fuzz():
+    """Property: write_warc_record → iter_warc_records is the identity
+    on (url, date, type, payload) for arbitrary binary payloads —
+    including payloads containing CRLF runs, gzip magic, and WARC
+    version strings — in both plain and gzip-member layouts."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    payloads = st.lists(
+        st.binary(min_size=0, max_size=200), min_size=1, max_size=6)
+
+    @settings(max_examples=60, deadline=None)
+    @given(payloads=payloads, gz=st.booleans())
+    def check(payloads, gz):
+        out = io.BytesIO()
+        for i, p in enumerate(payloads):
+            # adversarial framing bytes inside the payload
+            p = b"\r\n\r\nWARC/1.0\r\n\x1f\x8b" + p
+            write_warc_record(out, "resource", p,
+                              url=f"https://f.example/{i}",
+                              warc_date=f"2024-03-01T00:00:{i:02d}Z",
+                              record_id=f"urn:uuid:{i}",
+                              content_type="application/octet-stream",
+                              gzip_member=gz)
+        recs = list(iter_warc_records(out.getvalue()))
+        assert len(recs) == len(payloads)
+        for i, (p, r) in enumerate(zip(payloads, recs)):
+            assert r["headers"]["warc-target-uri"] == f"https://f.example/{i}"
+            assert r["headers"]["warc-date"] == f"2024-03-01T00:00:{i:02d}Z"
+            assert r["headers"]["warc-type"] == "resource"
+            assert r["payload"] == b"\r\n\r\nWARC/1.0\r\n\x1f\x8b" + p
+
+    check()

@@ -1,0 +1,139 @@
+"""spark-submit entrypoint for the WARC→training-text curation pipeline.
+
+    spark-submit --py-files go_htmldate_spark.zip jobs/curate_job.py \
+        --warc '/data/crawl/*.warc.gz' --output /data/clean_parquet \
+        [--blocklist /data/ut1.parquet] [--sample en=1.0,de=0.3,*=0.05]
+
+Build the zip with:  python -m zipfile -c go_htmldate_spark.zip go_htmldate_spark
+
+Pipeline (all stages oracle-gated individually as driver queries):
+WARC read → pages projection → host blocklist gate → date extraction →
+lang-ID + C4 heuristics + Gopher repetition gates → exact dedup →
+deterministic stratified sample → token stats → parquet sink.
+
+Input can also be a pages parquet table (--pages) to skip the WARC
+edge, or --synth N to synthesize a corpus in this sandbox.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_fractions(spec: str) -> tuple[dict, float]:
+    """'en=1.0,de=0.3,*=0.05' → ({'en': 1.0, 'de': 0.3}, 0.05)."""
+    fracs: dict[str, float] = {}
+    default = 0.0
+    for part in spec.split(","):
+        k, _, v = part.partition("=")
+        if k.strip() == "*":
+            default = float(v)
+        else:
+            fracs[k.strip()] = float(v)
+    return fracs, default
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--warc", help="WARC glob (Common-Crawl layout)")
+    ap.add_argument("--pages", help="parquet dir of pages (url, warc_ts, html)")
+    ap.add_argument("--synth", type=int, default=0, help="synthesize N pages instead")
+    ap.add_argument("--output", required=True, help="curated parquet dir")
+    ap.add_argument("--blocklist", help="parquet dir with a 'domain' column (UT1-style)")
+    ap.add_argument("--sample", default="", help="stratum fractions, e.g. en=1.0,de=0.3,*=0.05")
+    ap.add_argument("--seed", type=int, default=0, help="sampling seed")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from go_htmldate_spark.operators.curation import (
+        c4_heuristics, host_blocklist_flag, stratified_sample,
+    )
+    from go_htmldate_spark.operators.dedup import exact_dedup
+    from go_htmldate_spark.operators.extract import extract_dates
+    from go_htmldate_spark.operators.textstats import (
+        gopher_repetition, lang_id, token_count,
+    )
+    from go_htmldate_spark.plans.canonical import url_host
+    from go_htmldate_spark.session import get_spark
+    from go_htmldate_spark.sources.pages import synth_pages
+    from go_htmldate_spark.sources.warc import read_warc, warc_to_pages
+
+    spark = get_spark(app_name="curate-job")
+
+    if args.warc:
+        pages = warc_to_pages(read_warc(spark, args.warc))
+    elif args.pages:
+        pages = spark.read.parquet(args.pages)
+    elif args.synth:
+        pages = synth_pages(spark, args.synth, seed=42)
+    else:
+        ap.error("need --warc, --pages, or --synth")
+
+    # 1. URL gate first — cheapest filter, drops rows before any
+    #    byte-heavy work (broadcast joins, no shuffle of pages)
+    pages = pages.withColumn("host", url_host(F.col("url")))
+    if args.blocklist:
+        bl = spark.read.parquet(args.blocklist)
+        pages = host_blocklist_flag(pages, bl, host_col="host").filter(
+            ~F.col("blocked")
+        ).drop("blocked")
+
+    # 2. extraction (C-kernel pandas UDF; staged native URL fast path)
+    html_str = F.col("html").cast("string")
+    docs = extract_dates(
+        pages.withColumn("html", html_str), url_col="url", html_col="html"
+    ).select(
+        "url", "host", "warc_ts", "date",
+        F.col("html").cast("string").alias("text_html"),
+    )
+    # text = visible body text; here the html body itself is the text
+    # carrier (a real deployment plugs a text extractor UDF in between)
+    docs = docs.withColumn(
+        "text",
+        F.regexp_replace("text_html", r"<[^>]+>", " "),
+    ).drop("text_html")
+
+    # 3. quality + language gates (all native, map-only)
+    docs = docs.withColumn("doc_id", F.xxhash64("url"))
+    docs = docs.withColumn("lang", lang_id(F.col("text")))
+    c4 = c4_heuristics(docs.select("doc_id", "text")).select("doc_id", "c4_ok")
+    rep = gopher_repetition(docs.select("doc_id", "text")).select(
+        "doc_id", "gopher_ok"
+    )
+    docs = (
+        docs.join(c4, "doc_id").join(rep, "doc_id")
+        .filter(F.col("c4_ok") & F.col("gopher_ok"))
+        .drop("c4_ok", "gopher_ok")
+    )
+
+    # 4. dedup + sample + token stats
+    docs = exact_dedup(docs, text_col="text", id_col="doc_id")
+    if args.sample:
+        fracs, default = parse_fractions(args.sample)
+        docs = stratified_sample(
+            docs, "lang", fracs, key_col="doc_id", seed=args.seed,
+            default_fraction=default,
+        )
+    docs = docs.withColumn("n_tok", token_count(F.col("text")).cast("long"))
+
+    docs.write.mode("overwrite").parquet(args.output)
+    out = spark.read.parquet(args.output)
+    stats = out.agg(
+        F.count("*").alias("docs"),
+        F.sum("n_tok").alias("tokens"),
+    ).head()
+    print(json.dumps({
+        "curated_docs": int(stats["docs"]),
+        "curated_tokens": int(stats["tokens"] or 0),
+        "output": args.output,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -63,6 +63,9 @@ class OracleScheduler:
     # floor(round_seconds / delay)
     delays: dict[str, float] = field(default_factory=dict)
     round_seconds: float = 60.0
+    # UT1-style domain blocklist: discovered URLs whose host equals or
+    # is a label-boundary subdomain of an entry are never frontier'd
+    blocked_domains: set[str] = field(default_factory=set)
 
     frontier: dict[str, float] = field(default_factory=dict)  # url → priority
     seen: set[str] = field(default_factory=set)
@@ -78,6 +81,15 @@ class OracleScheduler:
 
     def budget(self, host: str) -> float:
         return self.budgets.get(host, DEFAULT_BUDGET)
+
+    def blocked(self, host: str) -> bool:
+        if not self.blocked_domains:
+            return False
+        labels = host.lower().split(".")
+        return any(
+            ".".join(labels[i:]) in self.blocked_domains
+            for i in range(len(labels))
+        )
 
     def fetch_cap(self, host: str) -> int:
         k = int(math.floor(self.budget(host)))
@@ -120,6 +132,8 @@ class OracleScheduler:
             rec = recency_score_py(date_str)
             for out in outlinks:
                 cu = canonicalize_url_py(out)
+                if self.blocked(host_of(cu)):
+                    continue
                 prio = self.budget(host_of(cu)) * rec
                 if cu not in discovered or prio > discovered[cu]:
                     discovered[cu] = prio

@@ -168,6 +168,7 @@ class CrawlScheduler:
         host_budget: DataFrame | None,
         state_dir: str,
         config: CrawlConfig = CrawlConfig(),
+        blocklist: DataFrame | None = None,
     ) -> None:
         self.spark = spark
         self.config = config
@@ -184,6 +185,11 @@ class CrawlScheduler:
             )
         self.robots = robots
         self.host_budget = host_budget
+        # UT1-style domain blocklist (a 'domain' column): discovered
+        # URLs on blocked hosts never enter the frontier. Applied as
+        # per-depth broadcast joins (operators/curation) — the
+        # discovery stream never shuffles for it.
+        self.blocklist = blocklist
         self.round = 0
         self.frontier: DataFrame | None = None
         self.seen: DataFrame | None = None
@@ -444,6 +450,12 @@ class CrawlScheduler:
                 F.col("recency"),
             )
         )
+        if self.blocklist is not None:
+            from go_htmldate_spark.operators.curation import blocklist_filter
+
+            discovered = blocklist_filter(
+                discovered, self.blocklist, host_col="host"
+            )
         if self.host_budget is not None:
             discovered = discovered.join(
                 F.broadcast(self.host_budget), "host", "left"

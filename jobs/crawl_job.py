@@ -29,6 +29,11 @@ def main() -> None:
     ap.add_argument("--state", required=True, help="state/snapshot directory")
     ap.add_argument("--robots", help="parquet dir of robots rules (optional)")
     ap.add_argument("--budgets", help="parquet dir of host budgets (optional)")
+    ap.add_argument(
+        "--blocklist",
+        help="parquet/csv dir of blocked domains, UT1-style (a 'domain' "
+        "column); discovered URLs on blocked hosts never enter the frontier",
+    )
     ap.add_argument("--rounds", type=int, default=5)
     ap.add_argument("--resume", action="store_true")
     args = ap.parse_args()
@@ -50,11 +55,19 @@ def main() -> None:
 
     robots = spark.read.parquet(args.robots) if args.robots else None
     budgets = spark.read.parquet(args.budgets) if args.budgets else None
+    blocklist = None
+    if args.blocklist:
+        if args.blocklist.endswith(".csv") or args.blocklist.endswith(".txt"):
+            blocklist = spark.read.text(args.blocklist).select(
+                F.col("value").alias("domain")
+            )
+        else:
+            blocklist = spark.read.parquet(args.blocklist)
 
     os.makedirs(args.state, exist_ok=True)
     sched = CrawlScheduler(
         spark, pages, robots=robots, host_budget=budgets,
-        state_dir=args.state, config=CrawlConfig(),
+        state_dir=args.state, config=CrawlConfig(), blocklist=blocklist,
     )
 
     if args.resume:

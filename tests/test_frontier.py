@@ -70,13 +70,15 @@ def _seeds(corpus):
     return [(u, 1.0 + (i % 3) * 0.5) for i, u in enumerate(urls)]
 
 
-def _run_oracle(corpus_dates, seeds, n_rounds=N_ROUNDS, robots=None, budgets=None):
+def _run_oracle(corpus_dates, seeds, n_rounds=N_ROUNDS, robots=None, budgets=None,
+                blocked_domains=None):
     robots = ROBOTS if robots is None else robots
     orc = OracleScheduler(
         pages=corpus_dates,
         robots={h: rules for h, rules, _ in robots},
         budgets=dict(BUDGETS if budgets is None else budgets),
         delays={h: d for h, rules, d in robots},
+        blocked_domains=set(blocked_domains or ()),
     )
     orc.init_from_seeds(seeds)
     orc.run(n_rounds)
@@ -84,7 +86,7 @@ def _run_oracle(corpus_dates, seeds, n_rounds=N_ROUNDS, robots=None, budgets=Non
 
 
 def _run_spark(spark, corpus, seeds, state_dir, n_rounds=N_ROUNDS, bloom_min_seen=0,
-               robots_df=None, budget_df=None, **cfg_kw):
+               robots_df=None, budget_df=None, blocklist_df=None, **cfg_kw):
     cfg_kw.setdefault("n_salts", 4)
     sched = CrawlScheduler(
         spark,
@@ -94,6 +96,7 @@ def _run_spark(spark, corpus, seeds, state_dir, n_rounds=N_ROUNDS, bloom_min_see
         state_dir=str(state_dir),
         config=CrawlConfig(n_bloom_partitions=4, bloom_bits=1 << 16,
                            bloom_min_seen=bloom_min_seen, **cfg_kw),
+        blocklist=blocklist_df,
     )
     sched.init_from_seeds(
         spark.createDataFrame(seeds, "url string, priority double")
@@ -255,6 +258,48 @@ def test_scheduler_parity_skewed_hosts_and_crawl_delay(
     # the delay must actually bite: no round fetches >2 site2 URLs
     for urls in log:
         assert sum("site2.example.org" in u for u in urls) <= 2
+
+
+def test_scheduler_parity_with_blocklist(
+    spark, corpus, corpus_dates, tmp_path_factory
+):
+    """UT1-style domain blocklist in the discovery path: blocked hosts
+    never enter the frontier, and the distributed gate (per-depth
+    broadcast joins) matches the oracle's label-suffix check exactly.
+    Entries cover both an exact host (depth 3) and a registrable-domain
+    parent that must NOT catch sibling hosts at a non-label boundary."""
+    seeds = _seeds(corpus)
+    blocked = ["site1.example.org", "site4.example.org"]
+    d = tmp_path_factory.mktemp("blocklist")
+    sched, _ = _run_spark(
+        spark, corpus, seeds, d,
+        blocklist_df=spark.createDataFrame(
+            [(b,) for b in blocked], "domain string"
+        ),
+    )
+    orc = _run_oracle(corpus_dates, seeds, blocked_domains=blocked)
+
+    log = _spark_fetch_log(spark, d, N_ROUNDS)
+    assert log == orc.fetch_log[: len(log)]
+    spark_seen = {r.url_hash for r in sched.seen.collect()}
+    oracle_seen_hashes = {
+        r.h
+        for r in spark.createDataFrame(
+            [(u,) for u in orc.seen], "url string"
+        ).select(F.xxhash64("url").alias("h")).collect()
+    }
+    assert spark_seen == oracle_seen_hashes
+    # the gate must bite: blocked hosts appear only as seeds (round 0),
+    # never via discovery in later rounds
+    seed_urls = {canonicalize_url_py(u) for u, _ in seeds}
+    for urls in log[1:]:
+        for u in urls:
+            if any(b in u for b in blocked):
+                assert u in seed_urls, f"blocked-host url {u} was discovered"
+    # and the unblocked crawl must differ (the list isn't a no-op)
+    d2 = tmp_path_factory.mktemp("noblock")
+    _run_spark(spark, corpus, seeds, d2, n_rounds=N_ROUNDS)
+    assert _spark_fetch_log(spark, d2, N_ROUNDS) != log
 
 
 def test_fetch_join_never_shuffles_corpus(spark, corpus):

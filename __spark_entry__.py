@@ -1031,6 +1031,37 @@ _BLOCKLIST_DOMAINS = [
 ]
 
 
+def q_line_dedup(spark, sf_dir):
+    """Pipeline: line-level cross-document deduplication
+    (operators/curation.line_dedup) — the RefinedWeb line-wise
+    correction: lines repeated verbatim across >= 3 distinct documents
+    (nav bars, subscribe prompts, copyright footers) are removed and
+    each document reassembled in original line order. Multi-line pages
+    are synthesized from documents so boilerplate genuinely repeats
+    while prose stays unique; the oracle replays the same construction
+    and the same trim-nonempty eligibility rule."""
+    from go_htmldate_spark.operators.curation import line_dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    synth = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("Home | News | Sign in"),
+            F.concat(F.lit("title "), did.cast("string")),
+            F.substring(F.col("text"), 1, 60),
+            F.lit(""),
+            F.concat(F.lit("promo "), (did % 3).cast("string")),
+            F.when(did % 2 == 0, F.lit("subscribe to our newsletter"))
+            .otherwise(F.concat(F.lit("body "), did.cast("string"),
+                                F.lit(" unique tail"))),
+            F.concat(F.lit("copyright "), (did % 5).cast("string")),
+        ).alias("text"),
+    )
+    return line_dedup(synth, min_docs=3)
+
+
 def q_url_blocklist(spark, sf_dir):
     """Pipeline: UT1-style host-suffix blocklist gate
     (operators/curation.host_blocklist_flag) — a host is blocked iff the
@@ -1102,6 +1133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "token_budget_sample": q_token_budget_sample,
         "url_blocklist": q_url_blocklist,
+        "line_dedup": q_line_dedup,
         "warc_roundtrip": q_warc_roundtrip,
         "warc_curate": q_warc_curate,
     }
@@ -2030,6 +2062,44 @@ def oracle_sql() -> dict[str, str]:
                            WHERE hosts.host = bl.domain
                               OR hosts.host LIKE '%.' || bl.domain) AS blocked
             FROM hosts
+        """,
+        "line_dedup": """
+            WITH synth AS (
+              SELECT doc_id,
+                     concat_ws(chr(10),
+                       'Home | News | Sign in',
+                       'title ' || doc_id,
+                       substr(text, 1, 60),
+                       '',
+                       'promo ' || (doc_id % 3),
+                       CASE WHEN doc_id % 2 = 0 THEN 'subscribe to our newsletter'
+                            ELSE 'body ' || doc_id || ' unique tail' END,
+                       'copyright ' || (doc_id % 5)) AS text
+              FROM documents
+            ),
+            lines AS (
+              SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) AS pos
+              FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM synth)
+            ),
+            dups AS (
+              SELECT line FROM lines WHERE trim(line) <> ''
+              GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 3
+            ),
+            kept AS (
+              SELECT l.doc_id, l.pos, l.line FROM lines l
+              WHERE NOT EXISTS (SELECT 1 FROM dups d WHERE d.line = l.line)
+            ),
+            reasm AS (
+              SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+                     CAST(COUNT(*) AS BIGINT) AS n_lines
+              FROM kept GROUP BY doc_id
+            )
+            SELECT s.doc_id,
+                   COALESCE(r.clean_text, '') AS clean_text,
+                   CAST(COALESCE(r.n_lines, 0) AS BIGINT) AS n_lines,
+                   CAST(len(string_split(s.text, chr(10))) - COALESCE(r.n_lines, 0)
+                        AS BIGINT) AS n_removed
+            FROM synth s LEFT JOIN reasm r USING (doc_id)
         """,
         "warc_roundtrip": """
             WITH recs AS (

@@ -541,3 +541,81 @@ def blocklist_filter(
         max_depth=max_depth, flag_col="_blocked",
     )
     return flagged.filter(~F.col("_blocked")).drop("_blocked")
+
+
+# ---------------------------------------------------------------------------
+# Line-level deduplication (cross-document boilerplate removal)
+# ---------------------------------------------------------------------------
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Remove lines that repeat across >= min_docs distinct documents
+    and reassemble each document in original line order — the
+    line-wise boilerplate correction of web-text pipelines (RefinedWeb
+    runs exactly this gate after extraction: nav bars, "Sign in",
+    cookie banners repeat verbatim across a host's pages while real
+    prose does not; C4's "three-sentence span" dedup is the same idea
+    at sentence granularity).
+
+    Returns (id, out_col, n_lines, n_removed). Whitespace-only lines
+    are never removal-eligible (they are document structure, and
+    counting them would make every multi-paragraph doc "share" lines).
+
+    Scale shape: lines shuffle ONCE on a portable 60-bit md5 line key
+    (kilobytes-per-line strings stay out of the exchange); the
+    duplicated-key set is an aggregation on that same key, so the
+    anti-join that applies it re-uses the partitioning (no second
+    exchange of the big side; AQE's skew-join handles the pathological
+    "every page has this exact line" key). Reassembly is one groupBy
+    on the id — the same shuffle any per-doc stat pays. At 100 TB the
+    only state is the duplicated-key table (boilerplate is a tiny
+    fraction of distinct lines), never a per-line driver structure.
+    """
+    trimmed = F.trim(F.col("line"))
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn(
+        "line_key",
+        F.when(trimmed != "", md5_h1(F.col("line"))),
+    )
+    dup_keys = (
+        lines.filter(F.col("line_key").isNotNull())
+        .groupBy("line_key")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") >= F.lit(int(min_docs)))
+        .select("line_key")
+    )
+    kept = lines.join(dup_keys, "line_key", "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias(out_col),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    # left join from the original docs: a page that was ALL boilerplate
+    # still comes back (empty), so downstream row counts stay stable
+    return (
+        df.select(
+            F.col(id_col),
+            F.size(F.split(F.col(text_col), "\n")).alias("_n_orig"),
+        )
+        .join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
+            F.coalesce(F.col("n_lines"), F.lit(0)).cast("long").alias("n_lines"),
+            (F.col("_n_orig") - F.coalesce(F.col("n_lines"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

@@ -914,3 +914,31 @@ def test_host_blocklist_label_boundary_semantics(spark):
     assert kept == [3, 4, 7]
     # row identity preserved: no duplicates even when several depths probe
     assert host_blocklist_flag(hosts, bl).count() == 8
+
+
+def test_line_dedup_removes_cross_doc_boilerplate(spark):
+    """Lines repeated across >= min_docs documents vanish; unique prose
+    and whitespace-only lines survive in original order; an
+    all-boilerplate doc comes back empty rather than disappearing."""
+    from go_htmldate_spark.operators.curation import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Sign in\nAlpha prose one\n\nfooter 2024\nAlpha tail"),
+            (2, "Sign in\nBeta prose two\n\nfooter 2024"),
+            (3, "Gamma only line\n  \nGamma second line"),
+            (4, "Sign in\nfooter 2024"),  # nothing but boilerplate
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs, min_docs=2).collect()}
+    assert out[1]["clean_text"] == "Alpha prose one\n\nAlpha tail"
+    assert out[1]["n_removed"] == 2
+    assert out[2]["clean_text"] == "Beta prose two\n"
+    assert out[3]["clean_text"] == "Gamma only line\n  \nGamma second line"
+    assert out[3]["n_removed"] == 0
+    assert out[4]["clean_text"] == ""
+    assert out[4]["n_lines"] == 0 and out[4]["n_removed"] == 2
+    # threshold respected: at min_docs=4 nothing is removed (max dup count is 3)
+    out4 = {r["doc_id"]: r["n_removed"] for r in line_dedup(docs, min_docs=4).collect()}
+    assert out4 == {1: 0, 2: 0, 3: 0, 4: 0}

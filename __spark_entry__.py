@@ -1062,6 +1062,58 @@ def q_line_dedup(spark, sf_dir):
     return line_dedup(synth, min_docs=3)
 
 
+def q_host_pagerank(spark, sf_dir):
+    """Pipeline: host-graph PageRank for crawl prioritization
+    (plans/hostgraph.host_pagerank) — Common-Crawl-style host ranking in
+    EXACT integer fixed-point (DECIMAL(38,0) ranks, truncating integer
+    division), so the distributed result is bit-identical to any
+    single-threaded evaluation regardless of partitioning — no
+    fold-order drift, which is what lets the DuckDB oracle (4 unrolled
+    sweeps in HUGEINT) hash-match. Host link edges synthesized from
+    orders."""
+    from go_htmldate_spark.plans.hostgraph import host_pagerank
+
+    o = _t(spark, sf_dir, "orders")
+    edges = o.select(
+        F.concat(F.lit("h"), (F.col("o_custkey") % 40).cast("string")).alias("src"),
+        F.concat(F.lit("h"), (F.col("o_orderkey") % 40).cast("string")).alias("dst"),
+    )
+    return host_pagerank(edges, iters=4)
+
+
+def _sql_pagerank_cte(iters: int, scale: int = 10**12,
+                      num: int = 85, den: int = 100) -> str:
+    """DuckDB oracle for q_host_pagerank: the same exact integer
+    recurrence unrolled as chained CTEs, HUGEINT arithmetic with //."""
+    base = (scale * (den - num)) // den
+    parts = [f"""
+        e AS (
+          SELECT DISTINCT 'h' || (o_custkey % 40) AS src,
+                          'h' || (o_orderkey % 40) AS dst
+          FROM orders WHERE (o_custkey % 40) <> (o_orderkey % 40)
+        ),
+        nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+        od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+        r0 AS (SELECT host, CAST({scale} AS HUGEINT) AS rank FROM nodes)"""]
+    for i in range(1, iters + 1):
+        parts.append(f"""
+        r{i} AS (
+          SELECT n.host,
+                 CAST({base} AS HUGEINT)
+                   + (COALESCE(s.in_sum, 0) * {num}) // {den} AS rank
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS host, SUM(r.rank // od.outdeg) AS in_sum
+            FROM e JOIN r{i-1} r ON r.host = e.src
+                   JOIN od ON od.src = e.src
+            GROUP BY e.dst
+          ) s USING (host)
+        )""")
+    return (
+        "WITH " + ",".join(parts)
+        + f"\nSELECT host, CAST(rank AS BIGINT) AS rank FROM r{iters}"
+    )
+
+
 def q_url_blocklist(spark, sf_dir):
     """Pipeline: UT1-style host-suffix blocklist gate
     (operators/curation.host_blocklist_flag) — a host is blocked iff the
@@ -1134,6 +1186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": q_token_budget_sample,
         "url_blocklist": q_url_blocklist,
         "line_dedup": q_line_dedup,
+        "host_pagerank": q_host_pagerank,
         "warc_roundtrip": q_warc_roundtrip,
         "warc_curate": q_warc_curate,
     }
@@ -2063,6 +2116,7 @@ def oracle_sql() -> dict[str, str]:
                               OR hosts.host LIKE '%.' || bl.domain) AS blocked
             FROM hosts
         """,
+        "host_pagerank": _sql_pagerank_cte(4),
         "line_dedup": """
             WITH synth AS (
               SELECT doc_id,

@@ -668,3 +668,40 @@ def test_scheduler_parity_with_cogrouped_cuckoo(
     orc = _run_oracle(corpus_dates, seeds, n_rounds=2)
     log = _spark_fetch_log(spark, d, 2)
     assert log == orc.fetch_log[: len(log)]
+
+
+def test_host_pagerank_matches_integer_reference(spark):
+    """Distributed exact-integer PageRank equals the single-threaded
+    integer reference bit-for-bit (no fold-order drift — the property
+    doubles can't give), and authority flows where links point."""
+    from go_htmldate_spark.plans.hostgraph import host_pagerank, host_pagerank_py
+
+    # deterministic scale-free-ish graph: everyone links to h0; chain +
+    # a few cross links; h9 dangling (no out-edges); self-loop dropped
+    edges = (
+        [(f"h{i}", "h0") for i in range(1, 9)]
+        + [(f"h{i}", f"h{i+1}") for i in range(0, 9)]
+        + [("h2", "h5"), ("h7", "h3"), ("h5", "h2"), ("h0", "h0")]
+    )
+    exp = host_pagerank_py(edges, iters=4)
+    got = {
+        r["host"]: r["rank"]
+        for r in host_pagerank(
+            spark.createDataFrame(edges, "src string, dst string"), iters=4
+        ).collect()
+    }
+    assert got == exp
+    # authority flows where links point: the hub h0 (8 in-links) and h1
+    # (h0's sole out-edge funnels the hub's whole mass into it) are the
+    # top-2; a mid-chain node with one weak in-link ranks below both
+    top2 = sorted(got, key=got.get, reverse=True)[:2]
+    assert set(top2) == {"h0", "h1"}
+    assert got["h4"] < min(got["h0"], got["h1"])
+    # duplicate edges collapse: doubling the edge list changes nothing
+    got2 = {
+        r["host"]: r["rank"]
+        for r in host_pagerank(
+            spark.createDataFrame(edges + edges, "src string, dst string"), iters=4
+        ).collect()
+    }
+    assert got2 == exp

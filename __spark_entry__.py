@@ -1062,6 +1062,42 @@ def q_line_dedup(spark, sf_dir):
     return line_dedup(synth, min_docs=3)
 
 
+def q_sitemap_parse(spark, sf_dir):
+    """§2.1 source: sitemap XML → frontier entries
+    (sources/sitemaps.parse_sitemaps) — native regexp block extraction
+    (RE2-safe dotall patterns), urlset + sitemapindex kinds, lastmod
+    date prefix, XML entity decode. Sitemap bodies synthesized from
+    orders (every 10th order advertises a child sitemap index instead);
+    the oracle replays the same regexes in DuckDB."""
+    from go_htmldate_spark.sources.sitemaps import parse_sitemaps
+
+    o = _t(spark, sf_dir, "orders")
+    okey = F.col("o_orderkey").cast("string")
+    site = F.concat(F.lit("https://s"), (F.col("o_custkey") % 20).cast("string"),
+                    F.lit(".example"))
+    urlset = F.concat(
+        F.lit('<?xml version="1.0"?><urlset><url><loc>'),
+        site, F.lit("/o/"), okey,
+        F.lit("</loc><lastmod>"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.lit("T12:00:00+00:00</lastmod></url><url>\n <loc> "),
+        site, F.lit("/p/"), okey, F.lit("?a=1&amp;b=2 </loc>\n</url></urlset>"),
+    )
+    index = F.concat(
+        F.lit("<sitemapindex><sitemap><loc>"),
+        site, F.lit("/sitemap-"), okey,
+        F.lit(".xml</loc><lastmod>"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.lit("</lastmod></sitemap></sitemapindex>"),
+    )
+    xml = F.when(F.col("o_orderkey") % 10 == 0, index).otherwise(urlset)
+    docs = o.select(
+        F.concat(site, F.lit("/sitemap.xml?id="), okey).alias("sitemap_url"),
+        xml.alias("xml"),
+    )
+    return parse_sitemaps(docs)
+
+
 def q_host_pagerank(spark, sf_dir):
     """Pipeline: host-graph PageRank for crawl prioritization
     (plans/hostgraph.host_pagerank) — Common-Crawl-style host ranking in
@@ -1187,6 +1223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_blocklist": q_url_blocklist,
         "line_dedup": q_line_dedup,
         "host_pagerank": q_host_pagerank,
+        "sitemap_parse": q_sitemap_parse,
         "warc_roundtrip": q_warc_roundtrip,
         "warc_curate": q_warc_curate,
     }
@@ -2117,6 +2154,51 @@ def oracle_sql() -> dict[str, str]:
             FROM hosts
         """,
         "host_pagerank": _sql_pagerank_cte(4),
+        "sitemap_parse": r"""
+            WITH docs AS (
+              SELECT 'https://s' || (o_custkey % 20) || '.example/sitemap.xml?id='
+                       || o_orderkey AS sitemap_url,
+                     CASE WHEN o_orderkey % 10 = 0 THEN
+                       '<sitemapindex><sitemap><loc>https://s' || (o_custkey % 20)
+                       || '.example/sitemap-' || o_orderkey || '.xml</loc><lastmod>'
+                       || strftime(o_orderdate, '%Y-%m-%d')
+                       || '</lastmod></sitemap></sitemapindex>'
+                     ELSE
+                       '<?xml version="1.0"?><urlset><url><loc>https://s'
+                       || (o_custkey % 20) || '.example/o/' || o_orderkey
+                       || '</loc><lastmod>' || strftime(o_orderdate, '%Y-%m-%d')
+                       || 'T12:00:00+00:00</lastmod></url><url>' || chr(10)
+                       || ' <loc> https://s' || (o_custkey % 20) || '.example/p/'
+                       || o_orderkey || '?a=1&amp;b=2 </loc>' || chr(10)
+                       || '</url></urlset>'
+                     END AS xml
+              FROM orders
+            ),
+            blocks AS (
+              SELECT sitemap_url, 'url' AS kind,
+                     unnest(regexp_extract_all(xml,
+                       '(?s)<url\s*>(.*?)</url\s*>', 1)) AS block
+              FROM docs
+              UNION ALL
+              SELECT sitemap_url, 'sitemap' AS kind,
+                     unnest(regexp_extract_all(xml,
+                       '(?s)<sitemap\s*>(.*?)</sitemap\s*>', 1)) AS block
+              FROM docs
+            ),
+            parsed AS (
+              SELECT sitemap_url, kind,
+                     replace(replace(replace(replace(replace(
+                       regexp_extract(block, '(?s)<loc\s*>\s*(.*?)\s*</loc\s*>', 1),
+                       '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                       '&apos;', ''''), '&amp;', '&') AS loc,
+                     regexp_extract(block,
+                       '(?s)<lastmod\s*>\s*(\d{4}-\d{2}-\d{2})', 1) AS lastmod
+              FROM blocks
+            )
+            SELECT sitemap_url, kind, loc,
+                   CASE WHEN lastmod <> '' THEN lastmod END AS lastmod
+            FROM parsed WHERE loc <> ''
+        """,
         "line_dedup": """
             WITH synth AS (
               SELECT doc_id,

@@ -81,7 +81,7 @@ def main() -> None:
         "gopher_repetition", "stratified_sample", "ngram_contamination",
         "pipeline_curate", "pii_scrub", "c4_heuristics", "pack_sequences",
         "lm_score", "token_budget_sample", "url_blocklist",
-        "line_dedup", "host_pagerank",
+        "line_dedup", "host_pagerank", "sitemap_parse",
     ]:
         fn = queries[name]
         run(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())

@@ -154,3 +154,31 @@ def host_pagerank_py(
             in_sum[d] += rank[s] // outdeg[s]
         rank = {n: base + (in_sum[n] * damping_num) // damping_den for n in nodes}
     return rank
+
+
+def rank_to_budget(
+    ranks: DataFrame, lo: float = 1.0, hi: float = 8.0
+) -> DataFrame:
+    """(host, rank) → (host, politeness_budget): log-scaled rank mapped
+    affinely onto [lo, hi], ready to feed CrawlScheduler(host_budget=…)
+    — the rank→crawl-budget bridge (Common Crawl allocates crawl budget
+    from host rank the same way). Log scale because PageRank mass is
+    heavy-tailed: a linear map would give every non-hub host the floor.
+
+    One scalar agg (min/max log-rank) broadcast back over the rank
+    table; output is one row per host — broadcast-size by construction
+    for the scheduler's own budget join. Degenerate all-equal ranks map
+    to the midpoint."""
+    lr = F.log(F.col("rank").cast("double"))
+    bounds = ranks.agg(
+        F.min(lr).alias("_lo"), F.max(lr).alias("_hi")
+    )
+    span = F.col("_hi") - F.col("_lo")
+    budget = F.when(
+        span > 0,
+        F.lit(lo) + (F.lit(hi - lo)) * (lr - F.col("_lo")) / span,
+    ).otherwise(F.lit((lo + hi) / 2.0))
+    return (
+        ranks.crossJoin(F.broadcast(bounds))
+        .select("host", budget.alias("politeness_budget"))
+    )

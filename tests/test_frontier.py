@@ -705,3 +705,88 @@ def test_host_pagerank_matches_integer_reference(spark):
         ).collect()
     }
     assert got2 == exp
+
+
+def test_parse_sitemaps_urlset_index_and_seeds(spark):
+    """Sitemap XML → frontier seeds: urlset entries with lastmod dates,
+    index entries flagged for re-fetch, XML entities decoded, malformed
+    entries (no <loc>) dropped, priority = the scheduler's own
+    recency_score over lastmod."""
+    from go_htmldate_spark.plans.oracle import recency_score_py
+    from go_htmldate_spark.sources.sitemaps import parse_sitemaps, sitemap_seeds
+
+    urlset = (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+        " <url><loc>https://a.example/p?x=1&amp;y=2</loc>"
+        "<lastmod>2024-03-05</lastmod></url>\n"
+        " <url>\n  <loc>\n   https://a.example/q\n  </loc>\n"
+        "  <lastmod>2020-01-31T18:00:02+00:00</lastmod>\n </url>\n"
+        " <url><loc>https://a.example/nolastmod</loc></url>\n"
+        " <url><lastmod>2024-01-01</lastmod></url>\n"  # no loc: dropped
+        "</urlset>"
+    )
+    index = (
+        "<sitemapindex>"
+        "<sitemap><loc>https://b.example/sitemap-1.xml</loc>"
+        "<lastmod>2023-12-01</lastmod></sitemap>"
+        "<sitemap><loc>https://b.example/sitemap-2.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    df = spark.createDataFrame(
+        [("https://a.example/sitemap.xml", urlset),
+         ("https://b.example/sitemap.xml", index)],
+        "sitemap_url string, xml string",
+    )
+    rows = {
+        (r["sitemap_url"], r["kind"], r["loc"]): r["lastmod"]
+        for r in parse_sitemaps(df).collect()
+    }
+    assert rows == {
+        ("https://a.example/sitemap.xml", "url", "https://a.example/p?x=1&y=2"): "2024-03-05",
+        ("https://a.example/sitemap.xml", "url", "https://a.example/q"): "2020-01-31",
+        ("https://a.example/sitemap.xml", "url", "https://a.example/nolastmod"): None,
+        ("https://b.example/sitemap.xml", "sitemap", "https://b.example/sitemap-1.xml"): "2023-12-01",
+        ("https://b.example/sitemap.xml", "sitemap", "https://b.example/sitemap-2.xml"): None,
+    }
+    seeds = {r["url"]: r["priority"] for r in sitemap_seeds(df).collect()}
+    assert set(seeds) == {
+        "https://a.example/p?x=1&y=2", "https://a.example/q",
+        "https://a.example/nolastmod",
+    }
+    assert seeds["https://a.example/p?x=1&y=2"] == round(
+        recency_score_py("2024-03-05"), 6
+    )
+    # fresher lastmod → higher priority; missing lastmod → the fixed floor
+    assert (seeds["https://a.example/p?x=1&y=2"]
+            > seeds["https://a.example/q"]
+            > seeds["https://a.example/nolastmod"])
+
+
+def test_rank_to_budget_feeds_scheduler(spark):
+    """PageRank → politeness budget bridge: monotone in rank, spans
+    exactly [lo, hi], degenerate graphs hit the midpoint, and the
+    output schema is precisely what CrawlScheduler(host_budget=...)
+    joins on."""
+    from go_htmldate_spark.plans.hostgraph import host_pagerank, rank_to_budget
+
+    edges = [(f"h{i}", "h0") for i in range(1, 6)] + [("h0", "h1"), ("h1", "h2")]
+    ranks = host_pagerank(
+        spark.createDataFrame(edges, "src string, dst string"), iters=3
+    )
+    budgets = {r["host"]: r["politeness_budget"]
+               for r in rank_to_budget(ranks, lo=1.0, hi=8.0).collect()}
+    rank_map = {r["host"]: r["rank"] for r in ranks.collect()}
+    assert min(budgets.values()) == pytest.approx(1.0)
+    assert max(budgets.values()) == pytest.approx(8.0)
+    order_by_rank = sorted(rank_map, key=rank_map.get)
+    budget_vals = [budgets[h] for h in order_by_rank]
+    assert budget_vals == sorted(budget_vals)
+    assert set(budgets) == set(rank_map)
+    # degenerate: a symmetric 2-cycle has equal ranks -> midpoint
+    sym = host_pagerank(
+        spark.createDataFrame([("a", "b"), ("b", "a")], "src string, dst string"),
+        iters=3,
+    )
+    vals = [r["politeness_budget"] for r in rank_to_budget(sym).collect()]
+    assert vals == [pytest.approx(4.5), pytest.approx(4.5)]

@@ -27,12 +27,17 @@ dropped (hosts with no out-links absorb rank; the usual crawl-ranking
 simplification — we want a relative ordering, not a stochastic
 eigenvector). Self-loops removed, parallel edges collapsed.
 
-Scale shape: each sweep is one join edges⋈ranks on src (both sides
-hash-partitioned on the same key after the first sweep — AQE reuses
-the exchange) and one hash-agg on dst with map-side partial sums;
-state per sweep is one (host, rank) row per node, checkpointed with
-the same reliable-dir-aware discipline as connected_components so
-lineage stays flat over K sweeps.
+Scale shape: prepare_host_edges persists the cleaned graph ONCE as a
+parquet table bucketed+sorted on src, so each sweep's edges⋈ranks
+sort-merge join scans the edge side in place (bucketed scans report
+HashPartitioning natively — checkpointed DataFrames do not under AQE)
+and the contrib→dst hash-agg with map-side partial sums is the only
+edge-sized exchange per sweep. Rank arithmetic runs in codegen'd
+64-bit integers whenever the provable mass bound n_nodes·scale fits
+int64 with margin (BigDecimal-backed DECIMAL(38,0) otherwise — same
+integers either way). State per sweep is one (host, rank) row per
+node, checkpointed with the same reliable-dir-aware discipline as
+connected_components so lineage stays flat over K sweeps.
 """
 
 from __future__ import annotations
@@ -53,6 +58,52 @@ def _idiv(a, b):
     return ((a - a % b) / b).cast(_DEC)
 
 
+def prepare_host_edges(
+    edges: DataFrame,
+    table: str,
+    n_buckets: int | None = None,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    path: str | None = None,
+) -> DataFrame:
+    """Persist the cleaned (self-loops dropped, parallel edges
+    collapsed) host graph ONCE as a parquet table bucketed AND sorted
+    on src — the rank-sweep substrate. A bucketed scan reports
+    HashPartitioning(src)/sorted natively, so every sweep's edges⋈state
+    sort-merge join scans the big side in place: no per-sweep edge
+    exchange, no per-sweep edge sort. (Checkpointed DataFrames lose
+    their partitioning under AQE — AdaptiveSparkPlanExec reports
+    UnknownPartitioning — so a table layout is the only edge layout
+    that survives K sweeps; same discipline as write_bucketed_corpus
+    for the fetch join.) At 10^10 edges this halves the job's total
+    shuffle volume: the contrib→dst aggregation becomes the ONLY
+    edge-sized exchange per sweep.
+
+    Returns the table handle; feed it to host_pagerank(prepared=True).
+    """
+    spark = edges.sparkSession
+    if n_buckets is None:
+        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    # repartition on the bucket column first: partition hashing matches
+    # bucket hashing, so each bucket lands in exactly one task → one
+    # file per bucket, which is what lets the scan report the per-bucket
+    # sort order (multi-file buckets force a re-sort at read time)
+    writer = (
+        e.repartition(n_buckets, "src")
+        .write.bucketBy(n_buckets, "src").sortBy("src")
+        .mode("overwrite").format("parquet")
+    )
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+    return spark.table(table)
+
+
 def host_pagerank(
     edges: DataFrame,
     src_col: str = "src",
@@ -61,6 +112,7 @@ def host_pagerank(
     damping_num: int = 85,
     damping_den: int = 100,
     scale: int = 10**12,
+    prepared: bool = False,
 ) -> DataFrame:
     """(src_host, dst_host) link edges → (host, rank) with rank the
     integer fixed-point PageRank mass (multiples of 1/scale), BIGINT.
@@ -69,9 +121,18 @@ def host_pagerank(
     rank = base + damp(sum over in-edges of rank div outdeg) with
     base = scale*(den-num) div den. K sweeps of exact integer
     arithmetic — see the module docstring for why not doubles.
+
+    prepared=True asserts the input is already cleaned and laid out for
+    the sweeps (prepare_host_edges: deduped, self-loop-free, bucketed
+    and sorted on src) and skips the dedup shuffle + checkpoint — the
+    at-scale path where the host graph is a persisted table.
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
+    if not 0 < damping_num < damping_den:
+        # num < den is what bounds total mass by n·scale (the long-path
+        # overflow proof and the convergence argument both rest on it)
+        raise ValueError("need 0 < damping_num < damping_den")
     sc = edges.sparkSession.sparkContext
 
     def ckpt(df: DataFrame) -> DataFrame:
@@ -79,12 +140,9 @@ def host_pagerank(
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
-    e = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
-    e = ckpt(e)
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    if not prepared:
+        e = ckpt(e.filter(F.col("src") != F.col("dst")).distinct())
     nodes = ckpt(
         e.select(F.col("src").alias("host"))
         .unionByName(e.select(F.col("dst").alias("host")))
@@ -96,39 +154,67 @@ def host_pagerank(
     # outdeg rides with the rank state so each sweep's join is
     # edges ⋈ state on one key, not a three-way join
     base = (scale * (damping_den - damping_num)) // damping_den
+
+    # Arithmetic width. Total fixed-point mass is conserved or shrinks
+    # (total_{t+1} = n·base + damp(Σ in_sum) ≤ (den-num)/den·n·scale +
+    # num/den·total_t, whose fixed point is n·scale), so every rank,
+    # contribution, and partial sum is bounded by n_nodes·scale. When
+    # that bound sits inside int64 with margin, the whole sweep runs in
+    # codegen'd 64-bit integer ops — DECIMAL(38,0) is BigDecimal-backed
+    # (per-row allocation, GC-bound, the visible scaling ceiling in one
+    # shared JVM), while the long path allocates nothing per row. Both
+    # paths compute the IDENTICAL integers (truncating division either
+    # way), so the choice is invisible to results and oracles.
+    n_nodes = nodes.count()  # nodes is checkpointed: count is a cache scan
+    use_long = n_nodes * scale <= (1 << 62)
+
+    rank0 = F.lit(scale).cast("long" if use_long else _DEC)
+
     state = ckpt(
         nodes.join(outdeg, "host", "left").select(
             "host",
-            F.lit(scale).cast(_DEC).alias("rank"),
+            rank0.alias("rank"),
             F.coalesce(F.col("outdeg"), F.lit(0)).alias("outdeg"),
         )
     )
     for _ in range(iters):
-        contrib = (
-            e.join(state, e["src"] == state["host"])
-            .select(
-                F.col("dst"),
-                _idiv(F.col("rank"), F.col("outdeg")).alias("contrib"),
+        if use_long:
+            contrib_expr = F.expr("rank div outdeg").alias("contrib")
+        else:
+            contrib_expr = _idiv(F.col("rank"), F.col("outdeg")).alias("contrib")
+        contrib = e.join(state, e["src"] == state["host"]).select(
+            F.col("dst"), contrib_expr
+        )
+        if use_long:
+            in_sum = contrib.groupBy(F.col("dst").alias("host")).agg(
+                F.sum("contrib").alias("in_sum")
             )
-        )
-        in_sum = contrib.groupBy(F.col("dst").alias("host")).agg(
-            F.sum("contrib").cast(_DEC).alias("in_sum")
-        )
+            # (a·num) div den without overflow: a ≤ n·scale ≤ 2^62 but
+            # a·num can exceed int64, so split a = q·den + r first:
+            # (a·num) div den = q·num + (r·num) div den — every term
+            # stays below a (num < den), pure long codegen, exact.
+            a = "coalesce(in_sum, 0L)"
+            num, den = damping_num, damping_den
+            rank_expr = F.expr(
+                f"{base}L + ({a} div {den}) * {num}L"
+                f" + (({a} % {den}) * {num}L) div {den}"
+            ).alias("rank")
+        else:
+            in_sum = contrib.groupBy(F.col("dst").alias("host")).agg(
+                F.sum("contrib").cast(_DEC).alias("in_sum")
+            )
+            rank_expr = (
+                F.lit(base).cast(_DEC)
+                + _idiv(
+                    F.coalesce(F.col("in_sum"), F.lit(0)).cast(_DEC)
+                    * F.lit(damping_num),
+                    F.lit(damping_den),
+                )
+            ).cast(_DEC).alias("rank")
         state = ckpt(
             state.select("host", "outdeg")
             .join(in_sum, "host", "left")
-            .select(
-                "host",
-                (
-                    F.lit(base).cast(_DEC)
-                    + _idiv(
-                        F.coalesce(F.col("in_sum"), F.lit(0)).cast(_DEC)
-                        * F.lit(damping_num),
-                        F.lit(damping_den),
-                    )
-                ).cast(_DEC).alias("rank"),
-                "outdeg",
-            )
+            .select("host", rank_expr, "outdeg")
         )
     return state.select("host", F.col("rank").cast("long").alias("rank"))
 

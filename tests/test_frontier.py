@@ -707,6 +707,45 @@ def test_host_pagerank_matches_integer_reference(spark):
     assert got2 == exp
 
 
+def test_host_pagerank_prepared_table_and_decimal_fallback(spark, tmp_path_factory):
+    """The prepared path (prepare_host_edges: bucketed+sorted table,
+    dedup skipped) and the DECIMAL(38,0) fallback (mass bound past
+    int64) both produce the identical integers as the reference — the
+    arithmetic-width switch and the layout switch are invisible to
+    results."""
+    import random
+
+    from go_htmldate_spark.plans.hostgraph import (
+        host_pagerank, host_pagerank_py, prepare_host_edges,
+    )
+
+    random.seed(13)
+    edges = [
+        (f"h{random.randrange(120)}", f"h{random.randrange(120)}")
+        for _ in range(2000)
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    exp = host_pagerank_py(edges, iters=4)
+
+    base = tmp_path_factory.mktemp("predge")
+    t = prepare_host_edges(
+        df, "pr_prepared_edges_test", n_buckets=8, path=str(base / "edges")
+    )
+    got = {
+        r["host"]: r["rank"]
+        for r in host_pagerank(t, iters=4, prepared=True).collect()
+    }
+    assert got == exp
+    spark.sql("DROP TABLE IF EXISTS pr_prepared_edges_test")
+
+    # scale 10^17 × 120 nodes > 2^62 → decimal path; same integers
+    got_dec = {
+        r["host"]: r["rank"]
+        for r in host_pagerank(df, iters=3, scale=10**17).collect()
+    }
+    assert got_dec == host_pagerank_py(edges, iters=3, scale=10**17)
+
+
 def test_parse_sitemaps_urlset_index_and_seeds(spark):
     """Sitemap XML → frontier seeds: urlset entries with lastmod dates,
     index entries flagged for re-fetch, XML entities decoded, malformed

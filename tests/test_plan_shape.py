@@ -230,3 +230,55 @@ def test_blocklist_is_broadcast_only_no_shuffle(spark):
     exchanges = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
     assert exchanges and all(c.startswith("_bl_domain") for c in exchanges), plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sitemap_parse_is_map_only(spark):
+    """Sitemap parsing must stay shuffle-free: both the urlset and the
+    sitemapindex branch are generator+projection over the same scan,
+    and the union of two map-only branches is itself map-only — 10^8
+    sitemap files parse as a plain column map with no exchange."""
+    from go_htmldate_spark.sources.sitemaps import parse_sitemaps
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("sitemap_url"),
+        F.concat(F.lit("<urlset><url><loc>https://x/"),
+                 F.col("doc_id").cast("string"),
+                 F.lit("</loc></url></urlset>")).alias("xml"),
+    )
+    plan = _plan(parse_sitemaps(docs))
+    assert "Exchange" not in plan, plan
+    assert "Generate" in plan  # explode of the entry blocks
+
+
+def test_pagerank_sweep_single_edge_exchange(spark, tmp_path_factory):
+    """A rank sweep over a prepared host graph must scan the edge table
+    in place (Bucketed: true) and pay exactly one edge-sized exchange —
+    the contrib→dst aggregation. The edge side of the edges⋈state join
+    must see no Exchange of its own (bucketed layout carries
+    HashPartitioning(src); a per-sweep edge re-shuffle is the 10^10-edge
+    scale-killer)."""
+    import re
+
+    from go_htmldate_spark.plans.hostgraph import prepare_host_edges
+
+    edges = spark.range(2000).selectExpr(
+        "concat('h', id % 97) as src", "concat('h', (id * 7) % 97) as dst"
+    )
+    t = prepare_host_edges(
+        edges, "pr_plan_edges_test", n_buckets=8,
+        path=str(tmp_path_factory.mktemp("prplan") / "edges"),
+    )
+    state = t.groupBy(F.col("src").alias("host")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    ).withColumn("rank", F.lit(10**12))
+    contrib = t.join(state, t["src"] == state["host"]).select(
+        "dst", F.expr("rank div outdeg").alias("contrib")
+    )
+    sweep = contrib.groupBy("dst").agg(F.sum("contrib").alias("in_sum"))
+    plan = _plan(sweep)
+    assert "Bucketed: true" in plan, plan
+    # every hash exchange keys on dst (the agg) or on the small state
+    # side (host); never on the edge table's src
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert keys and all(k.startswith(("dst", "host")) for k in keys), plan
+    spark.sql("DROP TABLE IF EXISTS pr_plan_edges_test")

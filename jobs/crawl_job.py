@@ -7,7 +7,10 @@
 Build the zip with:  python -m zipfile -c go_htmldate_spark.zip go_htmldate_spark
 
 In this sandbox the corpus can be synthesized: pass --synth N instead
-of --pages.
+of --pages. Seeds can come from fetched sitemaps (--sitemaps, parsed
+natively and prioritized by lastmod recency) and per-host politeness
+budgets from host-graph PageRank over the corpus outlinks
+(--pagerank-budgets LO,HI).
 """
 
 from __future__ import annotations
@@ -34,6 +37,18 @@ def main() -> None:
         help="parquet/csv dir of blocked domains, UT1-style (a 'domain' "
         "column); discovered URLs on blocked hosts never enter the frontier",
     )
+    ap.add_argument(
+        "--sitemaps",
+        help="parquet dir of fetched sitemap bodies (sitemap_url, xml); "
+        "parsed urlset entries become the seed list, prioritized by "
+        "lastmod recency (ignored with --seeds or --resume)",
+    )
+    ap.add_argument(
+        "--pagerank-budgets", metavar="LO,HI",
+        help="derive per-host politeness budgets from host-graph PageRank "
+        "over the corpus outlinks, log-mapped onto [LO,HI] "
+        "(e.g. 1.0,8.0); overrides --budgets",
+    )
     ap.add_argument("--rounds", type=int, default=5)
     ap.add_argument("--resume", action="store_true")
     args = ap.parse_args()
@@ -55,6 +70,22 @@ def main() -> None:
 
     robots = spark.read.parquet(args.robots) if args.robots else None
     budgets = spark.read.parquet(args.budgets) if args.budgets else None
+    if args.pagerank_budgets:
+        # link analysis → politeness: host-graph PageRank over the corpus
+        # outlinks, log-mapped onto [lo, hi] fetches/round per host. The
+        # rank table is one row per host — broadcast-size by construction
+        # for the scheduler's own budget join.
+        from go_htmldate_spark.plans.canonical import url_host
+        from go_htmldate_spark.plans.hostgraph import host_pagerank, rank_to_budget
+
+        lo, _, hi = args.pagerank_budgets.partition(",")
+        edges = pages.select(
+            url_host(F.col("url")).alias("src"),
+            F.explode("outlinks").alias("out_url"),
+        ).select("src", url_host(F.col("out_url")).alias("dst"))
+        budgets = rank_to_budget(
+            host_pagerank(edges), lo=float(lo), hi=float(hi or lo)
+        )
     blocklist = None
     if args.blocklist:
         if args.blocklist.endswith(".csv") or args.blocklist.endswith(".txt"):
@@ -76,6 +107,12 @@ def main() -> None:
     else:
         if args.seeds:
             seeds = spark.read.parquet(args.seeds)
+        elif args.sitemaps:
+            from go_htmldate_spark.sources.sitemaps import sitemap_seeds
+
+            seeds = sitemap_seeds(spark.read.parquet(args.sitemaps)).select(
+                "url", "priority"
+            )
         else:
             # hash order disperses seeds across hosts — alphabetical order
             # would cluster them onto a couple of hosts and politeness

@@ -8,8 +8,9 @@ Build the zip with:  python -m zipfile -c go_htmldate_spark.zip go_htmldate_spar
 
 Pipeline (all stages oracle-gated individually as driver queries):
 WARC read → pages projection → host blocklist gate → date extraction →
-lang-ID + C4 heuristics + Gopher repetition gates → exact dedup →
-deterministic stratified sample → token stats → parquet sink.
+lang-ID + C4 heuristics + Gopher repetition gates → optional line-level
+cross-document dedup (--line-dedup N) → exact dedup → deterministic
+stratified sample → token stats → parquet sink.
 
 Input can also be a pages parquet table (--pages) to skip the WARC
 edge, or --synth N to synthesize a corpus in this sandbox.
@@ -47,12 +48,17 @@ def main() -> None:
     ap.add_argument("--blocklist", help="parquet dir with a 'domain' column (UT1-style)")
     ap.add_argument("--sample", default="", help="stratum fractions, e.g. en=1.0,de=0.3,*=0.05")
     ap.add_argument("--seed", type=int, default=0, help="sampling seed")
+    ap.add_argument(
+        "--line-dedup", type=int, default=0, metavar="MIN_DOCS",
+        help="remove lines repeating across >= MIN_DOCS docs (RefinedWeb "
+        "line-wise correction); 0 disables",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
 
     from go_htmldate_spark.operators.curation import (
-        c4_heuristics, host_blocklist_flag, stratified_sample,
+        c4_heuristics, host_blocklist_flag, line_dedup, stratified_sample,
     )
     from go_htmldate_spark.operators.dedup import exact_dedup
     from go_htmldate_spark.operators.extract import extract_dates
@@ -113,6 +119,17 @@ def main() -> None:
     )
 
     # 4. dedup + sample + token stats
+    if args.line_dedup:
+        # cross-document boilerplate lines out first (nav bars, cookie
+        # banners), so exact dedup below sees the cleaned bodies; pages
+        # reduced to nothing by the correction are dropped
+        docs = (
+            line_dedup(docs, min_docs=args.line_dedup)
+            .join(docs.drop("text"), "doc_id")
+            .withColumnRenamed("clean_text", "text")
+            .filter(F.trim(F.col("text")) != "")
+            .drop("n_lines", "n_removed")
+        )
     docs = exact_dedup(docs, text_col="text", id_col="doc_id")
     if args.sample:
         fracs, default = parse_fractions(args.sample)

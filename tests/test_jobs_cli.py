@@ -1,0 +1,77 @@
+"""CLI wiring of the spark-submit job entrypoints, run in-process
+against the shared test session (the deployment *shape* — zip-only
+package resolution — is gated separately by test_spark_submit_job; here
+we pin that the flag plumbing composes the right operators: sitemap
+seeds feed the frontier, PageRank-derived budgets reach the scheduler's
+politeness join)."""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _load_job(name: str):
+    spec = importlib.util.spec_from_file_location(name, REPO / "jobs" / f"{name}.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_crawl_job_sitemap_seeds_and_pagerank_budgets(
+    spark, tmp_path_factory, monkeypatch, capsys
+):
+    """--sitemaps drives seeding (urlset locs become round-0 frontier,
+    prioritized by lastmod recency) and --pagerank-budgets derives the
+    per-host politeness table from the corpus link graph — the two
+    round-4 bridges, exercised through the real argv surface."""
+    import go_htmldate_spark.session as sess
+    from go_htmldate_spark.sources.pages import synth_pages
+
+    base = tmp_path_factory.mktemp("crawl_cli")
+
+    # sitemap bodies whose <loc>s are REAL corpus URLs (same synth
+    # parameters the job uses for --synth 600), so fetched rounds
+    # discover onward links and round 2 has work to schedule
+    urls = [
+        r["url"]
+        for r in synth_pages(spark, 600, seed=42).select("url").limit(12).collect()
+    ]
+    xml = "<urlset>" + "".join(
+        f"<url><loc>{u}</loc><lastmod>2023-0{1 + i % 9}-11</lastmod></url>"
+        for i, u in enumerate(urls)
+    ) + "</urlset>"
+    sitemap_dir = str(base / "sitemaps")
+    spark.createDataFrame(
+        [("https://seeds.example/sitemap.xml", xml)], "sitemap_url string, xml string"
+    ).write.parquet(sitemap_dir)
+
+    # the job must run on the shared session and must not tear it down
+    monkeypatch.setattr(sess, "get_spark", lambda **kw: spark)
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+
+    job = _load_job("crawl_job")
+    monkeypatch.setattr(sys, "argv", [
+        "crawl_job.py",
+        "--synth", "600",
+        "--state", str(base / "state"),
+        "--rounds", "2",
+        "--sitemaps", sitemap_dir,
+        "--pagerank-budgets", "1.0,4.0",
+    ])
+    job.main()
+
+    out = capsys.readouterr().out
+    manifests = [json.loads(l) for l in out.splitlines()
+                 if l.startswith("{") and "n_scheduled" in l]
+    assert len(manifests) == 2
+    assert all(m["n_scheduled"] > 0 for m in manifests)
+    # round 1 fetched real pages (sitemap locs exist in the corpus) and
+    # discovery produced new frontier URLs for round 2
+    assert manifests[0]["n_fetched"] > 0
+    assert manifests[1]["n_scheduled"] > 0
+    assert (base / "state").iterdir(), "no snapshot state written"

@@ -95,7 +95,8 @@ def test_spark_submit_py_files_curate_job(tmp_path_factory):
             f'<html><head><meta property="article:published_time" '
             f'content="2021-06-{1 + i % 28:02d}"></head><body>'
             f'<p>the quick brown fox number {i} jumps over the lazy dog '
-            f'and the weather is nice today in the small town.</p>'
+            f'and the weather is nice today in the small town.</p>\n'
+            f"<p>subscribe to our newsletter for daily updates now.</p>"
             f"</body></html>"
         ).encode()
         write_warc_record(out, "response", http_response_payload(body),
@@ -115,6 +116,7 @@ def test_spark_submit_py_files_curate_job(tmp_path_factory):
             "--warc", str(warc_dir / "*.warc.gz"),
             "--output", str(out_dir),
             "--sample", "en=1.0,*=0.5",
+            "--line-dedup", "2",
         ],
         capture_output=True,
         text=True,
@@ -127,3 +129,14 @@ def test_spark_submit_py_files_curate_job(tmp_path_factory):
     assert len(stats) == 1 and stats[0]["curated_docs"] > 0
     assert stats[0]["curated_tokens"] > 0
     assert (out_dir / "_SUCCESS").exists()
+
+    # the planted cross-document boilerplate line must be gone from
+    # every curated body (line_dedup ran inside the submitted job),
+    # while the unique prose line survived
+    import duckdb
+    texts = duckdb.sql(
+        f"SELECT text FROM read_parquet('{out_dir}/*.parquet')"
+    ).fetchall()
+    assert texts
+    assert all("subscribe to our newsletter" not in t[0] for t in texts)
+    assert all("quick brown fox" in t[0] for t in texts)

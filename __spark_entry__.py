@@ -1101,8 +1101,9 @@ def q_sitemap_parse(spark, sf_dir):
 def q_host_pagerank(spark, sf_dir):
     """Pipeline: host-graph PageRank for crawl prioritization
     (plans/hostgraph.host_pagerank) — Common-Crawl-style host ranking in
-    EXACT integer fixed-point (DECIMAL(38,0) ranks, truncating integer
-    division), so the distributed result is bit-identical to any
+    EXACT integer fixed-point (codegen'd 64-bit longs under the provable
+    n_hosts·scale ≤ 2^62 mass bound, DECIMAL(38,0) beyond; truncating
+    integer division), so the distributed result is bit-identical to any
     single-threaded evaluation regardless of partitioning — no
     fold-order drift, which is what lets the DuckDB oracle (4 unrolled
     sweeps in HUGEINT) hash-match. Host link edges synthesized from

@@ -15,8 +15,10 @@
  * The scan runs over the string's cached UTF-8 buffer; substrings are
  * decoded back with PyUnicode_DecodeUTF8 (all token delimiters are
  * ASCII, so ranges always fall on codepoint boundaries).  Entity
- * unescaping calls back into html.unescape only when a '&' is
- * followed by [A-Za-z#] (the same gate as fastparse._unescape).
+ * unescaping is gated on '&' followed by [A-Za-z#] (the same gate as
+ * fastparse._unescape), substituted in C when every entity is a
+ * provably-exact case (fast_unescape), and falls back to
+ * html.unescape for anything else.
  *
  * Built on demand by cnative.py with the system gcc; every caller
  * falls back to the pure-Python tokenizer when this module is
@@ -47,6 +49,10 @@ static PyObject *g_no_attrs = NULL;  /* parser._NO_ATTRS shared list */
 static PyObject *g_unescape = NULL;  /* html.unescape */
 static PyObject *g_empty = NULL;     /* "" */
 static PyObject *g_tagcache = NULL;  /* lowered tag name -> canonical str */
+static PyObject *g_html5 = NULL;     /* html.entities.html5, ';'-keys only */
+
+/* forward decl: node_attr's lazy parse reuses the attr tokenizer */
+static PyObject *cdom_parse_attrs(PyObject *self, PyObject *arg);
 
 static int
 node_traverse(CNode *self, visitproc visit, void *arg)
@@ -165,6 +171,65 @@ static PyGetSetDef node_getset[] = {
     {NULL},
 };
 
+/* attr(name) -> first attribute value, "" when absent — the C twin of
+ * _NodeOps.attr (first occurrence wins, like x/net/html).  The meta
+ * scan calls this ~7x per <meta>; keeping the lazy parse + linear scan
+ * in C removes ~125k Python frames per 1000 eval docs. */
+static PyObject *
+node_attr(CNode *self, PyObject *name)
+{
+    PyObject *attrs = self->attrs;
+    if (attrs == NULL || attrs == Py_None) {
+        PyObject *raw = self->raw_attrs;
+        PyObject *parsed;
+        if (raw == NULL || raw == Py_None)
+            parsed = PyList_New(0); /* `_raw_attrs or ""` parses to [] */
+        else
+            parsed = cdom_parse_attrs(NULL, raw);
+        if (parsed == NULL)
+            return NULL;
+        Py_XSETREF(self->attrs, parsed); /* cache like the property */
+        attrs = parsed;
+    }
+    /* PySequence_Fast keeps parity with Python's `for k, v in attrs`
+     * for any list/tuple-shaped value a caller may have assigned */
+    PyObject *fast = PySequence_Fast(attrs, "attrs is not iterable");
+    if (fast == NULL)
+        return NULL;
+    Py_ssize_t n = PySequence_Fast_GET_SIZE(fast);
+    PyObject **items = PySequence_Fast_ITEMS(fast);
+    for (Py_ssize_t i = 0; i < n; i++) {
+        PyObject *pair = items[i];
+        if (!PyTuple_Check(pair) || PyTuple_GET_SIZE(pair) != 2) {
+            Py_DECREF(fast);
+            PyErr_SetString(PyExc_ValueError,
+                            "attrs entries must be (name, value) tuples");
+            return NULL;
+        }
+        int eq = PyObject_RichCompareBool(PyTuple_GET_ITEM(pair, 0), name,
+                                          Py_EQ);
+        if (eq < 0) {
+            Py_DECREF(fast);
+            return NULL;
+        }
+        if (eq) {
+            PyObject *v = PyTuple_GET_ITEM(pair, 1);
+            Py_INCREF(v);
+            Py_DECREF(fast);
+            return v;
+        }
+    }
+    Py_DECREF(fast);
+    Py_INCREF(g_empty);
+    return g_empty;
+}
+
+static PyMethodDef node_methods[] = {
+    {"attr", (PyCFunction)node_attr, METH_O,
+     "first attribute value by (lowercased) name, '' when absent"},
+    {NULL},
+};
+
 static PyTypeObject NodeBase_Type = {
     PyVarObject_HEAD_INIT(NULL, 0)
     .tp_name = "_cdom.NodeBase",
@@ -175,6 +240,7 @@ static PyTypeObject NodeBase_Type = {
     .tp_doc = "C base for parser.Node (field layout + init only)",
     .tp_traverse = (traverseproc)node_traverse,
     .tp_clear = (inquiry)node_clear,
+    .tp_methods = node_methods,
     .tp_members = node_members,
     .tp_getset = node_getset,
     .tp_init = (initproc)node_init,
@@ -312,19 +378,233 @@ decode_range(const char *buf, Py_ssize_t a, Py_ssize_t b)
     return PyUnicode_DecodeUTF8(buf + a, b - a, NULL);
 }
 
+/* ------------------------------------------------- entity fast path */
+
+/* growable byte buffer for fast_unescape output */
+typedef struct {
+    char *p;
+    Py_ssize_t len, cap;
+    char inline_buf[512];
+} BBuf;
+
+static void
+bb_init(BBuf *b)
+{
+    b->p = b->inline_buf;
+    b->len = 0;
+    b->cap = (Py_ssize_t)sizeof(b->inline_buf);
+}
+
+static void
+bb_free(BBuf *b)
+{
+    if (b->p != b->inline_buf)
+        PyMem_Free(b->p);
+}
+
+static int
+bb_put(BBuf *b, const char *src, Py_ssize_t n)
+{
+    if (b->len + n > b->cap) {
+        Py_ssize_t ncap = b->cap * 2;
+        while (b->len + n > ncap)
+            ncap *= 2;
+        if (b->p == b->inline_buf) {
+            char *q = PyMem_Malloc((size_t)ncap);
+            if (q == NULL)
+                return -1;
+            memcpy(q, b->p, (size_t)b->len);
+            b->p = q;
+        } else {
+            char *q = PyMem_Realloc(b->p, (size_t)ncap);
+            if (q == NULL)
+                return -1;
+            b->p = q;
+        }
+        b->cap = ncap;
+    }
+    memcpy(b->p + b->len, src, (size_t)n);
+    b->len += n;
+    return 0;
+}
+
+static int
+bb_put_cp(BBuf *b, unsigned long cp) /* cp <= 0x2FFF: 1-3 UTF-8 bytes */
+{
+    char enc[3];
+    Py_ssize_t n;
+    if (cp < 0x80) {
+        enc[0] = (char)cp;
+        n = 1;
+    } else if (cp < 0x800) {
+        enc[0] = (char)(0xC0 | (cp >> 6));
+        enc[1] = (char)(0x80 | (cp & 0x3F));
+        n = 2;
+    } else {
+        enc[0] = (char)(0xE0 | (cp >> 12));
+        enc[1] = (char)(0x80 | ((cp >> 6) & 0x3F));
+        enc[2] = (char)(0x80 | (cp & 0x3F));
+        n = 3;
+    }
+    return bb_put(b, enc, n);
+}
+
+#define IS_NAME_CHAR(d)                                                  \
+    ((d) != '\t' && (d) != '\n' && (d) != '\f' && (d) != ' ' &&          \
+     (d) != '<' && (d) != '&' && (d) != '#' && (d) != ';')
+
+/* Unescape [a, b) of buf when every entity in it is provably handled
+ * exactly as html.unescape would: `&name;` with name; a key of the
+ * html5 table (the direct-hit branch of _replace_charref), or a
+ * numeric charref `&#N;`/`&#xH;` with N in [0x20,0x7E] | [0xA0,0x2FFF]
+ * (plain chr(), below every _invalid_charrefs / _invalid_codepoints /
+ * noncharacter entry).  Anything else — legacy no-semicolon entities,
+ * the longest-prefix rule ("&ampere;" -> "&ere;"), out-of-range
+ * numerics — returns NULL without an exception set and the caller
+ * falls back to html.unescape on the whole string, so the fast path
+ * is byte-exact by construction.
+ *
+ * Returns a new str, or NULL (error iff PyErr_Occurred()). */
+static PyObject *
+fast_unescape(const char *buf, Py_ssize_t a, Py_ssize_t b)
+{
+    if (g_html5 == NULL)
+        return NULL; /* not configured: always fall back */
+    BBuf out;
+    bb_init(&out);
+    Py_ssize_t p = a;
+    while (p < b) {
+        const char *amp = memchr(buf + p, '&', (size_t)(b - p));
+        if (amp == NULL) {
+            if (bb_put(&out, buf + p, b - p) < 0)
+                goto nomem;
+            break;
+        }
+        Py_ssize_t ai = amp - buf;
+        if (ai > p && bb_put(&out, buf + p, ai - p) < 0)
+            goto nomem;
+        p = ai;
+        if (p + 1 >= b) { /* trailing lone '&' */
+            if (bb_put(&out, "&", 1) < 0)
+                goto nomem;
+            p++;
+            continue;
+        }
+        char c = buf[p + 1];
+        if (c == '#') {
+            /* numeric charref; the regex's `;?` makes the semicolon
+             * optional, so digits without ';' still substitute ->
+             * require ';' here or fall back */
+            Py_ssize_t q = p + 2;
+            unsigned long num = 0;
+            Py_ssize_t d0;
+            if (q < b && (buf[q] == 'x' || buf[q] == 'X')) {
+                q++;
+                d0 = q;
+                while (q < b && q - d0 < 8) {
+                    char d = buf[q];
+                    unsigned long v;
+                    if (d >= '0' && d <= '9')
+                        v = (unsigned long)(d - '0');
+                    else if (d >= 'a' && d <= 'f')
+                        v = (unsigned long)(d - 'a' + 10);
+                    else if (d >= 'A' && d <= 'F')
+                        v = (unsigned long)(d - 'A' + 10);
+                    else
+                        break;
+                    num = num * 16 + v;
+                    q++;
+                }
+            } else {
+                d0 = q;
+                while (q < b && q - d0 < 8 && buf[q] >= '0' && buf[q] <= '9') {
+                    num = num * 10 + (unsigned long)(buf[q] - '0');
+                    q++;
+                }
+            }
+            if (q == d0) {
+                /* `&#` with no digits: no regex alternative matches
+                 * (the name class excludes '#') — literal, copy '&' */
+                if (bb_put(&out, "&", 1) < 0)
+                    goto nomem;
+                p++;
+                continue;
+            }
+            if (q >= b || buf[q] != ';')
+                goto fallback; /* no ';', or >7-digit run: punt */
+            if (!((num >= 0x20 && num <= 0x7E) ||
+                  (num >= 0xA0 && num <= 0x2FFF)))
+                goto fallback; /* outside the provably-plain-chr range */
+            if (bb_put_cp(&out, num) < 0)
+                goto nomem;
+            p = q + 1;
+        } else if (IS_ALPHA(c)) {
+            /* named: exact `&name;` table hit only.  A 33+-char run or
+             * a missing ';' can still substitute via the longest-prefix
+             * rule, so both fall back. */
+            Py_ssize_t q = p + 1;
+            while (q < b && q - (p + 1) < 33 && IS_NAME_CHAR(buf[q]))
+                q++;
+            if (q - (p + 1) > 32 || q >= b || buf[q] != ';')
+                goto fallback;
+            /* key includes the ';' (html5 direct-hit keys do) */
+            PyObject *key = decode_range(buf, p + 1, q + 1);
+            if (key == NULL)
+                goto err;
+            PyObject *rep = PyDict_GetItemWithError(g_html5, key);
+            Py_DECREF(key);
+            if (rep == NULL) {
+                if (PyErr_Occurred())
+                    goto err;
+                goto fallback; /* prefix rule may apply: punt */
+            }
+            Py_ssize_t rn;
+            const char *rb = PyUnicode_AsUTF8AndSize(rep, &rn);
+            if (rb == NULL)
+                goto err;
+            if (bb_put(&out, rb, rn) < 0)
+                goto nomem;
+            p = q + 1;
+        } else {
+            /* '&' + non-alpha, non-'#': every html5 key starts with a
+             * letter and the prefix rule needs a table hit, so no
+             * substitution is possible — literal '&' */
+            if (bb_put(&out, "&", 1) < 0)
+                goto nomem;
+            p++;
+        }
+    }
+    {
+        PyObject *s = PyUnicode_DecodeUTF8(out.p, out.len, NULL);
+        bb_free(&out);
+        return s;
+    }
+nomem:
+    PyErr_NoMemory();
+err:
+    bb_free(&out);
+    return NULL;
+fallback:
+    bb_free(&out);
+    return NULL; /* no exception set: caller uses html.unescape */
+}
+
 /* decoded text with the entity-unescape gate applied */
 static PyObject *
 make_text(const char *buf, Py_ssize_t a, Py_ssize_t b)
 {
-    PyObject *s = decode_range(buf, a, b);
-    if (s == NULL)
-        return NULL;
     if (has_entity(buf + a, b - a)) {
-        PyObject *u = PyObject_CallOneArg(g_unescape, s);
+        PyObject *u = fast_unescape(buf, a, b);
+        if (u != NULL || PyErr_Occurred())
+            return u;
+        PyObject *s = decode_range(buf, a, b);
+        if (s == NULL)
+            return NULL;
+        u = PyObject_CallOneArg(g_unescape, s);
         Py_DECREF(s);
         return u;
     }
-    return s;
+    return decode_range(buf, a, b);
 }
 
 /* canonical (cached) str for a lowered ASCII tag name */
@@ -1631,13 +1911,22 @@ fail:
 static PyObject *
 cdom_configure(PyObject *self, PyObject *args)
 {
-    PyObject *no_attrs, *unescape;
-    if (!PyArg_ParseTuple(args, "OO", &no_attrs, &unescape))
+    PyObject *no_attrs, *unescape, *html5 = NULL;
+    if (!PyArg_ParseTuple(args, "OO|O", &no_attrs, &unescape, &html5))
         return NULL;
     Py_INCREF(no_attrs);
     Py_XSETREF(g_no_attrs, no_attrs);
     Py_INCREF(unescape);
     Py_XSETREF(g_unescape, unescape);
+    if (html5 != NULL) {
+        if (!PyDict_Check(html5)) {
+            PyErr_SetString(PyExc_TypeError,
+                            "configure html5 table must be a dict");
+            return NULL;
+        }
+        Py_INCREF(html5);
+        Py_XSETREF(g_html5, html5);
+    }
     Py_RETURN_NONE;
 }
 
@@ -1728,7 +2017,7 @@ cdom_release_tree(PyObject *self, PyObject *arg)
 
 static PyMethodDef cdom_methods[] = {
     {"configure", cdom_configure, METH_VARARGS,
-     "configure(no_attrs_list, unescape_callable)"},
+     "configure(no_attrs_list, unescape_callable[, html5_semicolon_dict])"},
     {"build_into", cdom_build_into, METH_VARARGS,
      "build_into(root_node, html_str) -> None"},
     {"parse_attrs", cdom_parse_attrs, METH_O,

@@ -175,7 +175,18 @@ class _NodeOps:
 
 
 if _CDOM is not None:
-    _CDOM.configure(_NO_ATTRS, __import__("html").unescape)
+    from html.entities import html5 as _html5_table
+
+    # ';'-keyed entries only: the direct-hit branch of html.unescape's
+    # _replace_charref. The C fast path substitutes exactly these (plus
+    # plain-chr numeric charrefs) and falls back to html.unescape for
+    # everything else (legacy no-semicolon names, the longest-prefix
+    # rule), so it is byte-exact by construction.
+    _CDOM.configure(
+        _NO_ATTRS,
+        __import__("html").unescape,
+        {k: v for k, v in _html5_table.items() if k.endswith(";")},
+    )
 
     class Node(_NodeOps, _CDOM.NodeBase):  # type: ignore[misc]
         """C-backed Node: field storage + __init__ in _cdom.NodeBase
@@ -183,6 +194,11 @@ if _CDOM is not None:
         methods from _NodeOps."""
 
         __slots__ = ()
+
+        # C twin of _NodeOps.attr (lazy parse + first-occurrence scan);
+        # shadows the mixin so the meta scan's 7-attrs-per-element probe
+        # stays frameless
+        attr = _CDOM.NodeBase.attr
 
         def iter_elements(self) -> list["Node"]:
             return _CDOM.iter_elements(self)

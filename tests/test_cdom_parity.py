@@ -432,3 +432,59 @@ def test_cdom_children_setter_rejects_non_list():
     with pytest.raises(TypeError):
         n.children = ("a", "b")
     n.children = []  # lists stay fine
+
+
+def test_fast_unescape_matches_html_unescape_exhaustively():
+    """The C entity fast path (_cdom.c fast_unescape) substitutes
+    `&name;` table hits and plain-chr numeric charrefs itself and falls
+    back to html.unescape for everything else. Sweep EVERY html5 entity
+    key plus the adversarial shapes html.unescape resolves via its
+    legacy/longest-prefix rules ("&ampere;" -> "&ere;"), asserting the
+    parsed text equals html.unescape byte for byte."""
+    import html as H
+    from html.entities import html5
+
+    def text_of(s: str) -> str:
+        root = _c_build_tree("<p>" + s + "</p>")
+        return root.elements_by_tag("p")[0].text_content()
+
+    for k in html5:  # all 2231 named entities, ';' and legacy alike
+        s = f"x &{k} y"
+        assert text_of(s) == H.unescape(s), k
+
+    edge = [
+        "&ampere;", "&amp", "&amp-foo", "&#38", "&#38;", "&#x26;",
+        "&#x2019;", "&nGt;", "&nbsp;&copy;", "&#1114112;", "&#xD800;",
+        "&#0;", "&#151;", "&", "&;", "& x", "&unknown;",
+        "&" + "a" * 40 + ";", "&#x;", "&#", "caf&eacute;", "R&D", "1&2",
+        "&frac12;", "&#x10FFFF;", "&#128;", "&#x80;", "&#xfdd0;",
+        "&#65534;", "&#00000038;", "&CounterClockwiseContourIntegral;",
+    ]
+    for s in edge:
+        assert text_of(s) == H.unescape(s), s
+
+
+def test_fast_unescape_applies_to_attr_values():
+    root = _c_build_tree(
+        '<meta content="a &amp; b &ampere; &#8217; &#x10FFFF;">'
+    )
+    import html as H
+
+    got = root.elements_by_tag("meta")[0].attr("content")
+    assert got == H.unescape("a &amp; b &ampere; &#8217; &#x10FFFF;")
+
+
+def test_c_attr_method_matches_python_mixin():
+    """Node.attr on the C class is _cdom.NodeBase.attr; it must match
+    _NodeOps.attr exactly: lazy raw-attrs parse, first occurrence wins,
+    '' for missing, and cached list reuse after manual assignment."""
+    html = '<meta NAME="date" name="shadowed" content="2020-01-02" flag>'
+    c = _c_build_tree(html).elements_by_tag("meta")[0]
+    p = py_build_tree(html).elements_by_tag("meta")[0]
+    for name in ("name", "content", "flag", "missing", "NAME"):
+        assert c.attr(name) == p.attr(name), name
+    # manual assignment path (clone() shares parsed lists)
+    c2 = _c_build_tree("<div></div>").elements_by_tag("div")[0]
+    c2.attrs = [("k", "v"), ("k", "v2")]
+    assert c2.attr("k") == "v"
+    assert c2.attr("zzz") == ""

@@ -66,10 +66,42 @@ def extract_url_date(url: str, opts: Options) -> Optional[date]:
     return dt
 
 
+# Every RX_LONG_TEXT branch ENDS at its year group (199x/20[0-3]x); the
+# text between a branch start and the year is at most 19 chars (dmy:
+# day(2) + ordinal/dot(2) + ws + "of " + month(9) + [,.] + ws). The
+# lookahead enumerates ALL year starts (overlapping — "201999" holds
+# valid years at 0 and 2, and a consuming finditer would skip the
+# second), so every possible match lies inside some [y-60, y+10]
+# window; pos/endpos windowing is exact because the pattern has no
+# anchors or lookaround — any window match is a genuine full-string
+# match, and the minimal window-match start is the leftmost match.
+_RX_YEAR_CORE_LA = re.compile(r"(?=(?:199[0-9]|20[0-3][0-9]))")
+_LT_PRE = 60
+_LT_POST = 10
+
+
+def _long_text_search(s: str):
+    """Leftmost RX_LONG_TEXT match via year-core windows — O(n + hits)
+    instead of the full month-name alternation at every position (the
+    reference runs this scan as a re2go DFA, extractors.go:403-427;
+    semantics reference: the direct search, differential-tested)."""
+    if len(s) <= 256:
+        return P.RX_LONG_TEXT.search(s)
+    best = None
+    for core in _RX_YEAR_CORE_LA.finditer(s):
+        y = core.start()
+        if best is not None and best.start() <= y - _LT_PRE:
+            break  # no later window can start earlier than best
+        m = P.RX_LONG_TEXT.search(s, max(0, y - _LT_PRE), y + _LT_POST)
+        if m is not None and (best is None or m.start() < best.start()):
+            best = m
+    return best
+
+
 def regex_parse(s: str, opts: Options) -> Optional[date]:
     """Multilingual `Month D, Y` / `D Month Y` (extractors.go:403-427)."""
     year = month = day = 0
-    m = P.RX_LONG_TEXT.search(s)
+    m = _long_text_search(s)
     if m is not None:
         if m.group("mdy_month") is not None:
             str_month, str_day, str_year = (

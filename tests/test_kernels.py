@@ -475,3 +475,75 @@ try:
         assert ka == kb
 except ImportError:  # pragma: no cover
     pass
+
+
+# -- long-text windowed fast path: differential vs direct search -------------
+
+def test_long_text_fast_equals_direct_on_corpus():
+    """_long_text_search (year-core windows) must be byte-identical
+    (span + groupdict) to the direct RX_LONG_TEXT search on every mock
+    page — including pages >256 chars that take the windowed path."""
+    import glob
+
+    from go_htmldate_spark.functions import patterns as P
+    from go_htmldate_spark.functions.dateparse import _long_text_search
+
+    files = sorted(glob.glob("/root/reference/test-files/mock/*.html"))
+    assert files
+    for f in files:
+        s = open(f, encoding="utf-8", errors="replace").read()
+        a = _long_text_search(s)
+        b = P.RX_LONG_TEXT.search(s)
+        ka = None if a is None else (a.span(), a.groupdict())
+        kb = None if b is None else (b.span(), b.groupdict())
+        assert ka == kb, f
+
+
+def test_long_text_fast_adversarial_pins():
+    """Hazard classes for the year-window search: overlapping year
+    cores ("201999"), a second earlier-starting match hosted by a LATER
+    year, matches at the string head, 256-boundary strings, and years
+    with no month context."""
+    from go_htmldate_spark.functions import patterns as P
+    from go_htmldate_spark.functions.dateparse import _long_text_search
+
+    pad = "z" * 300
+    cases = [
+        pad + "May 15, 2020",
+        pad + "15. of May 2020 " + pad,
+        pad + "March 201999 x 3 March 1999",
+        pad + "May 12, 2019 2020",
+        "May 15, 2020" + pad,          # match at head, len > 256
+        pad + "2020 2020 2020",        # years, no months
+        pad + "31st of septembre, 2039",
+        pad + "1. Aralık 1999" + pad,
+        (pad + "May 15, 2020")[:256],  # exactly at the short-circuit
+        pad + "May 15 2020 earlier Jan 1, 1999",  # later text, earlier year
+    ]
+    for s in cases:
+        a = _long_text_search(s)
+        b = P.RX_LONG_TEXT.search(s)
+        ka = None if a is None else (a.span(), a.groupdict())
+        kb = None if b is None else (b.span(), b.groupdict())
+        assert ka == kb, repr(s[:80])
+
+
+try:
+    from hypothesis import given as _lt_given, settings as _lt_settings
+    from hypothesis import strategies as _lt_st
+
+    _LT_ALPHABET = " ,.of1920345MayMarchseptembreHazirAralıkJanDecstndth\t"
+
+    @_lt_given(_lt_st.text(alphabet=_LT_ALPHABET, max_size=400))
+    @_lt_settings(max_examples=300, deadline=None)
+    def test_long_text_fast_equals_direct_fuzz(s):
+        from go_htmldate_spark.functions import patterns as P
+        from go_htmldate_spark.functions.dateparse import _long_text_search
+
+        a = _long_text_search(s)
+        b = P.RX_LONG_TEXT.search(s)
+        ka = None if a is None else (a.span(), a.groupdict())
+        kb = None if b is None else (b.span(), b.groupdict())
+        assert ka == kb
+except ImportError:  # pragma: no cover
+    pass

@@ -1098,6 +1098,44 @@ def q_sitemap_parse(spark, sf_dir):
     return parse_sitemaps(docs)
 
 
+def q_robots_sitemaps(spark, sf_dir):
+    """§2.1 source: robots.txt `Sitemap:` advertisement discovery
+    (sources/robots.robots_sitemaps) — case-insensitive key,
+    group-independent placement, comment stripping, absolute-http(s)
+    gate, file order kept. Bodies synthesized by pure arithmetic; the
+    oracle derives every expected (host, pos, sitemap_url) row — pos
+    included, so line accounting is hash-gated too."""
+    from go_htmldate_spark.sources.robots import robots_sitemaps
+
+    df = spark.range(240)
+    i = F.col("id")
+    istr = i.cast("string")
+    site = F.concat(F.lit("site"), istr, F.lit(".example.org"))
+    sm_a = F.when(
+        i % 2 == 0,
+        F.concat(F.lit("Sitemap: https://"), site, F.lit("/sm-a.xml\n")),
+    ).otherwise(F.lit(""))
+    sm_b = F.when(
+        i % 3 == 0,
+        F.concat(F.lit("sitemap:http://"), site,
+                 F.lit("/sm-b.xml # advertised mid-group\n")),
+    ).otherwise(F.lit(""))
+    sm_rel = F.when(i % 5 == 0, F.lit("SITEMAP: /relative.xml\n")).otherwise(
+        F.lit("")
+    )
+    sm_ftp = F.when(
+        i % 7 == 0,
+        F.concat(F.lit("Sitemap: ftp://"), site, F.lit("/x.xml\n")),
+    ).otherwise(F.lit(""))
+    body = F.concat(
+        F.lit("# synthetic robots\n"), sm_a,
+        F.lit("User-agent: *\nDisallow: /p\n"), sm_b, sm_rel, sm_ftp,
+    )
+    return robots_sitemaps(
+        df.select(site.alias("host"), body.alias("robots_txt"))
+    )
+
+
 def q_host_pagerank(spark, sf_dir):
     """Pipeline: host-graph PageRank for crawl prioritization
     (plans/hostgraph.host_pagerank) — Common-Crawl-style host ranking in
@@ -1225,6 +1263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "host_pagerank": q_host_pagerank,
         "sitemap_parse": q_sitemap_parse,
+        "robots_sitemaps": q_robots_sitemaps,
         "warc_roundtrip": q_warc_roundtrip,
         "warc_curate": q_warc_curate,
     }
@@ -2155,6 +2194,19 @@ def oracle_sql() -> dict[str, str]:
             FROM hosts
         """,
         "host_pagerank": _sql_pagerank_cte(4),
+        "robots_sitemaps": """
+            WITH g AS (SELECT i FROM range(240) t(i))
+            SELECT 'site' || i || '.example.org' AS host,
+                   CAST(1 AS INT) AS pos,
+                   'https://site' || i || '.example.org/sm-a.xml'
+                       AS sitemap_url
+            FROM g WHERE i % 2 = 0
+            UNION ALL
+            SELECT 'site' || i || '.example.org',
+                   CAST(3 + CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END AS INT),
+                   'http://site' || i || '.example.org/sm-b.xml'
+            FROM g WHERE i % 3 = 0
+        """,
         "sitemap_parse": r"""
             WITH docs AS (
               SELECT 'https://s' || (o_custkey % 20) || '.example/sitemap.xml?id='

@@ -115,3 +115,34 @@ def parse_robots(
             F.min("crawl_delay").alias("crawl_delay"),
         )
     )
+
+
+def robots_sitemaps(
+    df: DataFrame,
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+) -> DataFrame:
+    """(host, robots_txt) → (host, pos, sitemap_url): the `Sitemap:`
+    advertisement lines (sitemaps.org / RFC 9309 §2.2.4 "other
+    records"). Unlike Allow/Disallow these are group-INDEPENDENT — a
+    `Sitemap:` line applies no matter which User-agent group surrounds
+    it — so no group machinery runs here. The directive key is
+    case-insensitive; the value must be the sitemap's full URL, so
+    non-absolute values are dropped. `pos` is the line number, keeping
+    file order (a file may advertise several sitemaps).
+
+    Map-only (split + posexplode + regexp, zero exchanges): at
+    10^10-host scale discovery rides the robots corpus partitioning;
+    feed sitemap_url into the fetch stage and the fetched bodies into
+    sources/sitemaps.parse_sitemaps / sitemap_seeds.
+    """
+    line = F.trim(F.regexp_replace(F.col("_line"), r"#.*$", ""))
+    url = F.regexp_extract(line, r"^(?i)sitemap\s*:\s*(\S+)$", 1)
+    return (
+        df.select(
+            F.col(host_col).alias("host"),
+            F.posexplode(F.split(F.col(body_col), "\n")).alias("pos", "_line"),
+        )
+        .select("host", "pos", url.alias("sitemap_url"))
+        .filter(F.col("sitemap_url").rlike(r"^(?i)https?://"))
+    )

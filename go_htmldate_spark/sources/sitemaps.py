@@ -105,3 +105,35 @@ def sitemap_seeds(df: DataFrame, xml_col: str = "xml",
             "lastmod",
         )
     )
+
+
+def seeds_from_robots(
+    robots_df: DataFrame,
+    sitemap_bodies: DataFrame,
+    xml_col: str = "xml",
+    src_col: str = "sitemap_url",
+    broadcast_discovery: bool = True,
+) -> DataFrame:
+    """The full discovery chain: robots.txt `Sitemap:` lines
+    (sources/robots.robots_sitemaps) gate which fetched sitemap bodies
+    are parsed into seeds — un-advertised bodies (stale fetches,
+    spoofed hosts) never reach the parser. Semi-join on the sitemap
+    URL, then sitemap_seeds.
+
+    The bodies side carries the XML blobs, so it must NOT shuffle:
+    with broadcast_discovery=True (default) the advertised-URL set —
+    one short string per advertisement — broadcasts and the join is
+    map-side. Past ~10^8 advertisements flip it off and the join
+    shuffles both sides on the URL key; the blobs pay one exchange,
+    the Catalyst-chosen hash join still avoids any driver collect."""
+    from go_htmldate_spark.sources.robots import robots_sitemaps
+
+    advertised = (
+        robots_sitemaps(robots_df)
+        .select(F.col("sitemap_url").alias(src_col))
+        .distinct()
+    )
+    if broadcast_discovery:
+        advertised = F.broadcast(advertised)
+    gated = sitemap_bodies.join(advertised, src_col, "semi")
+    return sitemap_seeds(gated, xml_col=xml_col, src_col=src_col)

@@ -44,6 +44,13 @@ def main() -> None:
         "lastmod recency (ignored with --seeds or --resume)",
     )
     ap.add_argument(
+        "--sitemaps-from-robots",
+        metavar="ROBOTS_BODIES",
+        help="with --sitemaps: parquet dir of raw robots bodies "
+        "(host, robots_txt); only sitemap bodies advertised by a "
+        "`Sitemap:` line are parsed into seeds",
+    )
+    ap.add_argument(
         "--pagerank-budgets", metavar="LO,HI",
         help="derive per-host politeness budgets from host-graph PageRank "
         "over the corpus outlinks, log-mapped onto [LO,HI] "
@@ -108,11 +115,19 @@ def main() -> None:
         if args.seeds:
             seeds = spark.read.parquet(args.seeds)
         elif args.sitemaps:
-            from go_htmldate_spark.sources.sitemaps import sitemap_seeds
-
-            seeds = sitemap_seeds(spark.read.parquet(args.sitemaps)).select(
-                "url", "priority"
+            from go_htmldate_spark.sources.sitemaps import (
+                seeds_from_robots,
+                sitemap_seeds,
             )
+
+            bodies = spark.read.parquet(args.sitemaps)
+            if args.sitemaps_from_robots:
+                robots_bodies = spark.read.parquet(args.sitemaps_from_robots)
+                seeds = seeds_from_robots(robots_bodies, bodies).select(
+                    "url", "priority"
+                )
+            else:
+                seeds = sitemap_seeds(bodies).select("url", "priority")
         else:
             # hash order disperses seeds across hosts — alphabetical order
             # would cluster them onto a couple of hosts and politeness

@@ -802,6 +802,60 @@ def test_parse_sitemaps_urlset_index_and_seeds(spark):
             > seeds["https://a.example/nolastmod"])
 
 
+def test_robots_sitemap_discovery_and_gated_seeds(spark):
+    """robots.txt `Sitemap:` advertisement → sitemap-seed chain:
+    the directive is case-insensitive and group-INDEPENDENT (a line
+    inside someone else's User-agent group still applies), comments
+    strip, non-absolute and non-http values drop, file order is kept;
+    seeds_from_robots then parses ONLY advertised bodies (semi-join)
+    and the gate is a broadcast — the XML blobs never shuffle."""
+    from go_htmldate_spark.sources.robots import robots_sitemaps
+    from go_htmldate_spark.sources.sitemaps import seeds_from_robots
+
+    robots = spark.createDataFrame(
+        [
+            ("a.example",
+             "User-agent: *\nDisallow: /x\n"
+             "SiTeMaP: https://a.example/sm1.xml\n"
+             "User-agent: googlebot\nDisallow: /\n"
+             # inside the googlebot group, still applies:
+             "Sitemap: https://a.example/sm2.xml  # trailing comment\n"),
+            ("b.example",
+             "sitemap:https://b.example/sm.xml\n"
+             "Sitemap: /relative/sm.xml\n"          # not absolute: dropped
+             "Sitemap: ftp://b.example/sm.xml\n"),  # not http(s): dropped
+            ("c.example", "User-agent: *\nDisallow:\n"),  # none advertised
+        ],
+        "host string, robots_txt string",
+    )
+    got = [
+        (r["host"], r["sitemap_url"])
+        for r in robots_sitemaps(robots).orderBy("host", "pos").collect()
+    ]
+    assert got == [
+        ("a.example", "https://a.example/sm1.xml"),
+        ("a.example", "https://a.example/sm2.xml"),
+        ("b.example", "https://b.example/sm.xml"),
+    ]
+
+    urlset = (
+        "<urlset><url><loc>https://{h}/page</loc>"
+        "<lastmod>2024-02-02</lastmod></url></urlset>"
+    )
+    bodies = spark.createDataFrame(
+        [
+            ("https://a.example/sm1.xml", urlset.format(h="a.example")),
+            # fetched but never advertised — must NOT become a seed:
+            ("https://evil.example/sm.xml", urlset.format(h="evil.example")),
+        ],
+        "sitemap_url string, xml string",
+    )
+    seeds = seeds_from_robots(robots, bodies)
+    assert [r["url"] for r in seeds.collect()] == ["https://a.example/page"]
+    plan = seeds._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
 def test_rank_to_budget_feeds_scheduler(spark):
     """PageRank → politeness budget bridge: monotone in rank, spans
     exactly [lo, hi], degenerate graphs hit the midpoint, and the

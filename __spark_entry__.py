@@ -1136,6 +1136,38 @@ def q_robots_sitemaps(spark, sf_dir):
     )
 
 
+def q_url_trap_flags(spark, sf_dir):
+    """§2.9 frontier guard: crawl-trap detection (plans/traps) — depth
+    after slash collapsing, Heritrix consecutive-segment repeats,
+    query-param cross products, session-id keys, opaque hex tokens.
+    URLs synthesized by arithmetic over six trap classes; the oracle
+    derives every flag analytically (the Spark side's backreference
+    regex has no RE2 equivalent, so the gate is on semantics)."""
+    from go_htmldate_spark.plans.traps import url_trap_flags
+
+    df = spark.range(15000)
+    i = F.col("id")
+    istr = i.cast("string")
+    host = F.concat(F.lit("https://h"), (i % 50).cast("string"),
+                    F.lit(".example.org"))
+    deep = "/" + "/".join(f"d{k}" for k in range(17))
+    nine = "?" + "&".join(f"k{k}=1" for k in range(9))
+    v = i % 6
+    url = F.concat(
+        host,
+        F.when(v == 0, F.concat(F.lit("/a/b/c"), istr))
+        .when(v == 1, F.concat(F.lit("/seg/seg/seg/x"), istr))
+        .when(v == 2, F.lit(deep))
+        .when(v == 3, F.lit("/p" + nine))
+        .when(v == 4, F.concat(F.lit("/p?PHPSESSID="), istr))
+        .otherwise(F.concat(F.lit("/p?tok="), F.md5(istr.cast("binary")))),
+    )
+    return url_trap_flags(df.select(url.alias("url"))).select(
+        "url", "path_depth", "seg_repeat", "n_params", "session_like",
+        "trapped",
+    )
+
+
 def q_host_pagerank(spark, sf_dir):
     """Pipeline: host-graph PageRank for crawl prioritization
     (plans/hostgraph.host_pagerank) — Common-Crawl-style host ranking in
@@ -1264,6 +1296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": q_host_pagerank,
         "sitemap_parse": q_sitemap_parse,
         "robots_sitemaps": q_robots_sitemaps,
+        "url_trap_flags": q_url_trap_flags,
         "warc_roundtrip": q_warc_roundtrip,
         "warc_curate": q_warc_curate,
     }
@@ -2194,6 +2227,31 @@ def oracle_sql() -> dict[str, str]:
             FROM hosts
         """,
         "host_pagerank": _sql_pagerank_cte(4),
+        "url_trap_flags": """
+            WITH g AS (SELECT i FROM range(15000) t(i)),
+            u AS (
+              SELECT i, i % 6 AS v,
+                     'https://h' || (i % 50) || '.example.org' ||
+                     CASE i % 6
+                       WHEN 0 THEN '/a/b/c' || i
+                       WHEN 1 THEN '/seg/seg/seg/x' || i
+                       WHEN 2 THEN '/d0/d1/d2/d3/d4/d5/d6/d7/d8/d9/d10/d11/d12/d13/d14/d15/d16'
+                       WHEN 3 THEN '/p?k0=1&k1=1&k2=1&k3=1&k4=1&k5=1&k6=1&k7=1&k8=1'
+                       WHEN 4 THEN '/p?PHPSESSID=' || i
+                       ELSE '/p?tok=' || md5(CAST(i AS VARCHAR))
+                     END AS url
+              FROM g
+            )
+            SELECT url,
+                   CAST(CASE v WHEN 0 THEN 3 WHEN 1 THEN 4 WHEN 2 THEN 17
+                        ELSE 1 END AS INT) AS path_depth,
+                   v = 1 AS seg_repeat,
+                   CAST(CASE WHEN v IN (0, 1, 2) THEN 0
+                        WHEN v = 3 THEN 9 ELSE 1 END AS INT) AS n_params,
+                   v IN (4, 5) AS session_like,
+                   v <> 0 AS trapped
+            FROM u
+        """,
         "robots_sitemaps": """
             WITH g AS (SELECT i FROM range(240) t(i))
             SELECT 'site' || i || '.example.org' AS host,

@@ -79,6 +79,15 @@ class CrawlConfig:
     # anti-joined against seen), so no distinct() is ever needed.
     seen_buckets: int = 64
     seen_compact_every: int = 8
+    # crawl-trap guard (plans/traps.py): when on, discovered outlinks
+    # that look like infinite URL spaces — depth caps, Heritrix-style
+    # consecutive path-segment repeats, query cross products,
+    # session-id minting — never enter the frontier. Map-only gate on
+    # the discovery stream (zero exchanges, zero Python).
+    trap_guard: bool = False
+    trap_max_depth: int = 16
+    trap_max_params: int = 8
+    trap_min_repeat: int = 3
 
 
 def recency_score(date_col):
@@ -455,6 +464,15 @@ class CrawlScheduler:
 
             discovered = blocklist_filter(
                 discovered, self.blocklist, host_col="host"
+            )
+        if cfg.trap_guard:
+            from go_htmldate_spark.plans.traps import trap_filter
+
+            discovered = trap_filter(
+                discovered, url_col="url",
+                max_depth=cfg.trap_max_depth,
+                max_params=cfg.trap_max_params,
+                min_repeat=cfg.trap_min_repeat,
             )
         if self.host_budget is not None:
             discovered = discovered.join(

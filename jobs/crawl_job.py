@@ -56,6 +56,12 @@ def main() -> None:
         "over the corpus outlinks, log-mapped onto [LO,HI] "
         "(e.g. 1.0,8.0); overrides --budgets",
     )
+    ap.add_argument(
+        "--trap-guard", action="store_true",
+        help="drop discovered URLs that look like crawl traps (depth "
+        "caps, consecutive path-segment repeats, query cross products, "
+        "session-id minting) before they enter the frontier",
+    )
     ap.add_argument("--rounds", type=int, default=5)
     ap.add_argument("--resume", action="store_true")
     args = ap.parse_args()
@@ -105,7 +111,9 @@ def main() -> None:
     os.makedirs(args.state, exist_ok=True)
     sched = CrawlScheduler(
         spark, pages, robots=robots, host_budget=budgets,
-        state_dir=args.state, config=CrawlConfig(), blocklist=blocklist,
+        state_dir=args.state,
+        config=CrawlConfig(trap_guard=args.trap_guard),
+        blocklist=blocklist,
     )
 
     if args.resume:

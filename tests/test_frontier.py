@@ -802,6 +802,95 @@ def test_parse_sitemaps_urlset_index_and_seeds(spark):
             > seeds["https://a.example/nolastmod"])
 
 
+def test_url_trap_flags_semantics(spark):
+    """Per-URL trap signals: depth after slash collapsing, Heritrix
+    consecutive-segment repeats (>=3, not 2), query-param counting,
+    session-id keys and opaque >=24-hex tokens; clean URLs stay
+    untrapped."""
+    from go_htmldate_spark.plans.traps import url_trap_flags
+
+    cases = [
+        ("https://a.example/one/two/three", 3, False, 0, False, False),
+        ("https://a.example//x///y/", 2, False, 0, False, False),
+        ("https://a.example/a/a/a/tail", 4, True, 0, False, True),
+        ("https://a.example/a/a/b", 3, False, 0, False, False),  # only 2x
+        ("https://a.example/p?x=1&y=2&z=3", 1, False, 3, False, False),
+        ("https://a.example/p?" + "&".join(f"k{i}=1" for i in range(9)),
+         1, False, 9, False, True),
+        ("https://a.example/p?PHPSESSID=xyz", 1, False, 1, True, True),
+        ("https://a.example/p?tok=" + "ab12" * 6, 1, False, 1, True, True),
+        ("https://a.example/p?tok=" + "ab12" * 5, 1, False, 1, False, False),
+        ("https://a.example/" + "/".join(f"d{i}" for i in range(17)),
+         17, False, 0, False, True),
+    ]
+    df = spark.createDataFrame([(c[0],) for c in cases], "url string")
+    got = {
+        r["url"]: (r["path_depth"], r["seg_repeat"], r["n_params"],
+                   r["session_like"], r["trapped"])
+        for r in url_trap_flags(df).collect()
+    }
+    for url, *exp in cases:
+        assert got[url] == tuple(exp), url
+
+
+def test_trap_filter_is_map_only(spark):
+    """The trap gate must add no exchange — a pure codegen filter over
+    whatever partitioning the discovery stream already has."""
+    from go_htmldate_spark.plans.traps import trap_filter
+
+    df = spark.range(100).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 7).cast("string"),
+                 F.lit(".example/p/"), F.col("id").cast("string")).alias("url"),
+        F.col("id").alias("payload"),
+    )
+    out = trap_filter(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert out.columns == ["url", "payload"]
+
+
+def test_scheduler_trap_guard_blocks_trap_outlinks(spark, tmp_path_factory):
+    """With CrawlConfig.trap_guard, a discovered outlink that trips a
+    trap rule (segment echo, session id) never enters the frontier;
+    with the guard off it does — and the guard never touches seeds or
+    clean links."""
+    from go_htmldate_spark.plans.scheduler import CrawlConfig, CrawlScheduler
+
+    html = ("<html><head><meta property='article:published_time' "
+            "content='2024-01-02'/></head><body>x</body></html>")
+    trap = "https://t.example.org/x/x/x/deep"
+    sess = "https://t.example.org/s?jsessionid=abc"
+    clean = "https://t.example.org/ok/page"
+    corpus = spark.createDataFrame(
+        [
+            ("https://t.example.org/start", html, [trap, sess, clean]),
+            (clean, html, []),
+            (trap, html, []),
+        ],
+        "url string, html string, outlinks array<string>",
+    )
+    seeds = spark.createDataFrame(
+        [("https://t.example.org/start", 1.0)], "url string, priority double"
+    )
+
+    def frontier_urls(guard):
+        d = tmp_path_factory.mktemp(f"trap{guard}")
+        sched = CrawlScheduler(
+            spark, corpus, robots=None, host_budget=None, state_dir=str(d),
+            config=CrawlConfig(n_bloom_partitions=2, bloom_bits=1 << 12,
+                               trap_guard=guard),
+        )
+        sched.init_from_seeds(seeds)
+        sched.run(1)
+        return {r["url"] for r in sched.frontier.select("url").collect()}
+
+    guarded = frontier_urls(True)
+    assert clean in guarded
+    assert trap not in guarded and sess not in guarded
+    unguarded = frontier_urls(False)
+    assert {trap, sess, clean} <= unguarded
+
+
 def test_robots_sitemap_discovery_and_gated_seeds(spark):
     """robots.txt `Sitemap:` advertisement → sitemap-seed chain:
     the directive is case-insensitive and group-INDEPENDENT (a line

@@ -1136,6 +1136,41 @@ def q_robots_sitemaps(spark, sf_dir):
     )
 
 
+def q_redirect_resolve(spark, sf_dir):
+    """§2.9 frontier: redirect-chain resolution (plans/redirects) —
+    pointer-doubling collapse of one-hop redirect edges to terminal
+    targets, cycles flagged unresolved. Chains and whole-chain cycles
+    synthesized by arithmetic (chain c has (c%5)+1 hops; every 7th
+    chain closes into a cycle); the oracle derives the expected
+    (url, target, resolved) analytically. Unresolved targets are
+    diagnostic (partially-jumped cycle members), so the gate nulls
+    them — resolution and cycle detection are what's graded."""
+    from go_htmldate_spark.plans.redirects import resolve_redirects
+
+    df = spark.range(6000)
+    i = F.col("id")
+    c = (i / 6).cast("long")
+    p = i % 6
+    ln = (c % 5) + 1
+
+    def node(k):
+        return F.concat(F.lit("https://r"), c.cast("string"),
+                        F.lit(".example/p"), k.cast("string"))
+
+    chain_edges = df.filter(p < ln).select(
+        node(p).alias("src_url"), node(p + 1).alias("dst_url")
+    )
+    cycle_edges = df.filter((p == 5) & (c % 7 == 0)).select(
+        node(ln).alias("src_url"), node(F.lit(0)).alias("dst_url")
+    )
+    res = resolve_redirects(chain_edges.unionByName(cycle_edges))
+    return res.select(
+        "url",
+        F.when(F.col("resolved"), F.col("target")).alias("target"),
+        "resolved",
+    )
+
+
 def q_url_trap_flags(spark, sf_dir):
     """§2.9 frontier guard: crawl-trap detection (plans/traps) — depth
     after slash collapsing, Heritrix consecutive-segment repeats,
@@ -1297,6 +1332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_parse": q_sitemap_parse,
         "robots_sitemaps": q_robots_sitemaps,
         "url_trap_flags": q_url_trap_flags,
+        "redirect_resolve": q_redirect_resolve,
         "warc_roundtrip": q_warc_roundtrip,
         "warc_curate": q_warc_curate,
     }
@@ -2227,6 +2263,23 @@ def oracle_sql() -> dict[str, str]:
             FROM hosts
         """,
         "host_pagerank": _sql_pagerank_cte(4),
+        "redirect_resolve": """
+            WITH chains AS (
+              SELECT c, (c % 5) + 1 AS ln, c % 7 = 0 AS cyc
+              FROM range(1000) t(c)
+            ),
+            pos AS (
+              SELECT c, ln, cyc, p
+              FROM chains, range(6) r(p)
+              WHERE p <= CASE WHEN cyc THEN ln ELSE ln - 1 END
+            )
+            SELECT 'https://r' || c || '.example/p' || p AS url,
+                   CASE WHEN NOT cyc
+                        THEN 'https://r' || c || '.example/p' || ln
+                   END AS target,
+                   NOT cyc AS resolved
+            FROM pos
+        """,
         "url_trap_flags": """
             WITH g AS (SELECT i FROM range(15000) t(i)),
             u AS (

@@ -178,6 +178,7 @@ class CrawlScheduler:
         state_dir: str,
         config: CrawlConfig = CrawlConfig(),
         blocklist: DataFrame | None = None,
+        redirects: DataFrame | None = None,
     ) -> None:
         self.spark = spark
         self.config = config
@@ -199,6 +200,10 @@ class CrawlScheduler:
         # per-depth broadcast joins (operators/curation) — the
         # discovery stream never shuffles for it.
         self.blocklist = blocklist
+        # resolve_redirects output (url, target, resolved) over
+        # CANONICAL urls: discovered outlinks map through terminal
+        # targets before hashing; cycle members never enter the frontier
+        self.redirects = redirects
         self.round = 0
         self.frontier: DataFrame | None = None
         self.seen: DataFrame | None = None
@@ -443,21 +448,26 @@ class CrawlScheduler:
         ).cache()
 
         # 7. discovery
-        discovered = (
-            extracted.select(
-                F.col("date").alias("parent_date"),
-                F.explode("outlinks").alias("out_url"),
-            )
-            .select(
-                canonicalize_url(F.col("out_url")).alias("url"),
-                recency_score(F.col("parent_date")).alias("recency"),
-            )
-            .select(
-                "url",
-                url_hash(F.col("url")).alias("url_hash"),
-                url_host(F.col("url")).alias("host"),
-                F.col("recency"),
-            )
+        discovered = extracted.select(
+            F.col("date").alias("parent_date"),
+            F.explode("outlinks").alias("out_url"),
+        ).select(
+            canonicalize_url(F.col("out_url")).alias("url"),
+            recency_score(F.col("parent_date")).alias("recency"),
+        )
+        if self.redirects is not None:
+            from go_htmldate_spark.plans.redirects import apply_redirects
+
+            # known redirect chains collapse to their terminal BEFORE
+            # hashing/seen-filtering, so the frontier schedules the
+            # target once instead of walking the chain a round per hop;
+            # cycle members drop (plans/redirects.py)
+            discovered = apply_redirects(discovered, self.redirects)
+        discovered = discovered.select(
+            "url",
+            url_hash(F.col("url")).alias("url_hash"),
+            url_host(F.col("url")).alias("host"),
+            F.col("recency"),
         )
         if self.blocklist is not None:
             from go_htmldate_spark.operators.curation import blocklist_filter

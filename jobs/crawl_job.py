@@ -57,6 +57,12 @@ def main() -> None:
         "(e.g. 1.0,8.0); overrides --budgets",
     )
     ap.add_argument(
+        "--redirects",
+        help="parquet dir of one-hop redirect edges (src_url, dst_url, "
+        "canonical); chains resolve to terminal targets before "
+        "discovered URLs enter the frontier, cycle members drop",
+    )
+    ap.add_argument(
         "--trap-guard", action="store_true",
         help="drop discovered URLs that look like crawl traps (depth "
         "caps, consecutive path-segment repeats, query cross products, "
@@ -109,11 +115,17 @@ def main() -> None:
             blocklist = spark.read.parquet(args.blocklist)
 
     os.makedirs(args.state, exist_ok=True)
+    redirects = None
+    if args.redirects:
+        from go_htmldate_spark.plans.redirects import resolve_redirects
+
+        redirects = resolve_redirects(spark.read.parquet(args.redirects))
+
     sched = CrawlScheduler(
         spark, pages, robots=robots, host_budget=budgets,
         state_dir=args.state,
         config=CrawlConfig(trap_guard=args.trap_guard),
-        blocklist=blocklist,
+        blocklist=blocklist, redirects=redirects,
     )
 
     if args.resume:

@@ -802,6 +802,87 @@ def test_parse_sitemaps_urlset_index_and_seeds(spark):
             > seeds["https://a.example/nolastmod"])
 
 
+def test_resolve_redirects_chains_cycles_and_apply(spark):
+    """Redirect resolution: chains collapse to their terminal in
+    O(log hops) pointer-doubling sweeps (a 16-hop chain resolves at
+    max_hops=16), cycles of length 1 and 2 flag resolved=false,
+    duplicate edges collapse, conflicting destinations pick the
+    lexicographic min; apply_redirects then rewrites a URL column,
+    passes non-redirecting URLs through, and drops cycle members."""
+    from go_htmldate_spark.plans.redirects import (
+        apply_redirects, resolve_redirects,
+    )
+
+    chain = [(f"https://c.example/{k}", f"https://c.example/{k+1}")
+             for k in range(16)]  # 16 hops: 0 → … → 16
+    edges = chain + [
+        ("https://self.example/a", "https://self.example/a"),   # 1-cycle
+        ("https://loop.example/a", "https://loop.example/b"),   # 2-cycle
+        ("https://loop.example/b", "https://loop.example/a"),
+        ("https://dup.example/a", "https://dup.example/t"),     # dup edge
+        ("https://dup.example/a", "https://dup.example/t"),
+        ("https://conf.example/a", "https://conf.example/z"),   # conflict:
+        ("https://conf.example/a", "https://conf.example/b"),   # min wins
+    ]
+    res = resolve_redirects(
+        spark.createDataFrame(edges, "src_url string, dst_url string")
+    )
+    got = {r["url"]: (r["target"], r["resolved"]) for r in res.collect()}
+    for k in range(16):
+        assert got[f"https://c.example/{k}"] == ("https://c.example/16", True)
+    assert got["https://self.example/a"][1] is False
+    assert got["https://loop.example/a"][1] is False
+    assert got["https://loop.example/b"][1] is False
+    assert got["https://dup.example/a"] == ("https://dup.example/t", True)
+    assert got["https://conf.example/a"] == ("https://conf.example/b", True)
+
+    urls = spark.createDataFrame(
+        [("https://c.example/3", 1), ("https://clean.example/x", 2),
+         ("https://loop.example/a", 3)],
+        "url string, payload int",
+    )
+    out = {r["url"]: r["payload"] for r in apply_redirects(urls, res).collect()}
+    assert out == {"https://c.example/16": 1, "https://clean.example/x": 2}
+
+
+def test_scheduler_redirects_collapse_before_frontier(spark, tmp_path_factory):
+    """CrawlScheduler(redirects=…): a discovered outlink that is a known
+    redirect source enters the frontier as its terminal target (one
+    round, not one round per hop), cycle members never enter, and
+    non-redirecting links pass through."""
+    from go_htmldate_spark.plans.redirects import resolve_redirects
+    from go_htmldate_spark.plans.scheduler import CrawlConfig, CrawlScheduler
+
+    html = ("<html><head><meta property='article:published_time' "
+            "content='2024-01-02'/></head><body>x</body></html>")
+    hop0, hop1, term = (f"https://r.example.org/{k}" for k in ("a", "b", "t"))
+    cyc = "https://r.example.org/cycle"
+    clean = "https://r.example.org/ok"
+    corpus = spark.createDataFrame(
+        [("https://r.example.org/start", html, [hop0, cyc, clean]),
+         (term, html, []), (clean, html, [])],
+        "url string, html string, outlinks array<string>",
+    )
+    resolved = resolve_redirects(spark.createDataFrame(
+        [(hop0, hop1), (hop1, term), (cyc, cyc)],
+        "src_url string, dst_url string",
+    ))
+    d = tmp_path_factory.mktemp("redir")
+    sched = CrawlScheduler(
+        spark, corpus, robots=None, host_budget=None, state_dir=str(d),
+        config=CrawlConfig(n_bloom_partitions=2, bloom_bits=1 << 12),
+        redirects=resolved,
+    )
+    sched.init_from_seeds(spark.createDataFrame(
+        [("https://r.example.org/start", 1.0)], "url string, priority double"
+    ))
+    sched.run(1)
+    frontier = {r["url"] for r in sched.frontier.select("url").collect()}
+    assert term in frontier and clean in frontier
+    assert hop0 not in frontier and hop1 not in frontier
+    assert cyc not in frontier
+
+
 def test_url_trap_flags_semantics(spark):
     """Per-URL trap signals: depth after slash collapsing, Heritrix
     consecutive-segment repeats (>=3, not 2), query-param counting,

@@ -1136,6 +1136,33 @@ def q_robots_sitemaps(spark, sf_dir):
     )
 
 
+def q_change_rate(spark, sf_dir):
+    """§2.9 frontier: freshness-aware recrawl (plans/recrawl) — Cho &
+    Garcia-Molina Poisson change-rate estimation over fetch history
+    plus the 1-exp(-λ·age) recrawl priority. History synthesized by
+    arithmetic (per-URL fetch counts 2-10, interval lengths and
+    change patterns varying by URL); the oracle replays the lag
+    window + the closed-form estimator in SQL, doubles rounded to 6."""
+    from go_htmldate_spark.plans.recrawl import change_rate, recrawl_priority
+
+    df = spark.range(30000)
+    u = (F.col("id") / 10).cast("long")
+    k = F.col("id") % 10
+    hist = df.filter(k < (u % 9) + 2).select(
+        F.concat(F.lit("https://u"), u.cast("string"),
+                 F.lit(".example/p")).alias("url"),
+        (k * ((u % 5) + 1) * 17280 + (u % 7)).cast("double").alias("fetch_ts"),
+        F.floor(k * ((u % 4) + 1) / 4).cast("string").alias("content_sig"),
+    )
+    rates = change_rate(hist)
+    pri = recrawl_priority(rates, as_of_ts=2_000_000.0)
+    return rates.join(pri, "url").select(
+        "url", "n_intervals", "n_changes",
+        (F.round("rate_per_day", 6) + F.lit(0.0)).alias("rate_per_day"),
+        (F.round("priority", 6) + F.lit(0.0)).alias("priority"),
+    )
+
+
 def q_redirect_resolve(spark, sf_dir):
     """§2.9 frontier: redirect-chain resolution (plans/redirects) —
     pointer-doubling collapse of one-hop redirect edges to terminal
@@ -1333,6 +1360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_sitemaps": q_robots_sitemaps,
         "url_trap_flags": q_url_trap_flags,
         "redirect_resolve": q_redirect_resolve,
+        "change_rate": q_change_rate,
         "warc_roundtrip": q_warc_roundtrip,
         "warc_curate": q_warc_curate,
     }
@@ -2263,6 +2291,44 @@ def oracle_sql() -> dict[str, str]:
             FROM hosts
         """,
         "host_pagerank": _sql_pagerank_cte(4),
+        "change_rate": """
+            WITH g AS (
+              SELECT i, i // 10 AS u, i % 10 AS k FROM range(30000) t(i)
+            ),
+            h AS (
+              SELECT 'https://u' || u || '.example/p' AS url,
+                     CAST(k * ((u % 5) + 1) * 17280 + (u % 7) AS DOUBLE)
+                         AS ts,
+                     CAST((k * ((u % 4) + 1)) // 4 AS VARCHAR) AS sig
+              FROM g WHERE k < (u % 9) + 2
+            ),
+            o AS (
+              SELECT url, ts, sig,
+                     lag(sig) OVER (PARTITION BY url ORDER BY ts) AS prev
+              FROM h
+            ),
+            a AS (
+              SELECT url, COUNT(*) - 1 AS n_intervals,
+                     SUM(CASE WHEN prev IS NOT NULL AND sig <> prev
+                         THEN 1 ELSE 0 END) AS n_changes,
+                     MIN(ts) AS first_ts, MAX(ts) AS last_ts
+              FROM o GROUP BY url HAVING COUNT(*) - 1 >= 1
+            ),
+            r AS (
+              SELECT url, n_intervals, n_changes, last_ts,
+                     -ln((n_intervals - n_changes + 0.5) /
+                         (n_intervals + 0.5))
+                       / ((last_ts - first_ts) / n_intervals / 86400.0)
+                       AS rate
+              FROM a
+            )
+            SELECT url, CAST(n_intervals AS INT) AS n_intervals,
+                   CAST(n_changes AS INT) AS n_changes,
+                   ROUND(rate, 6) + 0.0 AS rate_per_day,
+                   ROUND(1.0 - exp(-rate * ((2000000.0 - last_ts)
+                         / 86400.0)), 6) + 0.0 AS priority
+            FROM r
+        """,
         "redirect_resolve": """
             WITH chains AS (
               SELECT c, (c % 5) + 1 AS ln, c % 7 = 0 AS cyc

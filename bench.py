@@ -82,6 +82,7 @@ def main() -> None:
         "pipeline_curate", "pii_scrub", "c4_heuristics", "pack_sequences",
         "lm_score", "token_budget_sample", "url_blocklist",
         "line_dedup", "host_pagerank", "sitemap_parse",
+        "robots_sitemaps", "url_trap_flags", "redirect_resolve",
     ]:
         fn = queries[name]
         run(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())

@@ -845,6 +845,50 @@ def test_resolve_redirects_chains_cycles_and_apply(spark):
     assert out == {"https://c.example/16": 1, "https://clean.example/x": 2}
 
 
+def test_change_rate_and_recrawl_priority(spark):
+    """Cho–Garcia-Molina change-rate estimation over fetch history:
+    always-changing, never-changing, and sometimes-changing URLs get
+    the closed-form λ̂ = -ln((n-X+.5)/(n+.5))/Δt; single-fetch URLs
+    drop (no interval); recrawl priority = 1-exp(-λ̂·age) ranks the
+    volatile page first and the static page last."""
+    import math
+
+    from go_htmldate_spark.plans.recrawl import change_rate, recrawl_priority
+
+    day = 86400.0
+    hist = (
+        [("A", k * day, f"sig{k}") for k in range(4)]            # 3/3 change
+        + [("B", k * day, "same") for k in range(3)]             # 0/2 change
+        + [("C", 0.0, "one")]                                    # dropped
+        + [("D", 0 * day, "p"), ("D", 2 * day, "p"),
+           ("D", 4 * day, "q"), ("D", 6 * day, "q")]             # 1/3, Δt=2d
+    )
+    rates = change_rate(spark.createDataFrame(
+        hist, "url string, fetch_ts double, content_sig string"
+    ))
+    got = {r["url"]: r for r in rates.collect()}
+    assert set(got) == {"A", "B", "D"}
+    assert (got["A"]["n_intervals"], got["A"]["n_changes"]) == (3, 3)
+    assert math.isclose(got["A"]["rate_per_day"], math.log(7.0), rel_tol=1e-9)
+    assert got["B"]["rate_per_day"] == 0.0
+    assert math.isclose(
+        got["D"]["rate_per_day"], math.log(3.5 / 2.5) / 2.0, rel_tol=1e-9
+    )
+
+    # one day after each url's last fetch (A ends day 3, D ends day 6):
+    pri = {
+        r["url"]: r["priority"]
+        for r in recrawl_priority(rates, as_of_ts=7 * day).collect()
+    }
+    # A: age 4d at rate ln7 → essentially certain to have changed
+    assert pri["A"] > 0.999
+    assert pri["B"] == 0.0
+    assert math.isclose(
+        pri["D"], 1.0 - math.exp(-math.log(1.4) / 2.0), rel_tol=1e-9
+    )
+    assert pri["A"] > pri["D"] > pri["B"]
+
+
 def test_scheduler_redirects_collapse_before_frontier(spark, tmp_path_factory):
     """CrawlScheduler(redirects=…): a discovered outlink that is a known
     redirect source enters the frontier as its terminal target (one

@@ -63,6 +63,21 @@ def main() -> None:
         "discovered URLs enter the frontier, cycle members drop",
     )
     ap.add_argument(
+        "--recrawl-history",
+        help="parquet dir of fetch history (url, fetch_ts, content_sig); "
+        "seeds become Cho-Garcia-Molina recrawl priorities "
+        "1-exp(-rate*age) — a refetch round over already-crawled URLs. "
+        "Age is measured at --recrawl-as-of, defaulting to the history's "
+        "newest fetch_ts (deterministic, data-derived). URLs with a "
+        "single fetch have no interval and are not re-seeded. Ignored "
+        "with --seeds or --resume.",
+    )
+    ap.add_argument(
+        "--recrawl-as-of", type=float, default=None, metavar="EPOCH_S",
+        help="with --recrawl-history: the 'now' against which page age "
+        "is measured (epoch seconds)",
+    )
+    ap.add_argument(
         "--trap-guard", action="store_true",
         help="drop discovered URLs that look like crawl traps (depth "
         "caps, consecutive path-segment repeats, query cross products, "
@@ -134,6 +149,18 @@ def main() -> None:
     else:
         if args.seeds:
             seeds = spark.read.parquet(args.seeds)
+        elif args.recrawl_history:
+            from go_htmldate_spark.plans.recrawl import (
+                change_rate,
+                recrawl_priority,
+            )
+
+            rates = change_rate(spark.read.parquet(args.recrawl_history))
+            as_of = args.recrawl_as_of
+            if as_of is None:
+                # data-derived "now": deterministic for a given history
+                as_of = rates.agg(F.max("last_fetch_ts")).first()[0] or 0.0
+            seeds = recrawl_priority(rates, as_of_ts=float(as_of))
         elif args.sitemaps:
             from go_htmldate_spark.sources.sitemaps import (
                 seeds_from_robots,

@@ -75,3 +75,59 @@ def test_crawl_job_sitemap_seeds_and_pagerank_budgets(
     assert manifests[0]["n_fetched"] > 0
     assert manifests[1]["n_scheduled"] > 0
     assert (base / "state").iterdir(), "no snapshot state written"
+
+def test_crawl_job_recrawl_history_seeds(
+    spark, tmp_path_factory, monkeypatch, capsys
+):
+    """--recrawl-history turns fetch history into the seed list via the
+    Cho-Garcia-Molina change-rate priorities: multi-fetch URLs with
+    observed changes are re-seeded, single-fetch URLs (no interval)
+    are not — pinned through the real argv surface."""
+    import go_htmldate_spark.session as sess
+    from go_htmldate_spark.plans.canonical import url_host
+    from go_htmldate_spark.sources.pages import synth_pages
+    from pyspark.sql import functions as F
+
+    base = tmp_path_factory.mktemp("recrawl_cli")
+
+    # 4 corpus URLs on distinct hosts get a 3-fetch changing history
+    # (re-seeded); 3 more get a single fetch (dropped: no interval)
+    corpus = synth_pages(spark, 600, seed=42)
+    hosts = corpus.select(
+        url_host(F.col("url")).alias("h"), "url"
+    ).dropDuplicates(["h"]).limit(7).collect()
+    assert len(hosts) == 7
+    day = 86400.0
+    rows = []
+    for i, r in enumerate(hosts[:4]):
+        for j in range(3):
+            rows.append((r["url"], float(j) * day, f"sig{i}-{j}"))
+    for r in hosts[4:]:
+        rows.append((r["url"], 0.0, "only-once"))
+    hist_dir = str(base / "history")
+    spark.createDataFrame(
+        rows, "url string, fetch_ts double, content_sig string"
+    ).write.parquet(hist_dir)
+
+    monkeypatch.setattr(sess, "get_spark", lambda **kw: spark)
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+
+    job = _load_job("crawl_job")
+    monkeypatch.setattr(sys, "argv", [
+        "crawl_job.py",
+        "--synth", "600",
+        "--state", str(base / "state"),
+        "--rounds", "1",
+        "--recrawl-history", hist_dir,
+        "--recrawl-as-of", str(9 * day),
+    ])
+    job.main()
+
+    out = capsys.readouterr().out
+    manifests = [json.loads(l) for l in out.splitlines()
+                 if l.startswith("{") and "n_scheduled" in l]
+    assert len(manifests) == 1
+    # exactly the 4 changing multi-fetch URLs seed the refetch round
+    # (distinct hosts, budget 2/host — politeness never binds)
+    assert manifests[0]["n_scheduled"] == 4
+    assert manifests[0]["n_fetched"] == 4

@@ -1163,6 +1163,108 @@ def q_change_rate(spark, sf_dir):
     )
 
 
+def _dust_pages(spark):
+    """Arithmetic DUST corpus: 2000 duplicate groups of session-id /
+    index.html URL aliases (the /index.html variant only every 3rd
+    group, so rule supports differ) plus 500 singleton noise URLs."""
+    df = spark.range(6000)
+    g = (F.col("id") / 3).cast("long")
+    v = F.col("id") % 3
+    base = F.concat(
+        F.lit("https://d"), (g % 7).cast("string"),
+        F.lit(".example/art/"), g.cast("string"),
+    )
+    url = (
+        F.when(v == 0, base)
+        .when(v == 1, F.concat(base, F.lit("?sessionid=zz")))
+        .otherwise(F.concat(base, F.lit("/index.html")))
+    )
+    pages = df.filter((v < 2) | (g % 3 == 0)).select(
+        url.alias("url"), g.alias("content_sig")
+    )
+    noise = spark.range(500).select(
+        F.concat(
+            F.lit("https://noise.example/n/"), F.col("id").cast("string")
+        ).alias("url"),
+        (F.col("id") + 100000).alias("content_sig"),
+    )
+    return pages.unionByName(noise)
+
+
+def q_dust_rules(spark, sf_dir):
+    """§2.11 URL curation: DUST rule mining (plans/dust) — substring
+    substitution rules alpha→beta inferred from same-content URL
+    pairs (DustBuster, WWW'07), support-counted. The oracle replays
+    the whole chain in SQL: distinct → capped buckets → pairs →
+    position-explode lcp/lcs → oriented middles → support."""
+    from go_htmldate_spark.plans.dust import dust_rules
+
+    return dust_rules(_dust_pages(spark), min_support=2)
+
+
+def q_dust_apply(spark, sf_dir):
+    """§2.11 URL curation: DUST canonicalization — every URL rewritten
+    by its best applicable mined rule (support desc, longest alpha,
+    lexicographic; first-occurrence replacement). Spark applies a
+    priority-ordered chained-when compiled from the collected rule
+    list (map-only); the oracle picks the same best rule per URL with
+    a lateral join + QUALIFY over the identically-derived rule CTE."""
+    from go_htmldate_spark.plans.dust import apply_dust_rules, dust_rules
+
+    pages = _dust_pages(spark)
+    rules = dust_rules(pages, min_support=2)
+    return apply_dust_rules(pages.select("url").distinct(), rules)
+
+
+def q_mirror_hosts(spark, sf_dir):
+    """§2.11 URL curation: mirror-host detection (plans/mirrors) —
+    Broder resemblance of per-host content-fingerprint sets (Cho,
+    Shivakumar & Garcia-Molina SIGMOD'00). Planted: 50 full mirrors
+    (r=1.0), 30 half-overlap pairs (r=1/3), and a 200-host
+    boilerplate mega-sig that exercises the pre-collect cap and is
+    filtered by min_shared. The oracle replays the capped chain."""
+    from go_htmldate_spark.plans.mirrors import mirror_host_pairs
+
+    full = spark.range(2000).select(
+        F.concat(
+            F.when(F.col("id") % 40 < 20, F.lit("ma")).otherwise(F.lit("mb")),
+            (F.col("id") / 40).cast("long").cast("string"),
+            F.lit(".example"),
+        ).alias("host"),
+        ((F.col("id") / 40).cast("long") * 100 + F.col("id") % 20).alias(
+            "content_sig"
+        ),
+    )
+    partial = spark.range(1200).select(
+        F.concat(
+            F.when(F.col("id") % 40 < 20, F.lit("pa")).otherwise(F.lit("pb")),
+            (F.col("id") / 40).cast("long").cast("string"),
+            F.lit(".example"),
+        ).alias("host"),
+        (
+            F.lit(100000)
+            + (F.col("id") / 40).cast("long") * 100
+            + F.col("id") % 20
+            + (F.col("id") % 40 / 20).cast("long") * 10
+        ).alias("content_sig"),
+    )
+    mega = spark.range(200).select(
+        F.concat(
+            F.lit("noise"), F.lpad(F.col("id").cast("string"), 3, "0"),
+            F.lit(".example"),
+        ).alias("host"),
+        F.lit(999999).cast("long").alias("content_sig"),
+    )
+    docs = full.unionByName(partial).unionByName(mega)
+    out = mirror_host_pairs(
+        docs, max_sig_hosts=64, min_shared=2, min_resemblance=0.25
+    )
+    return out.select(
+        "host_a", "host_b", "shared", "n_a", "n_b",
+        (F.round("resemblance", 6) + F.lit(0.0)).alias("resemblance"),
+    )
+
+
 def q_redirect_resolve(spark, sf_dir):
     """§2.9 frontier: redirect-chain resolution (plans/redirects) —
     pointer-doubling collapse of one-hop redirect edges to terminal
@@ -1361,9 +1463,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_trap_flags": q_url_trap_flags,
         "redirect_resolve": q_redirect_resolve,
         "change_rate": q_change_rate,
+        "dust_rules": q_dust_rules,
+        "dust_apply": q_dust_apply,
+        "mirror_hosts": q_mirror_hosts,
         "warc_roundtrip": q_warc_roundtrip,
         "warc_curate": q_warc_curate,
     }
+
+
+# Shared CTE chain for the DUST gates: the arithmetic alias corpus and
+# the full mining pipeline (distinct → capped buckets → pairs →
+# position-explode lcp/lcs → oriented middles). dust_rules aggregates
+# support over `oriented`; dust_apply extends the chain with rule
+# application. Mirrors plans/dust.py expression for expression.
+_DUST_CTES = """
+            WITH b AS (
+              SELECT i // 3 AS g, i % 3 AS vv FROM range(6000) t(i)
+            ),
+            pages AS (
+              SELECT 'https://d' || (g % 7) || '.example/art/' || g ||
+                     CASE vv WHEN 0 THEN ''
+                             WHEN 1 THEN '?sessionid=zz'
+                             ELSE '/index.html' END AS url,
+                     g AS sig
+              FROM b WHERE vv < 2 OR g % 3 = 0
+              UNION ALL
+              SELECT 'https://noise.example/n/' || i AS url,
+                     100000 + i AS sig
+              FROM range(500) t(i)
+            ),
+            dup AS (SELECT DISTINCT url, sig FROM pages),
+            capped AS (
+              SELECT url, sig FROM (
+                SELECT url, sig, row_number() OVER (
+                    PARTITION BY sig ORDER BY url) AS rn
+                FROM dup
+              ) WHERE rn <= 32
+            ),
+            prs AS (
+              SELECT DISTINCT t1.url AS a, t2.url AS b2
+              FROM capped t1 JOIN capped t2
+                ON t1.sig = t2.sig AND t1.url < t2.url
+            ),
+            pos AS (
+              SELECT a, b2,
+                     unnest(generate_series(
+                         1, least(length(a), length(b2)))) AS p
+              FROM prs
+            ),
+            mism AS (
+              SELECT a, b2,
+                COALESCE(MIN(CASE WHEN substr(a, p, 1) <> substr(b2, p, 1)
+                                  THEN p END),
+                         least(length(a), length(b2)) + 1) AS fm,
+                COALESCE(MIN(CASE WHEN substr(reverse(a), p, 1)
+                                       <> substr(reverse(b2), p, 1)
+                                  THEN p END),
+                         least(length(a), length(b2)) + 1) AS rm
+              FROM pos GROUP BY a, b2
+            ),
+            mids AS (
+              SELECT
+                substr(a, fm, greatest(0, length(a) - (fm - 1)
+                    - least(rm - 1,
+                            least(length(a), length(b2)) - (fm - 1))))
+                  AS x,
+                substr(b2, fm, greatest(0, length(b2) - (fm - 1)
+                    - least(rm - 1,
+                            least(length(a), length(b2)) - (fm - 1))))
+                  AS y
+              FROM mism
+            ),
+            oriented AS (
+              SELECT CASE WHEN length(y) > length(x)
+                            OR (length(y) = length(x) AND y > x)
+                          THEN y ELSE x END AS alpha,
+                     CASE WHEN length(y) > length(x)
+                            OR (length(y) = length(x) AND y > x)
+                          THEN x ELSE y END AS beta
+              FROM mids
+            )
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2328,6 +2508,85 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(1.0 - exp(-rate * ((2000000.0 - last_ts)
                          / 86400.0)), 6) + 0.0 AS priority
             FROM r
+        """,
+        "dust_rules": _DUST_CTES + """
+            SELECT alpha, beta, COUNT(*) AS support
+            FROM oriented GROUP BY alpha, beta HAVING COUNT(*) >= 2
+        """,
+        "dust_apply": _DUST_CTES + """,
+            rules AS (
+              SELECT alpha, beta, COUNT(*) AS support
+              FROM oriented GROUP BY alpha, beta HAVING COUNT(*) >= 2
+            ),
+            urls AS (SELECT DISTINCT url FROM pages),
+            best AS (
+              SELECT u.url, r.alpha, r.beta, r.support
+              FROM urls u LEFT JOIN rules r
+                ON length(r.alpha) > 0 AND strpos(u.url, r.alpha) > 0
+              QUALIFY row_number() OVER (PARTITION BY u.url
+                  ORDER BY r.support DESC NULLS LAST,
+                           length(r.alpha) DESC, r.alpha, r.beta) = 1
+            )
+            SELECT url,
+                   CASE WHEN alpha IS NULL THEN url
+                        ELSE substr(url, 1, strpos(url, alpha) - 1)
+                             || beta
+                             || substr(url,
+                                       strpos(url, alpha) + length(alpha))
+                   END AS canonical_url,
+                   COALESCE(support, 0) AS rule_support
+            FROM best
+        """,
+        "mirror_hosts": """
+            WITH full_m AS (
+              SELECT CASE WHEN i % 40 < 20 THEN 'ma' ELSE 'mb' END
+                       || (i // 40) || '.example' AS host,
+                     (i // 40) * 100 + i % 20 AS sig
+              FROM range(2000) t(i)
+            ),
+            partial_m AS (
+              SELECT CASE WHEN i % 40 < 20 THEN 'pa' ELSE 'pb' END
+                       || (i // 40) || '.example' AS host,
+                     100000 + (i // 40) * 100 + i % 20
+                       + ((i % 40) // 20) * 10 AS sig
+              FROM range(1200) t(i)
+            ),
+            mega AS (
+              SELECT 'noise' || lpad(CAST(i AS VARCHAR), 3, '0')
+                       || '.example' AS host,
+                     999999 AS sig
+              FROM range(200) t(i)
+            ),
+            docs AS (
+              SELECT * FROM full_m
+              UNION ALL SELECT * FROM partial_m
+              UNION ALL SELECT * FROM mega
+            ),
+            hs AS (SELECT DISTINCT host, sig FROM docs),
+            sizes AS (SELECT host, COUNT(*) AS n FROM hs GROUP BY host),
+            capped AS (
+              SELECT host, sig FROM (
+                SELECT host, sig, row_number() OVER (
+                    PARTITION BY sig ORDER BY host) AS rn
+                FROM hs
+              ) WHERE rn <= 64
+            ),
+            prs AS (
+              SELECT t1.host AS host_a, t2.host AS host_b
+              FROM capped t1 JOIN capped t2
+                ON t1.sig = t2.sig AND t1.host < t2.host
+            ),
+            shr AS (
+              SELECT host_a, host_b, COUNT(*) AS shared
+              FROM prs GROUP BY host_a, host_b HAVING COUNT(*) >= 2
+            )
+            SELECT s.host_a, s.host_b, s.shared, a.n AS n_a, b.n AS n_b,
+                   ROUND(s.shared / (a.n + b.n - s.shared), 6) + 0.0
+                     AS resemblance
+            FROM shr s
+            JOIN sizes a ON s.host_a = a.host
+            JOIN sizes b ON s.host_b = b.host
+            WHERE s.shared / (a.n + b.n - s.shared) >= 0.25
         """,
         "redirect_resolve": """
             WITH chains AS (

@@ -83,6 +83,7 @@ def main() -> None:
         "lm_score", "token_budget_sample", "url_blocklist",
         "line_dedup", "host_pagerank", "sitemap_parse",
         "robots_sitemaps", "url_trap_flags", "redirect_resolve",
+        "change_rate", "dust_rules", "dust_apply", "mirror_hosts",
     ]:
         fn = queries[name]
         run(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())

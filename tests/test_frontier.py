@@ -1097,3 +1097,81 @@ def test_rank_to_budget_feeds_scheduler(spark):
     )
     vals = [r["politeness_budget"] for r in rank_to_budget(sym).collect()]
     assert vals == [pytest.approx(4.5), pytest.approx(4.5)]
+
+
+def test_dust_rules_mining_and_canonicalization(spark):
+    """DUST rule mining (plans/dust): same-content URL pairs yield
+    oriented substring rules; application rewrites by the best rule,
+    first occurrence, map-side. Covers prefix-containment pairs
+    (empty-middle rule never applies), orientation (alpha is the
+    longer middle), and support thresholds."""
+    from go_htmldate_spark.plans.dust import apply_dust_rules, dust_rules
+
+    rows = []
+    for g in range(10):
+        base = f"https://h{g % 3}.example/story/{g}"
+        rows += [
+            (base, g),
+            (base + "?utm_source=feed", g),   # suffix insertion
+            (f"https://h{g % 3}.example/amp/story/{g}", g),  # infix
+        ]
+    rows.append(("https://once.example/a", 500))
+    df = spark.createDataFrame(rows, "url string, content_sig long")
+
+    rules = {
+        (r["alpha"], r["beta"]): r["support"]
+        for r in dust_rules(df, min_support=2).collect()
+    }
+    # the session-suffix rule: alias middle vs empty (alpha longer)
+    assert rules[("?utm_source=feed", "")] == 10
+    # all rules oriented: alpha strictly (longer, lexicographically
+    # greater) than beta
+    for a, b in rules:
+        assert (len(a), a) > (len(b), b)
+
+    out = {
+        r["url"]: (r["canonical_url"], r["rule_support"])
+        for r in apply_dust_rules(
+            df.select("url").distinct(), dust_rules(df, min_support=2)
+        ).collect()
+    }
+    # aliases collapse onto the base form…
+    assert out["https://h1.example/story/1?utm_source=feed"] == (
+        "https://h1.example/story/1", 10,
+    )
+    # …and URLs no rule matches pass through untouched
+    assert out["https://once.example/a"] == ("https://once.example/a", 0)
+    # every canonical form of the utm aliases equals its base
+    for g in range(10):
+        base = f"https://h{g % 3}.example/story/{g}"
+        assert out[base + "?utm_source=feed"][0] == base
+
+
+def test_mirror_host_pairs_resemblance(spark):
+    """Mirror detection (plans/mirrors): Broder resemblance over
+    per-host fingerprint sets — full mirrors score 1.0, half-overlap
+    scores by inclusion-exclusion, hosts sharing one boilerplate sig
+    fall below min_shared."""
+    from go_htmldate_spark.plans.mirrors import mirror_host_pairs
+
+    rows = []
+    for j in range(8):
+        rows += [("full-a.example", j), ("full-b.example", j)]
+    for j in range(8):
+        rows.append(("part-a.example", 100 + j))
+    for j in range(4, 12):
+        rows.append(("part-b.example", 100 + j))
+    rows += [("lone-a.example", 777), ("lone-b.example", 777)]
+    df = spark.createDataFrame(rows, "host string, content_sig long")
+
+    got = {
+        (r["host_a"], r["host_b"]): r
+        for r in mirror_host_pairs(
+            df, min_shared=2, min_resemblance=0.2
+        ).collect()
+    }
+    assert got[("full-a.example", "full-b.example")]["resemblance"] == 1.0
+    pr = got[("part-a.example", "part-b.example")]
+    assert (pr["shared"], pr["n_a"], pr["n_b"]) == (4, 8, 8)
+    assert abs(pr["resemblance"] - 4 / 12) < 1e-12
+    assert ("lone-a.example", "lone-b.example") not in got

@@ -282,3 +282,79 @@ def test_pagerank_sweep_single_edge_exchange(spark, tmp_path_factory):
     keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
     assert keys and all(k.startswith(("dst", "host")) for k in keys), plan
     spark.sql("DROP TABLE IF EXISTS pr_plan_edges_test")
+
+
+def test_dust_apply_is_map_only(spark):
+    """DUST canonicalization compiles the collected rule list into one
+    chained-when projection: applying rules to the URL table must be
+    map-only — zero exchanges, zero Python (at 10^10 URLs a rule join
+    or window would shuffle the whole frontier)."""
+    from go_htmldate_spark.plans.dust import apply_dust_rules
+
+    rules = spark.createDataFrame(
+        [("?sessionid=zz", "", 20), ("/index.html", "", 7)],
+        "alpha string, beta string, support long",
+    )
+    urls = spark.range(1000).select(
+        F.concat(F.lit("https://h.example/p/"),
+                 F.col("id").cast("string")).alias("url")
+    )
+    plan = _plan(apply_dust_rules(urls, rules))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_dust_rules_capped_before_collect(spark):
+    """The per-sig duplicate bucket must be bounded by a row_number
+    window BEFORE collect_list materializes it (mega-bucket guard), and
+    the window must ride the same exchange as the groupBy."""
+    from go_htmldate_spark.plans.dust import dust_rules
+
+    pages = spark.range(400).select(
+        F.concat(F.lit("https://h.example/p/"),
+                 F.col("id").cast("string")).alias("url"),
+        (F.col("id") % 50).alias("content_sig"),
+    )
+    plan = _plan(dust_rules(pages, max_group=4))
+    w_idx = plan.find("RunningWindowFunction")
+    if w_idx == -1:
+        w_idx = plan.find("Window")
+    c_idx = plan.find("collect_list")
+    assert w_idx != -1 and c_idx != -1
+    # executed plans print downstream operators first: the collect_list
+    # aggregate must appear ABOVE the window that feeds it
+    assert c_idx < w_idx, plan
+    # exactly the four key-shrinking exchanges: (url,sig) distinct,
+    # sig window+groupBy (shared), (a,b) pair distinct, (alpha,beta)
+    # support agg — the position explode and lcp/lcs aggregation ride
+    # the pair key with no exchange of their own
+    assert plan.count("Exchange hashpartitioning") == 4, plan
+
+
+def test_mirror_pairs_capped_and_sized_exactly(spark):
+    """Mega-sig buckets cap at max_sig_hosts (boilerplate fingerprints
+    cannot explode pair generation), while per-host set sizes stay
+    EXACT (computed before the cap); the size joins broadcast."""
+    from go_htmldate_spark.plans.mirrors import mirror_host_pairs
+
+    rows = [(f"m{i:02d}.example", s) for i in range(2) for s in range(4)]
+    rows += [(f"x{i:03d}.example", 777) for i in range(100)]
+    docs = spark.createDataFrame(rows, "host string, content_sig long")
+    out = mirror_host_pairs(
+        docs, max_sig_hosts=8, min_shared=2, min_resemblance=0.1
+    )
+    got = {(r["host_a"], r["host_b"]): r for r in out.collect()}
+    # the planted mirror pair survives with exact sizes…
+    assert ("m00.example", "m01.example") in got
+    r = got[("m00.example", "m01.example")]
+    assert (r["shared"], r["n_a"], r["n_b"]) == (4, 4, 4)
+    # …and the 100-host mega-sig contributes nothing past the cap
+    # (every x-pair shares only 1 sig < min_shared)
+    assert len(got) == 1
+    plan = _plan(out)
+    # AQE prints Final + Initial sections; pin the executed one.
+    # Both size joins broadcast (the second may reuse the first's
+    # exchange — sa and sb scan the same aggregate)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("BroadcastHashJoin") == 2, final
+    assert "SortMergeJoin" not in final, final

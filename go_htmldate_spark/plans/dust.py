@@ -176,7 +176,23 @@ def apply_dust_rules(
     column expression. Application is then map-only whole-stage
     codegen over the URL table: zero exchanges, zero Python, no
     broadcast-nested-loop join against a rule relation."""
-    top = (
+    top = collect_top_rules(rules, min_support=min_support, max_rules=max_rules)
+    u = F.col(url_col)
+    canonical, support = dust_rewrite_exprs(u, top)
+    return urls.select(
+        u.alias(url_col),
+        canonical.alias("canonical_url"),
+        support.cast("long").alias("rule_support"),
+    )
+
+
+def collect_top_rules(
+    rules: DataFrame, min_support: int = 2, max_rules: int = 256
+) -> list:
+    """Materialize the bounded, priority-ordered rule list (highest
+    support, then longest alpha, then lexicographic; empty-alpha
+    insertion rules dropped — nothing to anchor a rewrite on)."""
+    return (
         rules.filter(
             (F.col("support") >= min_support) & (F.length("alpha") > 0)
         )
@@ -189,7 +205,12 @@ def apply_dust_rules(
         .limit(max_rules)
         .collect()
     )
-    u = F.col(url_col)
+
+
+def dust_rewrite_exprs(u, top: list):
+    """Compile a collected rule list into (canonical, support) column
+    expressions over the url column `u` — the map-only application
+    the scheduler splices into its discovery stream."""
     canonical = u
     support = F.lit(0)
     # build the chain INNERMOST-first so the highest-priority rule ends
@@ -206,8 +227,4 @@ def apply_dust_rules(
         )
         canonical = F.when(hit, rewrite).otherwise(canonical)
         support = F.when(hit, F.lit(r["support"])).otherwise(support)
-    return urls.select(
-        u.alias(url_col),
-        canonical.alias("canonical_url"),
-        support.cast("long").alias("rule_support"),
-    )
+    return canonical, support

@@ -104,3 +104,28 @@ def mirror_host_pairs(
         "n_b",
         res.alias("resemblance"),
     ).filter(F.col("resemblance") >= min_resemblance)
+
+
+def mirror_demotion(
+    pairs: DataFrame,
+    threshold: float = 0.9,
+    demoted_budget: float = 0.0,
+) -> DataFrame:
+    """mirror_host_pairs output → (host, politeness_budget) demotion
+    rows for the scheduler's budget table: in every pair at or above
+    `threshold`, the lexicographically GREATER host is demoted (pairs
+    are emitted host_a < host_b, so host_b is always the demoted
+    side); a mirror clique a<b<c therefore keeps exactly its minimum
+    member. The default budget 0.0 floors to 0 fetches/round — the
+    mirror side never schedules. Union the result under the regular
+    budget table (this one wins ties by being the lower budget) or
+    feed it to CrawlScheduler(host_budget=...) directly.
+
+    One row per demoted host: broadcast-size at any corpus scale,
+    like every budget table."""
+    return (
+        pairs.filter(F.col("resemblance") >= threshold)
+        .select(F.col("host_b").alias("host"))
+        .distinct()
+        .withColumn("politeness_budget", F.lit(float(demoted_budget)))
+    )

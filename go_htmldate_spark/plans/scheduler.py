@@ -179,6 +179,7 @@ class CrawlScheduler:
         config: CrawlConfig = CrawlConfig(),
         blocklist: DataFrame | None = None,
         redirects: DataFrame | None = None,
+        dust: DataFrame | None = None,
     ) -> None:
         self.spark = spark
         self.config = config
@@ -204,6 +205,17 @@ class CrawlScheduler:
         # CANONICAL urls: discovered outlinks map through terminal
         # targets before hashing; cycle members never enter the frontier
         self.redirects = redirects
+        # dust_rules output (alpha, beta, support): the bounded rule
+        # list is collected ONCE here and compiled into a map-only
+        # chained-when (plans/dust.py) — discovered outlinks rewrite to
+        # their DUST-canonical form before redirects/hashing, so alias
+        # families (session-ids, /index.html, print views) occupy one
+        # frontier slot instead of one per spelling
+        self._dust_rules: list | None = None
+        if dust is not None:
+            from go_htmldate_spark.plans.dust import collect_top_rules
+
+            self._dust_rules = collect_top_rules(dust)
         self.round = 0
         self.frontier: DataFrame | None = None
         self.seen: DataFrame | None = None
@@ -455,6 +467,13 @@ class CrawlScheduler:
             canonicalize_url(F.col("out_url")).alias("url"),
             recency_score(F.col("parent_date")).alias("recency"),
         )
+        if self._dust_rules:
+            from go_htmldate_spark.plans.dust import dust_rewrite_exprs
+
+            # alias spellings collapse to their DUST-canonical form —
+            # a compiled chained-when, map-only, zero exchanges
+            canonical, _ = dust_rewrite_exprs(F.col("url"), self._dust_rules)
+            discovered = discovered.withColumn("url", canonical)
         if self.redirects is not None:
             from go_htmldate_spark.plans.redirects import apply_redirects
 

@@ -78,6 +78,26 @@ def main() -> None:
         "is measured (epoch seconds)",
     )
     ap.add_argument(
+        "--dust-history",
+        help="parquet dir of (url, content_sig) observations (the "
+        "fetch-history table works); DUST alias rules are mined from "
+        "same-content URL pairs and discovered outlinks rewrite to "
+        "their canonical spelling before entering the frontier",
+    )
+    ap.add_argument(
+        "--demote-mirrors",
+        metavar="HISTORY_DIR",
+        help="parquet dir of (url, content_sig) observations; hosts "
+        "detected as mirrors (Broder resemblance of per-host "
+        "fingerprint sets >= --mirror-threshold) are demoted to a "
+        "0-fetch politeness budget, keeping one host per mirror set",
+    )
+    ap.add_argument(
+        "--mirror-threshold", type=float, default=0.9,
+        help="resemblance at or above which the greater host of a "
+        "pair is demoted (default 0.9)",
+    )
+    ap.add_argument(
         "--trap-guard", action="store_true",
         help="drop discovered URLs that look like crawl traps (depth "
         "caps, consecutive path-segment repeats, query cross products, "
@@ -120,6 +140,35 @@ def main() -> None:
         budgets = rank_to_budget(
             host_pagerank(edges), lo=float(lo), hi=float(hi or lo)
         )
+    if args.demote_mirrors:
+        from go_htmldate_spark.plans.canonical import url_host
+        from go_htmldate_spark.plans.mirrors import (
+            mirror_demotion,
+            mirror_host_pairs,
+        )
+
+        obs = spark.read.parquet(args.demote_mirrors).select(
+            url_host(F.col("url")).alias("host"), "content_sig"
+        )
+        demoted = mirror_demotion(
+            mirror_host_pairs(obs), threshold=args.mirror_threshold
+        )
+        if budgets is None:
+            budgets = demoted
+        else:
+            # a demoted host keeps the LOWER budget of the two tables
+            budgets = (
+                budgets.unionByName(demoted)
+                .groupBy("host")
+                .agg(F.min("politeness_budget").alias("politeness_budget"))
+            )
+
+    dust = None
+    if args.dust_history:
+        from go_htmldate_spark.plans.dust import dust_rules
+
+        dust = dust_rules(spark.read.parquet(args.dust_history))
+
     blocklist = None
     if args.blocklist:
         if args.blocklist.endswith(".csv") or args.blocklist.endswith(".txt"):
@@ -140,7 +189,7 @@ def main() -> None:
         spark, pages, robots=robots, host_budget=budgets,
         state_dir=args.state,
         config=CrawlConfig(trap_guard=args.trap_guard),
-        blocklist=blocklist, redirects=redirects,
+        blocklist=blocklist, redirects=redirects, dust=dust,
     )
 
     if args.resume:

@@ -1175,3 +1175,89 @@ def test_mirror_host_pairs_resemblance(spark):
     assert (pr["shared"], pr["n_a"], pr["n_b"]) == (4, 8, 8)
     assert abs(pr["resemblance"] - 4 / 12) < 1e-12
     assert ("lone-a.example", "lone-b.example") not in got
+
+
+def test_scheduler_dust_canonicalizes_outlinks(spark, tmp_path_factory):
+    """CrawlScheduler(dust=…): discovered alias spellings rewrite to
+    their DUST-canonical form before hashing, so one frontier slot
+    serves the whole alias family; non-matching links pass through."""
+    from go_htmldate_spark.plans.scheduler import CrawlConfig, CrawlScheduler
+
+    html = ("<html><head><meta property='article:published_time' "
+            "content='2024-01-02'/></head><body>x</body></html>")
+    canon = "https://d.example.org/story/7"
+    alias = canon + "?sessionid=zz"
+    other = "https://d.example.org/other"
+    corpus = spark.createDataFrame(
+        [("https://d.example.org/start", html, [alias, canon, other]),
+         (canon, html, []), (other, html, [])],
+        "url string, html string, outlinks array<string>",
+    )
+    rules = spark.createDataFrame(
+        [("?sessionid=zz", "", 10)], "alpha string, beta string, support long"
+    )
+    d = tmp_path_factory.mktemp("dust_sched")
+    sched = CrawlScheduler(
+        spark, corpus, robots=None, host_budget=None, state_dir=str(d),
+        config=CrawlConfig(n_bloom_partitions=2, bloom_bits=1 << 12),
+        dust=rules,
+    )
+    sched.init_from_seeds(spark.createDataFrame(
+        [("https://d.example.org/start", 1.0)], "url string, priority double"
+    ))
+    sched.run(1)
+    frontier = {r["url"] for r in sched.frontier.select("url").collect()}
+    assert canon in frontier and other in frontier
+    assert alias not in frontier
+    # the alias family occupies exactly one slot
+    assert len([u for u in frontier if u.startswith(canon)]) == 1
+
+
+def test_mirror_demotion_keeps_clique_minimum(spark, tmp_path_factory):
+    """mirror_demotion: in a mirror clique a<b<c only the minimum host
+    keeps its budget; feeding the demotion rows to the scheduler means
+    the demoted hosts are never scheduled (floor(0.0) = 0 fetches)."""
+    from go_htmldate_spark.plans.mirrors import (
+        mirror_demotion,
+        mirror_host_pairs,
+    )
+    from go_htmldate_spark.plans.scheduler import CrawlConfig, CrawlScheduler
+
+    rows = [(h, s) for h in ("a.example", "b.example", "c.example")
+            for s in range(6)]
+    rows += [("solo.example", 100 + s) for s in range(6)]
+    obs = spark.createDataFrame(rows, "host string, content_sig long")
+    demoted = mirror_demotion(mirror_host_pairs(obs), threshold=0.9)
+    assert {r["host"] for r in demoted.collect()} == {
+        "b.example", "c.example"
+    }
+
+    html = ("<html><head><meta property='article:published_time' "
+            "content='2024-01-02'/></head><body>x</body></html>")
+    corpus = spark.createDataFrame(
+        [(f"https://{h}/p", html, []) for h in
+         ("a.example", "b.example", "c.example", "solo.example")],
+        "url string, html string, outlinks array<string>",
+    )
+    d = tmp_path_factory.mktemp("mirror_sched")
+    budgets = spark.createDataFrame(
+        [("a.example", 2.0), ("b.example", 2.0),
+         ("c.example", 2.0), ("solo.example", 2.0)],
+        "host string, politeness_budget double",
+    )
+    merged = (
+        budgets.unionByName(demoted)
+        .groupBy("host")
+        .agg(F.min("politeness_budget").alias("politeness_budget"))
+    )
+    sched = CrawlScheduler(
+        spark, corpus, robots=None, host_budget=merged, state_dir=str(d),
+        config=CrawlConfig(n_bloom_partitions=2, bloom_bits=1 << 12),
+    )
+    sched.init_from_seeds(spark.createDataFrame(
+        [(f"https://{h}/p", 1.0) for h in
+         ("a.example", "b.example", "c.example", "solo.example")],
+        "url string, priority double",
+    ))
+    m = sched.run(1)[0]
+    assert m["n_scheduled"] == 2  # a.example + solo.example only

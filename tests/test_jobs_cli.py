@@ -120,6 +120,11 @@ def test_crawl_job_recrawl_history_seeds(
         "--rounds", "1",
         "--recrawl-history", hist_dir,
         "--recrawl-as-of", str(9 * day),
+        # plumbing coverage: DUST mining + mirror demotion over the
+        # same history (per-fetch sigs are unique there, so both are
+        # provably no-ops — the flags must not disturb the frontier)
+        "--dust-history", hist_dir,
+        "--demote-mirrors", hist_dir,
     ])
     job.main()
 

@@ -655,3 +655,77 @@ class CrawlScheduler:
             if m["n_scheduled"] == 0:
                 break
         return out
+
+
+def expire_snapshots(state_dir: str, keep_last: int = 2) -> dict:
+    """Iceberg-style snapshot expiry over the versioned-parquet state
+    layout: keep the newest `keep_last` complete snapshots fully
+    resumable and delete everything older — EXCEPT seen-chain segments
+    a kept manifest still references (the O(new) delta layout means
+    round r's manifest can point into earlier round dirs, exactly like
+    Iceberg manifests pointing at old data files). Superseded-timeline
+    debris (manifest.json.superseded and its data) expires with its
+    round. Time travel to an expired round then raises (no manifest),
+    while resume()/time-travel within the kept window replays
+    byte-identically — the state a 10^10-URL crawl cannot afford to
+    retain forever is the frontier/bloom/fetched bulk, not the chain
+    segments.
+
+    Pure filesystem metadata work — no Spark session needed. Returns
+    {"kept_rounds", "removed_rounds", "kept_segments", "bytes_freed"}.
+    """
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+
+    complete = {}
+    all_round_dirs = []
+    for name in os.listdir(state_dir):
+        if not name.startswith("round_"):
+            continue
+        all_round_dirs.append(name)
+        mf = os.path.join(state_dir, name, "manifest.json")
+        if os.path.exists(mf):
+            complete[int(name.split("_")[1])] = mf
+    kept_rounds = sorted(complete)[-keep_last:]
+
+    referenced: set[str] = set()
+    for r in kept_rounds:
+        with open(complete[r]) as f:
+            manifest = json.load(f)
+        referenced.update(manifest.get("seen_chain", [f"round_{r}/seen"]))
+
+    removed_rounds, kept_segments, freed = [], [], 0
+    for name in sorted(all_round_dirs, key=lambda n: int(n.split("_")[1])):
+        r = int(name.split("_")[1])
+        if r in kept_rounds:
+            continue
+        base = os.path.join(state_dir, name)
+        emptied = True
+        for child in sorted(os.listdir(base)):
+            rel = f"{name}/{child}"
+            if rel in referenced:
+                kept_segments.append(rel)
+                emptied = False
+                continue
+            p = os.path.join(base, child)
+            if os.path.isdir(p):
+                freed += sum(
+                    os.path.getsize(os.path.join(dp, fn))
+                    for dp, _, fns in os.walk(p)
+                    for fn in fns
+                )
+                shutil.rmtree(p)
+            else:
+                freed += os.path.getsize(p)
+                os.remove(p)
+        if emptied:
+            os.rmdir(base)
+        removed_rounds.append(r)
+    return {
+        "kept_rounds": kept_rounds,
+        "removed_rounds": removed_rounds,
+        "kept_segments": kept_segments,
+        "bytes_freed": freed,
+    }

@@ -105,6 +105,12 @@ def main() -> None:
     )
     ap.add_argument("--rounds", type=int, default=5)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument(
+        "--expire-keep", type=int, default=0, metavar="N",
+        help="after the run, expire state snapshots keeping the newest "
+        "N fully-resumable rounds (seen-chain segments still referenced "
+        "by kept manifests survive; 0 = never expire)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -237,6 +243,10 @@ def main() -> None:
     manifests = sched.run(args.rounds)
     for m in manifests:
         print(json.dumps(m))
+    if args.expire_keep > 0:
+        from go_htmldate_spark.plans.scheduler import expire_snapshots
+
+        print(json.dumps(expire_snapshots(args.state, args.expire_keep)))
     spark.stop()
 
 

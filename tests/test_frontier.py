@@ -1261,3 +1261,68 @@ def test_mirror_demotion_keeps_clique_minimum(spark, tmp_path_factory):
     ))
     m = sched.run(1)[0]
     assert m["n_scheduled"] == 2  # a.example + solo.example only
+
+
+def test_expire_snapshots_retention_and_resume(
+    spark, corpus, tmp_path_factory
+):
+    """Iceberg-style snapshot expiry: after keep_last=2 over a 5-round
+    crawl, old rounds lose their frontier/bloom/fetched bulk and their
+    manifests (time travel there now raises), seen-chain delta
+    segments still referenced by kept manifests survive in place, and
+    a resumed scheduler replays round 5 byte-identically to an
+    uninterrupted run."""
+    import os
+
+    from go_htmldate_spark.plans.scheduler import expire_snapshots
+
+    seeds = _seeds(corpus)
+
+    d_full = tmp_path_factory.mktemp("exp_full")
+    _run_spark(spark, corpus, seeds, d_full, n_rounds=6)
+
+    d_exp = tmp_path_factory.mktemp("exp_trim")
+    _run_spark(spark, corpus, seeds, d_exp, n_rounds=5)
+
+    stats = expire_snapshots(str(d_exp), keep_last=2)
+    assert stats["kept_rounds"] == [3, 4]
+    assert stats["removed_rounds"] == [0, 1, 2]
+    assert stats["bytes_freed"] > 0
+    # kept manifests reference deltas inside expired round dirs (the
+    # compaction window is 8 > 5 rounds): those segments must survive…
+    assert any(s.startswith("round_0/") for s in stats["kept_segments"])
+    for s in stats["kept_segments"]:
+        assert os.path.exists(os.path.join(d_exp, s))
+    # …while the expired rounds' bulk and manifests are gone
+    for r in (0, 1, 2):
+        base = os.path.join(d_exp, f"round_{r}")
+        assert not os.path.exists(os.path.join(base, "manifest.json"))
+        assert not os.path.exists(os.path.join(base, "frontier"))
+        assert not os.path.exists(os.path.join(base, "blooms"))
+        assert not os.path.exists(os.path.join(base, "fetched"))
+
+    sched2 = CrawlScheduler(
+        spark, corpus, robots=_robots_df(spark), host_budget=_budget_df(spark),
+        state_dir=str(d_exp),
+        config=CrawlConfig(n_bloom_partitions=4, bloom_bits=1 << 16, n_salts=4),
+    )
+    assert sched2.resume() == 5
+    sched2.run_round()
+    want = [
+        r.url for r in spark.read.parquet(f"{d_full}/round_5/fetched")
+        .orderBy(F.desc("priority"), F.asc("url")).collect()
+    ]
+    got = [
+        r.url for r in spark.read.parquet(f"{d_exp}/round_5/fetched")
+        .orderBy(F.desc("priority"), F.asc("url")).collect()
+    ]
+    assert got == want
+
+    # time travel to an expired round is an explicit error
+    sched3 = CrawlScheduler(
+        spark, corpus, robots=_robots_df(spark), host_budget=_budget_df(spark),
+        state_dir=str(d_exp),
+        config=CrawlConfig(n_bloom_partitions=4, bloom_bits=1 << 16, n_salts=4),
+    )
+    with pytest.raises(FileNotFoundError):
+        sched3.resume(round=1)

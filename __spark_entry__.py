@@ -456,6 +456,49 @@ def q_host_topk(spark, sf_dir):
     )
 
 
+def q_ip_topk(spark, sf_dir):
+    """§2.9 frontier: per-IP politeness (queue-by-IP, scheduler step
+    5.5) — the host top-k's OUTPUT re-ranked per server IP so virtual
+    hosts sharing a box share the cap. Arithmetic synth: 40k URLs over
+    500 hosts, hosts <300 mapped 5-per-IP, per-host k = h%3+1, IP cap
+    3; the oracle replays both windows with QUALIFY."""
+    from pyspark.sql import Window
+
+    df = spark.range(40000)
+    i = F.col("id")
+    h = i % 500
+    url = F.concat(
+        F.lit("https://s"), h.cast("string"), F.lit(".example/p/"),
+        i.cast("string"),
+    )
+    pri = ((i * 2654435761) % 10007).cast("double") / 10007.0
+    cand = df.select(
+        url.alias("url"),
+        F.concat(F.lit("s"), h.cast("string"), F.lit(".example")).alias("host"),
+        F.when(h < 300, F.concat(F.lit("ip"), (h % 60).cast("string"))).alias("ip"),
+        ((h % 3) + 1).alias("k"),
+        (F.round(pri, 6) + F.lit(0.0)).alias("priority"),
+    )
+    w_host = Window.partitionBy("host").orderBy(
+        F.desc("priority"), F.asc("url")
+    )
+    hosted = cand.withColumn("r", F.row_number().over(w_host)).filter(
+        F.col("r") <= F.col("k")
+    )
+    w_ip = Window.partitionBy(
+        F.coalesce(F.col("ip"), F.col("host"))
+    ).orderBy(F.desc("priority"), F.asc("url"))
+    return (
+        hosted.withColumn("r3", F.row_number().over(w_ip))
+        .filter(F.col("r3") <= 3)
+        .select(
+            "url", "host",
+            F.coalesce(F.col("ip"), F.col("host")).alias("ip_key"),
+            "priority",
+        )
+    )
+
+
 def q_minhash_lsh_pairs(spark, sf_dir):
     """Pipeline: MinHash+LSH near-dup candidate pairs. Portable md5-KM
     hash family + raw band-slice buckets so DuckDB recomputes the whole
@@ -1434,6 +1477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonicalize_url": q_canonicalize_url,
         "priority_recency": q_priority_recency,
         "host_topk": q_host_topk,
+        "ip_topk": q_ip_topk,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_groups": q_simhash_groups,
         "simhash_near_pairs": q_simhash_near_pairs,
@@ -1789,6 +1833,29 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY value DESC, event_id ASC) AS BIGINT) AS rank
             FROM events
             QUALIFY rank <= 3
+        """,
+        "ip_topk": """
+            WITH cand AS (
+              SELECT 'https://s' || (i % 500) || '.example/p/' || i AS url,
+                     's' || (i % 500) || '.example' AS host,
+                     CASE WHEN i % 500 < 300
+                          THEN 'ip' || ((i % 500) % 60) END AS ip,
+                     (i % 500) % 3 + 1 AS k,
+                     ROUND(CAST((i * 2654435761) % 10007 AS DOUBLE)
+                           / 10007.0, 6) + 0.0 AS priority
+              FROM range(40000) t(i)
+            ),
+            hosted AS (
+              SELECT url, host, ip, priority
+              FROM cand
+              QUALIFY row_number() OVER (
+                  PARTITION BY host ORDER BY priority DESC, url ASC) <= k
+            )
+            SELECT url, host, COALESCE(ip, host) AS ip_key, priority
+            FROM hosted
+            QUALIFY row_number() OVER (
+                PARTITION BY COALESCE(ip, host)
+                ORDER BY priority DESC, url ASC) <= 3
         """,
         "ann_cosine_topk": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

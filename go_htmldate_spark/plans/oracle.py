@@ -66,6 +66,11 @@ class OracleScheduler:
     # UT1-style domain blocklist: discovered URLs whose host equals or
     # is a label-boundary subdomain of an entry are never frontier'd
     blocked_domains: set[str] = field(default_factory=set)
+    # per-IP politeness (queue-by-IP): host → ip DNS cache; hosts
+    # sharing an ip share ip_budget fetches/round (0 = off). Unmapped
+    # hosts are their own ip.
+    ip_map: dict[str, str] = field(default_factory=dict)
+    ip_budget: int = 0
 
     frontier: dict[str, float] = field(default_factory=dict)  # url → priority
     seen: set[str] = field(default_factory=set)
@@ -118,6 +123,17 @@ class OracleScheduler:
             k = self.fetch_cap(host)
             items.sort(key=lambda t: (-t[0], t[1]))
             scheduled.extend(items[:k])
+
+        # 5.5 per-IP cap over the per-host selection (queue-by-IP)
+        if self.ip_budget > 0:
+            by_ip: dict[str, list[tuple[float, str]]] = {}
+            for p, u in scheduled:
+                h = host_of(u)
+                by_ip.setdefault(self.ip_map.get(h, h), []).append((p, u))
+            scheduled = []
+            for _, items in by_ip.items():
+                items.sort(key=lambda t: (-t[0], t[1]))
+                scheduled.extend(items[: self.ip_budget])
 
         # 6-7. fetch + discover
         discovered: dict[str, float] = {}

@@ -88,6 +88,11 @@ class CrawlConfig:
     trap_max_depth: int = 16
     trap_max_params: int = 8
     trap_min_repeat: int = 3
+    # per-IP politeness (Heritrix "queue by IP"): virtual hosts that
+    # resolve to one server share a fetch cap. 0 = off. Applied AFTER
+    # the per-host top-k, so the IP window's input is already bounded
+    # at Σ floor(budget) per host — never the raw frontier.
+    ip_budget: int = 0
 
 
 def recency_score(date_col):
@@ -180,6 +185,7 @@ class CrawlScheduler:
         blocklist: DataFrame | None = None,
         redirects: DataFrame | None = None,
         dust: DataFrame | None = None,
+        host_ip: DataFrame | None = None,
     ) -> None:
         self.spark = spark
         self.config = config
@@ -216,6 +222,10 @@ class CrawlScheduler:
             from go_htmldate_spark.plans.dust import collect_top_rules
 
             self._dust_rules = collect_top_rules(dust)
+        # (host, ip) DNS-cache table for per-IP politeness
+        # (config.ip_budget): one row per host — broadcast-size like
+        # the budget table. Hosts without a mapping are their own "ip".
+        self.host_ip = host_ip
         self.round = 0
         self.frontier: DataFrame | None = None
         self.seen: DataFrame | None = None
@@ -439,7 +449,31 @@ class CrawlScheduler:
             phase1.withColumn("r2", F.row_number().over(w2))
             .filter(F.col("r2") <= F.col("_k"))
             .drop("r1", "r2", "salt", "budget", "_k", "_heavy")
-        ).cache()  # feeds fetch, seen update, leftover anti-join, manifest
+        )
+        if cfg.ip_budget > 0:
+            # 5.5: per-IP cap (Heritrix queue-by-IP) — virtual hosts on
+            # one server share cfg.ip_budget fetches/round. The window's
+            # input is the per-host top-k OUTPUT (≤ Σ floor(budget) per
+            # host), so even a 10^5-vhost IP ranks a bounded set, not
+            # the frontier. Unmapped hosts are their own "ip".
+            ip_side = (
+                F.broadcast(self.host_ip)
+                if self.host_ip is not None
+                else None
+            )
+            if ip_side is not None:
+                scheduled = scheduled.join(ip_side, "host", "left")
+            else:
+                scheduled = scheduled.withColumn("ip", F.lit(None).cast("string"))
+            w3 = Window.partitionBy(
+                F.coalesce(F.col("ip"), F.col("host"))
+            ).orderBy(F.desc("priority"), F.asc("url"))
+            scheduled = (
+                scheduled.withColumn("r3", F.row_number().over(w3))
+                .filter(F.col("r3") <= cfg.ip_budget)
+                .drop("r3", "ip")
+            )
+        scheduled = scheduled.cache()  # feeds fetch, seen update, leftover anti-join, manifest
 
         # 6. fetch + extract
         from ..operators.extract import extract_dates

@@ -98,6 +98,16 @@ def main() -> None:
         "pair is demoted (default 0.9)",
     )
     ap.add_argument(
+        "--host-ip",
+        help="parquet dir of the DNS cache (host, ip); with "
+        "--ip-budget, virtual hosts resolving to one server share the "
+        "per-IP fetch cap (queue-by-IP politeness)",
+    )
+    ap.add_argument(
+        "--ip-budget", type=int, default=0,
+        help="fetches/round shared by all hosts on one IP (0 = off)",
+    )
+    ap.add_argument(
         "--trap-guard", action="store_true",
         help="drop discovered URLs that look like crawl traps (depth "
         "caps, consecutive path-segment repeats, query cross products, "
@@ -194,8 +204,13 @@ def main() -> None:
     sched = CrawlScheduler(
         spark, pages, robots=robots, host_budget=budgets,
         state_dir=args.state,
-        config=CrawlConfig(trap_guard=args.trap_guard),
+        config=CrawlConfig(
+            trap_guard=args.trap_guard, ip_budget=args.ip_budget
+        ),
         blocklist=blocklist, redirects=redirects, dust=dust,
+        host_ip=(
+            spark.read.parquet(args.host_ip) if args.host_ip else None
+        ),
     )
 
     if args.resume:

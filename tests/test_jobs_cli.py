@@ -136,3 +136,100 @@ def test_crawl_job_recrawl_history_seeds(
     # (distinct hosts, budget 2/host — politeness never binds)
     assert manifests[0]["n_scheduled"] == 4
     assert manifests[0]["n_fetched"] == 4
+
+def test_crawl_job_composed_crawl_waste_flags(
+    spark, tmp_path_factory, monkeypatch, capsys
+):
+    """All crawl-waste features composed in ONE job run: recrawl
+    seeding, DUST mining, mirror demotion, per-IP politeness, trap
+    guard, and snapshot expiry. One fetch-history parquet plants every
+    structure; assertions check each gate's observable effect on the
+    round-0 fetch set and the post-run state layout."""
+    import go_htmldate_spark.session as sess
+    from go_htmldate_spark.plans.canonical import url_host
+    from go_htmldate_spark.sources.pages import synth_pages
+    from pyspark.sql import functions as F
+
+    base = tmp_path_factory.mktemp("composed_cli")
+    corpus = synth_pages(spark, 600, seed=42)
+    by_host = {}
+    for r in corpus.select(
+        url_host(F.col("url")).alias("h"), "url"
+    ).orderBy("url").collect():
+        by_host.setdefault(r["h"], []).append(r["url"])
+    hosts = sorted(h for h, us in by_host.items() if len(us) >= 5)[:7]
+    assert len(hosts) == 7
+    day = 86400.0
+
+    rows = []
+    # recrawl plant: hosts[0..5] each get one 3-fetch changing URL
+    # (re-seeded); hosts[6] single fetch (dropped)
+    for i, h in enumerate(hosts[:6]):
+        for j in range(3):
+            rows.append((by_host[h][0], j * day, f"chg{i}-{j}"))
+    rows.append((by_host[hosts[6]][0], 0.0, "once"))
+    # mirror plant: hosts[4] and hosts[5] share 3 fingerprints across
+    # DISTINCT paths (no common dust middles -> no support-2 rules)
+    for i in range(1, 4):
+        rows.append((by_host[hosts[4]][i], 0.0, f"mir{i}"))
+        rows.append((by_host[hosts[5]][i], 0.0, f"mir{i}"))
+    # dust plant: two alias groups on hosts[0]
+    for i in (1, 2):
+        u = by_host[hosts[0]][i + 2]
+        rows.append((u, 0.0, f"alias{i}"))
+        rows.append((u + "?sess=x", 0.0, f"alias{i}"))
+    hist_dir = str(base / "history")
+    spark.createDataFrame(
+        rows, "url string, fetch_ts double, content_sig string"
+    ).write.parquet(hist_dir)
+
+    # per-IP plant: hosts[0] and hosts[1] share one server
+    ip_dir = str(base / "hostip")
+    spark.createDataFrame(
+        [(hosts[0], "10.1.1.1"), (hosts[1], "10.1.1.1")],
+        "host string, ip string",
+    ).write.parquet(ip_dir)
+
+    monkeypatch.setattr(sess, "get_spark", lambda **kw: spark)
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    job = _load_job("crawl_job")
+    monkeypatch.setattr(sys, "argv", [
+        "crawl_job.py",
+        "--synth", "600",
+        "--state", str(base / "state"),
+        "--rounds", "2",
+        "--recrawl-history", hist_dir,
+        "--recrawl-as-of", str(9 * day),
+        "--dust-history", hist_dir,
+        "--demote-mirrors", hist_dir,
+        "--mirror-threshold", "0.3",
+        "--host-ip", ip_dir,
+        "--ip-budget", "1",
+        "--trap-guard",
+        "--expire-keep", "1",
+    ])
+    job.main()
+
+    out = capsys.readouterr().out
+    manifests = [json.loads(l) for l in out.splitlines()
+                 if l.startswith("{") and "n_scheduled" in l]
+    assert len(manifests) == 2 and all(m["n_scheduled"] > 0 for m in manifests)
+
+    # round_0's snapshot was expired (keep 1) so its gate effects are
+    # read from the manifest counts: recrawl seeded 6 URLs; the demoted
+    # mirror host lost its slot at the budget join and the shared-IP
+    # pair kept only one of two -> exactly 4 scheduled and fetched
+    assert manifests[0]["n_scheduled"] == 4
+    assert manifests[0]["n_fetched"] == 4
+
+    # expiry kept exactly the newest round resumable
+    exp = [json.loads(l) for l in out.splitlines()
+           if l.startswith("{") and "kept_rounds" in l]
+    assert len(exp) == 1 and exp[0]["kept_rounds"] == [1]
+    state = base / "state"
+    assert not (state / "round_0" / "manifest.json").exists()
+    assert (state / "round_1" / "manifest.json").exists()
+    # the kept round's fetched table is intact and discovery kept the
+    # crawl alive through every gate
+    fetched_r1 = spark.read.parquet(str(state / "round_1" / "fetched"))
+    assert fetched_r1.count() == manifests[1]["n_fetched"] > 0

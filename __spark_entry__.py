@@ -1308,6 +1308,31 @@ def q_mirror_hosts(spark, sf_dir):
     )
 
 
+def q_host_backoff(spark, sf_dir):
+    """§2.9 frontier: failure-aware politeness (plans/backoff) —
+    trailing consecutive-failure streak per host from the fetch log,
+    budget = max(0.25, 8·0.5^streak). History synthesized by
+    arithmetic (per-host fetch counts 2-10, arithmetic ok pattern);
+    the oracle replays the last-success window + streak aggregation
+    in SQL. Budgets are exact binary fractions so the hash matches
+    without rounding slack."""
+    from go_htmldate_spark.plans.backoff import host_backoff
+
+    df = spark.range(30000)
+    u = (F.col("id") / 10).cast("long")
+    k = F.col("id") % 10
+    log = df.filter(k < (u % 9) + 2).select(
+        F.concat(F.lit("b"), u.cast("string"), F.lit(".example")).alias("host"),
+        (k * 100 + u % 7).cast("double").alias("fetch_ts"),
+        (((u + k) % ((u % 4) + 2)) != 0).alias("ok"),
+    )
+    out = host_backoff(log, base_budget=8.0, floor_budget=0.25)
+    return out.select(
+        "host", "streak",
+        (F.round("politeness_budget", 6) + F.lit(0.0)).alias("politeness_budget"),
+    )
+
+
 def q_redirect_resolve(spark, sf_dir):
     """§2.9 frontier: redirect-chain resolution (plans/redirects) —
     pointer-doubling collapse of one-hop redirect edges to terminal
@@ -1507,6 +1532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_trap_flags": q_url_trap_flags,
         "redirect_resolve": q_redirect_resolve,
         "change_rate": q_change_rate,
+        "host_backoff": q_host_backoff,
         "dust_rules": q_dust_rules,
         "dust_apply": q_dust_apply,
         "mirror_hosts": q_mirror_hosts,
@@ -2575,6 +2601,34 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(1.0 - exp(-rate * ((2000000.0 - last_ts)
                          / 86400.0)), 6) + 0.0 AS priority
             FROM r
+        """,
+        "host_backoff": """
+            WITH g AS (
+              SELECT i, i // 10 AS u, i % 10 AS k FROM range(30000) t(i)
+            ),
+            log AS (
+              SELECT 'b' || u || '.example' AS host,
+                     CAST(k * 100 + u % 7 AS DOUBLE) AS ts,
+                     ((u + k) % ((u % 4) + 2)) <> 0 AS ok
+              FROM g WHERE k < (u % 9) + 2
+            ),
+            tagged AS (
+              SELECT host, ts, ok,
+                     MAX(CASE WHEN ok THEN ts END)
+                         OVER (PARTITION BY host) AS tok
+              FROM log
+            ),
+            agg AS (
+              SELECT host,
+                     CAST(SUM(CASE WHEN NOT ok
+                                    AND (tok IS NULL OR ts > tok)
+                                   THEN 1 ELSE 0 END) AS INT) AS streak
+              FROM tagged GROUP BY host
+            )
+            SELECT host, streak,
+                   ROUND(GREATEST(0.25, 8.0 * POWER(0.5, streak)), 6)
+                     + 0.0 AS politeness_budget
+            FROM agg
         """,
         "dust_rules": _DUST_CTES + """
             SELECT alpha, beta, COUNT(*) AS support

@@ -98,6 +98,12 @@ def main() -> None:
         "pair is demoted (default 0.9)",
     )
     ap.add_argument(
+        "--backoff-log",
+        help="parquet dir of the fetch log (host, fetch_ts, ok); hosts "
+        "with trailing failure streaks get exponentially halved "
+        "politeness budgets, floored at 0.25 so they stay probe-able",
+    )
+    ap.add_argument(
         "--host-ip",
         help="parquet dir of the DNS cache (host, ip); with "
         "--ip-budget, virtual hosts resolving to one server share the "
@@ -156,6 +162,18 @@ def main() -> None:
         budgets = rank_to_budget(
             host_pagerank(edges), lo=float(lo), hi=float(hi or lo)
         )
+    def merge_budgets(a, b):
+        """Per-host min across two budget tables: the more cautious
+        source (demotion, backoff) always wins."""
+        if a is None:
+            return b.select("host", "politeness_budget")
+        return (
+            a.select("host", "politeness_budget")
+            .unionByName(b.select("host", "politeness_budget"))
+            .groupBy("host")
+            .agg(F.min("politeness_budget").alias("politeness_budget"))
+        )
+
     if args.demote_mirrors:
         from go_htmldate_spark.plans.canonical import url_host
         from go_htmldate_spark.plans.mirrors import (
@@ -166,18 +184,16 @@ def main() -> None:
         obs = spark.read.parquet(args.demote_mirrors).select(
             url_host(F.col("url")).alias("host"), "content_sig"
         )
-        demoted = mirror_demotion(
+        budgets = merge_budgets(budgets, mirror_demotion(
             mirror_host_pairs(obs), threshold=args.mirror_threshold
+        ))
+
+    if args.backoff_log:
+        from go_htmldate_spark.plans.backoff import host_backoff
+
+        budgets = merge_budgets(
+            budgets, host_backoff(spark.read.parquet(args.backoff_log))
         )
-        if budgets is None:
-            budgets = demoted
-        else:
-            # a demoted host keeps the LOWER budget of the two tables
-            budgets = (
-                budgets.unionByName(demoted)
-                .groupBy("host")
-                .agg(F.min("politeness_budget").alias("politeness_budget"))
-            )
 
     dust = None
     if args.dust_history:

@@ -1376,3 +1376,33 @@ def test_scheduler_ip_politeness_matches_oracle(
     r0_shared = [u for u in spark_log[0]
                  if any(h in u for h in shared)]
     assert len(r0_shared) == 2
+
+
+def test_host_backoff_streak_semantics(spark):
+    """Failure-aware politeness (plans/backoff): the trailing streak
+    counts failures strictly after the last success — a recovering
+    host clears it, a never-succeeding host counts everything, a
+    healthy host keeps the full base budget, and the floor keeps dead
+    hosts probe-able."""
+    from go_htmldate_spark.plans.backoff import host_backoff
+
+    rows = [
+        # fail, ok, fail, fail → streak 2 → 8·0.25 = 2.0
+        ("flaky.example", 1.0, False), ("flaky.example", 2.0, True),
+        ("flaky.example", 3.0, False), ("flaky.example", 4.0, False),
+        # never succeeded, 6 failures → 8·0.5^6 = 0.125 < floor → 0.25
+        *[("dead.example", float(t), False) for t in range(6)],
+        # all ok → streak 0 → 8.0
+        ("healthy.example", 1.0, True), ("healthy.example", 2.0, True),
+        # success at the same instant as a failure clears the streak
+        ("tied.example", 5.0, False), ("tied.example", 5.0, True),
+    ]
+    df = spark.createDataFrame(rows, "host string, fetch_ts double, ok boolean")
+    got = {
+        r["host"]: (r["streak"], r["politeness_budget"])
+        for r in host_backoff(df, base_budget=8.0, floor_budget=0.25).collect()
+    }
+    assert got["flaky.example"] == (2, 2.0)
+    assert got["dead.example"] == (6, 0.25)
+    assert got["healthy.example"] == (0, 8.0)
+    assert got["tied.example"] == (0, 8.0)

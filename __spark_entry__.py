@@ -1308,6 +1308,52 @@ def q_mirror_hosts(spark, sf_dir):
     )
 
 
+def q_rel_canonical(spark, sf_dir):
+    """§2.9 frontier: rel=canonical alias-edge mining (plans/
+    rel_canonical) — map-only native regexp over raw html, attribute
+    order / quote style / case variants, absolute + protocol-relative
+    + root-relative href resolution, dotted-relative and
+    self-declaration drops. Pages synthesized by arithmetic over six
+    spelling classes; the oracle derives the expected edges
+    analytically per class (no second regex engine involved)."""
+    from go_htmldate_spark.plans.rel_canonical import rel_canonical_edges
+
+    df = spark.range(24000)
+    i = F.col("id")
+    cls = i % 6
+    g = (i / 6).cast("long")
+    src = F.concat(
+        F.lit("https://cl"), (i % 50).cast("string"),
+        F.lit(".example/p/"), i.cast("string"),
+    )
+    canon_abs = F.concat(
+        F.lit("https://cl"), (i % 50).cast("string"),
+        F.lit(".example/canon/"), g.cast("string"),
+    )
+    html = (
+        F.when(cls == 0, F.concat(
+            F.lit('<html><head><link rel="canonical" href="'),
+            canon_abs, F.lit('"/></head><body>x</body></html>'),
+        ))
+        .when(cls == 1, F.concat(
+            F.lit("<head><link href='/canon/"), g.cast("string"),
+            F.lit("' rel='canonical'></head>"),
+        ))
+        .when(cls == 2, F.concat(
+            F.lit('<LINK REL=canonical HREF="//cdn'),
+            (i % 5).cast("string"), F.lit(".example/c/"),
+            g.cast("string"), F.lit('">'),
+        ))
+        .when(cls == 3, F.lit('<link rel="canonical" href="../up">'))
+        .when(cls == 4, F.concat(
+            F.lit('<link rel="canonical" href="'), src, F.lit('">'),
+        ))
+        .otherwise(F.lit('<link rel="stylesheet" href="/css">'))
+    )
+    pages = df.select(src.alias("url"), html.alias("html"))
+    return rel_canonical_edges(pages)
+
+
 def q_host_backoff(spark, sf_dir):
     """§2.9 frontier: failure-aware politeness (plans/backoff) —
     trailing consecutive-failure streak per host from the fetch log,
@@ -1532,6 +1578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_trap_flags": q_url_trap_flags,
         "redirect_resolve": q_redirect_resolve,
         "change_rate": q_change_rate,
+        "rel_canonical": q_rel_canonical,
         "host_backoff": q_host_backoff,
         "dust_rules": q_dust_rules,
         "dust_apply": q_dust_apply,
@@ -2601,6 +2648,23 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(1.0 - exp(-rate * ((2000000.0 - last_ts)
                          / 86400.0)), 6) + 0.0 AS priority
             FROM r
+        """,
+        "rel_canonical": """
+            WITH g AS (
+              SELECT i, i % 6 AS cls, i // 6 AS grp, i % 50 AS h,
+                     i % 5 AS cdn
+              FROM range(24000) t(i)
+            )
+            SELECT 'https://cl' || h || '.example/p/' || i AS src_url,
+                   CASE cls
+                     WHEN 0 THEN 'https://cl' || h
+                                 || '.example/canon/' || grp
+                     WHEN 1 THEN 'https://cl' || h
+                                 || '.example/canon/' || grp
+                     WHEN 2 THEN 'https://cdn' || cdn
+                                 || '.example/c/' || grp
+                   END AS dst_url
+            FROM g WHERE cls IN (0, 1, 2)
         """,
         "host_backoff": """
             WITH g AS (

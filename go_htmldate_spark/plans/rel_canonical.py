@@ -1,0 +1,77 @@
+"""rel=canonical edge mining: the page's own alias declaration.
+
+`<link rel="canonical" href="...">` is the canonicalization signal
+site owners publish precisely so crawlers stop fetching duplicate
+spellings (Google/Bing honor it; reference analog: the extraction
+kernel itself reads the same element family for URL recovery,
+core.go:69-79 canonical-link URL fallback). Mined as (src_url,
+dst_url) edges, it feeds the SAME pointer-doubling resolution and
+frontier collapse as HTTP redirects (plans/redirects.py) — canonical
+chains (A declares B, B declares C) terminate, cycles drop.
+
+Spark-first shape: a map-only native regexp scan over the raw page
+bytes — zero exchanges, zero Python, no DOM build. That is deliberate:
+edge DISCOVERY is a coarse fast path over 100 TB of html where a DOM
+parse per page would cost more than the fetch savings; the per-row
+extraction kernel stays the authority for per-document semantics.
+Attribute order (rel-first / href-first), quote style, and case all
+match; href resolution covers the absolute, protocol-relative, and
+root-relative forms and deliberately skips dotted-relative hrefs (a
+path-relative canonical is a site bug more often than a signal, and
+resolving it needs the reference-resolution state machine — documented
+miss, not silent)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# rel before href / href before rel; ['"]? covers unquoted values up
+# to the next space or '>'. RE2-safe (no lookaround, no backrefs) so
+# the same pattern family runs under Java regex and RE2.
+_REL_FIRST = (
+    r"(?i)<link[^>]*\brel\s*=\s*['\"]?canonical['\"]?[^>]*"
+    r"\bhref\s*=\s*['\"]?([^'\" >]+)"
+)
+_HREF_FIRST = (
+    r"(?i)<link[^>]*\bhref\s*=\s*['\"]?([^'\" >]+)['\"]?[^>]*"
+    r"\brel\s*=\s*['\"]?canonical"
+)
+
+
+def rel_canonical_href(html: Column) -> Column:
+    """First declared canonical href in the raw html, else NULL."""
+    h = html.cast("string")
+    return F.nullif(
+        F.coalesce(
+            F.nullif(F.regexp_extract(h, _REL_FIRST, 1), F.lit("")),
+            F.nullif(F.regexp_extract(h, _HREF_FIRST, 1), F.lit("")),
+        ),
+        F.lit(""),
+    )
+
+
+def rel_canonical_edges(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """pages → (src_url, dst_url) alias edges from rel=canonical
+    declarations: absolute http(s) hrefs as-is, protocol-relative
+    completed with the page's scheme, root-relative with the page's
+    scheme://host; dotted-relative skipped; self-declarations dropped
+    (a page canonicalizing to itself is the non-alias case)."""
+    u = F.col(url_col)
+    href = rel_canonical_href(F.col(html_col))
+    scheme = F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)
+    host = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+    dst = (
+        F.when(href.rlike(r"^(?i)https?://"), href)
+        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+        .when(
+            href.startswith("/"),
+            F.concat(scheme, F.lit("://"), host, href),
+        )
+    )
+    return (
+        pages.select(u.alias("src_url"), dst.alias("dst_url"))
+        .filter(F.col("dst_url").isNotNull() & (F.col("dst_url") != F.col("src_url")))
+    )

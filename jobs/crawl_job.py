@@ -63,6 +63,13 @@ def main() -> None:
         "discovered URLs enter the frontier, cycle members drop",
     )
     ap.add_argument(
+        "--canonical-links", action="store_true",
+        help="mine rel=canonical alias edges from the page corpus "
+        "(map-only regexp scan) and resolve them together with "
+        "--redirects edges — discovered aliases collapse to the "
+        "page-declared canonical target",
+    )
+    ap.add_argument(
         "--recrawl-history",
         help="parquet dir of fetch history (url, fetch_ts, content_sig); "
         "seeds become Cho-Garcia-Molina recrawl priorities "
@@ -212,10 +219,22 @@ def main() -> None:
 
     os.makedirs(args.state, exist_ok=True)
     redirects = None
-    if args.redirects:
+    if args.redirects or args.canonical_links:
         from go_htmldate_spark.plans.redirects import resolve_redirects
 
-        redirects = resolve_redirects(spark.read.parquet(args.redirects))
+        edges = None
+        if args.redirects:
+            edges = spark.read.parquet(args.redirects).select(
+                "src_url", "dst_url"
+            )
+        if args.canonical_links:
+            from go_htmldate_spark.plans.rel_canonical import (
+                rel_canonical_edges,
+            )
+
+            canon = rel_canonical_edges(pages)
+            edges = canon if edges is None else edges.unionByName(canon)
+        redirects = resolve_redirects(edges)
 
     sched = CrawlScheduler(
         spark, pages, robots=robots, host_budget=budgets,

@@ -1406,3 +1406,35 @@ def test_host_backoff_streak_semantics(spark):
     assert got["dead.example"] == (6, 0.25)
     assert got["healthy.example"] == (0, 8.0)
     assert got["tied.example"] == (0, 8.0)
+
+
+def test_rel_canonical_edges_spellings_and_resolution(spark):
+    """rel=canonical mining (plans/rel_canonical): attribute order,
+    quote style, case, and unquoted values all parse; hrefs resolve
+    absolute / protocol-relative / root-relative; dotted-relative,
+    self-declarations, and non-canonical links yield nothing; the
+    scan is map-only (zero exchanges)."""
+    from go_htmldate_spark.plans.rel_canonical import rel_canonical_edges
+
+    rows = [
+        ("https://a.example/p?sess=1",
+         '<html><head><link rel="canonical" href="https://a.example/p"/>'
+         "</head></html>"),
+        ("https://b.example/x", "<head><LINK HREF='/y' REL=canonical></head>"),
+        ("https://c.example/m", '<link href="//cdn.example/m" rel="canonical">'),
+        ("https://g.example/u", "<link rel=canonical href=https://g.example/v>"),
+        ("https://d.example/r", '<link rel="canonical" href="../up">'),
+        ("https://e.example/s", '<link rel="canonical" href="https://e.example/s">'),
+        ("https://f.example/n", '<link rel="stylesheet" href="/css">'),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    out = rel_canonical_edges(df)
+    got = {(r["src_url"], r["dst_url"]) for r in out.collect()}
+    assert got == {
+        ("https://a.example/p?sess=1", "https://a.example/p"),
+        ("https://b.example/x", "https://b.example/y"),
+        ("https://c.example/m", "https://cdn.example/m"),
+        ("https://g.example/u", "https://g.example/v"),
+    }
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan

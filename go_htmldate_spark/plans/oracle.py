@@ -71,6 +71,10 @@ class OracleScheduler:
     # hosts are their own ip.
     ip_map: dict[str, str] = field(default_factory=dict)
     ip_budget: int = 0
+    # starvation guard: additive per-round boost for unscheduled
+    # frontier URLs (0 = off); applied before the max-merge with
+    # discoveries, mirroring CrawlConfig.aging
+    aging: float = 0.0
 
     frontier: dict[str, float] = field(default_factory=dict)  # url → priority
     seen: set[str] = field(default_factory=set)
@@ -157,7 +161,9 @@ class OracleScheduler:
         # 8. frontier update: leftover ∪ discovered (max-priority), minus seen
         scheduled_set = {u for _, u in scheduled}
         new_frontier: dict[str, float] = {
-            u: p for u, p in self.frontier.items() if u not in scheduled_set
+            u: p + self.aging
+            for u, p in self.frontier.items()
+            if u not in scheduled_set
         }
         for u, p in discovered.items():
             new_frontier[u] = max(new_frontier.get(u, -math.inf), p)

@@ -93,6 +93,10 @@ class CrawlConfig:
     # the per-host top-k, so the IP window's input is already bounded
     # at Σ floor(budget) per host — never the raw frontier.
     ip_budget: int = 0
+    # starvation guard: additive per-round priority boost for frontier
+    # URLs that lost the politeness race (0 = off). Bounds the wait of
+    # any URL on a busy host at ~(p_max - p_0)/aging rounds.
+    aging: float = 0.0
 
 
 def recency_score(date_col):
@@ -573,6 +577,17 @@ class CrawlScheduler:
             scheduled_hashes.select("url_hash")
         )
         leftover = pending.join(scheduled_hashes, "url_hash", "left_anti")
+        if cfg.aging > 0:
+            # starvation guard: a URL that lost this round's politeness
+            # race re-enters the frontier with an additive boost, so
+            # low-recency URLs on busy hosts are eventually scheduled
+            # instead of being crowded out forever. Additive (not
+            # multiplicative) so zero-priority URLs age too; applied
+            # before the max-merge with fresh discoveries, exactly like
+            # the oracle.
+            leftover = leftover.withColumn(
+                "priority", F.col("priority") + F.lit(float(cfg.aging))
+            )
         new_frontier = (
             leftover.unionByName(discovered)
             .groupBy("url", "url_hash", "host")

@@ -121,6 +121,11 @@ def main() -> None:
         help="fetches/round shared by all hosts on one IP (0 = off)",
     )
     ap.add_argument(
+        "--aging", type=float, default=0.0,
+        help="starvation guard: additive per-round priority boost for "
+        "frontier URLs that lost the politeness race (0 = off)",
+    )
+    ap.add_argument(
         "--trap-guard", action="store_true",
         help="drop discovered URLs that look like crawl traps (depth "
         "caps, consecutive path-segment repeats, query cross products, "
@@ -240,7 +245,8 @@ def main() -> None:
         spark, pages, robots=robots, host_budget=budgets,
         state_dir=args.state,
         config=CrawlConfig(
-            trap_guard=args.trap_guard, ip_budget=args.ip_budget
+            trap_guard=args.trap_guard, ip_budget=args.ip_budget,
+            aging=args.aging,
         ),
         blocklist=blocklist, redirects=redirects, dust=dust,
         host_ip=(

@@ -942,3 +942,65 @@ def test_line_dedup_removes_cross_doc_boilerplate(spark):
     # threshold respected: at min_docs=4 nothing is removed (max dup count is 3)
     out4 = {r["doc_id"]: r["n_removed"] for r in line_dedup(docs, min_docs=4).collect()}
     assert out4 == {1: 0, 2: 0, 3: 0, 4: 0}
+
+
+def test_stream_change_rate_matches_batch(spark, tmp_path):
+    """Streaming CGM change-rate (streaming/recrawl): folding fetch
+    observations across three micro-batches yields, for every URL, a
+    final running estimate equal to the batch change_rate() over the
+    union of observations — including a restart between batches
+    (state survives the checkpoint). Single-fetch URLs emit nothing,
+    matching the batch drop."""
+    from go_htmldate_spark.plans.recrawl import change_rate
+    from go_htmldate_spark.streaming.recrawl import stream_change_rate
+
+    day = 86400.0
+    batches = [
+        [("u1", 0.0, "a"), ("u2", 0.0, "x"), ("solo", 0.0, "s")],
+        [("u1", 1 * day, "b"), ("u2", 2 * day, "x")],
+        [("u1", 2 * day, "b"), ("u2", 4 * day, "y"), ("u3", 0.0, "q"),
+         ("u3", 3 * day, "q2")],
+    ]
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    for rows in batches:
+        spark.createDataFrame(
+            rows, "url string, fetch_ts double, content_sig string"
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+        stream = spark.readStream.schema(
+            "url string, fetch_ts double, content_sig string"
+        ).parquet(in_dir)
+        q = (
+            stream_change_rate(stream, n_partitions=4)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # latest emission per URL = the running estimate after batch 3
+    got = {}
+    for r in spark.read.parquet(out_dir).collect():
+        prev = got.get(r["url"])
+        if prev is None or r["n_intervals"] > prev["n_intervals"]:
+            got[r["url"]] = r
+
+    all_rows = [r for b in batches for r in b]
+    want = {
+        r["url"]: r
+        for r in change_rate(spark.createDataFrame(
+            all_rows, "url string, fetch_ts double, content_sig string"
+        )).collect()
+    }
+    assert set(got) == set(want) == {"u1", "u2", "u3"}  # solo dropped
+    for u in want:
+        g, w = got[u], want[u]
+        assert (g["n_intervals"], g["n_changes"]) == (
+            w["n_intervals"], w["n_changes"])
+        assert g["last_fetch_ts"] == w["last_fetch_ts"]
+        assert abs(g["rate_per_day"] - w["rate_per_day"]) < 1e-12

@@ -2704,20 +2704,31 @@ def oracle_sql() -> dict[str, str]:
               FROM oriented GROUP BY alpha, beta HAVING COUNT(*) >= 2
             ),
             urls AS (SELECT DISTINCT url FROM pages),
+            parts AS (
+              SELECT url,
+                     regexp_extract(url,
+                         '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', 0) AS auth
+              FROM urls
+            ),
+            split_u AS (
+              SELECT url, auth, substr(url, length(auth) + 1) AS rest
+              FROM parts
+            ),
             best AS (
-              SELECT u.url, r.alpha, r.beta, r.support
-              FROM urls u LEFT JOIN rules r
-                ON length(r.alpha) > 0 AND strpos(u.url, r.alpha) > 0
-              QUALIFY row_number() OVER (PARTITION BY u.url
+              SELECT p.url, p.auth, p.rest, r.alpha, r.beta, r.support
+              FROM split_u p LEFT JOIN rules r
+                ON length(r.alpha) > 0 AND strpos(p.rest, r.alpha) > 0
+              QUALIFY row_number() OVER (PARTITION BY p.url
                   ORDER BY r.support DESC NULLS LAST,
                            length(r.alpha) DESC, r.alpha, r.beta) = 1
             )
             SELECT url,
                    CASE WHEN alpha IS NULL THEN url
-                        ELSE substr(url, 1, strpos(url, alpha) - 1)
+                        ELSE auth
+                             || substr(rest, 1, strpos(rest, alpha) - 1)
                              || beta
-                             || substr(url,
-                                       strpos(url, alpha) + length(alpha))
+                             || substr(rest,
+                                       strpos(rest, alpha) + length(alpha))
                    END AS canonical_url,
                    COALESCE(support, 0) AS rule_support
             FROM best

@@ -210,21 +210,33 @@ def collect_top_rules(
 def dust_rewrite_exprs(u, top: list):
     """Compile a collected rule list into (canonical, support) column
     expressions over the url column `u` — the map-only application
-    the scheduler splices into its discovery stream."""
-    canonical = u
+    the scheduler splices into its discovery stream.
+
+    Rewrites are PATH+QUERY-scoped (DustBuster rules are path rules):
+    the scheme://authority prefix is split off first and re-attached
+    verbatim, so a rule like '/index.html'→'' can never fire inside a
+    hostname that happens to contain the alpha text
+    ('https://index.html.example/…' stays intact). Non-hierarchical
+    strings have an empty authority match and rewrite whole, as
+    before."""
+    auth = F.regexp_extract(
+        u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", 0
+    )
+    rest = F.substring(u, F.length(auth) + 1, F.length(u))
+    canonical_rest = rest
     support = F.lit(0)
     # build the chain INNERMOST-first so the highest-priority rule ends
     # up as the outermost when — first match in priority order wins
     for r in reversed(top):
         a, b = F.lit(r["alpha"]), F.lit(r["beta"])
-        hit = F.instr(u, a) > 0
+        hit = F.instr(rest, a) > 0
         rewrite = F.concat(
-            F.substring(u, F.lit(1), F.instr(u, a) - 1),
+            F.substring(rest, F.lit(1), F.instr(rest, a) - 1),
             b,
             F.substring(
-                u, F.instr(u, a) + F.length(a), F.length(u)
+                rest, F.instr(rest, a) + F.length(a), F.length(rest)
             ),
         )
-        canonical = F.when(hit, rewrite).otherwise(canonical)
+        canonical_rest = F.when(hit, rewrite).otherwise(canonical_rest)
         support = F.when(hit, F.lit(r["support"])).otherwise(support)
-    return canonical, support
+    return F.concat(auth, canonical_rest), support

@@ -27,15 +27,19 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # rel before href / href before rel; ['"]? covers unquoted values up
-# to the next space or '>'. RE2-safe (no lookaround, no backrefs) so
-# the same pattern family runs under Java regex and RE2.
+# to the next space or '>'. The value must TERMINATE right after
+# 'canonical' (quote, whitespace, '/', '>', or end of input) so
+# rel="canonical-next" / rel="canonicalize" never match — without the
+# boundary, [^>]* would happily absorb the suffix. RE2-safe (no
+# lookaround, no backrefs) so the same pattern family runs under Java
+# regex and RE2.
 _REL_FIRST = (
-    r"(?i)<link[^>]*\brel\s*=\s*['\"]?canonical['\"]?[^>]*"
+    r"(?i)<link[^>]*\brel\s*=\s*['\"]?canonical(?:['\"\s/>])[^>]*"
     r"\bhref\s*=\s*['\"]?([^'\" >]+)"
 )
 _HREF_FIRST = (
     r"(?i)<link[^>]*\bhref\s*=\s*['\"]?([^'\" >]+)['\"]?[^>]*"
-    r"\brel\s*=\s*['\"]?canonical"
+    r"\brel\s*=\s*['\"]?canonical(?:['\"\s/>]|$)"
 )
 
 

@@ -227,9 +227,18 @@ class CrawlScheduler:
 
             self._dust_rules = collect_top_rules(dust)
         # (host, ip) DNS-cache table for per-IP politeness
-        # (config.ip_budget): one row per host — broadcast-size like
-        # the budget table. Hosts without a mapping are their own "ip".
-        self.host_ip = host_ip
+        # (config.ip_budget). A real DNS cache holds several A records
+        # per host; the left join in step 5.5 would then DUPLICATE
+        # scheduled rows (one per record, each rank-1 in its own IP
+        # partition — double fetches, non-disjoint seen deltas), so the
+        # table is reduced to one deterministic primary IP per host
+        # (lexicographic min) here. One row per host — broadcast-size
+        # like the budget table. Unmapped hosts are their own "ip".
+        self.host_ip = (
+            host_ip.groupBy("host").agg(F.min("ip").alias("ip"))
+            if host_ip is not None
+            else None
+        )
         self.round = 0
         self.frontier: DataFrame | None = None
         self.seen: DataFrame | None = None
@@ -745,7 +754,7 @@ def expire_snapshots(state_dir: str, keep_last: int = 2) -> dict:
             manifest = json.load(f)
         referenced.update(manifest.get("seen_chain", [f"round_{r}/seen"]))
 
-    removed_rounds, kept_segments, freed = [], [], 0
+    removed_rounds, retained_partial, kept_segments, freed = [], [], [], 0
     for name in sorted(all_round_dirs, key=lambda n: int(n.split("_")[1])):
         r = int(name.split("_")[1])
         if r in kept_rounds:
@@ -769,12 +778,18 @@ def expire_snapshots(state_dir: str, keep_last: int = 2) -> dict:
             else:
                 freed += os.path.getsize(p)
                 os.remove(p)
+        # honest accounting: a round whose dir survives because kept
+        # manifests still reference segments inside it is EXPIRED (not
+        # resumable — manifest gone) but not fully removed from disk
         if emptied:
             os.rmdir(base)
-        removed_rounds.append(r)
+            removed_rounds.append(r)
+        else:
+            retained_partial.append(r)
     return {
         "kept_rounds": kept_rounds,
         "removed_rounds": removed_rounds,
+        "retained_partial": retained_partial,
         "kept_segments": kept_segments,
         "bytes_freed": freed,
     }

@@ -54,9 +54,20 @@ def _rate_group(
     else:
         st = {}
     touched = set()
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["url", "fetch_ts"], kind="mergesort")
-        for u, t, g in zip(pdf["url"], pdf["fetch_ts"], pdf["content_sig"]):
+    # a shard's micro-batch arrives as MULTIPLE Arrow chunks past
+    # arrow.maxRecordsPerBatch — sorting per chunk would fold a URL's
+    # observations out of timestamp order across chunk boundaries, so
+    # concatenate first and sort ONCE per group
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        whole = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        ).sort_values(["url", "fetch_ts"], kind="mergesort")
+        for u, t, g in zip(
+            whole["url"], whole["fetch_ts"], whole["content_sig"]
+        ):
             u, t, g = str(u), float(t), str(g)
             cur = st.get(u)
             if cur is None:

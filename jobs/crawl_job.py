@@ -202,10 +202,18 @@ def main() -> None:
 
     if args.backoff_log:
         from go_htmldate_spark.plans.backoff import host_backoff
+        from go_htmldate_spark.plans.scheduler import CrawlConfig as _CC
 
-        budgets = merge_budgets(
-            budgets, host_backoff(spark.read.parquet(args.backoff_log))
-        )
+        # backoff must only ever LOWER a host's budget: base the decay
+        # at the scheduler's default and keep only streak>0 rows, so a
+        # healthy host keeps whatever budget its other sources gave it
+        # (emitting base-budget rows for streak-0 hosts would RAISE
+        # unlisted hosts above default_budget via the merge)
+        decayed = host_backoff(
+            spark.read.parquet(args.backoff_log),
+            base_budget=_CC.default_budget,
+        ).filter(F.col("streak") > 0)
+        budgets = merge_budgets(budgets, decayed)
 
     dust = None
     if args.dust_history:
@@ -225,6 +233,7 @@ def main() -> None:
     os.makedirs(args.state, exist_ok=True)
     redirects = None
     if args.redirects or args.canonical_links:
+        from go_htmldate_spark.plans.canonical import canonicalize_url
         from go_htmldate_spark.plans.redirects import resolve_redirects
 
         edges = None
@@ -239,6 +248,17 @@ def main() -> None:
 
             canon = rel_canonical_edges(pages)
             edges = canon if edges is None else edges.unionByName(canon)
+        # the scheduler applies resolved edges to CANONICALIZED
+        # discovered URLs, so both endpoints must be canonicalized too
+        # (raw-spelling src keys would never match; raw dst targets
+        # would enter the frontier under a second hash). Edges that
+        # collapse to self after canonicalization are spelling-only
+        # aliases already handled by canonicalize_url — drop them so
+        # they don't register as 1-cycles and kill the URL.
+        edges = edges.select(
+            canonicalize_url(F.col("src_url")).alias("src_url"),
+            canonicalize_url(F.col("dst_url")).alias("dst_url"),
+        ).filter(F.col("src_url") != F.col("dst_url"))
         redirects = resolve_redirects(edges)
 
     sched = CrawlScheduler(
@@ -266,7 +286,12 @@ def main() -> None:
                 recrawl_priority,
             )
 
-            rates = change_rate(spark.read.parquet(args.recrawl_history))
+            # cache: the window+groupBy over the full history is the
+            # seeding path's heaviest job, and it feeds BOTH the
+            # data-derived as_of aggregate and the priority projection
+            rates = change_rate(
+                spark.read.parquet(args.recrawl_history)
+            ).cache()
             as_of = args.recrawl_as_of
             if as_of is None:
                 # data-derived "now": deterministic for a given history

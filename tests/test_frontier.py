@@ -1286,7 +1286,11 @@ def test_expire_snapshots_retention_and_resume(
 
     stats = expire_snapshots(str(d_exp), keep_last=2)
     assert stats["kept_rounds"] == [3, 4]
-    assert stats["removed_rounds"] == [0, 1, 2]
+    # every expired round still holds a referenced seen_delta (the
+    # compaction window is 8 > 5 rounds), so none is fully removed —
+    # the stats must say so instead of claiming deletion
+    assert stats["removed_rounds"] == []
+    assert stats["retained_partial"] == [0, 1, 2]
     assert stats["bytes_freed"] > 0
     # kept manifests reference deltas inside expired round dirs (the
     # compaction window is 8 > 5 rounds): those segments must survive…
@@ -1426,6 +1430,10 @@ def test_rel_canonical_edges_spellings_and_resolution(spark):
         ("https://d.example/r", '<link rel="canonical" href="../up">'),
         ("https://e.example/s", '<link rel="canonical" href="https://e.example/s">'),
         ("https://f.example/n", '<link rel="stylesheet" href="/css">'),
+        # rel values that merely START with 'canonical' are not
+        # canonical declarations (boundary required after the word)
+        ("https://h.example/q", '<link rel="canonical-next" href="/page2">'),
+        ("https://i.example/w", "<link rel=canonicalize href='/z'>"),
     ]
     df = spark.createDataFrame(rows, "url string, html string")
     out = rel_canonical_edges(df)
@@ -1487,3 +1495,28 @@ def test_scheduler_aging_matches_oracle(
         r["url"]: r["priority"] for r in sched.frontier.collect()
     }
     assert spark_frontier == orc.frontier
+
+
+def test_dust_rewrite_never_touches_authority(spark):
+    """A mined rule whose alpha text happens to occur inside a
+    hostname must not fire there: rewrites are path+query-scoped
+    (the authority is split off and re-attached verbatim)."""
+    from go_htmldate_spark.plans.dust import apply_dust_rules
+
+    rules = spark.createDataFrame(
+        [("/index.html", "", 20)], "alpha string, beta string, support long"
+    )
+    urls = spark.createDataFrame(
+        [("https://index.html.example/p",),
+         ("https://ok.example/a/index.html",),
+         ("not a url /index.html tail",)],
+        "url string",
+    )
+    got = {r["url"]: r["canonical_url"]
+           for r in apply_dust_rules(urls, rules).collect()}
+    # hostname containing the alpha text: untouched
+    assert got["https://index.html.example/p"] == "https://index.html.example/p"
+    # path occurrence: rewritten
+    assert got["https://ok.example/a/index.html"] == "https://ok.example/a"
+    # non-hierarchical string: whole-string scope (empty authority)
+    assert got["not a url /index.html tail"] == "not a url  tail"

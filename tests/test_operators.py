@@ -1004,3 +1004,53 @@ def test_stream_change_rate_matches_batch(spark, tmp_path):
             w["n_intervals"], w["n_changes"])
         assert g["last_fetch_ts"] == w["last_fetch_ts"]
         assert abs(g["rate_per_day"] - w["rate_per_day"]) < 1e-12
+
+
+def test_stream_change_rate_multichunk_order(spark, tmp_path):
+    """One shard's micro-batch delivered as MULTIPLE Arrow chunks must
+    fold in global (url, fetch_ts) order, not per-chunk order — the
+    estimator is order-sensitive (n_changes compares consecutive
+    sigs). Pinned by shrinking arrow.maxRecordsPerBatch below the
+    batch size and feeding timestamps that interleave across chunks."""
+    from go_htmldate_spark.plans.recrawl import change_rate
+    from go_htmldate_spark.streaming.recrawl import stream_change_rate
+
+    day = 86400.0
+    # one URL, 40 observations, written in REVERSE ts order so chunk
+    # boundaries split the sequence badly; sig flips every 3rd fetch
+    rows = [("u", float(t) * day, f"s{t // 3}") for t in range(39, -1, -1)]
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / d) for d in ("in", "out", "ckpt")
+    )
+    spark.createDataFrame(
+        rows, "url string, fetch_ts double, content_sig string"
+    ).coalesce(1).write.parquet(in_dir)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        stream = spark.readStream.schema(
+            "url string, fetch_ts double, content_sig string"
+        ).parquet(in_dir)
+        q = (
+            stream_change_rate(stream, n_partitions=1)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    got = spark.read.parquet(out_dir).collect()
+    assert len(got) == 1
+    want = change_rate(spark.createDataFrame(
+        rows, "url string, fetch_ts double, content_sig string"
+    )).head()
+    g = got[0]
+    assert (g["n_intervals"], g["n_changes"]) == (
+        want["n_intervals"], want["n_changes"])
+    assert abs(g["rate_per_day"] - want["rate_per_day"]) < 1e-12

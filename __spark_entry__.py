@@ -2624,7 +2624,8 @@ def oracle_sql() -> dict[str, str]:
             ),
             o AS (
               SELECT url, ts, sig,
-                     lag(sig) OVER (PARTITION BY url ORDER BY ts) AS prev
+                     lag(sig) OVER (PARTITION BY url ORDER BY ts, sig)
+                         AS prev
               FROM h
             ),
             a AS (

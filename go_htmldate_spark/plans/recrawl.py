@@ -41,7 +41,10 @@ def change_rate(
     rate_per_day). Change detection compares consecutive signatures
     in fetch order; rate is the CGM estimator per mean interval,
     scaled to 1/day (ts in epoch seconds)."""
-    w = Window.partitionBy("url").orderBy("ts")
+    # deterministic tie-break: two fetches at the same instant order by
+    # signature, so n_changes cannot flip with partition order (the
+    # oracle-gate contract: every window pins its ties)
+    w = Window.partitionBy("url").orderBy("ts", "sig")
     obs = history.select(
         F.col(url_col).alias("url"),
         F.col(ts_col).cast("double").alias("ts"),

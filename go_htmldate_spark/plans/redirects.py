@@ -83,8 +83,7 @@ def apply_redirects(
     m = resolved.select(
         F.col("url").alias("_r_url"),
         F.col("target").alias("_r_target"),
-        F.col("_resolved" if "_resolved" in resolved.columns else "resolved")
-        .alias("_r_ok"),
+        F.col("resolved").alias("_r_ok"),
     )
     joined = df.join(m, df[url_col] == m["_r_url"], "left")
     return (

@@ -210,7 +210,22 @@ class CrawlScheduler:
         # URLs on blocked hosts never enter the frontier. Applied as
         # per-depth broadcast joins (operators/curation) — the
         # discovery stream never shuffles for it.
-        self.blocklist = blocklist
+        # the blocklist is static for the crawl's lifetime: clean it
+        # (lower+trim+distinct) and self-tune the label depth ONCE here
+        # instead of paying a blocking driver agg + a distinct per
+        # round on the discovery critical path
+        self.blocklist = None
+        self._blocklist_depth: int | None = None
+        if blocklist is not None:
+            domain_col = "domain" if "domain" in blocklist.columns else blocklist.columns[0]
+            cleaned = blocklist.select(
+                F.lower(F.trim(F.col(domain_col))).alias("domain")
+            ).distinct().cache()
+            row = cleaned.agg(
+                F.max(F.size(F.split(F.col("domain"), r"\."))).alias("d")
+            ).head()
+            self._blocklist_depth = int(row["d"] or 1)
+            self.blocklist = cleaned
         # resolve_redirects output (url, target, resolved) over
         # CANONICAL urls: discovered outlinks map through terminal
         # targets before hashing; cycle members never enter the frontier
@@ -539,7 +554,8 @@ class CrawlScheduler:
             from go_htmldate_spark.operators.curation import blocklist_filter
 
             discovered = blocklist_filter(
-                discovered, self.blocklist, host_col="host"
+                discovered, self.blocklist, host_col="host",
+                max_depth=self._blocklist_depth,
             )
         if cfg.trap_guard:
             from go_htmldate_spark.plans.traps import trap_filter

@@ -64,7 +64,10 @@ WARC_SCHEMA = StructType([
 def _maybe_decompress(data: bytes) -> bytes:
     """Whole-buffer gzip sniff. Handles multi-member gzip (Common
     Crawl's one-member-per-record layout) by looping decompressobj
-    over the remaining tail."""
+    over the remaining tail. Fails loudly (like the record parser's
+    contract) when bytes remain after the last member that are not a
+    further gzip member — a stream cut at a member boundary or with
+    interleaved garbage must not silently drop its tail records."""
     if data[:2] != b"\x1f\x8b":
         return data
     out = []
@@ -72,7 +75,16 @@ def _maybe_decompress(data: bytes) -> bytes:
     while rest[:2] == b"\x1f\x8b":
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
         out.append(d.decompress(rest))
+        if not d.eof:
+            raise ValueError(
+                "truncated gzip member in WARC stream "
+                f"({len(rest)} bytes remaining)"
+            )
         rest = d.unused_data
+    if rest and rest.strip(b"\x00"):  # allow classic NUL tape padding
+        raise ValueError(
+            f"{len(rest)} non-gzip bytes after last gzip member in WARC stream"
+        )
     return b"".join(out)
 
 
@@ -252,9 +264,17 @@ def warc_to_pages(records: DataFrame) -> DataFrame:
     """Project response records into the input_hint pages shape
     (url, warc_ts, html binary); text/lang are downstream concerns
     (extraction kernel / lang-ID operator)."""
+    # WARC 1.1 permits fractional seconds of ANY digit count in
+    # WARC-Date (wget/warcio emit them); Spark's S pattern wants an
+    # exact digit count, so strip the fraction first (second precision
+    # is what every consumer here keys on) instead of nulling every
+    # 1.1 timestamp
     return records.filter(F.col("warc_type") == "response").select(
         F.col("url"),
-        F.to_timestamp(F.col("warc_date"), "yyyy-MM-dd'T'HH:mm:ssX").alias("warc_ts"),
+        F.to_timestamp(
+            F.regexp_replace(F.col("warc_date"), r"\.\d+", ""),
+            "yyyy-MM-dd'T'HH:mm:ssX",
+        ).alias("warc_ts"),
         F.col("payload").alias("html"),
     )
 
@@ -285,12 +305,20 @@ def write_warc_shards(
     """
     import os
 
+    import glob as _glob
+
     cols = [F.col(url_col), F.col(ts_col).cast("timestamp"),
             F.col(html_col).cast("binary")]
     df = pages.select(*cols)
     if n_shards is not None:
         df = df.repartitionByRange(n_shards, F.col(url_col)).sortWithinPartitions(url_col)
     os.makedirs(out_dir, exist_ok=True)
+    # overwrite semantics: a previous export with MORE partitions (or
+    # data where this run's partition is empty) would otherwise leave
+    # stale part files behind, and a glob read of the dir would mix
+    # two corpora — clear our own naming scheme first
+    for stale in _glob.glob(os.path.join(out_dir, "part-*.warc.gz")):
+        os.remove(stale)
 
     def dump(pid, rows):
         path = os.path.join(out_dir, f"part-{pid:05d}.warc.gz")

@@ -64,7 +64,11 @@ def _rate_group(
             pd.concat(chunks, ignore_index=True)
             if len(chunks) > 1
             else chunks[0]
-        ).sort_values(["url", "fetch_ts"], kind="mergesort")
+        ).sort_values(
+            # same tie-break as the batch window (ts, sig): equal-
+            # instant fetches fold in signature order on both paths
+            ["url", "fetch_ts", "content_sig"], kind="mergesort"
+        )
         for u, t, g in zip(
             whole["url"], whole["fetch_ts"], whole["content_sig"]
         ):

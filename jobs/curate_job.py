@@ -106,7 +106,16 @@ def main() -> None:
     ).drop("text_html")
 
     # 3. quality + language gates (all native, map-only)
-    docs = docs.withColumn("doc_id", F.xxhash64("url"))
+    # doc_id must be UNIQUE PER ROW: Common-Crawl inputs carry the same
+    # URL at multiple fetch times (revisits) and occasionally the same
+    # record twice across segments. xxhash64(url) alone would give
+    # every revisit one id and the flag joins below would multiply
+    # rows (2 fetches -> 2x2x2 = 8 output rows). Distinct fetches get
+    # distinct (url, warc_ts); byte-identical re-stored records are
+    # the same fetch and collapse here by construction.
+    docs = docs.dropDuplicates(["url", "warc_ts"]).withColumn(
+        "doc_id", F.xxhash64("url", "warc_ts")
+    )
     docs = docs.withColumn("lang", lang_id(F.col("text")))
     c4 = c4_heuristics(docs.select("doc_id", "text")).select("doc_id", "c4_ok")
     rep = gopher_repetition(docs.select("doc_id", "text")).select(

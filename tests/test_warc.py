@@ -203,3 +203,60 @@ def test_warc_roundtrip_property_fuzz():
             assert r["payload"] == b"\r\n\r\nWARC/1.0\r\n\x1f\x8b" + p
 
     check()
+
+
+def test_gzip_tail_garbage_fails_loudly():
+    """A gzip WARC stream cut at a member boundary or carrying non-gzip
+    bytes between members must raise, not silently drop the tail
+    records; classic NUL tape padding stays accepted."""
+    from go_htmldate_spark.sources.warc import iter_warc_records
+
+    out = io.BytesIO()
+    write_warc_record(out, "response", http_response_payload(b"<html>a</html>"),
+                      url="https://w.example/a", gzip_member=True)
+    good = out.getvalue()
+
+    with pytest.raises(ValueError):
+        list(iter_warc_records(good + b"not gzip at all"))
+    # truncated second member
+    out2 = io.BytesIO()
+    write_warc_record(out2, "response", http_response_payload(b"<html>b</html>"),
+                      url="https://w.example/b", gzip_member=True)
+    with pytest.raises(ValueError):
+        list(iter_warc_records(good + out2.getvalue()[:10]))
+    # NUL padding is fine
+    assert len(list(iter_warc_records(good + b"\x00" * 512))) == 1
+
+
+def test_warc_to_pages_fractional_seconds(spark, tmp_path):
+    """WARC 1.1 fractional-second WARC-Date values must parse (to
+    second precision), not null out warc_ts."""
+    from go_htmldate_spark.sources.warc import read_warc, warc_to_pages
+
+    out = io.BytesIO()
+    write_warc_record(out, "response", http_response_payload(b"<html>f</html>"),
+                      url="https://w.example/frac", gzip_member=True,
+                      warc_date="2024-01-02T03:04:05.123456Z")
+    p = tmp_path / "frac.warc.gz"
+    p.write_bytes(out.getvalue())
+    pages = warc_to_pages(read_warc(spark, str(p))).collect()
+    assert len(pages) == 1 and pages[0]["warc_ts"] is not None
+    assert pages[0]["warc_ts"].second == 5
+
+
+def test_write_warc_shards_overwrite_clears_stale(spark, tmp_path):
+    """Re-exporting into the same directory with fewer shards must not
+    leave stale part files from the previous layout behind."""
+    from go_htmldate_spark.sources.warc import read_warc, write_warc_shards
+
+    out_dir = str(tmp_path / "shards")
+    rows = [(f"https://s.example/{i}", None, b"<html>x</html>") for i in range(40)]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, html binary")
+    write_warc_shards(df, out_dir, n_shards=8)
+    first = {r["url"] for r in read_warc(spark, out_dir + "/*.warc.gz").collect()}
+    assert len(first) == 40
+
+    small = df.filter(F.col("url").endswith("/1"))
+    write_warc_shards(small, out_dir, n_shards=2)
+    again = [r["url"] for r in read_warc(spark, out_dir + "/*.warc.gz").collect()]
+    assert again == ["https://s.example/1"]

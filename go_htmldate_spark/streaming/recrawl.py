@@ -20,6 +20,11 @@ checkpoint [north-rule resumability]. Within a micro-batch rows sort
 by (url, fetch_ts); across micro-batches arrival order is assumed
 ts-monotone per URL (a crawl emits observations as it fetches — the
 same assumption the watermarked host-rate windows document).
+
+max_urls_per_shard bounds per-shard state for 10^10-URL crawls: past
+the cap the stalest URLs (smallest last_ts) are evicted and restart
+their statistics on the next observation — the same bounded-state
+discipline as the bloom-bounded streaming URL dedup.
 """
 
 from __future__ import annotations
@@ -42,8 +47,20 @@ STATE_SCHEMA = (
 )
 
 
-def _rate_group(
-    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+def _make_rate_group(max_urls_per_shard: int | None):
+    def _rate_group(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        return _rate_group_impl(key, pdfs, state, max_urls_per_shard)
+
+    return _rate_group
+
+
+def _rate_group_impl(
+    key,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    max_urls_per_shard: int | None = None,
 ) -> Iterator[pd.DataFrame]:
     if state.exists:
         urls, ns, xs, first, last, sig = state.get
@@ -100,6 +117,16 @@ def _rate_group(
                 "last_fetch_ts", "rate_per_day",
             ],
         )
+    if max_urls_per_shard is not None and len(st) > max_urls_per_shard:
+        # bounded state: evict the STALEST URLs (smallest last_ts, ties
+        # by url) down to the cap. An evicted URL restarts its
+        # statistics on its next observation — the freshness prior
+        # degrades gracefully for exactly the pages whose priors matter
+        # least (coldest last fetch), and per-shard state stays fixed.
+        keep = sorted(st.items(), key=lambda kv: (-kv[1][3], kv[0]))[
+            :max_urls_per_shard
+        ]
+        st = dict(keep)
     items = sorted(st.items())
     state.update((
         [u for u, _ in items],
@@ -112,7 +139,9 @@ def _rate_group(
 
 
 def stream_change_rate(
-    history: DataFrame, n_partitions: int = 16
+    history: DataFrame,
+    n_partitions: int = 16,
+    max_urls_per_shard: int | None = None,
 ) -> DataFrame:
     """history(url, fetch_ts, content_sig) streaming DataFrame →
     per-micro-batch update stream of (url, n_intervals, n_changes,
@@ -128,7 +157,7 @@ def stream_change_rate(
         F.pmod(F.xxhash64("url"), F.lit(n_partitions)).cast("int"),
     )
     return keyed.groupBy("shard").applyInPandasWithState(
-        _rate_group,
+        _make_rate_group(max_urls_per_shard),
         outputStructType=OUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",

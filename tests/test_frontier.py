@@ -1520,3 +1520,63 @@ def test_dust_rewrite_never_touches_authority(spark):
     assert got["https://ok.example/a/index.html"] == "https://ok.example/a"
     # non-hierarchical string: whole-string scope (empty authority)
     assert got["not a url /index.html tail"] == "not a url  tail"
+
+
+def test_dust_middles_match_python_reference(spark):
+    """Differential fuzz of the DUST lcp/lcs middle algebra: 400
+    seeded-random same-sig URL pairs (plus adversarial shapes:
+    prefix-of, single-char diff, shared middles, repeated segments)
+    must yield exactly the rules a pure-Python reference derives —
+    the position-explode SQL and the reference implement the same
+    textbook definition independently."""
+    import random
+
+    from go_htmldate_spark.plans.dust import dust_rules
+
+    def py_rule(a: str, b: str):
+        m = min(len(a), len(b))
+        lcp = 0
+        while lcp < m and a[lcp] == b[lcp]:
+            lcp += 1
+        lcs = 0
+        while lcs < m and a[len(a) - 1 - lcs] == b[len(b) - 1 - lcs]:
+            lcs += 1
+        lcs = min(lcs, m - lcp)
+        x = a[lcp: len(a) - lcs]
+        y = b[lcp: len(b) - lcs]
+        if (len(y), y) > (len(x), x):
+            x, y = y, x
+        return x, y
+
+    rng = random.Random(420)
+    alphabet = "ab/.?=-"
+    pairs = [
+        ("https://h.example/p", "https://h.example/p/index.html"),
+        ("https://h.example/p?x=1", "https://h.example/p?x=2"),
+        ("x", "xy"),
+        ("aaaa", "aa"),
+        ("https://h/p", "https://h/q"),
+    ]
+    while len(pairs) < 400:
+        base = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 24)))
+        mid_a = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 8)))
+        mid_b = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 8)))
+        tail = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 12)))
+        a, b = base + mid_a + tail, base + mid_b + tail
+        if a != b:
+            pairs.append(tuple(sorted((a, b))))
+    pairs = sorted(set(pairs))
+
+    rows = []
+    for i, (a, b) in enumerate(pairs):
+        rows.append((a, i))
+        rows.append((b, i))
+    df = spark.createDataFrame(rows, "url string, content_sig long")
+    got = {
+        (r["alpha"], r["beta"]): r["support"]
+        for r in dust_rules(df, min_support=1).collect()
+    }
+
+    from collections import Counter
+    want = Counter(py_rule(a, b) for a, b in pairs)
+    assert got == dict(want)

@@ -1054,3 +1054,48 @@ def test_stream_change_rate_multichunk_order(spark, tmp_path):
     assert (g["n_intervals"], g["n_changes"]) == (
         want["n_intervals"], want["n_changes"])
     assert abs(g["rate_per_day"] - want["rate_per_day"]) < 1e-12
+
+
+def test_stream_change_rate_bounded_state_eviction(spark, tmp_path):
+    """max_urls_per_shard: past the cap the stalest URLs evict and
+    restart their statistics on the next observation, while hot URLs
+    keep accumulating across micro-batches."""
+    from go_htmldate_spark.streaming.recrawl import stream_change_rate
+
+    day = 86400.0
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+
+    def feed(rows):
+        spark.createDataFrame(
+            rows, "url string, fetch_ts double, content_sig string"
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+        stream = spark.readStream.schema(
+            "url string, fetch_ts double, content_sig string"
+        ).parquet(in_dir)
+        q = (
+            stream_change_rate(stream, n_partitions=1, max_urls_per_shard=2)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: three URLs (cap 2) — 'cold' has the smallest last_ts
+    feed([("cold", 0.0, "a"), ("cold", 1 * day, "b"),
+          ("warm", 2 * day, "a"), ("warm", 3 * day, "b"),
+          ("hot", 4 * day, "a"), ("hot", 5 * day, "b")])
+    # batch 2: one new fetch each for cold and hot
+    feed([("cold", 6 * day, "c"), ("hot", 6 * day, "c")])
+
+    rows = spark.read.parquet(out_dir).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["url"], []).append(r["n_intervals"])
+    # hot survived the cap: batch 2 continues its count (1 -> 2)
+    assert sorted(by["hot"]) == [1, 2]
+    # cold was evicted after batch 1: its batch-2 fetch restarts the
+    # statistics (single fetch since restart -> no emission)
+    assert by["cold"] == [1]

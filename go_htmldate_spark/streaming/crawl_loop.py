@@ -7,7 +7,11 @@ Composition (the proof the stateful parts compose — round-4 item 7):
       ├─ q1: per-shard bounded-state URL dedup (bloom bitset + exact
       │      recent window, payload passed through) → staged extraction
       │      → parquet fetch-set sink
-      └─ q2: watermarked event-time host rates → parquet telemetry sink
+      ├─ q2: watermarked event-time host rates → parquet telemetry sink
+      └─ q3: running Cho–Garcia-Molina change-rate estimates over the
+             RAW (un-deduped) fetch stream — revisits ARE the change
+             signal — → parquet freshness sink (feeds the next crawl's
+             recrawl_priority seeding)
 
 Each landing file is one micro-batch of fetched pages (the streaming
 analog of run_round's fetch stage). q1's output is the crawl's fetch
@@ -124,6 +128,27 @@ def run_stream_crawl(
         .trigger(availableNow=True)
         .start()
     )
+    from .recrawl import stream_change_rate
+
+    freshness_dir = f"{work_dir}/freshness"
+    reader3 = spark.readStream.schema(PAGES_SCHEMA).format("parquet")
+    if max_files_per_trigger is not None:
+        reader3 = reader3.option("maxFilesPerTrigger", max_files_per_trigger)
+    hist = reader3.load(input_dir).select(
+        F.col("url"),
+        F.col("warc_ts").cast("double").alias("fetch_ts"),
+        F.xxhash64(F.col("html")).cast("string").alias("content_sig"),
+    )
+    q3 = (
+        stream_change_rate(hist, n_partitions=n_partitions)
+        .writeStream.format("parquet")
+        .option("path", freshness_dir)
+        .option("checkpointLocation", f"{work_dir}/ckpt_freshness")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
     q1.awaitTermination()
     q2.awaitTermination()
-    return fetch_dir, rates_dir
+    q3.awaitTermination()
+    return fetch_dir, rates_dir, freshness_dir

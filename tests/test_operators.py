@@ -575,7 +575,7 @@ def test_stream_crawl_loop_composes(spark, tmp_path_factory):
         shutil.move(part, f"{in_dir}/batch_{bi}.parquet")
         shutil.rmtree(f"{in_dir}/b{bi}")
 
-    fetch_dir, rates_dir = run_stream_crawl(spark, in_dir, work)
+    fetch_dir, rates_dir, freshness_dir = run_stream_crawl(spark, in_dir, work)
 
     got = spark.read.parquet(fetch_dir)
     # exactly the 80 distinct canonical URLs, first occurrence only
@@ -587,6 +587,21 @@ def test_stream_crawl_loop_composes(spark, tmp_path_factory):
         for i in range(80)
     }
     assert {(r["url"], r["date"]) for r in got.collect()} == expected
+    # freshness half: revisited pages carry running CGM estimates —
+    # page 20 was fetched in all three batches with identical html, so
+    # its FINAL estimate is 2 intervals, 0 changes, rate 0; a
+    # single-fetch page (70) has no interval and emits nothing
+    fresh = spark.read.parquet(freshness_dir).collect()
+    latest = {}
+    for r in fresh:
+        if (r["url"] not in latest
+                or r["n_intervals"] > latest[r["url"]]["n_intervals"]):
+            latest[r["url"]] = r
+    p20 = latest["https://h0.example.org/p/20"]
+    assert (p20["n_intervals"], p20["n_changes"]) == (2, 0)
+    assert p20["rate_per_day"] == 0.0
+    assert "https://h0.example.org/p/70" not in latest
+
     # three micro-batches really ran (one offsets file per batch)
     offsets = os.listdir(f"{work}/ckpt_fetch/offsets")
     assert len([f for f in offsets if not f.startswith(".")]) >= 3

@@ -2708,7 +2708,7 @@ def oracle_sql() -> dict[str, str]:
             parts AS (
               SELECT url,
                      regexp_extract(url,
-                         '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', 0) AS auth
+                         '^[a-zA-Z][a-zA-Z0-9+.-]*://', 0) AS auth
               FROM urls
             ),
             split_u AS (

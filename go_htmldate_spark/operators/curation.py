@@ -475,6 +475,16 @@ def host_suffix(host: Column, depth: int) -> Column:
     )
 
 
+def clean_blocklist(blocklist: DataFrame, domain_col: str = "domain") -> DataFrame:
+    """Normalize a raw domain blocklist (lower + trim + distinct) to a
+    one-column `domain` table — the single owner of blocklist
+    normalization, shared by host_blocklist_flag and the scheduler's
+    once-per-crawl cached copy."""
+    return blocklist.select(
+        F.lower(F.trim(F.col(domain_col))).alias("domain")
+    ).distinct()
+
+
 def host_blocklist_flag(
     df: DataFrame,
     blocklist: DataFrame,
@@ -482,6 +492,7 @@ def host_blocklist_flag(
     domain_col: str = "domain",
     max_depth: int | None = None,
     flag_col: str = "blocked",
+    assume_clean: bool = False,
 ) -> DataFrame:
     """Flag rows whose host matches a domain blocklist by label-boundary
     suffix — the UT1/adult-list gate every web-text pipeline runs
@@ -504,9 +515,13 @@ def host_blocklist_flag(
     from functools import reduce
     from operator import or_
 
-    bl = blocklist.select(
-        F.lower(F.trim(F.col(domain_col))).alias("_bl_domain")
-    ).distinct()
+    bl = (
+        blocklist.select(F.col(domain_col).alias("_bl_domain"))
+        if assume_clean
+        else clean_blocklist(blocklist, domain_col).withColumnRenamed(
+            "domain", "_bl_domain"
+        )
+    )
     if max_depth is None:
         row = bl.agg(
             F.max(F.size(F.split(F.col("_bl_domain"), r"\."))).alias("d")
@@ -534,11 +549,13 @@ def blocklist_filter(
     host_col: str = "host",
     domain_col: str = "domain",
     max_depth: int | None = None,
+    assume_clean: bool = False,
 ) -> DataFrame:
     """Drop blocklisted rows (see host_blocklist_flag for semantics)."""
     flagged = host_blocklist_flag(
         df, blocklist, host_col=host_col, domain_col=domain_col,
         max_depth=max_depth, flag_col="_blocked",
+        assume_clean=assume_clean,
     )
     return flagged.filter(~F.col("_blocked")).drop("_blocked")
 

@@ -212,15 +212,18 @@ def dust_rewrite_exprs(u, top: list):
     expressions over the url column `u` — the map-only application
     the scheduler splices into its discovery stream.
 
-    Rewrites are PATH+QUERY-scoped (DustBuster rules are path rules):
-    the scheme://authority prefix is split off first and re-attached
-    verbatim, so a rule like '/index.html'→'' can never fire inside a
-    hostname that happens to contain the alpha text
-    ('https://index.html.example/…' stays intact). Non-hierarchical
-    strings have an empty authority match and rewrite whole, as
-    before."""
+    Rewrites are scoped to everything AFTER the scheme marker
+    ('scheme://'): path-anchored rules (alpha starting '/') can then
+    never fire inside the authority — a hostname contains no '/' — so
+    '/index.html'→'' leaves 'https://index.html.example/…' intact,
+    while host-alias rules like 'www.'→'' (DustBuster's flagship
+    mirror case) still collapse the authority. The residual ambiguity
+    (a dot-rule matching inside a path segment) is inherent to
+    substring rules without the paper's fetch-validation step and is
+    bounded by the support threshold. Non-hierarchical strings have an
+    empty scheme match and rewrite whole, as before."""
     auth = F.regexp_extract(
-        u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", 0
+        u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", 0
     )
     rest = F.substring(u, F.length(auth) + 1, F.length(u))
     canonical_rest = rest

@@ -33,8 +33,13 @@ from pyspark.sql import functions as F
 # boundary, [^>]* would happily absorb the suffix. RE2-safe (no
 # lookaround, no backrefs) so the same pattern family runs under Java
 # regex and RE2.
+# NB: '>' is deliberately NOT in _REL_FIRST's boundary class — the
+# href must live in the SAME tag, and letting the boundary consume the
+# tag terminator would allow the [^>]* that follows to capture an href
+# from the NEXT tag ('<link rel=canonical><a href=evil>' must not
+# produce an edge).
 _REL_FIRST = (
-    r"(?i)<link[^>]*\brel\s*=\s*['\"]?canonical(?:['\"\s/>])[^>]*"
+    r"(?i)<link[^>]*\brel\s*=\s*['\"]?canonical(?:['\"\s/])[^>]*"
     r"\bhref\s*=\s*['\"]?([^'\" >]+)"
 )
 _HREF_FIRST = (

@@ -217,10 +217,10 @@ class CrawlScheduler:
         self.blocklist = None
         self._blocklist_depth: int | None = None
         if blocklist is not None:
+            from go_htmldate_spark.operators.curation import clean_blocklist
+
             domain_col = "domain" if "domain" in blocklist.columns else blocklist.columns[0]
-            cleaned = blocklist.select(
-                F.lower(F.trim(F.col(domain_col))).alias("domain")
-            ).distinct().cache()
+            cleaned = clean_blocklist(blocklist, domain_col).cache()
             row = cleaned.agg(
                 F.max(F.size(F.split(F.col("domain"), r"\."))).alias("d")
             ).head()
@@ -241,6 +241,35 @@ class CrawlScheduler:
             from go_htmldate_spark.plans.dust import collect_top_rules
 
             self._dust_rules = collect_top_rules(dust)
+        if self._dust_rules and self.redirects is not None:
+            # composition: discovered URLs are dust-rewritten BEFORE
+            # apply_redirects, so the redirect map's keys and targets
+            # must live in the same dust-canonical spelling or the
+            # join misses every src dust rewrites and targets seed the
+            # frontier under a second spelling. Rewritten rows can
+            # collide; min(resolved) is the conservative merge (any
+            # colliding cycle member keeps the whole key dropped),
+            # min(target) the deterministic one.
+            from go_htmldate_spark.plans.dust import dust_rewrite_exprs
+
+            r_url, _ = dust_rewrite_exprs(F.col("url"), self._dust_rules)
+            r_tgt, _ = dust_rewrite_exprs(F.col("target"), self._dust_rules)
+            self.redirects = (
+                self.redirects.select(
+                    r_url.alias("url"),
+                    r_tgt.alias("target"),
+                    F.col("resolved"),
+                )
+                .filter(
+                    F.col("target").isNull()  # keep cycle markers
+                    | (F.col("url") != F.col("target"))
+                )
+                .groupBy("url")
+                .agg(
+                    F.min("target").alias("target"),
+                    F.min("resolved").alias("resolved"),
+                )
+            )
         # (host, ip) DNS-cache table for per-IP politeness
         # (config.ip_budget). A real DNS cache holds several A records
         # per host; the left join in step 5.5 would then DUPLICATE
@@ -555,7 +584,7 @@ class CrawlScheduler:
 
             discovered = blocklist_filter(
                 discovered, self.blocklist, host_col="host",
-                max_depth=self._blocklist_depth,
+                max_depth=self._blocklist_depth, assume_clean=True,
             )
         if cfg.trap_guard:
             from go_htmldate_spark.plans.traps import trap_filter
@@ -746,7 +775,12 @@ def expire_snapshots(state_dir: str, keep_last: int = 2) -> dict:
     segments.
 
     Pure filesystem metadata work — no Spark session needed. Returns
-    {"kept_rounds", "removed_rounds", "kept_segments", "bytes_freed"}.
+    {"kept_rounds", "removed_rounds", "retained_partial",
+    "kept_segments", "bytes_freed"}: removed_rounds lists expired
+    rounds whose directory is fully gone; retained_partial lists
+    expired rounds whose directory survives on disk because a kept
+    manifest still references segments inside it (their bulk IS
+    deleted and they are no longer resumable either way).
     """
     import shutil
 

@@ -22,8 +22,9 @@ politeness budget doesn't bind), with per-shard state bounded at
 m_bits/8 bytes + exact_cap longs forever. q2 is the politeness
 telemetry the budget consumes, with watermark-bounded window state.
 
-Two streaming queries share one input directory; Spark tracks file
-progress per query in its own checkpoint, so both resume independently
+Three streaming queries share one input directory (q3's checkpoint is
+ckpt_freshness); Spark tracks file progress per query in its own
+checkpoint, so each resumes independently
 — same recovery contract as the batch snapshot chain [north-rule
 resumability].
 """

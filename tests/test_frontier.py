@@ -1434,6 +1434,9 @@ def test_rel_canonical_edges_spellings_and_resolution(spark):
         # canonical declarations (boundary required after the word)
         ("https://h.example/q", '<link rel="canonical-next" href="/page2">'),
         ("https://i.example/w", "<link rel=canonicalize href='/z'>"),
+        # href-less canonical link must not steal the NEXT tag's href
+        ("https://j.example/t",
+         '<link rel=canonical><a href="https://evil.example/x">'),
     ]
     df = spark.createDataFrame(rows, "url string, html string")
     out = rel_canonical_edges(df)
@@ -1498,27 +1501,33 @@ def test_scheduler_aging_matches_oracle(
 
 
 def test_dust_rewrite_never_touches_authority(spark):
-    """A mined rule whose alpha text happens to occur inside a
-    hostname must not fire there: rewrites are path+query-scoped
-    (the authority is split off and re-attached verbatim)."""
+    """Scope contract: a '/'-anchored rule cannot fire inside a
+    hostname (the authority contains no '/'), while a host-alias rule
+    like 'www.'→'' — DustBuster's flagship mirror case — still
+    collapses the authority; the scheme marker itself is never
+    rewritten."""
     from go_htmldate_spark.plans.dust import apply_dust_rules
 
     rules = spark.createDataFrame(
-        [("/index.html", "", 20)], "alpha string, beta string, support long"
+        [("/index.html", "", 20), ("www.", "", 10)],
+        "alpha string, beta string, support long",
     )
     urls = spark.createDataFrame(
         [("https://index.html.example/p",),
          ("https://ok.example/a/index.html",),
+         ("https://www.example.com/p",),
          ("not a url /index.html tail",)],
         "url string",
     )
     got = {r["url"]: r["canonical_url"]
            for r in apply_dust_rules(urls, rules).collect()}
-    # hostname containing the alpha text: untouched
+    # '/'-anchored alpha cannot match inside the hostname
     assert got["https://index.html.example/p"] == "https://index.html.example/p"
     # path occurrence: rewritten
     assert got["https://ok.example/a/index.html"] == "https://ok.example/a"
-    # non-hierarchical string: whole-string scope (empty authority)
+    # host-alias rule collapses the authority
+    assert got["https://www.example.com/p"] == "https://example.com/p"
+    # non-hierarchical string: whole-string scope (empty scheme match)
     assert got["not a url /index.html tail"] == "not a url  tail"
 
 
@@ -1580,3 +1589,44 @@ def test_dust_middles_match_python_reference(spark):
     from collections import Counter
     want = Counter(py_rule(a, b) for a, b in pairs)
     assert got == dict(want)
+
+
+def test_scheduler_dust_composes_with_redirects(spark, tmp_path_factory):
+    """With BOTH dust rules and a redirect map active, the redirect
+    map is dust-rewritten at init so its keys match the dust-rewritten
+    discovery stream: an alias spelling of a redirect source still
+    collapses to the redirect's terminal target in one round."""
+    from go_htmldate_spark.plans.redirects import resolve_redirects
+    from go_htmldate_spark.plans.scheduler import CrawlConfig, CrawlScheduler
+
+    html = ("<html><head><meta property='article:published_time' "
+            "content='2024-01-02'/></head><body>x</body></html>")
+    hop = "https://d.example.org/b"
+    term = "https://d.example.org/t"
+    alias_of_hop = hop + "?sessionid=zz"
+    corpus = spark.createDataFrame(
+        [("https://d.example.org/start", html, [alias_of_hop]),
+         (term, html, [])],
+        "url string, html string, outlinks array<string>",
+    )
+    rules = spark.createDataFrame(
+        [("?sessionid=zz", "", 10)], "alpha string, beta string, support long"
+    )
+    # the redirect map itself is stored under the ALIAS spelling: the
+    # init-time rewrite must normalize it to the dust-canonical key
+    resolved = resolve_redirects(spark.createDataFrame(
+        [(alias_of_hop, term)], "src_url string, dst_url string"
+    ))
+    d = tmp_path_factory.mktemp("dust_redir")
+    sched = CrawlScheduler(
+        spark, corpus, robots=None, host_budget=None, state_dir=str(d),
+        config=CrawlConfig(n_bloom_partitions=2, bloom_bits=1 << 12),
+        dust=rules, redirects=resolved,
+    )
+    sched.init_from_seeds(spark.createDataFrame(
+        [("https://d.example.org/start", 1.0)], "url string, priority double"
+    ))
+    sched.run(1)
+    frontier = {r["url"] for r in sched.frontier.select("url").collect()}
+    assert term in frontier
+    assert hop not in frontier and alias_of_hop not in frontier

@@ -224,11 +224,14 @@ def test_blocklist_is_broadcast_only_no_shuffle(spark):
     bl = spark.createDataFrame([("ads.example",), ("x.y.example",)], "domain string")
     plan = _plan(host_blocklist_flag(urls, bl, max_depth=4))
     assert "BroadcastHashJoin" in plan
-    # the only shuffles are the kilobyte list side's dedup (_bl_domain);
-    # the URL table itself never hits an exchange
+    # the only shuffles are the kilobyte list side's dedup (the cleaned
+    # `domain` column, `_bl_domain` after rename); the URL table itself
+    # never hits an exchange
     import re
     exchanges = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
-    assert exchanges and all(c.startswith("_bl_domain") for c in exchanges), plan
+    assert exchanges and all(
+        c.startswith(("_bl_domain", "domain")) for c in exchanges
+    ), plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 

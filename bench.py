@@ -209,6 +209,63 @@ def main() -> None:
         finally:
             shutil.rmtree(state_dir, ignore_errors=True)
     timings["frontier_round"] = round(best, 3)
+
+    # 3b. the same round with EVERY crawl-waste gate active (dust
+    # rewrite, redirect collapse, blocklist, trap guard, per-IP cap,
+    # aging, backoff-derived budgets) — measures the gates' overhead on
+    # the identical corpus; all inputs synthesized bounded-size like a
+    # real crawl's side tables
+    from go_htmldate_spark.plans.backoff import host_backoff
+    from go_htmldate_spark.plans.canonical import url_host
+    from go_htmldate_spark.plans.redirects import resolve_redirects
+
+    dust_rules_df = spark.createDataFrame(
+        [("?sessionid=zz", "", 50), ("/index.html", "", 30)],
+        "alpha string, beta string, support long",
+    )
+    redirects_df = resolve_redirects(spark.createDataFrame(
+        [(f"https://r{i}.example/a", f"https://r{i}.example/t")
+         for i in range(200)],
+        "src_url string, dst_url string",
+    ))
+    blocklist_df = spark.createDataFrame(
+        [(f"blocked{i}.example",) for i in range(500)], "domain string"
+    )
+    hosts_df = crawl_pages.select(
+        url_host(F.col("url")).alias("host")
+    ).distinct()
+    host_ip_df = hosts_df.select(
+        "host", F.concat(F.lit("10.0."), (F.xxhash64("host") % 64)
+                         .cast("string")).alias("ip")
+    )
+    backoff_df = host_backoff(hosts_df.select(
+        "host", F.lit(1.0).alias("fetch_ts"), F.lit(True).alias("ok")
+    ))
+    best = None
+    for _ in range(2):
+        state_dir = tempfile.mkdtemp(prefix="bench_crawl_waste_")
+        try:
+            sched = CrawlScheduler(
+                spark, crawl_pages, robots=None,
+                host_budget=backoff_df.select("host", "politeness_budget"),
+                state_dir=state_dir,
+                config=CrawlConfig(n_bloom_partitions=8, bloom_bits=1 << 18,
+                                   trap_guard=True, ip_budget=4, aging=0.05),
+                blocklist=blocklist_df, redirects=redirects_df,
+                dust=dust_rules_df, host_ip=host_ip_df,
+            )
+            seeds = crawl_pages.select("url").limit(256).withColumn(
+                "priority", F.lit(1.0)
+            )
+            sched.init_from_seeds(seeds)
+            t0 = time.time()
+            manifest = sched.run_round()
+            el = time.time() - t0
+            best = el if best is None or el < best else best
+            extras["frontier_waste_scheduled"] = manifest["n_scheduled"]
+        finally:
+            shutil.rmtree(state_dir, ignore_errors=True)
+    timings["frontier_round_all_gates"] = round(best, 3)
     crawl_pages.unpersist()
 
     total = round(sum(timings.values()), 3)

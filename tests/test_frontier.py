@@ -1630,3 +1630,68 @@ def test_scheduler_dust_composes_with_redirects(spark, tmp_path_factory):
     frontier = {r["url"] for r in sched.frontier.select("url").collect()}
     assert term in frontier
     assert hop not in frontier and alias_of_hop not in frontier
+
+
+def test_rel_canonical_regex_matches_html_parser():
+    """Differential fuzz (no Spark needed): 5000 seeded-random <link>
+    tag shapes — attribute order, quote styles (incl. unquoted), case,
+    '= '-spacing, self-closing slash, decoy rel values, a trailing
+    <a href> tag — must extract exactly the href an html.parser-based
+    reference extracts (first link whose single-token rel is
+    'canonical'). Pins the HTML5 unquoted-value solidus rule:
+    rel=canonical/> is rel=\"canonical/\", not canonical."""
+    import random
+    import re as _re
+    from html.parser import HTMLParser
+
+    from go_htmldate_spark.plans.rel_canonical import (
+        _HREF_FIRST,
+        _REL_FIRST,
+    )
+
+    def ref_href(html):
+        out = []
+
+        class P(HTMLParser):
+            def handle_starttag(self, tag, attrs):
+                if tag == "link" and not out:
+                    d = dict(attrs)
+                    if "canonical" in (d.get("rel") or "").lower().split():
+                        if d.get("href"):
+                            out.append(d["href"])
+
+        P().feed(html)
+        return out[0] if out else None
+
+    def rx_href(html):
+        m = _re.search(_REL_FIRST, html) or _re.search(_HREF_FIRST, html)
+        return m.group(1) if m else None
+
+    rng = random.Random(7)
+    mismatches = []
+    for i in range(5000):
+        rel_val = rng.choice(
+            ["canonical", "canonical", "stylesheet", "canonicalize",
+             "canonical-next", "alternate"]
+        )
+        href_val = rng.choice(
+            [f"https://t{i}.example/p", f"/p/{i}", f"//cdn{i}.example/x"]
+        )
+        q = rng.choice(['"', "'", ""])
+        q2 = rng.choice(['"', "'", ""])
+        attrs = [
+            f"rel{rng.choice(['=', ' = ', '= '])}{q}{rel_val}{q}",
+            f"href={q2}{href_val}{q2}",
+            f"type={q2}text/html{q2}",
+        ]
+        rng.shuffle(attrs)
+        sp = " " * rng.randint(1, 2)
+        tag = "<link" + sp + sp.join(attrs) + rng.choice(["", " ", "/"]) + ">"
+        if rng.random() < 0.3 and rng.random() < 0.5:
+            tag = tag.upper()
+        html = (f"<html><head>{tag}"
+                f'<a href="https://next{i}.example/n"></head></html>')
+        want, got = ref_href(html), rx_href(html)
+        if (want or "").lower() != (got or "").lower():
+            mismatches.append((html, want, got))
+    assert not mismatches, mismatches[:5]

@@ -1695,3 +1695,78 @@ def test_rel_canonical_regex_matches_html_parser():
         if (want or "").lower() != (got or "").lower():
             mismatches.append((html, want, got))
     assert not mismatches, mismatches[:5]
+
+
+def test_sitemap_parse_matches_elementtree(spark):
+    """Differential fuzz: 200 seeded-random well-formed sitemap
+    documents (urlset/sitemapindex roots, xmlns noise, XML entities in
+    locs, date vs W3C-datetime lastmod, priority/changefreq noise
+    elements, whitespace variation, self-closing and loc-less entries)
+    must parse to exactly the (kind, loc, lastmod) rows an
+    xml.etree-based reference derives — the regexp parser and a real
+    XML parser agree on everything a spec-conforming sitemap can say."""
+    import random
+    import xml.etree.ElementTree as ET
+
+    from go_htmldate_spark.sources.sitemaps import parse_sitemaps
+
+    rng = random.Random(11)
+    locs_pool = [
+        "https://s{i}.example/p/{j}",
+        "https://s{i}.example/p?a=1&amp;b={j}",
+        "https://s{i}.example/it&apos;s/{j}",
+        "https://s{i}.example/&lt;odd&gt;/{j}",
+    ]
+    docs, want = [], set()
+    for i in range(200):
+        is_index = rng.random() < 0.3
+        root = "sitemapindex" if is_index else "urlset"
+        entry = "sitemap" if is_index else "url"
+        ns = rng.choice(
+            ["", ' xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"']
+        )
+        parts = [f'<?xml version="1.0" encoding="UTF-8"?>\n<{root}{ns}>']
+        for j in range(rng.randint(1, 6)):
+            ws = rng.choice(["", "\n  ", "\n\t"])
+            shape = rng.random()
+            if shape < 0.1:
+                parts.append(f"{ws}<{entry}/>")  # self-closing: dropped
+                continue
+            if shape < 0.2:
+                parts.append(f"{ws}<{entry}><priority>0.5</priority></{entry}>")
+                continue  # loc-less: dropped
+            loc = rng.choice(locs_pool).format(i=i, j=j)
+            lastmod = rng.choice(
+                ["", "<lastmod>2023-04-0%d</lastmod>" % (j % 9 + 1),
+                 "<lastmod>2024-01-0%dT03:04:05+00:00</lastmod>" % (j % 9 + 1),
+                 "<changefreq>daily</changefreq>"]
+            )
+            parts.append(
+                f"{ws}<{entry}>{ws}<loc>{ws}{loc}{ws}</loc>{lastmod}</{entry}>"
+            )
+        parts.append(f"</{root}>")
+        xml = "".join(parts)
+        src = f"https://s{i}.example/sitemap.xml"
+        docs.append((src, xml))
+        # ElementTree reference (namespace-agnostic localnames)
+        for el in ET.fromstring(xml):
+            if el.tag.split("}")[-1] != entry:
+                continue
+            loc_el = next(
+                (c for c in el if c.tag.split("}")[-1] == "loc"), None
+            )
+            if loc_el is None or not (loc_el.text or "").strip():
+                continue
+            lm_el = next(
+                (c for c in el if c.tag.split("}")[-1] == "lastmod"), None
+            )
+            lm = (lm_el.text or "").strip()[:10] if lm_el is not None else None
+            want.add((src, "sitemap" if is_index else "url",
+                      loc_el.text.strip(), lm))
+
+    df = spark.createDataFrame(docs, "sitemap_url string, xml string")
+    got = {
+        (r["sitemap_url"], r["kind"], r["loc"], r["lastmod"])
+        for r in parse_sitemaps(df).collect()
+    }
+    assert got == want

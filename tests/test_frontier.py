@@ -1770,3 +1770,55 @@ def test_sitemap_parse_matches_elementtree(spark):
         for r in parse_sitemaps(df).collect()
     }
     assert got == want
+
+
+def test_canonicalize_fuzz_spark_equals_python(spark):
+    """Seeded fuzz of the canonicalization pair: 1500 generated URL
+    shapes (random scheme/host case, default and explicit ports,
+    duplicate slashes, query permutations, fragments, empty paths,
+    userinfo-ish and non-URL garbage) — the Spark column expression
+    and the pure-Python oracle law must agree byte-for-byte, since the
+    oracle scheduler's parity proof rides on exactly this pair."""
+    import random
+
+    rng = random.Random(13)
+    urls = []
+    for i in range(1500):
+        kind = rng.random()
+        if kind < 0.08:
+            urls.append(rng.choice([
+                "", "   ", "not a url", "relative/path?b=1&a=2",
+                "mailto:x@y.example", f"ftp://H{i}.Example:21/a",
+            ]))
+            continue
+        scheme = rng.choice(["http", "HTTP", "https", "HtTpS"])
+        host = rng.choice([
+            f"Site{i % 40}.Example.ORG", f"s{i % 40}.example.org",
+            f"XN--{i % 9}x.example",
+        ])
+        port = rng.choice(["", ":80", ":443", ":8080"])
+        segs = rng.randint(0, 4)
+        path = "".join(
+            rng.choice(["/", "//", "///"]) + rng.choice(["a", "b9", "C_d", ""])
+            for _ in range(segs)
+        )
+        qn = rng.randint(0, 4)
+        query = "&".join(
+            f"{rng.choice('zyxw')}={rng.randint(0, 9)}" for _ in range(qn)
+        )
+        frag = rng.choice(["", "#x", "#a/b?c=1"])
+        u = f"{scheme}://{host}{port}{path}"
+        if query or rng.random() < 0.2:
+            u += "?" + query
+        u += frag
+        urls.append(u)
+
+    got = [
+        r["c"]
+        for r in spark.createDataFrame([(u,) for u in urls], "url string")
+        .select(canonicalize_url(F.col("url")).alias("c"))
+        .collect()
+    ]
+    want = [canonicalize_url_py(u) for u in urls]
+    diffs = [(u, g, w) for u, g, w in zip(urls, got, want) if g != w]
+    assert not diffs, diffs[:5]

@@ -2360,8 +2360,8 @@ def oracle_sql() -> dict[str, str]:
             bgf AS (SELECT g, 1 AS hit FROM bg WHERE g <> '')
             SELECT doc_id,
                    count(*) AS n_grams,
-                   coalesce(sum(hit), 0) AS n_contaminated,
-                   round(coalesce(sum(hit), 0) / count(*), 6) AS contamination_frac
+                   CAST(coalesce(sum(hit), 0) AS BIGINT) AS n_contaminated,
+                   round(CAST(coalesce(sum(hit), 0) AS BIGINT) / count(*), 6) AS contamination_frac
             FROM dgf LEFT JOIN bgf USING (g)
             GROUP BY doc_id
         """,

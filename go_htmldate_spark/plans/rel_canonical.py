@@ -72,10 +72,50 @@ def rel_canonical_edges(
     completed with the page's scheme, root-relative with the page's
     scheme://host; dotted-relative skipped; self-declarations dropped
     (a page canonicalizing to itself is the non-alias case)."""
+    # Staged projections keep every generated method under Janino's
+    # 64 KB limit (inlining blew it and silently forfeited whole-stage
+    # codegen — interpreted fallback).  Two stages matter:
+    # 1. `_h` = cast(html) in its OWN projection: the href extraction
+    #    references the page text twice (rel-first + href-first regex),
+    #    and CollapseProject would otherwise substitute the upstream
+    #    html expression into BOTH slots, doubling its code.  A
+    #    twice-referenced non-cheap projection is never collapsed.
+    # 2. `_href` materialized once before the branchy resolution, so
+    #    the regexp chains aren't re-inlined into every when() branch.
+    # 3. `_mid` (monotonically_increasing_id) is a deliberate optimizer
+    #    FENCE: PushDownPredicates only pushes a filter through a
+    #    Project when every projected field is deterministic, and
+    #    without the fence it substitutes the whole href/resolution
+    #    tree into the dst_url predicates multiplicatively (~16 copies,
+    #    >64 KB of generated code AND 3x regex work per page on a
+    #    100 TB scan).  With it, dst_url is computed once and the
+    #    filter reads the attribute.  The filter references _mid with
+    #    an always-true conjunct so column pruning keeps the fence.
+    # The plan stays map-only — projections fuse into one codegen stage
+    # with separate per-operator doConsume methods.
     u = F.col(url_col)
-    href = rel_canonical_href(F.col(html_col))
-    scheme = F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)
-    host = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+    casted = pages.select(
+        u.alias("src_url"),
+        F.col(html_col).cast("string").alias("_h"),
+    )
+    h = F.col("_h")
+    su = F.col("src_url")
+    staged = casted.select(
+        su,
+        F.nullif(
+            F.coalesce(
+                F.nullif(F.regexp_extract(h, _REL_FIRST, 1), F.lit("")),
+                F.nullif(F.regexp_extract(h, _HREF_FIRST, 1), F.lit("")),
+            ),
+            F.lit(""),
+        ).alias("_href"),
+        F.regexp_extract(su, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1).alias("_scheme"),
+        F.regexp_extract(su, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1).alias(
+            "_host"
+        ),
+        F.monotonically_increasing_id().alias("_mid"),
+    )
+    href, scheme, host = F.col("_href"), F.col("_scheme"), F.col("_host")
     dst = (
         F.when(href.rlike(r"^(?i)https?://"), href)
         .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
@@ -85,6 +125,11 @@ def rel_canonical_edges(
         )
     )
     return (
-        pages.select(u.alias("src_url"), dst.alias("dst_url"))
-        .filter(F.col("dst_url").isNotNull() & (F.col("dst_url") != F.col("src_url")))
+        staged.select(F.col("src_url"), dst.alias("dst_url"), F.col("_mid"))
+        .filter(
+            F.col("dst_url").isNotNull()
+            & (F.col("dst_url") != F.col("src_url"))
+            & (F.col("_mid") >= 0)
+        )
+        .select("src_url", "dst_url")
     )

@@ -361,3 +361,29 @@ def test_mirror_pairs_capped_and_sized_exactly(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("BroadcastHashJoin") == 2, final
     assert "SortMergeJoin" not in final, final
+
+
+def test_rel_canonical_filter_not_pushed_into_regex(spark):
+    """rel=canonical mining must stay map-only AND keep its filter
+    ABOVE the href-extraction projection.  Without the nondeterministic
+    fence (plans/rel_canonical.py), PushDownPredicates substitutes the
+    whole href/resolution tree into the dst_url predicates
+    multiplicatively (~16 copies -> Janino 64 KB overflow ->
+    interpreted fallback, plus 3x regex work per page at 100 TB).  Pin:
+    zero exchanges, zero Python, and no regexp in any Filter condition
+    (the filter must read computed attributes, not recompute them)."""
+    import re
+
+    from go_htmldate_spark.plans.rel_canonical import rel_canonical_edges
+
+    pages = spark.range(2000).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 7).cast("string"),
+                 F.lit(".example/p/"), F.col("id").cast("string")).alias("url"),
+        F.concat(F.lit('<link rel="canonical" href="/c/'),
+                 F.col("id").cast("string"), F.lit('">')).alias("html"),
+    )
+    plan = _plan(rel_canonical_edges(pages))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    for cond in re.findall(r"Filter \(?(.*)", plan):
+        assert "regexp_extract" not in cond, cond

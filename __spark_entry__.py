@@ -2471,18 +2471,30 @@ def oracle_sql() -> dict[str, str]:
                      AS text
               FROM documents
             )
+            , staged AS (
+              -- counts taken on the PROGRESSIVELY-scrubbed text,
+              -- matching the Spark side's chained replace order
+              SELECT doc_id,
+                     text AS t0,
+                     regexp_replace(text,
+                        '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+              FROM injected
+            ), staged2 AS (
+              SELECT doc_id, t0, t1,
+                     regexp_replace(t1,
+                        '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS t2
+              FROM staged
+            )
             SELECT doc_id,
-                   CAST(len(regexp_extract_all(text,
+                   CAST(len(regexp_extract_all(t0,
                         '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
-                   CAST(len(regexp_extract_all(text,
+                   CAST(len(regexp_extract_all(t1,
                         '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
-                   CAST(len(regexp_extract_all(text,
+                   CAST(len(regexp_extract_all(t2,
                         '\+[0-9][0-9 ()./\-]{6,}[0-9]')) AS BIGINT) AS n_phone,
-                   regexp_replace(regexp_replace(regexp_replace(text,
-                        '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                        '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+                   regexp_replace(t2,
                         '\+[0-9][0-9 ()./\-]{6,}[0-9]', '<PHONE>', 'g') AS clean_text
-            FROM injected
+            FROM staged2
         """,
         # C4/Gopher heuristics: rounded mean-word-length enters the
         # threshold exactly as on the Spark side

@@ -95,7 +95,13 @@ def _long_text_search(s: str):
         m = P.RX_LONG_TEXT.search(s, max(0, y - _LT_PRE), y + _LT_POST)
         if m is not None and (best is None or m.start() < best.start()):
             best = m
-    return best
+    if best is None:
+        return None
+    # Re-run from the found start WITHOUT endpos so greedy expansion
+    # matches the direct search exactly (the window's endpos truncation
+    # could otherwise pick a shorter expansion at the same start) —
+    # same re-match the idiosyncrasies fast path does.
+    return P.RX_LONG_TEXT.search(s, best.start())
 
 
 def regex_parse(s: str, opts: Options) -> Optional[date]:

@@ -196,13 +196,16 @@ def pii_scrub(
     three regexp_count + three chained regexp_replace, zero exchanges,
     so at 100 TB this is a pure scan-transform that rides whatever
     partitioning the corpus already has. Order matters: emails are
-    scrubbed before phones so a numeric local-part can't be re-matched."""
-    counts = [
-        F.regexp_count(F.col(text_col), F.lit(rx)).alias(f"n_{name}")
-        for name, rx, _ in _PII
-    ]
+    scrubbed before phones so a numeric local-part can't be re-matched.
+    Each count is taken on the PROGRESSIVELY-scrubbed text (after the
+    prior replacements), mirroring the chained regexp_replace order —
+    so overlapping matches ('+49123@x.de' as email then phone) are
+    counted once and the counts reconcile exactly with the tokens
+    present in clean_text."""
+    counts = []
     clean = F.col(text_col)
-    for _, rx, token in _PII:
+    for name, rx, token in _PII:
+        counts.append(F.regexp_count(clean, F.lit(rx)).alias(f"n_{name}"))
         clean = F.regexp_replace(clean, rx, token)
     return df.select(F.col(id_col), *counts, clean.alias("clean_text"))
 

@@ -58,9 +58,15 @@ def dust_rules(
     alpha/beta are the differing middles after stripping the longest
     common prefix and (non-overlapping) longest common suffix of each
     pair; oriented so (length, lexicographic) of alpha >= beta."""
-    dup = pages.select(
-        F.col(url_col).alias("url"), F.col(sig_col).alias("sig")
-    ).distinct()
+    # Zero-length URLs are dropped up front: an empty string in a
+    # duplicate bucket would give the position explode an empty range
+    # (F.sequence(1, 0) yields a DESCENDING [1, 0], letting position 0
+    # into the mismatch scan and invalidating the lcp/lcs algebra).
+    dup = (
+        pages.select(F.col(url_col).alias("url"), F.col(sig_col).alias("sig"))
+        .filter(F.length("url") > 0)
+        .distinct()
+    )
 
     # cap each duplicate bucket BEFORE the collect (mega-bucket guard)
     w = Window.partitionBy("sig").orderBy(F.col("url").asc())

@@ -302,6 +302,14 @@ def write_warc_shards(
     repartitionByRange (needed for determinism; pass n_shards=None to
     keep the input partitioning and skip it), no driver involvement —
     each executor writes its own file.
+
+    Filesystem contract: `out_dir` must be a filesystem shared between
+    the driver and every executor (tasks open() the path directly, and
+    the driver pre-cleans stale `part-*.warc.gz` with a glob — both
+    assume one namespace). Local mode and NFS/shared-mount clusters
+    qualify; for object stores, export via an fsspec-style URI writer
+    or the task output committer instead — this sink does not speak
+    those protocols.
     """
     import os
 

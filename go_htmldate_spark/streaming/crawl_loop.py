@@ -90,8 +90,9 @@ def run_stream_crawl(
 ):
     """Start both halves of the streaming crawl loop over `input_dir`
     and drain everything available (availableNow), then return
-    (fetch_set_dir, rates_dir). maxFilesPerTrigger=1 makes each landed
-    file its own micro-batch — the streaming analog of one run_round."""
+    (fetch_set_dir, rates_dir, freshness_dir). maxFilesPerTrigger=1
+    makes each landed file its own micro-batch — the streaming analog
+    of one run_round."""
     fetch_dir = f"{work_dir}/fetch_set"
     rates_dir = f"{work_dir}/host_rates"
 

@@ -1500,6 +1500,20 @@ def test_scheduler_aging_matches_oracle(
     assert spark_frontier == orc.frontier
 
 
+def test_dust_rules_empty_url_in_bucket(spark):
+    """A zero-length URL sharing a content signature must not mint a
+    bogus rule: F.sequence(1, 0) would yield a DESCENDING [1, 0] and
+    poison the lcp/lcs mismatch scan. Empty URLs are filtered before
+    pairing (plans/dust.py)."""
+    from go_htmldate_spark.plans.dust import dust_rules
+
+    df = spark.createDataFrame(
+        [("", "sigA"), ("https://h.example/x", "sigA")],
+        ["url", "content_sig"],
+    )
+    assert dust_rules(df, min_support=1).count() == 0
+
+
 def test_dust_rewrite_never_touches_authority(spark):
     """Scope contract: a '/'-anchored rule cannot fire inside a
     hostname (the authority contains no '/'), while a host-alias rule

@@ -725,6 +725,23 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert plan.count("Exchange") == 0
 
 
+def test_pii_scrub_overlap_counts_reconcile(spark):
+    """Counts are taken on the progressively-scrubbed text, so an
+    overlapping match ('+4912345678@example.de' is both a phone-shaped
+    string and an email) is counted exactly once — under the type whose
+    token actually appears in clean_text (email scrubs first)."""
+    from go_htmldate_spark.operators.curation import pii_scrub
+
+    df = spark.createDataFrame(
+        [(0, "reach me at +4912345678@example.de please")],
+        ["doc_id", "text"],
+    )
+    row = pii_scrub(df).collect()[0]
+    assert row["n_email"] == 1 and row["n_phone"] == 0 and row["n_ipv4"] == 0
+    assert row["clean_text"].count("<EMAIL>") == 1
+    assert "<PHONE>" not in row["clean_text"]
+
+
 def test_c4_heuristics_flags(spark):
     from go_htmldate_spark.operators.curation import c4_heuristics
 

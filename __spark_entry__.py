@@ -1354,6 +1354,122 @@ def q_rel_canonical(spark, sf_dir):
     return rel_canonical_edges(pages)
 
 
+def q_frontier_allgates(spark, sf_dir):
+    """§2.9 frontier, COMPOSED: a 2-round crawl with EVERY waste gate
+    on at once — dust rewrite, redirect collapse, UT1 blocklist (InSet
+    path), trap guard, robots rules + crawl_delay cap, per-host
+    politeness budgets, per-IP cap, and priority aging — replayed
+    through the real CrawlScheduler (plans/scheduler.py) against an
+    analytically-constructed corpus, emitting the fetch log
+    (round, rank, url, priority, date). The oracle derives the same
+    log in closed form: every URL class is routed through exactly one
+    gate with an arithmetically-predictable outcome.
+
+    Corpus design (8 hosts h0..h7):
+    - seeds /s (all hosts) + /sb (h0 only), priority 1.0; h0's budget
+      is 1.0 (backoff-style), so /sb loses round 0 to /s (url asc) and
+      re-enters round 1 with +0.5 aging = 1.5 — aging observable in
+      the logged priority.
+    - every /s page dates 2023-06-02 (recency exactly 0.5) and links
+      to /a, /b, /a?sessionid=zz (dust-collapses into /a), /r
+      (redirects to /rt), blocked.example/x (blocklist), and a
+      17-segment trap path (trap guard).
+    - h1's robots disallow /b and set crawl_delay 40 (cap
+      floor(60/40)=1): round 1 schedules only /a there.
+    - h2 and h3 share one IP with ip_budget 2: h3 loses both slots to
+      h2 (url asc at equal priority).
+    """
+    import shutil
+    import tempfile
+
+    from go_htmldate_spark.plans.redirects import resolve_redirects
+    from go_htmldate_spark.plans.scheduler import CrawlConfig, CrawlScheduler
+
+    hosts = [f"h{i}.example" for i in range(8)]
+
+    def page(url, date=None, outlinks=()):
+        if date:
+            html = (
+                "<html><head><meta property='article:published_time' "
+                f"content='{date}'/></head><body>x</body></html>"
+            )
+        else:
+            html = "<html><body>x</body></html>"
+        return (url, html, list(outlinks))
+
+    trap_tail = "/".join(f"d{j}" for j in range(17))
+    rows = []
+    for h in hosts:
+        base = f"https://{h}"
+        rows.append(page(
+            f"{base}/s", date="2023-06-02",
+            outlinks=[
+                f"{base}/a", f"{base}/b", f"{base}/a?sessionid=zz",
+                f"{base}/r", "https://blocked.example/x",
+                f"{base}/{trap_tail}",
+            ],
+        ))
+        rows += [page(f"{base}/a"), page(f"{base}/b"), page(f"{base}/rt")]
+    rows.append(page("https://h0.example/sb", date="2024-06-01"))
+    corpus = spark.createDataFrame(
+        rows, "url string, html string, outlinks array<string>"
+    )
+
+    robots = spark.createDataFrame(
+        [("h1.example", [("/b", False)], 40.0)],
+        "host string, rules array<struct<path_prefix string, allow boolean>>, "
+        "crawl_delay double",
+    )
+    budgets = spark.createDataFrame(
+        [("h0.example", 1.0)], "host string, politeness_budget double"
+    )
+    host_ip = spark.createDataFrame(
+        [("h2.example", "10.0.0.9"), ("h3.example", "10.0.0.9")],
+        "host string, ip string",
+    )
+    blocklist = spark.createDataFrame([("blocked.example",)], "domain string")
+    dust = spark.createDataFrame(
+        [("?sessionid=zz", "", 50)], "alpha string, beta string, support long"
+    )
+    redirects = resolve_redirects(spark.createDataFrame(
+        [(f"https://{h}/r", f"https://{h}/rt") for h in hosts],
+        "src_url string, dst_url string",
+    ))
+
+    state_dir = tempfile.mkdtemp(prefix="allgates_gate_")
+    try:
+        sched = CrawlScheduler(
+            spark, corpus, robots=robots, host_budget=budgets,
+            state_dir=state_dir,
+            config=CrawlConfig(
+                n_bloom_partitions=2, bloom_bits=1 << 12,
+                trap_guard=True, ip_budget=2, aging=0.5,
+            ),
+            blocklist=blocklist, redirects=redirects, dust=dust,
+            host_ip=host_ip,
+        )
+        seeds = [(f"https://{h}/s", 1.0) for h in hosts]
+        seeds.append(("https://h0.example/sb", 1.0))
+        sched.init_from_seeds(spark.createDataFrame(
+            seeds, "url string, priority double"
+        ))
+        sched.run_round()
+        sched.run_round()
+        out = []
+        for rnd in (0, 1):
+            fetched = spark.read.parquet(
+                f"{state_dir}/round_{rnd}/fetched"
+            ).collect()
+            fetched.sort(key=lambda r: (-r["priority"], r["url"]))
+            for rank, r in enumerate(fetched, 1):
+                out.append((rnd, rank, r["url"], r["priority"], r["date"]))
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        out, "round int, rank int, url string, priority double, date string"
+    )
+
+
 def q_host_backoff(spark, sf_dir):
     """§2.9 frontier: failure-aware politeness (plans/backoff) —
     trailing consecutive-failure streak per host from the fetch log,
@@ -1580,6 +1696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "change_rate": q_change_rate,
         "rel_canonical": q_rel_canonical,
         "host_backoff": q_host_backoff,
+        "frontier_allgates": q_frontier_allgates,
         "dust_rules": q_dust_rules,
         "dust_apply": q_dust_apply,
         "mirror_hosts": q_mirror_hosts,
@@ -2678,6 +2795,43 @@ def oracle_sql() -> dict[str, str]:
                                  || '.example/c/' || grp
                    END AS dst_url
             FROM g WHERE cls IN (0, 1, 2)
+        """,
+        # Composed 2-round all-gates crawl: the expected fetch log in
+        # closed form (see q_frontier_allgates for the derivation).
+        # Round 0: one seed per host (h0's /sb loses the k=1 slot to /s
+        # by url asc). Round 1: /sb re-enters at 1.0+0.5 aging = 1.5
+        # and wins h0's single slot; h1 is capped at 1 by crawl_delay
+        # (and /b is robots-disallowed anyway); h3 loses both slots to
+        # h2 on their shared IP; /rt always ranks below /a,/b at equal
+        # priority; dust/blocklist/trap classes never reach the log.
+        "frontier_allgates": """
+            WITH hosts AS (SELECT CAST(range AS INT) AS i FROM range(0, 8)),
+            r0 AS (
+              SELECT 0 AS round,
+                     'https://h' || i || '.example/s' AS url,
+                     CAST(1.0 AS DOUBLE) AS priority,
+                     '2023-06-02' AS date
+              FROM hosts
+            ),
+            r1 AS (
+              SELECT 1 AS round, 'https://h0.example/sb' AS url,
+                     CAST(1.5 AS DOUBLE) AS priority,
+                     '2024-06-01' AS date
+              UNION ALL
+              SELECT 1, 'https://h1.example/a', CAST(1.0 AS DOUBLE), ''
+              UNION ALL
+              SELECT 1, 'https://h' || i || '.example/' || p.s,
+                     CAST(1.0 AS DOUBLE), ''
+              FROM hosts, (VALUES ('a'), ('b')) p(s)
+              WHERE i IN (2, 4, 5, 6, 7)
+            ),
+            logd AS (SELECT * FROM r0 UNION ALL SELECT * FROM r1)
+            SELECT round,
+                   CAST(row_number() OVER (
+                     PARTITION BY round ORDER BY priority DESC, url ASC
+                   ) AS INT) AS rank,
+                   url, priority, date
+            FROM logd
         """,
         "host_backoff": """
             WITH g AS (

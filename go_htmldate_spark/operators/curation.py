@@ -546,6 +546,47 @@ def host_blocklist_flag(
     return out.withColumn(flag_col, blocked).drop(*markers)
 
 
+def blocklist_inset_keep(
+    host_col: Column, domains_by_depth: dict[int, list[str]]
+) -> Column:
+    """NOT-blocked predicate compiled from a DRIVER-RESIDENT blocklist:
+    per label-depth d, `substring_index(host, '.', -d) IN (<set>)` —
+    Catalyst turns literal IN-lists past the conversion threshold into
+    InSet (one hash probe), so the whole gate is map-only with ZERO
+    joins and zero per-round broadcast builds (the set ships once per
+    stage in the task binary). Size-switched by the caller: this is the
+    small-list fast path (the scheduler uses it when the cleaned list
+    fits CrawlConfig.blocklist_inset_max); large lists keep the
+    per-depth broadcast joins of host_blocklist_flag. Semantics are
+    identical to the join path: label-boundary suffix match,
+    lowercased, too-shallow hosts never match (the NULL suffix is
+    coalesced to not-blocked, where the join path simply finds no
+    partner)."""
+    from functools import reduce
+    from operator import or_
+
+    host_lc = F.lower(host_col)
+    conds = [
+        F.coalesce(host_suffix(host_lc, d).isin(doms), F.lit(False))
+        for d, doms in sorted(domains_by_depth.items())
+        if doms
+    ]
+    if not conds:
+        return F.lit(True)
+    return ~reduce(or_, conds)
+
+
+def collect_blocklist_sets(cleaned: DataFrame) -> dict[int, list[str]]:
+    """A cleaned blocklist (see clean_blocklist) collected to the
+    driver and grouped by label depth — the input shape of
+    blocklist_inset_keep. Only call under a size gate."""
+    by_depth: dict[int, list[str]] = {}
+    for row in cleaned.collect():
+        d = row["domain"].count(".") + 1
+        by_depth.setdefault(d, []).append(row["domain"])
+    return by_depth
+
+
 def blocklist_filter(
     df: DataFrame,
     blocklist: DataFrame,

@@ -97,6 +97,11 @@ class CrawlConfig:
     # URLs that lost the politeness race (0 = off). Bounds the wait of
     # any URL on a busy host at ~(p_max - p_0)/aging rounds.
     aging: float = 0.0
+    # blocklists at or under this many entries collect to the driver
+    # once and apply as map-only InSet probes (no joins, no per-round
+    # broadcast builds); larger lists use per-depth broadcast joins.
+    # ~20k domains x ~20 B ships ~400 KB in the stage's task binary.
+    blocklist_inset_max: int = 20_000
 
 
 def recency_score(date_col):
@@ -216,16 +221,30 @@ class CrawlScheduler:
         # round on the discovery critical path
         self.blocklist = None
         self._blocklist_depth: int | None = None
+        # size switch: a list that fits blocklist_inset_max collects to
+        # the driver ONCE and compiles into map-only InSet probes
+        # (operators/curation.blocklist_inset_keep) — zero joins and
+        # zero per-round broadcast builds on the discovery stream.
+        # Bigger lists keep the per-depth broadcast joins.
+        self._blocklist_sets: dict[int, list[str]] | None = None
         if blocklist is not None:
-            from go_htmldate_spark.operators.curation import clean_blocklist
+            from go_htmldate_spark.operators.curation import (
+                clean_blocklist,
+                collect_blocklist_sets,
+            )
 
             domain_col = "domain" if "domain" in blocklist.columns else blocklist.columns[0]
             cleaned = clean_blocklist(blocklist, domain_col).cache()
             row = cleaned.agg(
-                F.max(F.size(F.split(F.col("domain"), r"\."))).alias("d")
+                F.max(F.size(F.split(F.col("domain"), r"\."))).alias("d"),
+                F.count(F.lit(1)).alias("n"),
             ).head()
             self._blocklist_depth = int(row["d"] or 1)
-            self.blocklist = cleaned
+            if int(row["n"]) <= config.blocklist_inset_max:
+                self._blocklist_sets = collect_blocklist_sets(cleaned)
+                cleaned.unpersist()
+            else:
+                self.blocklist = cleaned
         # resolve_redirects output (url, target, resolved) over
         # CANONICAL urls: discovered outlinks map through terminal
         # targets before hashing; cycle members never enter the frontier
@@ -283,6 +302,31 @@ class CrawlScheduler:
             if host_ip is not None
             else None
         )
+        # One host-DIMENSION table: robots rules, politeness budget and
+        # primary IP are all keyed by host, so they merge (full outer)
+        # into a single per-host table ONCE here — each round then pays
+        # ONE broadcast build for steps 3/4/5.5 instead of three. The
+        # table is host-cardinality (broadcast-size by construction);
+        # cached so the merge itself is also paid once.
+        self._has_delay = (
+            self.robots is not None and "crawl_delay" in self.robots.columns
+        )
+        dim = None
+        if self.robots is not None:
+            cols = ["host", "rules"] + (
+                ["crawl_delay"] if self._has_delay else []
+            )
+            dim = self.robots.select(*cols)
+        if self.host_budget is not None:
+            b = self.host_budget.select("host", "politeness_budget")
+            dim = b if dim is None else dim.join(b, "host", "full_outer")
+        if self.host_ip is not None:
+            dim = (
+                self.host_ip
+                if dim is None
+                else dim.join(self.host_ip, "host", "full_outer")
+            )
+        self._host_dim = dim.cache() if dim is not None else None
         self.round = 0
         self.frontier: DataFrame | None = None
         self.seen: DataFrame | None = None
@@ -441,27 +485,30 @@ class CrawlScheduler:
         else:
             candidates = pending.join(self.seen, "url_hash", "left_anti")
 
-        # 3. robots (broadcast join per host); crawl_delay rides along to
-        # cap per-round fetches below
-        has_delay = False
-        if self.robots is not None:
-            has_delay = "crawl_delay" in self.robots.columns
+        # 3-4. robots + politeness budget + (when per-IP politeness is
+        # on) the primary IP, all from the ONE host-dimension broadcast
+        # built at init; crawl_delay rides along to cap per-round
+        # fetches below. One broadcast build per round, not three.
+        has_delay = self._has_delay
+        if self._host_dim is not None:
             candidates = candidates.join(
-                F.broadcast(self.robots), "host", "left"
-            ).filter(
-                F.col("rules").isNull()
-                | robots_allowed(url_path(F.col("url")), F.col("rules"))
-            ).drop("rules")
+                F.broadcast(self._host_dim), "host", "left"
+            )
+            if self.robots is not None:
+                candidates = candidates.filter(
+                    F.col("rules").isNull()
+                    | robots_allowed(url_path(F.col("url")), F.col("rules"))
+                ).drop("rules")
+            if self.host_ip is not None and cfg.ip_budget <= 0:
+                candidates = candidates.drop("ip")
 
-        # 4-5. politeness budget + per-host top-k. Heavy-host detection
+        # 4-5. per-host top-k. Heavy-host detection
         # (SURVEY §2.3): hosts whose pending count exceeds salt_threshold
         # get a salted two-phase rank (bounds any single task's sort);
         # everyone else ranks in one pass (salt 0 makes phase 1 the exact
         # per-host rank, so phase 2 is a no-op re-check on ≤k rows/host).
         if self.host_budget is not None:
-            candidates = candidates.join(
-                F.broadcast(self.host_budget), "host", "left"
-            ).withColumn(
+            candidates = candidates.withColumn(
                 "budget", F.coalesce("politeness_budget", F.lit(cfg.default_budget))
             ).drop("politeness_budget")
         else:
@@ -512,15 +559,10 @@ class CrawlScheduler:
             # one server share cfg.ip_budget fetches/round. The window's
             # input is the per-host top-k OUTPUT (≤ Σ floor(budget) per
             # host), so even a 10^5-vhost IP ranks a bounded set, not
-            # the frontier. Unmapped hosts are their own "ip".
-            ip_side = (
-                F.broadcast(self.host_ip)
-                if self.host_ip is not None
-                else None
-            )
-            if ip_side is not None:
-                scheduled = scheduled.join(ip_side, "host", "left")
-            else:
+            # the frontier. Unmapped hosts are their own "ip". The ip
+            # column rode in on the host-dimension join above (no
+            # second broadcast); without a DNS table it's NULL.
+            if self.host_ip is None:
                 scheduled = scheduled.withColumn("ip", F.lit(None).cast("string"))
             w3 = Window.partitionBy(
                 F.coalesce(F.col("ip"), F.col("host"))
@@ -579,7 +621,15 @@ class CrawlScheduler:
             url_host(F.col("url")).alias("host"),
             F.col("recency"),
         )
-        if self.blocklist is not None:
+        if self._blocklist_sets is not None:
+            from go_htmldate_spark.operators.curation import (
+                blocklist_inset_keep,
+            )
+
+            discovered = discovered.filter(
+                blocklist_inset_keep(F.col("host"), self._blocklist_sets)
+            )
+        elif self.blocklist is not None:
             from go_htmldate_spark.operators.curation import blocklist_filter
 
             discovered = blocklist_filter(

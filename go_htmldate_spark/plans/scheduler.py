@@ -289,6 +289,17 @@ class CrawlScheduler:
                     F.min("resolved").alias("resolved"),
                 )
             )
+        if self.redirects is not None:
+            # the redirect map is joined into EVERY round's discovery
+            # stream; without a snapshot its lineage (the O(log n)
+            # pointer-doubling iterations + the dust re-key above)
+            # replays per round. Parquet under state_dir (not .cache())
+            # so the map survives at web scale without executor-memory
+            # pressure and the one-time cost lands at init, like the
+            # seen-state chain.
+            rdir = os.path.join(self.state_dir, "redirect_map")
+            self.redirects.write.mode("overwrite").parquet(rdir)
+            self.redirects = spark.read.parquet(rdir)
         # (host, ip) DNS-cache table for per-IP politeness
         # (config.ip_budget). A real DNS cache holds several A records
         # per host; the left join in step 5.5 would then DUPLICATE

@@ -693,6 +693,21 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_media_stats(spark, sf_dir):
+    """Pipeline: REAL stdlib media decode — genuinely-encoded BMP / PPM /
+    WAV payloads (synth_media_stdlib's closed-form pixel/sample laws) are
+    container-sniffed, header-parsed and fully walked by
+    extract_media_stats; the oracle re-derives every decoded statistic
+    arithmetically."""
+    from go_htmldate_spark.operators.multimodal import (
+        extract_media_stats,
+        synth_media_stdlib,
+    )
+
+    media = synth_media_stdlib(spark, 300)
+    return extract_media_stats(media)
+
+
 def q_media_frames(spark, sf_dir):
     """Pipeline: video frame-sampling plan — the per-frame fan-out shape
     (explode of sampled timestamps) over an arithmetic media table the
@@ -1676,6 +1691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_cascade": q_extract_cascade,
         "extract_time": q_extract_time,
         "media_features": q_media_features,
+        "media_stats": q_media_stats,
         "mock_corpus_parity": q_mock_corpus_parity,
         "gopher_repetition": q_gopher_repetition,
         "stratified_sample": q_stratified_sample,
@@ -2402,6 +2418,45 @@ def oracle_sql() -> dict[str, str]:
                    sha256(sha256('42' || i)) AS payload_sha,
                    'ok' AS decode_ok
             FROM range(200) t(i)
+        """,
+        # synth_media_stdlib's pixel/sample laws in closed form: images
+        # (id%3 in 0,1) are w*h solid-R/solid-B with a G ramp of step 1
+        # (arithmetic-series sum); wav (id%3=2) is a step-1 int16 ramp.
+        # The Spark side DECODES real BMP/PPM/WAV bytes to reach the
+        # same numbers.
+        "media_stats": """
+            SELECT i AS media_id,
+                   (['bmp','ppm','wav'])[i % 3 + 1] AS codec,
+                   CAST(CASE WHEN i % 3 < 2 THEN 4 + i % 5 END AS INTEGER) AS width,
+                   CAST(CASE WHEN i % 3 < 2 THEN 3 + i % 4 END AS INTEGER) AS height,
+                   CAST(CASE WHEN i % 3 = 2 THEN 64 + i % 64 END AS BIGINT) AS n_samples,
+                   CAST(CASE WHEN i % 3 = 2 THEN 16000 END AS INTEGER) AS sample_rate,
+                   CAST(CASE WHEN i % 3 < 2
+                        THEN (4 + i % 5) * (3 + i % 4) * (i % 256)
+                        ELSE (64 + i % 64) * ((i * 11) % 1000 - 500)
+                             + (64 + i % 64) * (64 + i % 64 - 1) // 2
+                        END AS BIGINT) AS sum_c0,
+                   CAST(CASE WHEN i % 3 < 2
+                        THEN (4 + i % 5) * (3 + i % 4) * ((i * 7) % 200)
+                             + (4 + i % 5) * (3 + i % 4)
+                               * ((4 + i % 5) * (3 + i % 4) - 1) // 2
+                        END AS BIGINT) AS sum_c1,
+                   CAST(CASE WHEN i % 3 < 2
+                        THEN (4 + i % 5) * (3 + i % 4) * ((i * 13) % 256)
+                        END AS BIGINT) AS sum_c2,
+                   CAST(CASE WHEN i % 3 < 2
+                        THEN least(i % 256, (i * 7) % 200, (i * 13) % 256)
+                        ELSE (i * 11) % 1000 - 500
+                        END AS BIGINT) AS v_min,
+                   CAST(CASE WHEN i % 3 < 2
+                        THEN greatest(i % 256,
+                                      (i * 7) % 200
+                                      + (4 + i % 5) * (3 + i % 4) - 1,
+                                      (i * 13) % 256)
+                        ELSE (i * 11) % 1000 - 500 + 64 + i % 64 - 1
+                        END AS BIGINT) AS v_max,
+                   'ok' AS decode_ok
+            FROM range(300) t(i)
         """,
         # real-HTML kernel parity: the oracle IS the pinned expectation
         # table (core_test.go:33-714), rendered as a VALUES list

@@ -162,6 +162,107 @@ def test_multimodal_plumbing(spark):
     assert frames.count() > 0
 
 
+def test_stdlib_codec_roundtrip():
+    """Pure-codec law: every encoder output decodes back to the
+    closed-form statistics the media_stats oracle re-derives."""
+    from go_htmldate_spark.operators.multimodal import (
+        decode_bmp,
+        decode_ppm,
+        decode_wav,
+        encode_bmp,
+        encode_ppm,
+        encode_wav,
+        sniff_media,
+    )
+
+    for i in (0, 1, 5, 77, 255, 1234):
+        w, h = 4 + i % 5, 3 + i % 4
+        r, gb, b = i % 256, (i * 7) % 200, (i * 13) % 256
+        n = w * h
+        exp = {
+            "width": w, "height": h,
+            "sum_c0": n * r, "sum_c1": n * gb + n * (n - 1) // 2,
+            "sum_c2": n * b,
+            "v_min": min(r, gb, b), "v_max": max(r, gb + n - 1, b),
+        }
+        for enc, dec, name in (
+            (encode_bmp, decode_bmp, "bmp"),
+            (encode_ppm, decode_ppm, "ppm"),
+        ):
+            payload = enc(w, h, r, gb, b)
+            assert sniff_media(payload) == name
+            assert dec(payload) == exp, (name, i)
+        ns, base = 64 + i % 64, (i * 11) % 1000 - 500
+        payload = encode_wav(ns, 16000, base)
+        assert sniff_media(payload) == "wav"
+        assert decode_wav(payload) == {
+            "n_samples": ns, "sample_rate": 16000, "n_channels": 1,
+            "sum_c0": ns * base + ns * (ns - 1) // 2,
+            "v_min": base, "v_max": base + ns - 1,
+        }
+
+
+def test_stdlib_codec_variants_and_errors():
+    """Top-down BMPs decode identically; malformed payloads raise
+    (degraded to decode_ok='error:...' by the operator, never a crash);
+    PPM headers tolerate comments."""
+    import struct as S
+
+    from go_htmldate_spark.operators.multimodal import (
+        decode_bmp,
+        decode_ppm,
+        encode_bmp,
+    )
+
+    p = bytearray(encode_bmp(4, 3, 9, 10, 11))
+    height, width = 3, 4
+    stride = width * 3 + ((-(width * 3)) % 4)
+    off = S.unpack_from("<I", p, 10)[0]
+    rows = [bytes(p[off + k * stride : off + (k + 1) * stride]) for k in range(height)]
+    p2 = bytearray(bytes(p[:off]) + b"".join(reversed(rows)))
+    S.pack_into("<i", p2, 22, -height)
+    assert decode_bmp(bytes(p2)) == decode_bmp(bytes(p))
+
+    with pytest.raises(ValueError):
+        decode_bmp(b"BMxx")
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n4 4\n255\n\x00")  # truncated raster
+    assert decode_ppm(b"P6\n# a comment\n1 1\n255\n\x05\x06\x07") == {
+        "width": 1, "height": 1, "sum_c0": 5, "sum_c1": 6, "sum_c2": 7,
+        "v_min": 5, "v_max": 7,
+    }
+
+
+def test_extract_features_real_decode(spark):
+    """extract_features routes stdlib-decodable payloads through the
+    REAL decoders: the feature encodes actual pixel/sample statistics,
+    and unknown containers keep the deterministic hash fake."""
+    import struct as S
+
+    from go_htmldate_spark.operators.multimodal import (
+        extract_features,
+        extract_media_stats,
+        synth_media_stdlib,
+    )
+
+    media = synth_media_stdlib(spark, 30).cache()
+    stats = {r["media_id"]: r for r in extract_media_stats(media).collect()}
+    feats = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert set(stats) == set(range(30))
+    for i, st in stats.items():
+        assert st["decode_ok"] == "ok"
+        f = S.unpack("8f", bytes.fromhex(feats[i]["feature"]))
+        if st["codec"] in ("bmp", "ppm"):
+            n = st["width"] * st["height"]
+            assert f[0] * 4096.0 == pytest.approx(st["width"])
+            assert f[2] * 255.0 * n == pytest.approx(st["sum_c0"], abs=1e-3)
+            assert f[7] == 1.0
+        else:
+            assert f[1] * 1e6 == pytest.approx(st["sample_rate"])
+            assert f[7] == 2.0
+    media.unpersist()
+
+
 def test_streaming_extract(spark, tmp_path_factory):
     from go_htmldate_spark.options import Options
     from go_htmldate_spark.sources.pages import synth_pages

@@ -741,6 +741,14 @@ def from_document(doc: domp.Node, opts: Options) -> ExtractionResult:
             opts = opts.with_url(href)
 
     raw_string, dt = find_date(doc, opts)
+    return _finish_result(raw_string, dt, opts)
+
+
+def _finish_result(
+    raw_string: str, dt: Optional[date], opts: Options
+) -> ExtractionResult:
+    """from_document's result tail (time/timezone add-on, core.go:101-130),
+    shared with the tree-free prelude path."""
     if dt is None:
         return EMPTY_RESULT
 
@@ -770,6 +778,72 @@ def from_document(doc: domp.Node, opts: Options) -> ExtractionResult:
     )
 
 
+_NEED_TREE = object()
+
+# GO_HTMLDATE_NO_PRELUDE=1 forces every document through the tree
+# pipeline — the A/B lever for differential tests and benchmarks
+import os as _os
+
+_PRELUDE_ENABLED = not _os.environ.get("GO_HTMLDATE_NO_PRELUDE")
+
+
+def _prelude_extract(html: str, opts: Options):
+    """Tree-free fast path: C scan_prelude + the cascade's pre-prune
+    stages (canonical-URL recovery, URL date, meta, JSON-LD) — the
+    stages that resolve ~70% of real documents and read only meta/link/
+    script elements, whose scan order provably equals the normalized
+    tree's iter order (or the scan bails).  Returns an
+    ExtractionResult on a stage hit, _NEED_TREE when the document must
+    go through the full tree pipeline.  Stage functions are the SAME
+    objects the tree path runs, on bit-identical inputs — parity is
+    structural, and pinned by test_cdom_parity differentials."""
+    cdom = domp._CDOM
+    if cdom is None or not hasattr(cdom, "scan_prelude") or not _PRELUDE_ENABLED:
+        return _NEED_TREE
+    try:
+        scan = cdom.scan_prelude(domp.Node, html)
+    except Exception:
+        # scan raises exactly where build_into raises; the tree path
+        # will take the same fallback parser for this document
+        return _NEED_TREE
+    if scan is None:  # normalization hazard (stray routing / dropped
+        return _NEED_TREE  # subtrees): order could diverge, use the tree
+    metas, links, scripts = scan
+
+    opts = opts.with_defaults()
+    apply_log_option(opts.enable_log)  # core.go:97-99
+
+    if not opts.url:
+        # query_meta_canonical_url over the scan: first link
+        # rel=canonical with a non-empty href (core.go:77-94)
+        for elem in links:
+            if elem.attr("rel") == "canonical":
+                href = elem.attr("href").strip()
+                if href:
+                    opts = opts.with_url(href)
+                    break
+
+    # find_date's pre-prune prefix, verbatim (core.go:136-189)
+    url_date: Optional[date] = None
+    if opts.url:
+        url_date = extract_url_date(opts.url, opts)
+        if url_date is not None and not opts.defer_url_extractor:
+            return _finish_result(opts.url, url_date, opts)
+
+    raw_string, meta_result = examine_meta_elements(metas, opts)
+    if meta_result is not None:
+        return _finish_result(raw_string, meta_result, opts)
+
+    raw_string, json_result = json_search(scripts, opts)
+    if json_result is not None:
+        return _finish_result(raw_string, json_result, opts)
+
+    if opts.defer_url_extractor and url_date is not None:
+        return _finish_result(opts.url, url_date, opts)
+
+    return _NEED_TREE
+
+
 def from_html(html: str | bytes, opts: Options) -> ExtractionResult:
     """Parse + extract — the reference's FromReader (core.go:48-56).
     bytes input goes through the WHATWG charset sniff (FromReader reads
@@ -779,6 +853,9 @@ def from_html(html: str | bytes, opts: Options) -> ExtractionResult:
         from .operators.extract import sniff_decode
 
         html = sniff_decode(bytes(html))
+    res = _prelude_extract(html, opts)
+    if res is not _NEED_TREE:
+        return res
     doc = domp.parse_html(html)
     try:
         return from_document(doc, opts)

@@ -1094,6 +1094,416 @@ cdom_build_into(PyObject *self, PyObject *args)
 #undef FAIL
 }
 
+/* --------------------------------------------------------- prelude scan */
+/* scan_prelude(node_type, html) -> (metas, links, scripts) | None
+ *
+ * Tree-free scan for the cascade's pre-prune stages (URL/meta/JSON):
+ * ~70% of real documents resolve there, so building the full
+ * Python-node tree -- ~50% of fast-mode wall -- is wasted for them.
+ * The loop replicates build_into's token grammar and boundary
+ * advances EXACTLY (token boundaries depend only on the byte stream,
+ * never on the tree: rawtext/comment spans, bare-'<' resumes, and the
+ * too-long-tag-name failure are all position-local), but materializes
+ * Node objects ONLY for <meta>, <link> and <script> start tags -- the
+ * elements examine_meta_elements / query_meta_canonical_url /
+ * json_search read.  Script nodes get their rawtext content as a text
+ * child only when the first `type` attr marks embedded JSON (the only
+ * scripts json_search reads the text of), checked with the same
+ * parse_attrs the lazy .attrs property runs.  No parent links are
+ * set, so the handful of nodes frees by pure refcount.
+ *
+ * parse_html's normalization can DROP subtrees (content outside an
+ * explicit top-level <html>) and REORDER top-level strays around an
+ * explicit <head>/<body> -- shapes where collected order would
+ * diverge from iter_elements order.  The scan therefore maintains the
+ * same open-tag stack algebra as build_into (implied closes, p
+ * counting, matching-end-tag pops) purely to classify each collected
+ * element, and returns None -- caller falls back to the tree -- when
+ * any hazard holds:
+ *   H1  two or more top-level <html> starts
+ *   H2  an explicit top-level <html> exists and some collected
+ *       element is outside it
+ *   H3  an explicit head/body exists at top_nodes level and some
+ *       collected element is in a top-level stray subtree
+ *   H4  two or more head (or body) starts at top_nodes level
+ * (Conservative: a false positive only costs the prelude, never
+ * correctness.)  Raises exactly where build_into raises, so the
+ * caller falls back in the same documents.  Differential parity vs
+ * the tree is pinned by tests/test_cdom_parity.py.
+ */
+
+typedef struct {
+    char (*tags)[256];
+    Py_ssize_t len, cap;
+} TagStack;
+
+static int
+tstack_push(TagStack *ts, const char *tag)
+{
+    if (ts->len == ts->cap) {
+        Py_ssize_t nc = ts->cap ? ts->cap * 2 : 64;
+        void *p = PyMem_Realloc(ts->tags, (size_t)nc * 256);
+        if (p == NULL)
+            return -1;
+        ts->tags = p;
+        ts->cap = nc;
+    }
+    strcpy(ts->tags[ts->len++], tag);
+    return 0;
+}
+
+static PyObject *
+cdom_scan_prelude(PyObject *self, PyObject *args)
+{
+    PyObject *tp_obj;
+    PyObject *html;
+    if (!PyArg_ParseTuple(args, "OU", &tp_obj, &html))
+        return NULL;
+    if (!PyType_Check(tp_obj) ||
+        !PyType_IsSubtype((PyTypeObject *)tp_obj, &NodeBase_Type)) {
+        PyErr_SetString(PyExc_TypeError,
+                        "node_type must subclass _cdom.NodeBase");
+        return NULL;
+    }
+    if (g_no_attrs == NULL || g_unescape == NULL) {
+        PyErr_SetString(PyExc_RuntimeError, "_cdom.configure() not called");
+        return NULL;
+    }
+    PyTypeObject *tp = (PyTypeObject *)tp_obj;
+    Py_ssize_t n;
+    const char *buf = PyUnicode_AsUTF8AndSize(html, &n);
+    if (buf == NULL)
+        return NULL; /* lone surrogates etc. -> caller falls back */
+
+    PyObject *metas = NULL, *links = NULL, *scripts = NULL;
+    TagStack ts = {NULL, 0, 0};
+    metas = PyList_New(0);
+    links = PyList_New(0);
+    scripts = PyList_New(0);
+    if (metas == NULL || links == NULL || scripts == NULL)
+        goto fail;
+    if (tstack_push(&ts, "") < 0) { /* index 0: root sentinel */
+        PyErr_NoMemory();
+        goto fail;
+    }
+
+    int open_p = 0;
+    int html_count = 0, head_at_l = 0, body_at_l = 0;
+    int any_outside_html = 0, any_stray = 0;
+    Py_ssize_t pos = 0;
+    char namebuf[256];
+
+    while (pos < n) {
+        const char *lt = memchr(buf + pos, '<', (size_t)(n - pos));
+        if (lt == NULL)
+            break; /* trailing text: no allocation needed */
+        Py_ssize_t s = lt - buf;
+        Py_ssize_t i = s + 1;
+        if (i >= n) { /* bare '<' at EOF */
+            pos = s + 1;
+            continue;
+        }
+        unsigned char c = (unsigned char)buf[i];
+
+        if (c == '!') {
+            if (i + 2 < n && buf[i + 1] == '-' && buf[i + 2] == '-') {
+                /* comment: same advance incl. the trailing-newline
+                 * regex-parity quirk (see build_into) */
+                Py_ssize_t cs2 = s + 4;
+                const char *e = NULL;
+                if (cs2 <= n)
+                    e = memmem(buf + cs2, (size_t)(n - cs2), "-->", 3);
+                if (e != NULL)
+                    pos = (e - buf) + 3;
+                else if (n > cs2 && buf[n - 1] == '\n')
+                    pos = n - 1;
+                else
+                    pos = n;
+                continue;
+            }
+            const char *e =
+                (i + 1 <= n) ? memchr(buf + i + 1, '>', (size_t)(n - i - 1))
+                             : NULL;
+            pos = (e == NULL) ? s + 1 : (e - buf) + 1;
+            continue;
+        }
+
+        if (c == '?') {
+            const char *e =
+                (i + 1 <= n) ? memchr(buf + i + 1, '>', (size_t)(n - i - 1))
+                             : NULL;
+            pos = (e == NULL) ? s + 1 : (e - buf) + 1;
+            continue;
+        }
+
+        if (c == '/') {
+            Py_ssize_t j = i + 1;
+            if (j >= n || !IS_ALPHA(buf[j])) {
+                pos = s + 1;
+                continue;
+            }
+            Py_ssize_t k = j + 1;
+            while (k < n && IS_NAME(buf[k]))
+                k++;
+            const char *e = memchr(buf + k, '>', (size_t)(n - k));
+            if (e == NULL) {
+                pos = s + 1;
+                continue;
+            }
+            pos = (e - buf) + 1;
+            Py_ssize_t tlen = k - j;
+            if (tlen >= (Py_ssize_t)sizeof(namebuf)) {
+                PyErr_SetString(PyExc_ValueError, "tag name too long");
+                goto fail;
+            }
+            char tagl[sizeof(namebuf)];
+            for (Py_ssize_t x = 0; x < tlen; x++)
+                tagl[x] = LOWER(buf[j + x]);
+            tagl[tlen] = '\0';
+            /* pop to and through the matching open tag (stray: ignore)
+             * -- same algebra as build_into */
+            for (Py_ssize_t idx = ts.len - 1; idx >= 1; idx--) {
+                if (strcmp(ts.tags[idx], tagl) == 0) {
+                    if (open_p) {
+                        for (Py_ssize_t t2 = idx; t2 < ts.len; t2++)
+                            if (strcmp(ts.tags[t2], "p") == 0)
+                                open_p--;
+                    }
+                    ts.len = idx;
+                    break;
+                }
+            }
+            continue;
+        }
+
+        if (IS_ALPHA(c)) {
+            Py_ssize_t k = i + 1;
+            while (k < n && IS_NAME(buf[k]))
+                k++;
+            const char *e = memchr(buf + k, '>', (size_t)(n - k));
+            if (e == NULL) {
+                pos = s + 1;
+                continue;
+            }
+            Py_ssize_t gt = e - buf;
+            Py_ssize_t aa = k, ab = gt;
+            int selfclose = 0;
+            if (ab > aa && buf[ab - 1] == '/') {
+                selfclose = 1;
+                ab--;
+            }
+            pos = gt + 1;
+
+            Py_ssize_t tlen = k - i;
+            if (tlen >= (Py_ssize_t)sizeof(namebuf)) {
+                PyErr_SetString(PyExc_ValueError, "tag name too long");
+                goto fail;
+            }
+            for (Py_ssize_t x = 0; x < tlen; x++)
+                namebuf[x] = LOWER(buf[i + x]);
+            namebuf[tlen] = '\0';
+
+            /* implied closes, identical to build_into */
+            const char *const *closes = self_closes(namebuf);
+            int is_p_closer = in_list(namebuf, P_CLOSER_TAGS);
+            if (is_p_closer && open_p > 0) {
+                while (ts.len > 1) {
+                    if (strcmp(ts.tags[--ts.len], "p") == 0) {
+                        open_p--;
+                        break;
+                    }
+                }
+            } else if (closes != NULL && ts.len > 1) {
+                for (const char *const *cc = closes; *cc; cc++) {
+                    if (strcmp(ts.tags[ts.len - 1], *cc) == 0) {
+                        ts.len--;
+                        break;
+                    }
+                }
+            }
+
+            /* normalization-hazard bookkeeping (see header comment).
+             * L = the top_nodes level: 2 under an open top-level html,
+             * else 1. */
+            int in_html = ts.len >= 2 && strcmp(ts.tags[1], "html") == 0;
+            Py_ssize_t L = in_html ? 2 : 1;
+
+            int is_meta = strcmp(namebuf, "meta") == 0;
+            int is_link = strcmp(namebuf, "link") == 0;
+            int is_script = strcmp(namebuf, "script") == 0;
+
+            if (strcmp(namebuf, "html") == 0 && ts.len == 1)
+                html_count++;
+            if (ts.len == L) {
+                if (strcmp(namebuf, "head") == 0)
+                    head_at_l++;
+                else if (strcmp(namebuf, "body") == 0)
+                    body_at_l++;
+            }
+
+            CNode *node = NULL;
+            if (is_meta || is_link || is_script) {
+                if (!in_html)
+                    any_outside_html = 1;
+                /* in an explicit head/body subtree <=> an ancestor at
+                 * level L is head or body; anything else at/under
+                 * top_nodes level is a routed stray */
+                if (!(ts.len > L && (strcmp(ts.tags[L], "head") == 0 ||
+                                     strcmp(ts.tags[L], "body") == 0)))
+                    any_stray = 1;
+
+                PyObject *tag = canon_tag(namebuf, tlen);
+                if (tag == NULL)
+                    goto fail;
+                Py_INCREF(g_empty);
+                node = new_node(tp, 1 /*ELEMENT*/, tag, g_empty);
+                Py_DECREF(tag);
+                if (node == NULL)
+                    goto fail;
+                if (ab > aa) {
+                    /* same all-whitespace gate as build_into */
+                    int all_ws = 1, wl;
+                    for (Py_ssize_t x = aa; x < ab;) {
+                        if (!space_at(buf, x, ab, &wl)) {
+                            all_ws = 0;
+                            break;
+                        }
+                        x += wl;
+                    }
+                    if (!all_ws) {
+                        PyObject *raw = decode_range(buf, aa, ab);
+                        if (raw == NULL) {
+                            Py_DECREF(node);
+                            goto fail;
+                        }
+                        Py_INCREF(Py_None);
+                        Py_XSETREF(node->attrs, Py_None);
+                        Py_XSETREF(node->raw_attrs, raw);
+                    }
+                }
+                PyObject *dst = is_meta ? metas : (is_link ? links : scripts);
+                if (PyList_Append(dst, (PyObject *)node) < 0) {
+                    Py_DECREF(node);
+                    goto fail;
+                }
+                /* list owns one ref; ours dropped at branch ends */
+            }
+
+            if (in_list(namebuf, VOID_TAGS)) {
+                Py_XDECREF(node);
+                continue;
+            }
+            if (selfclose && (strcmp(namebuf, "svg") == 0 ||
+                              strcmp(namebuf, "math") == 0)) {
+                Py_XDECREF(node);
+                continue;
+            }
+            if (in_list(namebuf, RAWTEXT_TAGS)) {
+                Py_ssize_t cs2, ce2;
+                int found = find_rawtext_close(buf, pos, n, namebuf, tlen,
+                                               &cs2, &ce2);
+                Py_ssize_t dend = found ? cs2 : n;
+                if (is_script && node != NULL) {
+                    /* eager attr parse (same function the lazy .attrs
+                     * property runs) to test whether json_search will
+                     * read this script's text */
+                    int want = 0;
+                    if (node->raw_attrs != Py_None) {
+                        PyObject *parsed =
+                            cdom_parse_attrs(NULL, node->raw_attrs);
+                        if (parsed == NULL) {
+                            Py_DECREF(node);
+                            goto fail;
+                        }
+                        Py_XSETREF(node->attrs, parsed); /* cache */
+                        for (Py_ssize_t x = 0; x < PyList_GET_SIZE(parsed);
+                             x++) {
+                            PyObject *pair = PyList_GET_ITEM(parsed, x);
+                            PyObject *name = PyTuple_GET_ITEM(pair, 0);
+                            if (PyUnicode_CompareWithASCIIString(
+                                    name, "type") == 0) {
+                                PyObject *v = PyTuple_GET_ITEM(pair, 1);
+                                want =
+                                    PyUnicode_CompareWithASCIIString(
+                                        v, "application/ld+json") == 0 ||
+                                    PyUnicode_CompareWithASCIIString(
+                                        v, "application/settings+json") == 0;
+                                break; /* first `type` attr wins */
+                            }
+                        }
+                    }
+                    if (want && dend > pos) {
+                        /* script rawtext is decode_range (raw, no
+                         * unescape) exactly like build_into */
+                        PyObject *data = decode_range(buf, pos, dend);
+                        if (data == NULL) {
+                            Py_DECREF(node);
+                            goto fail;
+                        }
+                        CNode *text = new_node(tp, 0 /*TEXT*/, g_empty, data);
+                        if (text == NULL) {
+                            Py_DECREF(node);
+                            goto fail;
+                        }
+                        /* child append WITHOUT a parent back-link:
+                         * keeps the pair acyclic (pure-refcount free);
+                         * text_content only walks children */
+                        PyObject *kids = PyList_New(0);
+                        if (kids == NULL ||
+                            PyList_Append(kids, (PyObject *)text) < 0) {
+                            Py_XDECREF(kids);
+                            Py_DECREF(text);
+                            Py_DECREF(node);
+                            goto fail;
+                        }
+                        Py_DECREF(text);
+                        Py_XSETREF(node->children, kids);
+                    }
+                }
+                pos = found ? ce2 : n;
+                Py_XDECREF(node);
+                continue;
+            }
+            if (tstack_push(&ts, namebuf) < 0) {
+                Py_XDECREF(node);
+                PyErr_NoMemory();
+                goto fail;
+            }
+            Py_XDECREF(node);
+            if (strcmp(namebuf, "p") == 0)
+                open_p++;
+            continue;
+        }
+
+        /* anything else after '<': bare '<' text */
+        pos = s + 1;
+    }
+
+    PyMem_Free(ts.tags);
+    if (html_count >= 2 || (html_count == 1 && any_outside_html) ||
+        ((head_at_l || body_at_l) && any_stray) || head_at_l >= 2 ||
+        body_at_l >= 2) {
+        Py_DECREF(metas);
+        Py_DECREF(links);
+        Py_DECREF(scripts);
+        Py_RETURN_NONE; /* normalization hazard: caller uses the tree */
+    }
+    {
+        PyObject *out = PyTuple_Pack(3, metas, links, scripts);
+        Py_DECREF(metas);
+        Py_DECREF(links);
+        Py_DECREF(scripts);
+        return out;
+    }
+
+fail:
+    PyMem_Free(ts.tags);
+    Py_XDECREF(metas);
+    Py_XDECREF(links);
+    Py_XDECREF(scripts);
+    return NULL;
+}
+
 /* ----------------------------------------------------------- attr parse */
 /* C version of fastparse._parse_attrs: the _ATTR regex
  *   ([^\s=/>]+)(?:\s*=\s*("[^"]*"|'[^']*'|[^\s>]*))?
@@ -2020,6 +2430,8 @@ static PyMethodDef cdom_methods[] = {
      "configure(no_attrs_list, unescape_callable[, html5_semicolon_dict])"},
     {"build_into", cdom_build_into, METH_VARARGS,
      "build_into(root_node, html_str) -> None"},
+    {"scan_prelude", cdom_scan_prelude, METH_VARARGS,
+     "scan_prelude(node_type, html_str) -> (metas, links, scripts)"},
     {"parse_attrs", cdom_parse_attrs, METH_O,
      "parse_attrs(raw) -> list[(name, value)]"},
     {"tag_sets", cdom_tag_sets, METH_NOARGS,

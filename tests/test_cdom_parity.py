@@ -488,3 +488,151 @@ def test_c_attr_method_matches_python_mixin():
     c2.attrs = [("k", "v"), ("k", "v2")]
     assert c2.attr("k") == "v"
     assert c2.attr("zzz") == ""
+
+
+# --------------------------------------------------------- prelude scan
+
+_JSON_TYPES = ("application/ld+json", "application/settings+json")
+
+_PRELUDE_HAZARD_CASES = [
+    # shapes where parse_html normalization drops/reorders elements:
+    # scan_prelude must return None (tree fallback) or match anyway
+    '<meta name="a" content="b"><html><head></head></html>',       # outside html
+    '<html><head></head></html><meta name="a" content="b">',       # after </html>
+    '<html><head></head><meta name="s" content="t"><body></body></html>',  # stray
+    '<html><head></head><body><p>x</p></body></html>'
+    '<html><head><meta name="d" content="2020-01-02"></head></html>',  # 2 htmls
+    '<head><meta name="a" content="b"></head><head><meta name="c" content="d"></head>',
+    '<meta name="a" content="b"><head><meta name="c" content="d"></head>',
+    '<html><body><div>x</div></body><meta name="late" content="z"></html>',
+]
+
+_PRELUDE_SAFE_CASES = [
+    '<html><head><meta name="date" content="2020-01-02"></head>'
+    '<body><script type="application/ld+json">{"datePublished":"2019-05-06"}'
+    "</script></body></html>",
+    '<meta name="date" content="2020-01-02"><div>fragment</div>',
+    '<html><head><noscript><meta name="n" content="2001-02-03"></noscript>'
+    "</head><body></body></html>",
+    "<head><meta name='only-head' content='x'></head>",
+    '<html><head><title><meta name="not-real" content="x"></title>'
+    '<script>var s = \'<meta name="fake" content="y">\';</script>'
+    "<!-- <meta name='ghost' content='z'> -->"
+    '<meta http-equiv="date" content="2018-03-04"></head><body></body></html>',
+    '<html><head><script TYPE="application/ld+json">{"dateModified":"2021-01-01"}'
+    "</script></head><body></body></html>",
+    '<html><head><script type="application/ld+json">broken {{{</script>'
+    "</head><body></body></html>",
+    # unclosed head swallows everything: all elements stay in its subtree
+    '<head><meta name="a" content="b"><body><meta name="c" content="d">',
+    '<html><head><link rel="canonical" href="https://x.example/a">'
+    '<link rel="canonical" href="https://x.example/b"></head><body></body></html>',
+    '<html><head><link rel="canonical" href="">'
+    '<link rel="canonical" href="https://x.example/second"></head></html>',
+]
+
+
+def _scan_equiv_or_bail(html: str) -> None:
+    """Law: scan_prelude either bails (None / same exception as
+    build_into) or yields meta/link/script views bit-equal to the
+    normalized tree's."""
+    try:
+        scan = cdom.scan_prelude(domp.Node, html)
+    except ValueError:
+        with pytest.raises(ValueError):
+            _c_build_tree(html)
+        return
+    if scan is None:
+        return  # hazard bail: production uses the tree for this doc
+    metas, links, scripts = scan
+    doc = domp.parse_html(html)
+    t_metas = [e for e in doc.iter_elements() if e.tag == "meta"]
+    t_links = [e for e in doc.iter_elements() if e.tag == "link"]
+    t_scripts = [e for e in doc.iter_elements() if e.tag == "script"]
+    assert [e.attrs for e in metas] == [e.attrs for e in t_metas]
+    assert [e.attrs for e in links] == [e.attrs for e in t_links]
+    assert [e.attrs for e in scripts] == [e.attrs for e in t_scripts]
+    # json_search's exact view: type attr of every script, text of the
+    # JSON-typed ones (the scan materializes text only for those)
+    assert [e.attr("type") for e in scripts] == [
+        e.attr("type") for e in t_scripts
+    ]
+    for s_el, t_el in zip(scripts, t_scripts):
+        if t_el.attr("type") in _JSON_TYPES:
+            assert s_el.text_content() == t_el.text_content()
+
+
+@pytest.mark.parametrize(
+    "html",
+    _PRELUDE_HAZARD_CASES + _PRELUDE_SAFE_CASES + EDGE_CASES,
+    ids=range(len(_PRELUDE_HAZARD_CASES) + len(_PRELUDE_SAFE_CASES) + len(EDGE_CASES)),
+)
+def test_scan_prelude_edge_parity(html):
+    _scan_equiv_or_bail(html)
+
+
+@pytest.mark.parametrize(
+    "path", MOCK_PAGES, ids=[p.rsplit("/", 1)[1] for p in MOCK_PAGES]
+)
+def test_scan_prelude_mock_parity(path):
+    from go_htmldate_spark.operators.extract import sniff_decode
+
+    _scan_equiv_or_bail(sniff_decode(open(path, "rb").read()))
+
+
+@pytest.mark.parametrize(
+    "path", MOCK_PAGES, ids=[p.rsplit("/", 1)[1] for p in MOCK_PAGES]
+)
+def test_prelude_end_to_end_parity(path):
+    """from_html must be bit-identical with the prelude forced off —
+    over every golden page, in both date modes."""
+    from go_htmldate_spark import cascade as casc
+    from go_htmldate_spark.operators.extract import sniff_decode
+    from go_htmldate_spark.options import Options
+
+    html = sniff_decode(open(path, "rb").read())
+    saved = casc._PRELUDE_ENABLED
+    try:
+        for orig in (False, True):
+            opts = Options(use_original_date=orig, skip_extensive_search=True)
+            casc._PRELUDE_ENABLED = True
+            a = casc.from_html(html, opts)
+            casc._PRELUDE_ENABLED = False
+            b = casc.from_html(html, opts)
+            assert a == b
+    finally:
+        casc._PRELUDE_ENABLED = saved
+
+
+try:
+    from hypothesis import given as _g4, settings as _s4
+    from hypothesis import strategies as _st4
+
+    _PRELUDE_FRAGMENTS = [
+        "<html>", "</html>", "<head>", "</head>", "<body>", "</body>",
+        "<meta name=date content=2020-01-02>", "<meta>", "<meta >",
+        "<link rel=canonical href=https://x.example/a>", "<link>",
+        "<script type=application/ld+json>", '{"datePublished":"2019-05-06"}',
+        "<script>", "</script>", "</script >", "<style>", "</style>",
+        "<title>", "</title>", "<textarea>", "</textarea>", "<plaintext>",
+        "<!-- c -->", "<!--", "-->", "<!doctype html>", "<?pi?>",
+        "<div>", "</div>", "<p>", "<abbr>", "</abbr>", "<svg/>", "<table>",
+        "&amp;", "&#65;", "text", " ", "\n", "<", ">", "é", "日本語",
+    ]
+
+    @_s4(max_examples=300, deadline=None)
+    @_g4(
+        _st4.lists(
+            _st4.one_of(
+                _st4.sampled_from(_PRELUDE_FRAGMENTS),
+                _st4.text(min_size=0, max_size=12),
+            ),
+            min_size=0,
+            max_size=40,
+        )
+    )
+    def test_fuzz_scan_prelude_parity(parts):
+        _scan_equiv_or_bail("".join(parts))
+
+except ImportError:  # hypothesis not installed: covered by edge cases
+    pass

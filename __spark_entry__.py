@@ -2431,6 +2431,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN i % 3 < 2 THEN 3 + i % 4 END AS INTEGER) AS height,
                    CAST(CASE WHEN i % 3 = 2 THEN 64 + i % 64 END AS BIGINT) AS n_samples,
                    CAST(CASE WHEN i % 3 = 2 THEN 16000 END AS INTEGER) AS sample_rate,
+                   CAST(CASE WHEN i % 3 = 2 THEN 1 END AS INTEGER) AS n_channels,
                    CAST(CASE WHEN i % 3 < 2
                         THEN (4 + i % 5) * (3 + i % 4) * (i % 256)
                         ELSE (64 + i % 64) * ((i * 11) % 1000 - 500)

@@ -1126,6 +1126,9 @@ cdom_build_into(PyObject *self, PyObject *args)
  *   H3  an explicit head/body exists at top_nodes level and some
  *       collected element is in a top-level stray subtree
  *   H4  two or more head (or body) starts at top_nodes level
+ *   H5  a top-level body start precedes a top-level head start
+ *       (parse_html always emits the head subtree before the body
+ *       subtree, so source order would diverge from iter order)
  * (Conservative: a false positive only costs the prelude, never
  * correctness.)  Raises exactly where build_into raises, so the
  * caller falls back in the same documents.  Differential parity vs
@@ -1189,6 +1192,7 @@ cdom_scan_prelude(PyObject *self, PyObject *args)
 
     int open_p = 0;
     int html_count = 0, head_at_l = 0, body_at_l = 0;
+    int body_before_head = 0;
     int any_outside_html = 0, any_stray = 0;
     Py_ssize_t pos = 0;
     char namebuf[256];
@@ -1337,8 +1341,11 @@ cdom_scan_prelude(PyObject *self, PyObject *args)
             if (ts.len == L) {
                 if (strcmp(namebuf, "head") == 0)
                     head_at_l++;
-                else if (strcmp(namebuf, "body") == 0)
+                else if (strcmp(namebuf, "body") == 0) {
                     body_at_l++;
+                    if (head_at_l == 0)
+                        body_before_head = 1;
+                }
             }
 
             CNode *node = NULL;
@@ -1482,7 +1489,7 @@ cdom_scan_prelude(PyObject *self, PyObject *args)
     PyMem_Free(ts.tags);
     if (html_count >= 2 || (html_count == 1 && any_outside_html) ||
         ((head_at_l || body_at_l) && any_stray) || head_at_l >= 2 ||
-        body_at_l >= 2) {
+        body_at_l >= 2 || (body_before_head && head_at_l)) {
         Py_DECREF(metas);
         Py_DECREF(links);
         Py_DECREF(scripts);

@@ -295,6 +295,7 @@ STATS_SCHEMA = StructType(
         StructField("height", IntegerType()),
         StructField("n_samples", LongType()),
         StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
         StructField("sum_c0", LongType()),
         StructField("sum_c1", LongType()),
         StructField("sum_c2", LongType()),
@@ -324,8 +325,12 @@ def extract_media_stats(media: DataFrame) -> DataFrame:
                     codec = sniff_media(raw)
                     base["codec"] = codec
                     if codec == "wav":
+                        # n_samples counts FRAMES; sum/extrema run over
+                        # all interleaved samples (n_samples*n_channels
+                        # values) — n_channels stays in the row so a
+                        # consumer can reconcile (mean = sum_c0 /
+                        # (n_samples*n_channels))
                         base.update(decode_wav(raw))
-                        base.pop("n_channels", None)
                         base["decode_ok"] = "ok"
                     elif codec in ("bmp", "ppm"):
                         dec = decode_bmp if codec == "bmp" else decode_ppm

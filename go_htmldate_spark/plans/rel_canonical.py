@@ -102,13 +102,10 @@ def rel_canonical_edges(
     su = F.col("src_url")
     staged = casted.select(
         su,
-        F.nullif(
-            F.coalesce(
-                F.nullif(F.regexp_extract(h, _REL_FIRST, 1), F.lit("")),
-                F.nullif(F.regexp_extract(h, _HREF_FIRST, 1), F.lit("")),
-            ),
-            F.lit(""),
-        ).alias("_href"),
+        # rel_canonical_href over the staged _h (the cast inside the
+        # helper is a no-op on the already-string column, so the two
+        # regex slots still reference the cheap `_h` attribute)
+        rel_canonical_href(h).alias("_href"),
         F.regexp_extract(su, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1).alias("_scheme"),
         F.regexp_extract(su, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1).alias(
             "_host"

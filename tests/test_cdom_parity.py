@@ -505,6 +505,15 @@ _PRELUDE_HAZARD_CASES = [
     '<head><meta name="a" content="b"></head><head><meta name="c" content="d"></head>',
     '<meta name="a" content="b"><head><meta name="c" content="d"></head>',
     '<html><body><div>x</div></body><meta name="late" content="z"></html>',
+    # body-before-head: parse_html always emits head-subtree-first, so
+    # source order diverges (round-5 review finding, verified repro)
+    '<body><meta name="date" content="2001-01-01"></body>'
+    '<head><meta name="date" content="2020-02-02"></head>',
+    '<html><body><link rel="canonical" href="https://b.example/1"></body>'
+    '<head><link rel="canonical" href="https://h.example/2"></head></html>',
+    '<body><script type="application/ld+json">{"datePublished":"2001-01-01"}'
+    '</script></body><head><script type="application/ld+json">'
+    '{"datePublished":"2020-02-02"}</script></head>',
 ]
 
 _PRELUDE_SAFE_CASES = [
@@ -611,8 +620,12 @@ try:
     _PRELUDE_FRAGMENTS = [
         "<html>", "</html>", "<head>", "</head>", "<body>", "</body>",
         "<meta name=date content=2020-01-02>", "<meta>", "<meta >",
+        "<meta name=date content=1999-12-31>",
+        "<meta property=article:published_time content=2011-11-11>",
         "<link rel=canonical href=https://x.example/a>", "<link>",
+        "<link rel=canonical href=https://y.example/b>",
         "<script type=application/ld+json>", '{"datePublished":"2019-05-06"}',
+        '{"datePublished":"2003-03-03"}',
         "<script>", "</script>", "</script >", "<style>", "</style>",
         "<title>", "</title>", "<textarea>", "</textarea>", "<plaintext>",
         "<!-- c -->", "<!--", "-->", "<!doctype html>", "<?pi?>",

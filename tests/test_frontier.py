@@ -260,12 +260,17 @@ def test_scheduler_parity_skewed_hosts_and_crawl_delay(
         assert sum("site2.example.org" in u for u in urls) <= 2
 
 
+@pytest.mark.parametrize("inset_max", [20_000, 0], ids=["inset", "join"])
 def test_scheduler_parity_with_blocklist(
-    spark, corpus, corpus_dates, tmp_path_factory
+    spark, corpus, corpus_dates, tmp_path_factory, inset_max
 ):
     """UT1-style domain blocklist in the discovery path: blocked hosts
-    never enter the frontier, and the distributed gate (per-depth
-    broadcast joins) matches the oracle's label-suffix check exactly.
+    never enter the frontier, and the distributed gate matches the
+    oracle's label-suffix check exactly. Parametrized over BOTH
+    implementations of the gate — the collected InSet fast path
+    (lists <= blocklist_inset_max) and the per-depth broadcast-join
+    path a >20k-domain production UT1 list takes (inset_max=0 forces
+    it; without this the join wiring had zero suite coverage).
     Entries cover both an exact host (depth 3) and a registrable-domain
     parent that must NOT catch sibling hosts at a non-label boundary."""
     seeds = _seeds(corpus)
@@ -276,7 +281,9 @@ def test_scheduler_parity_with_blocklist(
         blocklist_df=spark.createDataFrame(
             [(b,) for b in blocked], "domain string"
         ),
+        blocklist_inset_max=inset_max,
     )
+    assert (sched._blocklist_sets is None) == (inset_max == 0)
     orc = _run_oracle(corpus_dates, seeds, blocked_domains=blocked)
 
     log = _spark_fetch_log(spark, d, N_ROUNDS)

@@ -821,6 +821,31 @@ def q_ngram_contamination(spark, sf_dir):
     return ngram_contamination(docs, bench, n=8)
 
 
+def q_dup_span_stats(spark, sf_dir):
+    """Pipeline: corpus-level duplicated-span measurement — the
+    ExactSubstr dedup statistic of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"): every word 8-gram
+    window occurring >= 2 times anywhere in the corpus marks its token
+    positions as duplicated; per doc we report window counts and the
+    fraction of tokens covered (operators/curation.dup_span_stats)."""
+    from go_htmldate_spark.operators.curation import dup_span_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dup_span_stats(docs, n=8)
+
+
+def q_dup_span_removal(spark, sf_dir):
+    """Pipeline: ExactSubstr-style duplicated-span REMOVAL — tokens
+    covered by any corpus-duplicated 8-gram window are cut and each
+    document reassembled in original token order (the training-text
+    cut of Lee et al. 2022, at word granularity)
+    (operators/curation.remove_dup_spans)."""
+    from go_htmldate_spark.operators.curation import remove_dup_spans
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return remove_dup_spans(docs, n=8)
+
+
 def q_pipeline_curate(spark, sf_dir):
     """Pipeline composition: the full training-data CURATION flow —
     exact dedup (planted %7 duplicates) → Gopher repetition gate
@@ -1696,6 +1721,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": q_gopher_repetition,
         "stratified_sample": q_stratified_sample,
         "ngram_contamination": q_ngram_contamination,
+        "dup_span_stats": q_dup_span_stats,
+        "dup_span_removal": q_dup_span_removal,
         "pipeline_curate": q_pipeline_curate,
         "pii_scrub": q_pii_scrub,
         "c4_heuristics": q_c4_heuristics,
@@ -2537,6 +2564,77 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(coalesce(sum(hit), 0) AS BIGINT) / count(*), 6) AS contamination_frac
             FROM dgf LEFT JOIN bgf USING (g)
             GROUP BY doc_id
+        """,
+        # ExactSubstr duplicated spans (Lee et al. 2022): 8-gram windows
+        # occurring >= 2 times corpus-wide mark their token positions;
+        # coverage = distinct union of [pos, pos+7] per duplicated start
+        "dup_span_stats": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+              FROM documents
+            ),
+            starts AS (
+              SELECT doc_id,
+                     unnest([{'pos': i, 'g': array_to_string(t[i : i + 7], ' ')}
+                             for i in range(1, len(t) - 6)]) AS s
+              FROM toks
+            ),
+            dupg AS (
+              SELECT s.g AS g FROM starts GROUP BY s.g HAVING count(*) >= 2
+            ),
+            ds AS (
+              SELECT doc_id, s.pos AS pos FROM starts JOIN dupg ON s.g = dupg.g
+            ),
+            cov AS (
+              SELECT DISTINCT doc_id, cp
+              FROM (SELECT doc_id, unnest(range(pos, pos + 8)) AS cp FROM ds)
+            ),
+            covc AS (SELECT doc_id, count(*) AS n_cov FROM cov GROUP BY doc_id),
+            dsn AS (SELECT doc_id, count(*) AS n_dup FROM ds GROUP BY doc_id),
+            base AS (SELECT doc_id, len(t) AS n_tok FROM toks)
+            SELECT b.doc_id,
+                   CAST(n_tok AS BIGINT) AS n_tok,
+                   CAST(greatest(n_tok - 7, 0) AS BIGINT) AS n_windows,
+                   CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup_windows,
+                   round(coalesce(n_cov, 0) / n_tok, 6) AS dup_token_frac
+            FROM base b LEFT JOIN dsn USING (doc_id) LEFT JOIN covc USING (doc_id)
+        """,
+        # same coverage set; covered tokens cut, remainder reassembled
+        # in original order (string_agg skips the NULLed covered tokens)
+        "dup_span_removal": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+              FROM documents
+            ),
+            tok AS (
+              SELECT doc_id,
+                     unnest([{'pos': i, 'w': t[i]} for i in range(1, len(t) + 1)]) AS u
+              FROM toks
+            ),
+            starts AS (
+              SELECT doc_id,
+                     unnest([{'pos': i, 'g': array_to_string(t[i : i + 7], ' ')}
+                             for i in range(1, len(t) - 6)]) AS s
+              FROM toks
+            ),
+            dupg AS (SELECT s.g AS g FROM starts GROUP BY s.g HAVING count(*) >= 2),
+            ds AS (SELECT doc_id, s.pos AS pos FROM starts JOIN dupg ON s.g = dupg.g),
+            cov AS (
+              SELECT DISTINCT doc_id, cp
+              FROM (SELECT doc_id, unnest(range(pos, pos + 8)) AS cp FROM ds)
+            ),
+            flagged AS (
+              SELECT t.doc_id, t.u.pos AS pos, t.u.w AS w,
+                     CASE WHEN c.cp IS NOT NULL THEN 1 ELSE 0 END AS covered
+              FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.u.pos = c.cp
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN covered = 0 THEN w END, ' ' ORDER BY pos), '') AS clean_text,
+                   CAST(count(*) AS BIGINT) AS n_tok,
+                   CAST(coalesce(sum(covered), 0) AS BIGINT) AS n_removed
+            FROM flagged GROUP BY doc_id
         """,
         # full curation chain: dedup -> gopher gate (rounded fracs, the
         # Spark side rounds before thresholding) -> 8-gram decontam

@@ -79,6 +79,7 @@ def main() -> None:
         "token_count", "quality_score", "lang_id",
         "exact_dedup", "jaccard_pairs", "ann_cosine_topk", "ann_ivf_topk",
         "gopher_repetition", "stratified_sample", "ngram_contamination",
+        "dup_span_stats", "dup_span_removal",
         "pipeline_curate", "pii_scrub", "c4_heuristics", "pack_sequences",
         "lm_score", "token_budget_sample", "url_blocklist",
         "line_dedup", "host_pagerank", "sitemap_parse",

@@ -680,3 +680,136 @@ def line_dedup(
             .alias("n_removed"),
         )
     )
+
+
+def _dup_span_tokens(
+    df: DataFrame,
+    n: int,
+    text_col: str,
+    id_col: str,
+    min_count: int,
+    hashed: bool,
+) -> DataFrame:
+    """Token stream annotated with duplicated-span coverage: for each
+    (id, pos, w) token, `dup_start` is 1 when the word n-gram window
+    STARTING at pos occurs >= min_count times anywhere in the corpus
+    (across documents or repeated within one), and `covered` is 1 when
+    the token lies inside ANY such window — i.e. some duplicated
+    window starts in [pos - n + 1, pos].
+
+    Scale shape: the token stream pays its id-keyed exchange once for
+    the lead() gram windows, and the same dense-position ordering
+    serves the coverage window; window keys (8-byte xxhash64 when
+    hashed=True, gram strings when oracle-exact) shuffle once into the
+    corpus-wide count; only the (id, pos) pairs of DUPLICATED starts —
+    a small fraction by construction — travel back, so AQE turns the
+    flag join into a broadcast at typical dup rates instead of
+    re-shuffling the full token stream by gram key."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.expr(
+            f"split(lower(trim(regexp_replace({text_col}, '\\\\s+', ' '))), ' ')"
+        ).alias("_t"),
+    )
+    tok = toks.select(F.col(id_col), F.posexplode("_t").alias("pos", "w"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.lead("w", i).over(w) for i in range(1, n)]
+    gram = F.when(leads[-1].isNotNull(), F.concat_ws(" ", F.col("w"), *leads))
+    starts = tok.select(F.col(id_col), "pos", gram.alias("gram")).filter(
+        F.col("gram").isNotNull()
+    )
+    gk = (F.xxhash64("gram") if hashed else F.col("gram")).alias("gk")
+    keyed = starts.select(F.col(id_col), "pos", gk)
+    dup_keys = (
+        keyed.groupBy("gk")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= F.lit(int(min_count)))
+        .select("gk")
+    )
+    dup_starts = keyed.join(dup_keys, "gk").select(
+        F.col(id_col), "pos", F.lit(1).alias("dup_start")
+    )
+    flagged = tok.join(dup_starts, [id_col, "pos"], "left").withColumn(
+        "dup_start", F.coalesce(F.col("dup_start"), F.lit(0))
+    )
+    # positions are dense per doc (posexplode), so a rows-frame over
+    # the last n-1 start flags is exactly the interval-union coverage
+    cov = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(-(n - 1), Window.currentRow)
+    )
+    return flagged.withColumn("covered", F.max("dup_start").over(cov))
+
+
+def dup_span_stats(
+    df: DataFrame,
+    n: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    hashed: bool = False,
+) -> DataFrame:
+    """Per-document duplicated-span statistics — the measurement side
+    of ExactSubstr deduplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better": any substring of >= N
+    tokens appearing more than once in the corpus is training-set
+    duplication, regardless of document boundaries). The reference
+    repo has no corpus layer; this is a SURVEY §2-extension
+    training-data operator. The suffix-array construction of the paper
+    is single-node; the Spark-native equivalent is corpus-wide n-gram
+    window counting: a window duplicated at the n-gram granularity is
+    exactly a duplicated substring of >= n tokens.
+
+    Returns (id, n_tok, n_windows, n_dup_windows, dup_token_frac)
+    where dup_token_frac is the fraction of token positions covered by
+    at least one duplicated window."""
+    tokf = _dup_span_tokens(df, n, text_col, id_col, min_count, hashed)
+    return tokf.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok"),
+        F.greatest(
+            F.count(F.lit(1)) - F.lit(n - 1), F.lit(0)
+        ).cast("long").alias("n_windows"),
+        F.sum("dup_start").cast("long").alias("n_dup_windows"),
+        F.round(
+            F.sum("covered").cast("double") / F.count(F.lit(1)), 6
+        ).alias("dup_token_frac"),
+    )
+
+
+def remove_dup_spans(
+    df: DataFrame,
+    n: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    hashed: bool = False,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """ExactSubstr-style removal: drop every token covered by a
+    corpus-duplicated n-token window and reassemble the remainder in
+    original order (Lee et al. 2022 cut the duplicated span bytes out
+    of the training text; this is the same cut at word granularity).
+    A document that was entirely duplicated spans comes back with
+    empty text, mirroring line_dedup's row-stability contract.
+
+    Returns (id, out_col, n_tok, n_removed)."""
+    tokf = _dup_span_tokens(df, n, text_col, id_col, min_count, hashed)
+    return tokf.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.sort_array(
+                        F.collect_list(F.struct("pos", "covered", "w"))
+                    ),
+                    lambda x: x["covered"] == 0,
+                ),
+                lambda x: x["w"],
+            ),
+            " ",
+        ).alias(out_col),
+        F.count(F.lit(1)).cast("long").alias("n_tok"),
+        F.sum("covered").cast("long").alias("n_removed"),
+    )

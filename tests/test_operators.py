@@ -1232,3 +1232,53 @@ def test_stream_change_rate_bounded_state_eviction(spark, tmp_path):
     # cold was evicted after batch 1: its batch-2 fetch restarts the
     # statistics (single fetch since restart -> no emission)
     assert by["cold"] == [1]
+
+
+def test_dup_span_stats_and_removal(spark):
+    """ExactSubstr dup spans (operators/curation): a word n-gram window
+    occurring >= min_count times anywhere in the corpus marks every
+    token position it covers; removal cuts exactly those positions and
+    keeps the rest in original order. Hand-computed at n=3."""
+    from go_htmldate_spark.operators.curation import (
+        dup_span_stats,
+        remove_dup_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # "a b c" duplicated across docs 1 and 2 -> covers its 3
+            # positions in both; the rest unique
+            (1, "a b c x y z"),
+            (2, "q a b c r"),
+            # self-repetition inside one doc: "p p p p" has windows
+            # (p p p) at pos 0 and 1 -> duplicated, covers all 4 tokens
+            (3, "p p p p w"),
+            # shorter than n: zero windows, nothing covered
+            (4, "u v"),
+        ],
+        ["doc_id", "text"],
+    )
+    stats = {r["doc_id"]: r for r in dup_span_stats(docs, n=3).collect()}
+    assert stats[1]["n_tok"] == 6 and stats[1]["n_windows"] == 4
+    assert stats[1]["n_dup_windows"] == 1
+    assert stats[1]["dup_token_frac"] == round(3 / 6, 6)
+    assert stats[2]["n_dup_windows"] == 1
+    assert stats[2]["dup_token_frac"] == round(3 / 5, 6)
+    assert stats[3]["n_dup_windows"] == 2
+    assert stats[3]["dup_token_frac"] == round(4 / 5, 6)
+    assert stats[4]["n_windows"] == 0 and stats[4]["dup_token_frac"] == 0.0
+
+    out = {r["doc_id"]: r for r in remove_dup_spans(docs, n=3).collect()}
+    assert out[1]["clean_text"] == "x y z" and out[1]["n_removed"] == 3
+    assert out[2]["clean_text"] == "q r" and out[2]["n_removed"] == 3
+    assert out[3]["clean_text"] == "w" and out[3]["n_removed"] == 4
+    assert out[4]["clean_text"] == "u v" and out[4]["n_removed"] == 0
+
+    # hashed=True (the 100 TB path: 8-byte keys shuffle, not gram
+    # strings) is value-identical to the oracle-exact string keys
+    h = {r["doc_id"]: r for r in dup_span_stats(docs, n=3, hashed=True).collect()}
+    assert all(
+        h[d]["n_dup_windows"] == stats[d]["n_dup_windows"]
+        and h[d]["dup_token_frac"] == stats[d]["dup_token_frac"]
+        for d in (1, 2, 3, 4)
+    )

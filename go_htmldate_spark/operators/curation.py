@@ -705,6 +705,8 @@ def _dup_span_tokens(
     a small fraction by construction — travel back, so AQE turns the
     flag join into a broadcast at typical dup rates instead of
     re-shuffling the full token stream by gram key."""
+    if n < 2:
+        raise ValueError("dup-span window size n must be >= 2")
     from pyspark.sql import Window
 
     toks = df.select(

@@ -9,8 +9,9 @@ Build the zip with:  python -m zipfile -c go_htmldate_spark.zip go_htmldate_spar
 Pipeline (all stages oracle-gated individually as driver queries):
 WARC read → pages projection → host blocklist gate → date extraction →
 lang-ID + C4 heuristics + Gopher repetition gates → optional line-level
-cross-document dedup (--line-dedup N) → exact dedup → deterministic
-stratified sample → token stats → parquet sink.
+cross-document dedup (--line-dedup N) → optional ExactSubstr span cut
+(--exact-substr NGRAM) → exact dedup → deterministic stratified sample
+→ token stats → parquet sink.
 
 Input can also be a pages parquet table (--pages) to skip the WARC
 edge, or --synth N to synthesize a corpus in this sandbox.
@@ -53,12 +54,18 @@ def main() -> None:
         help="remove lines repeating across >= MIN_DOCS docs (RefinedWeb "
         "line-wise correction); 0 disables",
     )
+    ap.add_argument(
+        "--exact-substr", type=int, default=0, metavar="NGRAM",
+        help="cut tokens covered by any corpus-duplicated NGRAM-token "
+        "window (ExactSubstr, Lee et al. 2022); 0 disables",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
 
     from go_htmldate_spark.operators.curation import (
-        c4_heuristics, host_blocklist_flag, line_dedup, stratified_sample,
+        c4_heuristics, host_blocklist_flag, line_dedup, remove_dup_spans,
+        stratified_sample,
     )
     from go_htmldate_spark.operators.dedup import exact_dedup
     from go_htmldate_spark.operators.extract import extract_dates
@@ -138,6 +145,17 @@ def main() -> None:
             .withColumnRenamed("clean_text", "text")
             .filter(F.trim(F.col("text")) != "")
             .drop("n_lines", "n_removed")
+        )
+    if args.exact_substr:
+        # corpus-duplicated n-token spans cut next (ExactSubstr, word
+        # granularity): hashed=True shuffles 8-byte window keys, not
+        # gram strings — the 100 TB path; emptied docs drop like above
+        docs = (
+            remove_dup_spans(docs, n=args.exact_substr, hashed=True)
+            .join(docs.drop("text"), "doc_id")
+            .withColumnRenamed("clean_text", "text")
+            .filter(F.trim(F.col("text")) != "")
+            .drop("n_tok", "n_removed")
         )
     docs = exact_dedup(docs, text_col="text", id_col="doc_id")
     if args.sample:

@@ -117,6 +117,7 @@ def test_spark_submit_py_files_curate_job(tmp_path_factory):
             "--output", str(out_dir),
             "--sample", "en=1.0,*=0.5",
             "--line-dedup", "2",
+            "--exact-substr", "8",
         ],
         capture_output=True,
         text=True,
@@ -140,3 +141,8 @@ def test_spark_submit_py_files_curate_job(tmp_path_factory):
     assert texts
     assert all("subscribe to our newsletter" not in t[0] for t in texts)
     assert all("quick brown fox" in t[0] for t in texts)
+    # ExactSubstr stage: the post-number sentence tail is an identical
+    # >= 8-token span across all 40 docs, so --exact-substr 8 cuts it;
+    # the head stays because every 8-gram through it crosses the
+    # unique per-doc number
+    assert all("lazy dog" not in t[0] for t in texts)

@@ -1622,6 +1622,41 @@ def q_host_pagerank(spark, sf_dir):
     return host_pagerank(edges, iters=4)
 
 
+def q_anchor_text(spark, sf_dir):
+    """Pipeline: per-target anchor-text aggregation
+    (plans/hostgraph.anchor_text_agg) — the web-graph quality signal of
+    Craswell et al. CIKM'01: links per target URL, distinct source
+    hosts, distinct anchor phrases, and the most common phrase. Pages
+    synthesized from orders with three planted <a> tags each (double-
+    quoted, single-quoted-with-extra-attrs, uppercase-empty) plus
+    no-href and relative-link distractors the parser must skip; Spark
+    parses the real HTML natively while the oracle rebuilds the planted
+    link tuples closed-form and aggregates relationally."""
+    from go_htmldate_spark.plans.hostgraph import anchor_text_agg
+
+    o = _t(spark, sf_dir, "orders")
+    okey = F.col("o_orderkey")
+    site = F.concat(F.lit("https://s"), (F.col("o_custkey") % 20).cast("string"),
+                    F.lit(".example/post/"), okey.cast("string"))
+    t1 = F.concat(F.lit("https://t"), (okey % 7).cast("string"),
+                  F.lit(".example/page/"), (okey % 97).cast("string"))
+    t2 = F.concat(F.lit("https://t"), ((okey + 1) % 7).cast("string"),
+                  F.lit(".example/page/"), (okey % 53).cast("string"))
+    t3 = F.concat(F.lit("https://hub.example/topic/"),
+                  (okey % 31).cast("string"))
+    a1 = F.concat(F.lit("Read Article "), (okey % 13).cast("string"))
+    a2 = F.concat(F.lit("  more   NEWS "), (F.col("o_custkey") % 11).cast("string"),
+                  F.lit(" "))
+    html = F.concat(
+        F.lit('<html><body><p>intro</p><a name="x">not a link</a><a href="'),
+        t1, F.lit('">'), a1, F.lit("</a> filler <a class=\"nav\" href='"),
+        t2, F.lit("'>"), a2, F.lit('</a><div><A HREF="'), t3,
+        F.lit('"></A></div><a href="/relative/skip">rel</a></body></html>'),
+    )
+    pages = o.select(site.alias("url"), html.alias("html"))
+    return anchor_text_agg(pages)
+
+
 def _sql_pagerank_cte(iters: int, scale: int = 10**12,
                       num: int = 85, den: int = 100) -> str:
     """DuckDB oracle for q_host_pagerank: the same exact integer
@@ -1732,6 +1767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_blocklist": q_url_blocklist,
         "line_dedup": q_line_dedup,
         "host_pagerank": q_host_pagerank,
+        "anchor_text": q_anchor_text,
         "sitemap_parse": q_sitemap_parse,
         "robots_sitemaps": q_robots_sitemaps,
         "url_trap_flags": q_url_trap_flags,
@@ -2894,6 +2930,45 @@ def oracle_sql() -> dict[str, str]:
             FROM hosts
         """,
         "host_pagerank": _sql_pagerank_cte(4),
+        # anchor-text aggregation: the oracle rebuilds the planted link
+        # tuples closed-form from orders (Spark parses them back out of
+        # the synthesized HTML with the native regex) and aggregates
+        "anchor_text": """
+            WITH links AS (
+              SELECT 's' || (o_custkey % 20) || '.example' AS src_host,
+                     unnest([
+                       {'t': 'https://t' || (o_orderkey % 7) || '.example/page/' || (o_orderkey % 97),
+                        'a': 'read article ' || (o_orderkey % 13)},
+                       {'t': 'https://t' || ((o_orderkey + 1) % 7) || '.example/page/' || (o_orderkey % 53),
+                        'a': 'more news ' || (o_custkey % 11)},
+                       {'t': 'https://hub.example/topic/' || (o_orderkey % 31), 'a': ''}
+                     ]) AS l
+              FROM orders
+            ),
+            flat AS (SELECT src_host, l.t AS target_url, l.a AS anchor FROM links),
+            stats AS (
+              SELECT target_url,
+                     CAST(count(*) AS BIGINT) AS n_links,
+                     CAST(count(DISTINCT src_host) AS BIGINT) AS n_src_hosts,
+                     CAST(count(DISTINCT CASE WHEN anchor <> '' THEN anchor END) AS BIGINT)
+                       AS n_unique_anchors
+              FROM flat GROUP BY target_url
+            ),
+            counts AS (
+              SELECT target_url, anchor, count(*) AS c FROM flat WHERE anchor <> ''
+              GROUP BY target_url, anchor
+            ),
+            top AS (
+              SELECT target_url, anchor AS top_anchor FROM (
+                SELECT target_url, anchor,
+                       row_number() OVER (PARTITION BY target_url
+                                          ORDER BY c DESC, anchor ASC) AS rn
+                FROM counts) WHERE rn = 1
+            )
+            SELECT s.target_url AS target_url, n_links, n_src_hosts,
+                   n_unique_anchors, top_anchor
+            FROM stats s LEFT JOIN top USING (target_url)
+        """,
         "change_rate": """
             WITH g AS (
               SELECT i, i // 10 AS u, i % 10 AS k FROM range(30000) t(i)

@@ -268,3 +268,89 @@ def rank_to_budget(
         ranks.crossJoin(F.broadcast(bounds))
         .select("host", budget.alias("politeness_budget"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Anchor-text aggregation (web-graph quality signal)
+# ---------------------------------------------------------------------------
+
+# one pattern, two capture groups: extracting both with the SAME regex
+# guarantees the href/text arrays align element-for-element. Lazy
+# [^>]*? cannot cross a '>' so <a name="x"> (no href) never matches;
+# [^<]* keeps the anchor text to the immediate inner text (nested-tag
+# anchors are image/markup links — their text contributes nothing).
+ANCHOR_RX = r"""(?is)<a\s[^>]*?href\s*=\s*["']([^"']*)["'][^>]*>([^<]*)</a>"""
+
+
+def extract_anchors(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(src_host, target_url, anchor) link tuples parsed natively out of
+    page HTML — the edge stream with anchor text that search engines
+    aggregate per target (anchor text describes the TARGET better than
+    the target's own words; Craswell/Hawking/Robertson CIKM'01). Anchor
+    text is whitespace-collapsed and lowercased; only absolute http(s)
+    targets survive (relative links already reach the frontier through
+    the scheduler's outlink discovery).
+
+    Map-only: two regexp_extract_all passes over the html column inside
+    one projection, zipped positionally and exploded — page bytes are
+    read once and never shuffled."""
+    from .canonical import url_host
+
+    hrefs = F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_RX), F.lit(1))
+    texts = F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_RX), F.lit(2))
+    pairs = df.select(
+        url_host(F.col(url_col)).alias("src_host"),
+        F.explode(F.arrays_zip(hrefs.alias("t"), texts.alias("a"))).alias("z"),
+    )
+    return pairs.select(
+        "src_host",
+        F.col("z.t").alias("target_url"),
+        F.lower(
+            F.trim(F.regexp_replace(F.col("z.a"), r"\s+", " "))
+        ).alias("anchor"),
+    ).filter(F.col("target_url").rlike(r"^https?://"))
+
+
+def anchor_text_agg(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Per-target anchor-text aggregation: how many links point at each
+    URL, from how many distinct source hosts (the spam-resistance
+    denominator), how many distinct non-empty anchor phrases, and the
+    single most common phrase (ties broken lexicographically). The
+    reference has no link-graph layer; this is the web-corpus signal
+    that feeds both crawl prioritization (alongside host_pagerank) and
+    LLM document quality scoring.
+
+    Scale shape: the link stream pays one target-keyed exchange for the
+    scalar stats (count-distinct expands map-side); the top-anchor path
+    aggregates on (target, anchor) FIRST — so the second window/join
+    exchange moves only the already-collapsed phrase counts, never raw
+    links — and row_number caps the winner with no collect_list
+    anywhere. Output is O(targets)."""
+    from pyspark.sql import Window
+
+    links = extract_anchors(df, url_col, html_col)
+    stats = links.groupBy("target_url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_links"),
+        F.countDistinct("src_host").cast("long").alias("n_src_hosts"),
+        F.countDistinct(
+            F.when(F.col("anchor") != "", F.col("anchor"))
+        ).cast("long").alias("n_unique_anchors"),
+    )
+    counts = (
+        links.filter(F.col("anchor") != "")
+        .groupBy("target_url", "anchor")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w = Window.partitionBy("target_url").orderBy(
+        F.col("_c").desc(), F.col("anchor").asc()
+    )
+    top = (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("target_url", F.col("anchor").alias("top_anchor"))
+    )
+    return stats.join(top, "target_url", "left")

@@ -1843,3 +1843,35 @@ def test_canonicalize_fuzz_spark_equals_python(spark):
     want = [canonicalize_url_py(u) for u in urls]
     diffs = [(u, g, w) for u, g, w in zip(urls, got, want) if g != w]
     assert not diffs, diffs[:5]
+
+
+def test_anchor_text_agg_semantics(spark):
+    """Anchor-text aggregation (plans/hostgraph.anchor_text_agg):
+    whitespace/case variants of the same phrase collapse, the most
+    frequent phrase wins with lexicographic tie-break, empty anchors
+    count as links but not phrases, and no-href / relative-target /
+    nested-name distractors never enter the edge stream."""
+    from go_htmldate_spark.plans.hostgraph import anchor_text_agg
+
+    rows = [
+        ("https://s1.example/p1",
+         '<html><a name="x">not a link</a>'
+         '<a href="https://t.example/a">Read  Me</a>'
+         "<a class=\"nav\" href='https://t.example/a'>  read   me </a>"
+         '<A HREF="https://hub.example/t"></A>'
+         '<a href="/rel">rel</a></html>'),
+        ("https://s2.example/p2",
+         '<a href="https://t.example/a">other words</a>'
+         '<a href="https://t.example/b">read me</a>'),
+    ]
+    df = spark.createDataFrame(rows, ["url", "html"])
+    out = {r["target_url"]: r for r in anchor_text_agg(df).collect()}
+    assert set(out) == {
+        "https://t.example/a", "https://t.example/b", "https://hub.example/t"
+    }
+    a = out["https://t.example/a"]
+    assert a["n_links"] == 3 and a["n_src_hosts"] == 2
+    assert a["n_unique_anchors"] == 2 and a["top_anchor"] == "read me"
+    hub = out["https://hub.example/t"]
+    assert hub["n_links"] == 1 and hub["n_unique_anchors"] == 0
+    assert hub["top_anchor"] is None

@@ -387,3 +387,28 @@ def test_rel_canonical_filter_not_pushed_into_regex(spark):
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
     for cond in re.findall(r"Filter \(?(.*)", plan):
         assert "regexp_extract" not in cond, cond
+
+
+def test_anchor_text_agg_exchanges_are_post_aggregate(spark):
+    """anchor_text_agg's raw link stream must reach its first exchange
+    only as target-keyed aggregate input: the top-anchor path collapses
+    to (target, anchor) phrase counts BEFORE its window/join exchanges,
+    so no exchange ever carries page html and no collect_list/cartesian
+    appears anywhere — at 10^10 links the heavy bytes stay map-side."""
+    import re
+
+    from go_htmldate_spark.plans.hostgraph import anchor_text_agg
+
+    pages = spark.read.parquet(f"{SF}/orders.parquet").select(
+        F.concat(F.lit("https://s"), (F.col("o_custkey") % 9).cast("string"),
+                 F.lit(".example/p")).alias("url"),
+        F.concat(F.lit('<a href="https://t'),
+                 (F.col("o_orderkey") % 5).cast("string"),
+                 F.lit('.example/x">anchor phrase</a>')).alias("html"),
+    )
+    plan = _plan(anchor_text_agg(pages))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "collect_list" not in plan
+    # every hash exchange is keyed on the aggregate keys, never raw html
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert keys and all(k.startswith(("target_url", "anchor")) for k in keys), plan

@@ -1657,6 +1657,44 @@ def q_anchor_text(spark, sf_dir):
     return anchor_text_agg(pages)
 
 
+def q_soft404(spark, sf_dir):
+    """Pipeline: soft-404 detection (plans/soft404.soft404_flags) —
+    error pages served with HTTP 200 (Bar-Yossef et al. WWW'04): an
+    error-phrase + tiny-body conjunction catches phrase templates, a
+    (host, md5(text)) group spanning >= 5 distinct urls catches
+    phrase-free parked templates. Planted classes from orders: %9==0
+    phrase 404s (also host templates), %9==1 tiny unique stubs (must
+    NOT flag), %9==2 long articles ABOUT 404 errors (must NOT flag),
+    %9==3 phrase-free parked templates (template pass only), rest
+    normal articles. The oracle scores every class closed-form."""
+    from go_htmldate_spark.plans.soft404 import soft404_flags
+
+    o = _t(spark, sf_dir, "orders")
+    okey = F.col("o_orderkey")
+    host = F.concat(F.lit("h"), (F.col("o_custkey") % 30).cast("string"),
+                    F.lit(".example"))
+    url = F.concat(F.lit("https://"), host, F.lit("/p/"), okey.cast("string"))
+    filler = F.lit(("lorem ipsum dolor sit amet consectetur adipiscing elit "
+                    "sed do eiusmod tempor incididunt ut labore ") * 5)
+    cls = okey % 9
+    text = (
+        F.when(cls == 0, F.lit(
+            "Error 404 - Page Not Found. The page you requested was not "
+            "found on this server."))
+        .when(cls == 1, F.concat(F.lit("stub "), okey.cast("string")))
+        .when(cls == 2, F.concat(
+            F.lit("How to fix error 404 page not found responses. "),
+            filler, okey.cast("string")))
+        .when(cls == 3, F.lit("welcome to our website under construction"))
+        .otherwise(F.concat(F.lit("Article body. "), filler,
+                            okey.cast("string")))
+    )
+    pages = o.select(url.alias("url"), text.alias("text"))
+    return soft404_flags(pages).select(
+        "url", "err_phrase", "tiny_body", "template_err", "soft404"
+    )
+
+
 def _sql_pagerank_cte(iters: int, scale: int = 10**12,
                       num: int = 85, den: int = 100) -> str:
     """DuckDB oracle for q_host_pagerank: the same exact integer
@@ -1768,6 +1806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "host_pagerank": q_host_pagerank,
         "anchor_text": q_anchor_text,
+        "soft404": q_soft404,
         "sitemap_parse": q_sitemap_parse,
         "robots_sitemaps": q_robots_sitemaps,
         "url_trap_flags": q_url_trap_flags,
@@ -2968,6 +3007,61 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.target_url AS target_url, n_links, n_src_hosts,
                    n_unique_anchors, top_anchor
             FROM stats s LEFT JOIN top USING (target_url)
+        """,
+        # soft404: replicate the page synthesis closed-form, then the
+        # two signals exactly — err phrase in the 400-char head, token
+        # count <= 40, and the (host, text) template group spanning
+        # >= 5 distinct urls among tiny pages. Grouping on raw text
+        # equals Spark's md5(text) grouping (md5 is injective on this
+        # corpus and equal text <=> equal digest for the oracle).
+        "soft404": """
+            WITH pages AS (
+              SELECT 'https://h' || (o_custkey % 30) || '.example/p/'
+                       || o_orderkey AS url,
+                     'h' || (o_custkey % 30) || '.example' AS host,
+                     CASE o_orderkey % 9
+                       WHEN 0 THEN 'Error 404 - Page Not Found. The page '
+                         || 'you requested was not found on this server.'
+                       WHEN 1 THEN 'stub ' || o_orderkey
+                       WHEN 2 THEN 'How to fix error 404 page not found '
+                         || 'responses. '
+                         || repeat('lorem ipsum dolor sit amet consectetur '
+                                   || 'adipiscing elit sed do eiusmod tempor '
+                                   || 'incididunt ut labore ', 5)
+                         || o_orderkey
+                       WHEN 3 THEN 'welcome to our website under construction'
+                       ELSE 'Article body. '
+                         || repeat('lorem ipsum dolor sit amet consectetur '
+                                   || 'adipiscing elit sed do eiusmod tempor '
+                                   || 'incididunt ut labore ', 5)
+                         || o_orderkey
+                     END AS text
+              FROM orders
+            ),
+            flags AS (
+              SELECT url, host, text,
+                     regexp_matches(substring(text, 1, 400),
+                       '(?i)(page\\s+not\\s+found|404\\s+not\\s+found|'
+                       || 'error\\s+404|404\\s+error|file\\s+not\\s+found|'
+                       || 'page\\s+does\\s+not\\s+exist|'
+                       || 'page\\s+no\\s+longer\\s+available|'
+                       || 'page\\s+you\\s+requested\\s+was\\s+not\\s+found)')
+                       AS err_phrase,
+                     len(string_split_regex(trim(text), '\\s+')) <= 40
+                       AS tiny_body
+              FROM pages
+            ),
+            templ AS (
+              SELECT host, text FROM flags WHERE tiny_body
+              GROUP BY host, text HAVING count(DISTINCT url) >= 5
+            )
+            SELECT f.url AS url, f.err_phrase AS err_phrase,
+                   f.tiny_body AS tiny_body,
+                   (t.host IS NOT NULL) AS template_err,
+                   ((f.err_phrase AND f.tiny_body)
+                    OR t.host IS NOT NULL) AS soft404
+            FROM flags f
+            LEFT JOIN templ t ON f.host = t.host AND f.text = t.text
         """,
         "change_rate": """
             WITH g AS (

@@ -85,7 +85,7 @@ def main() -> None:
         "line_dedup", "host_pagerank", "anchor_text", "sitemap_parse",
         "robots_sitemaps", "url_trap_flags", "redirect_resolve",
         "change_rate", "dust_rules", "dust_apply", "mirror_hosts",
-        "ip_topk", "host_backoff", "rel_canonical",
+        "ip_topk", "host_backoff", "rel_canonical", "soft404",
     ]:
         fn = queries[name]
         run(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())

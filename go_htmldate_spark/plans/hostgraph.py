@@ -277,8 +277,9 @@ def rank_to_budget(
 # one pattern, two capture groups: extracting both with the SAME regex
 # guarantees the href/text arrays align element-for-element. Lazy
 # [^>]*? cannot cross a '>' so <a name="x"> (no href) never matches;
-# [^<]* keeps the anchor text to the immediate inner text (nested-tag
-# anchors are image/markup links — their text contributes nothing).
+# [^<]* requires plain inner text, so anchors wrapping nested markup
+# (<a href=..><img ..></a> and friends) are skipped as edges entirely —
+# the aggregation is over TEXT links, the signal of interest.
 ANCHOR_RX = r"""(?is)<a\s[^>]*?href\s*=\s*["']([^"']*)["'][^>]*>([^<]*)</a>"""
 
 

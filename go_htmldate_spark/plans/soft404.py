@@ -1,0 +1,122 @@
+"""Soft-404 detection: error pages served with HTTP 200.
+
+A tier crawl wastes budget and poisons the corpus on hosts that answer
+every dead URL with a friendly "page not found" page and status 200 —
+the crawler keeps scheduling them and the curation pipeline ingests
+thousands of identical stubs. Bar-Yossef/Broder/Kumar/Tomkins (WWW'04,
+"Sic transit gloria telae") measured ~29% of dead links hiding behind
+such soft 404s and detected them by probing a random sibling URL and
+comparing content; the batch-pipeline equivalent over an already
+fetched corpus is the two-signal version implemented here:
+
+1. per-page heuristics (map-only, whole-stage codegen): an
+   error-phrase match in the leading text plus a body too small to be
+   an article — each alone is common on legitimate pages, the
+   conjunction is the soft-404 shape;
+2. host error-template detection (the corpus-level analog of the
+   probe): a host serving byte-identical SMALL content under many
+   distinct URLs is echoing one template — exactly what the WWW'04
+   probe observes when the random sibling comes back equal. Grouping
+   is on (host, md5(content)) so page bytes never shuffle, mirroring
+   the mirror-host and DUST passes.
+
+`soft404_filter` drops flagged pages; the signals stay separate
+columns so a scheduler can also demote the host (many templates ⇒
+aggressive rewriter) rather than just skip the page.
+
+Reference: no analog (go-htmldate extracts dates from whatever page it
+is handed); this is crawl-waste armor for the frontier tier, same
+family as plans/traps.py and plans/mirrors.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .canonical import url_host
+
+# the phrase list is deliberately short and high-precision: these are
+# template strings, not prose; matched case-insensitively against the
+# leading window of the page text
+ERROR_PHRASES = (
+    "page not found",
+    "404 not found",
+    "error 404",
+    "404 error",
+    "file not found",
+    "page does not exist",
+    "page no longer available",
+    "page you requested was not found",
+)
+
+_ERR_RX = "(?i)(" + "|".join(p.replace(" ", "\\s+") for p in ERROR_PHRASES) + ")"
+
+
+def soft404_flags(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    max_tokens: int = 40,
+    head_chars: int = 400,
+    min_template_urls: int = 5,
+) -> DataFrame:
+    """Append soft-404 signal columns to a fetched-pages frame.
+
+    Output columns:
+      err_phrase    — error phrase in the first `head_chars` chars
+      tiny_body     — whitespace-token count <= max_tokens
+      template_err  — the page's (host, md5(text)) group spans
+                      >= min_template_urls distinct urls AND is tiny
+      soft404       — (err_phrase AND tiny_body) OR template_err
+
+    Scale shape: err_phrase/tiny_body are codegen'd string expressions
+    on the scan — zero exchanges. The template pass shuffles only
+    (host, 16-byte md5, url) triples to count distinct urls per
+    content group; the handful of groups over the threshold join back
+    broadcast-sized under AQE. Page text itself never enters an
+    exchange."""
+    head = F.substring(F.col(text_col), 1, head_chars)
+    err = F.regexp_extract(head, _ERR_RX, 0) != ""
+    ntok = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    tiny = ntok <= F.lit(int(max_tokens))
+
+    base = (
+        df.withColumn("err_phrase", err)
+        .withColumn("tiny_body", tiny)
+        .withColumn("_host", url_host(F.col(url_col)))
+        .withColumn("_sig", F.md5(F.col(text_col)))
+    )
+    templates = (
+        base.filter(F.col("tiny_body"))
+        .groupBy("_host", "_sig")
+        .agg(F.countDistinct(url_col).alias("_n_urls"))
+        .filter(F.col("_n_urls") >= F.lit(int(min_template_urls)))
+        .select("_host", "_sig", F.lit(True).alias("template_err"))
+    )
+    out = (
+        base.join(templates, ["_host", "_sig"], "left")
+        .withColumn(
+            "template_err", F.coalesce(F.col("template_err"), F.lit(False))
+        )
+        .drop("_host", "_sig")
+    )
+    return out.withColumn(
+        "soft404",
+        (F.col("err_phrase") & F.col("tiny_body")) | F.col("template_err"),
+    )
+
+
+def soft404_filter(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    **kw,
+) -> DataFrame:
+    """Hard gate: pages flagged soft404 never reach extraction or the
+    training corpus; signal columns drop on the way out."""
+    return (
+        soft404_flags(df, url_col=url_col, text_col=text_col, **kw)
+        .filter(~F.col("soft404"))
+        .drop("err_phrase", "tiny_body", "template_err", "soft404")
+    )

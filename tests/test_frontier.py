@@ -1875,3 +1875,55 @@ def test_anchor_text_agg_semantics(spark):
     hub = out["https://hub.example/t"]
     assert hub["n_links"] == 1 and hub["n_unique_anchors"] == 0
     assert hub["top_anchor"] is None
+
+
+def test_soft404_flags_semantics(spark):
+    """Soft-404 detection (plans/soft404): the err-phrase + tiny-body
+    conjunction flags template 404s, host-level (host, md5) groups
+    spanning >= min_template_urls distinct urls flag phrase-free
+    parked templates, and the dangerous negatives — tiny unique stubs,
+    long articles ABOUT 404s, the same template spread across
+    DIFFERENT hosts — stay unflagged. soft404_filter drops exactly the
+    flagged rows and the signal columns."""
+    from go_htmldate_spark.plans.soft404 import soft404_filter, soft404_flags
+
+    err = "Error 404 - page not found. Sorry!"
+    parked = "welcome to our website under construction"
+    long404 = ("How to debug error 404 page not found responses. " +
+               "word " * 60)
+    rows = (
+        # phrase + tiny on h1 (only 2 urls — template pass alone
+        # would NOT fire; the conjunction must)
+        [(f"https://h1.example/dead/{i}", err) for i in range(2)]
+        # phrase-free parked template on h2 across 5 urls -> template
+        + [(f"https://h2.example/p/{i}", parked) for i in range(5)]
+        # same parked text but only 4 urls on h3 -> below threshold
+        + [(f"https://h3.example/p/{i}", parked) for i in range(4)]
+        # tiny unique stubs -> clean
+        + [(f"https://h4.example/s/{i}", f"stub {i}") for i in range(3)]
+        # long article about 404s -> clean
+        + [("https://h5.example/article", long404)]
+    )
+    df = spark.createDataFrame(rows, ["url", "text"])
+    out = {r["url"]: r for r in soft404_flags(df, min_template_urls=5).collect()}
+    assert len(out) == len(rows)
+
+    r = out["https://h1.example/dead/0"]
+    assert r["err_phrase"] and r["tiny_body"]
+    assert not r["template_err"] and r["soft404"]
+    r = out["https://h2.example/p/3"]
+    assert not r["err_phrase"] and r["tiny_body"]
+    assert r["template_err"] and r["soft404"]
+    r = out["https://h3.example/p/0"]
+    assert not r["template_err"] and not r["soft404"]
+    r = out["https://h4.example/s/1"]
+    assert r["tiny_body"] and not r["err_phrase"] and not r["soft404"]
+    r = out["https://h5.example/article"]
+    assert r["err_phrase"] and not r["tiny_body"] and not r["soft404"]
+
+    kept = soft404_filter(df, min_template_urls=5)
+    assert kept.columns == ["url", "text"]
+    kept_urls = {r["url"] for r in kept.collect()}
+    flagged = {u for u, r in out.items() if r["soft404"]}
+    assert kept_urls == set(out) - flagged
+    assert len(flagged) == 7

@@ -1695,6 +1695,42 @@ def q_soft404(spark, sf_dir):
     )
 
 
+def q_soft404_demotion(spark, sf_dir):
+    """Pipeline: per-host soft-404 rate roll-up + scheduler demotion
+    (plans/soft404.soft404_host_stats / soft404_demotion — the WWW'04
+    signal is per-HOST behavior, so the budget table acts on the host
+    rate). Planted host-varying rates: host h = o_custkey % 30 serves
+    an error template on okey % 10 < (h % 11) of its pages — rates
+    span 0..1 across hosts — and a long unique article otherwise; the
+    oracle scores the planted truth closed-form (errors are flagged by
+    construction, articles never), so this row independently validates
+    the flag semantics rather than mirroring them."""
+    from go_htmldate_spark.plans.soft404 import (
+        soft404_demotion,
+        soft404_host_stats,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    okey = F.col("o_orderkey")
+    h = F.col("o_custkey") % 30
+    host = F.concat(F.lit("h"), h.cast("string"), F.lit(".example"))
+    url = F.concat(F.lit("https://"), host, F.lit("/p/"), okey.cast("string"))
+    filler = F.lit(("lorem ipsum dolor sit amet consectetur adipiscing elit "
+                    "sed do eiusmod tempor incididunt ut labore ") * 5)
+    text = F.when(
+        (okey % 10) < (h % 11),
+        F.lit("Error 404 - Page Not Found. The page you requested was not "
+              "found on this server."),
+    ).otherwise(F.concat(F.lit("Article body. "), filler, okey.cast("string")))
+    pages = o.select(url.alias("url"), text.alias("text"))
+    stats = soft404_host_stats(pages)
+    dem = soft404_demotion(stats, threshold=0.5, min_pages=20)
+    return stats.join(dem, "host", "left").select(
+        "host", "n_pages", "n_soft404", "soft404_frac",
+        F.col("politeness_budget").isNotNull().alias("demoted"),
+    )
+
+
 def _sql_pagerank_cte(iters: int, scale: int = 10**12,
                       num: int = 85, den: int = 100) -> str:
     """DuckDB oracle for q_host_pagerank: the same exact integer
@@ -1807,6 +1843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": q_host_pagerank,
         "anchor_text": q_anchor_text,
         "soft404": q_soft404,
+        "soft404_demotion": q_soft404_demotion,
         "sitemap_parse": q_sitemap_parse,
         "robots_sitemaps": q_robots_sitemaps,
         "url_trap_flags": q_url_trap_flags,
@@ -3062,6 +3099,29 @@ def oracle_sql() -> dict[str, str]:
                     OR t.host IS NOT NULL) AS soft404
             FROM flags f
             LEFT JOIN templ t ON f.host = t.host AND f.text = t.text
+        """,
+        # soft404_demotion: the oracle scores the PLANTED truth
+        # closed-form (error pages are err-phrase+tiny by construction,
+        # articles are long and unique so no flag can fire) —
+        # independent of the Spark-side flag implementation
+        "soft404_demotion": """
+            WITH pages AS (
+              SELECT 'h' || (o_custkey % 30) || '.example' AS host,
+                     (o_orderkey % 10) < ((o_custkey % 30) % 11) AS s4
+              FROM orders
+            ),
+            stats AS (
+              SELECT host,
+                     CAST(count(*) AS BIGINT) AS n_pages,
+                     CAST(sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_soft404,
+                     round(sum(CASE WHEN s4 THEN 1 ELSE 0 END)
+                           / count(*), 6) AS soft404_frac
+              FROM pages GROUP BY host
+            )
+            SELECT host, n_pages, n_soft404, soft404_frac,
+                   (soft404_frac >= 0.5 AND n_pages >= 20) AS demoted
+            FROM stats
         """,
         "change_rate": """
             WITH g AS (

@@ -86,6 +86,7 @@ def main() -> None:
         "robots_sitemaps", "url_trap_flags", "redirect_resolve",
         "change_rate", "dust_rules", "dust_apply", "mirror_hosts",
         "ip_topk", "host_backoff", "rel_canonical", "soft404",
+        "soft404_demotion",
     ]:
         fn = queries[name]
         run(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())

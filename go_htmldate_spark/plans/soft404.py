@@ -107,6 +107,51 @@ def soft404_flags(
     )
 
 
+def soft404_host_stats(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    **kw,
+) -> DataFrame:
+    """Per-host soft-404 rate: (host, n_pages, n_soft404, soft404_frac).
+
+    The host-level roll-up of soft404_flags — the WWW'04 observation is
+    per-HOST behavior (a server that soft-404s one dead URL soft-404s
+    them all), so the scheduler acts on the host rate, not the page.
+    One extra host-keyed exchange over the flags output; O(hosts) rows
+    out — broadcast-size at any corpus scale, like every budget table."""
+    flags = soft404_flags(df, url_col=url_col, text_col=text_col, **kw)
+    s4 = F.col("soft404").cast("int")
+    return flags.groupBy(url_host(F.col(url_col)).alias("host")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pages"),
+        F.sum(s4).cast("long").alias("n_soft404"),
+        F.round(F.sum(s4) / F.count(F.lit(1)), 6).alias("soft404_frac"),
+    )
+
+
+def soft404_demotion(
+    stats: DataFrame,
+    threshold: float = 0.5,
+    min_pages: int = 20,
+    demoted_budget: float = 0.0,
+) -> DataFrame:
+    """soft404_host_stats output → (host, politeness_budget) demotion
+    rows for the scheduler's budget table: hosts whose soft-404 rate
+    reaches `threshold` over at least `min_pages` observed pages stop
+    being scheduled (budget 0.0 floors to 0 fetches/round). Merges
+    under the regular budget table exactly like mirror_demotion and
+    host_backoff — min per host, the cautious source wins
+    (jobs/crawl_job.py merge_budgets)."""
+    return (
+        stats.filter(
+            (F.col("soft404_frac") >= F.lit(float(threshold)))
+            & (F.col("n_pages") >= F.lit(int(min_pages)))
+        )
+        .select("host")
+        .withColumn("politeness_budget", F.lit(float(demoted_budget)))
+    )
+
+
 def soft404_filter(
     df: DataFrame,
     url_col: str = "url",

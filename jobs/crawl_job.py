@@ -105,6 +105,19 @@ def main() -> None:
         "pair is demoted (default 0.9)",
     )
     ap.add_argument(
+        "--demote-soft404",
+        metavar="PAGES_DIR",
+        help="parquet dir of fetched pages (url, text); hosts whose "
+        "soft-404 rate (error-phrase+tiny-body pages and host error "
+        "templates served as 200s) reaches --soft404-threshold over "
+        ">= 20 observed pages are demoted to a 0-fetch budget",
+    )
+    ap.add_argument(
+        "--soft404-threshold", type=float, default=0.5,
+        help="per-host soft-404 rate at or above which the host is "
+        "demoted (default 0.5)",
+    )
+    ap.add_argument(
         "--backoff-log",
         help="parquet dir of the fetch log (host, fetch_ts, ok); hosts "
         "with trailing failure streaks get exponentially halved "
@@ -198,6 +211,17 @@ def main() -> None:
         )
         budgets = merge_budgets(budgets, mirror_demotion(
             mirror_host_pairs(obs), threshold=args.mirror_threshold
+        ))
+
+    if args.demote_soft404:
+        from go_htmldate_spark.plans.soft404 import (
+            soft404_demotion,
+            soft404_host_stats,
+        )
+
+        obs = spark.read.parquet(args.demote_soft404).select("url", "text")
+        budgets = merge_budgets(budgets, soft404_demotion(
+            soft404_host_stats(obs), threshold=args.soft404_threshold
         ))
 
     if args.backoff_log:

@@ -1927,3 +1927,42 @@ def test_soft404_flags_semantics(spark):
     flagged = {u for u, r in out.items() if r["soft404"]}
     assert kept_urls == set(out) - flagged
     assert len(flagged) == 7
+
+
+def test_soft404_host_demotion(spark):
+    """Host-level soft-404 roll-up and scheduler demotion
+    (plans/soft404.soft404_host_stats / soft404_demotion): rates
+    aggregate per host over the flags, and only hosts at/over the
+    rate threshold with enough observed pages are demoted — matching
+    mirror_demotion's (host, politeness_budget) merge contract."""
+    from go_htmldate_spark.plans.soft404 import (
+        soft404_demotion,
+        soft404_host_stats,
+    )
+
+    err = "Error 404 - page not found."
+    art = "a long enough article body " + "word " * 50
+    rows = (
+        # bad host: 3/4 soft404
+        [(f"https://bad.example/{i}", err) for i in range(3)]
+        + [("https://bad.example/ok", art + "x")]
+        # good host: 1/4
+        + [("https://good.example/0", err)]
+        + [(f"https://good.example/a{i}", art + str(i)) for i in range(3)]
+        # tiny host at 100% but below min_pages
+        + [("https://tiny.example/0", err)]
+    )
+    df = spark.createDataFrame(rows, ["url", "text"])
+    stats = {r["host"]: r for r in soft404_host_stats(df).collect()}
+    assert stats["bad.example"]["n_pages"] == 4
+    assert stats["bad.example"]["n_soft404"] == 3
+    assert stats["bad.example"]["soft404_frac"] == 0.75
+    assert stats["good.example"]["n_soft404"] == 1
+    assert stats["tiny.example"]["soft404_frac"] == 1.0
+
+    dem = soft404_demotion(
+        soft404_host_stats(df), threshold=0.5, min_pages=3
+    ).collect()
+    assert {(r["host"], r["politeness_budget"]) for r in dem} == {
+        ("bad.example", 0.0)
+    }

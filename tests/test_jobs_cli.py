@@ -190,6 +190,15 @@ def test_crawl_job_composed_crawl_waste_flags(
         "host string, ip string",
     ).write.parquet(ip_dir)
 
+    # soft-404 plant: hosts[2] serves an error template as 200 on 24
+    # observed pages (>= min_pages 20, rate 1.0) -> demoted to 0-fetch
+    s404_dir = str(base / "soft404pages")
+    spark.createDataFrame(
+        [(f"https://{hosts[2]}/dead/{i}",
+          "Error 404 - Page Not Found. Sorry.") for i in range(24)],
+        "url string, text string",
+    ).write.parquet(s404_dir)
+
     monkeypatch.setattr(sess, "get_spark", lambda **kw: spark)
     monkeypatch.setattr(type(spark), "stop", lambda self: None)
     job = _load_job("crawl_job")
@@ -206,6 +215,7 @@ def test_crawl_job_composed_crawl_waste_flags(
         "--host-ip", ip_dir,
         "--ip-budget", "1",
         "--trap-guard",
+        "--demote-soft404", s404_dir,
         "--expire-keep", "1",
     ])
     job.main()
@@ -217,10 +227,11 @@ def test_crawl_job_composed_crawl_waste_flags(
 
     # round_0's snapshot was expired (keep 1) so its gate effects are
     # read from the manifest counts: recrawl seeded 6 URLs; the demoted
-    # mirror host lost its slot at the budget join and the shared-IP
-    # pair kept only one of two -> exactly 4 scheduled and fetched
-    assert manifests[0]["n_scheduled"] == 4
-    assert manifests[0]["n_fetched"] == 4
+    # mirror host and the soft-404 farm each lost their slot at the
+    # budget join and the shared-IP pair kept only one of two
+    # -> exactly 3 scheduled and fetched
+    assert manifests[0]["n_scheduled"] == 3
+    assert manifests[0]["n_fetched"] == 3
 
     # expiry kept exactly the newest round resumable
     exp = [json.loads(l) for l in out.splitlines()

@@ -1731,6 +1731,93 @@ def q_soft404_demotion(spark, sf_dir):
     )
 
 
+def q_host_opic(spark, sf_dir):
+    """Pipeline: OPIC on-line page importance (plans/opic — Abiteboul
+    et al. WWW'03): cash splits over out-links by truncating integer
+    division, remainders + dangling cash pool at a virtual root that
+    pays back div-n shares, history banks spent cash — total cash is
+    EXACTLY conserved, so the distributed result is bit-identical to
+    any single-threaded evaluation and the oracle (3 unrolled sweeps
+    in BIGINT CTEs) hash-matches. Host link edges synthesized from
+    orders; cold-start batch mode (crawled = all, 3 sweeps); returns
+    the importance estimate (cash+history)/total per host."""
+    from go_htmldate_spark.plans.opic import opic_importance, opic_run
+
+    o = _t(spark, sf_dir, "orders")
+    edges = o.select(
+        F.concat(F.lit("g"), (F.col("o_custkey") % 35).cast("string")).alias("src"),
+        F.concat(F.lit("g"), (F.col("o_orderkey") % 35).cast("string")).alias("dst"),
+    )
+    hosts = edges.select(F.col("src").alias("host")).unionByName(
+        edges.select(F.col("dst").alias("host"))
+    )
+    state = opic_run(hosts, edges, sweeps=3, unit=10**12)
+    return opic_importance(state)
+
+
+def _sql_opic_cte(sweeps: int = 3, unit: int = 10**12) -> str:
+    """DuckDB oracle for q_host_opic: the identical integer law
+    unrolled as chained CTEs (fl=flush, inn=incoming, sc=root scalars,
+    st=state, rt=root) — BIGINT // is floor division, equal to the
+    truncating division both sides use on these non-negative values."""
+    parts = [f"""
+        e AS (
+          SELECT DISTINCT 'g' || (o_custkey % 35) AS src,
+                          'g' || (o_orderkey % 35) AS dst
+          FROM orders WHERE (o_custkey % 35) <> (o_orderkey % 35)
+        ),
+        nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+        od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+        nn AS (SELECT COUNT(*) AS n FROM nodes),
+        st0 AS (SELECT host, CAST({unit} AS BIGINT) AS cash,
+                       CAST(0 AS BIGINT) AS history FROM nodes),
+        rt0 AS (SELECT CAST(0 AS BIGINT) AS cash)"""]
+    for i in range(1, sweeps + 1):
+        parts.append(f"""
+        fl{i} AS (
+          SELECT s.host, s.cash, COALESCE(od.outdeg, 0) AS od,
+                 CASE WHEN COALESCE(od.outdeg, 0) > 0
+                      THEN s.cash // od.outdeg ELSE 0 END AS give
+          FROM st{i-1} s LEFT JOIN od ON od.src = s.host
+        ),
+        inn{i} AS (
+          SELECT e.dst AS host, SUM(f.give) AS in_cash
+          FROM e JOIN fl{i} f ON f.host = e.src GROUP BY e.dst
+        ),
+        rm{i} AS (
+          SELECT SUM(f.cash - f.od * f.give) AS rem_tot FROM fl{i} f
+        ),
+        sc{i} AS (
+          SELECT r.cash + m.rem_tot AS rin, nn.n AS n
+          FROM rm{i} m CROSS JOIN rt{i-1} r CROSS JOIN nn
+        ),
+        st{i} AS (
+          SELECT f.host,
+                 CAST(COALESCE(i.in_cash, 0) + (sc.rin // sc.n) AS BIGINT)
+                   AS cash,
+                 CAST(s.history + f.cash AS BIGINT) AS history
+          FROM fl{i} f JOIN st{i-1} s USING (host)
+               LEFT JOIN inn{i} i ON i.host = f.host
+               CROSS JOIN sc{i} sc
+        ),
+        rt{i} AS (
+          SELECT CAST(sc.rin - sc.n * (sc.rin // sc.n) AS BIGINT) AS cash
+          FROM sc{i} sc
+        )""")
+    return (
+        "WITH " + ",".join(parts) + f"""
+        , tot AS (
+          SELECT CAST(s.t1 + r.cash AS BIGINT) AS t
+          FROM (SELECT SUM(cash + history) AS t1 FROM st{sweeps}) s
+               CROSS JOIN rt{sweeps} r
+        )
+        SELECT host, cash, history,
+               round(CAST(cash + history AS DOUBLE)
+                     / CAST(t AS DOUBLE), 6) AS importance
+        FROM st{sweeps} CROSS JOIN tot"""
+    )
+
+
 def _sql_pagerank_cte(iters: int, scale: int = 10**12,
                       num: int = 85, den: int = 100) -> str:
     """DuckDB oracle for q_host_pagerank: the same exact integer
@@ -1841,6 +1928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_blocklist": q_url_blocklist,
         "line_dedup": q_line_dedup,
         "host_pagerank": q_host_pagerank,
+        "host_opic": q_host_opic,
         "anchor_text": q_anchor_text,
         "soft404": q_soft404,
         "soft404_demotion": q_soft404_demotion,
@@ -3006,6 +3094,7 @@ def oracle_sql() -> dict[str, str]:
             FROM hosts
         """,
         "host_pagerank": _sql_pagerank_cte(4),
+        "host_opic": _sql_opic_cte(3),
         # anchor-text aggregation: the oracle rebuilds the planted link
         # tuples closed-form from orders (Spark parses them back out of
         # the synthesized HTML with the native regex) and aggregates

@@ -1,0 +1,263 @@
+"""OPIC: Adaptive On-line Page Importance Computation for the frontier.
+
+Abiteboul/Preda/Cobena (WWW'03) compute page importance WHILE crawling:
+every node holds `cash`; fetching a node distributes its cash equally
+over its out-links and banks the spent amount in `history`; importance
+is the share of (history + cash) — converging to PageRank-like mass
+without ever running a batch job over the full graph. That is exactly
+the shape a crawl tier wants: `host_pagerank` (plans/hostgraph.py) is
+the periodic batch rank, OPIC is the per-round INCREMENTAL update that
+keeps priorities live between batch runs — after each crawl round,
+`opic_sweep(state, round_edges, crawled=fetched_hosts)` touches only
+the state table and this round's edges.
+
+Exact-integer discipline (same rationale as host_pagerank's module
+docstring): cash is integer units of 1/UNIT, per-edge distribution is
+truncating division, and BOTH truncation remainders and dangling-host
+cash flow to a single virtual root node (the paper's virtual page,
+which every node implicitly links to and which links back to every
+node). The root redistributes `root_cash div n` to each host per sweep
+and keeps the remainder. Total cash is therefore EXACTLY conserved —
+sum(cash) == n_hosts * unit after every sweep, any partitioning, any
+executor count — so the distributed result is bit-identical to a
+single-threaded evaluation and the DuckDB oracle can hash-match.
+
+int64 bounds: every cash value is ≤ total = n·unit and every history
+value ≤ sweeps·n·unit; with the default unit 10**12 the arithmetic
+stays in codegen'd longs up to ~9M hosts and thousands of sweeps
+(cash+history sums are checked by the conservation test, not trusted).
+
+Reference: no analog (go-htmldate has no link-graph layer); public
+literature: Abiteboul et al. WWW'03; same budget bridge as
+rank_to_budget — feed `opic_importance` output with rank=(cash+history)
+into plans/hostgraph.rank_to_budget for politeness budgets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ROOT = "__root__"
+
+
+def _clean_edges(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+    return (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def opic_init(hosts: DataFrame, host_col: str = "host",
+              unit: int = 10**12) -> DataFrame:
+    """(host) frame → OPIC state (host, cash, history): every host
+    starts with `unit` cash and zero history; one virtual-root row
+    (host = __root__) starts empty. O(hosts) rows, one distinct."""
+    h = hosts.select(F.col(host_col).alias("host")).filter(
+        F.col("host") != ROOT
+    ).distinct()
+    spark = hosts.sparkSession
+    root = spark.createDataFrame([(ROOT,)], "host string")
+    return (
+        h.select("host", F.lit(int(unit)).cast("long").alias("cash"),
+                 F.lit(0).cast("long").alias("history"))
+        .unionByName(root.select(
+            "host", F.lit(0).cast("long").alias("cash"),
+            F.lit(0).cast("long").alias("history")))
+    )
+
+
+def opic_sweep(
+    state: DataFrame,
+    edges: DataFrame,
+    crawled: DataFrame | None = None,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    prepared: bool = False,
+) -> DataFrame:
+    """One OPIC update over the state table.
+
+    Every host in `crawled` (a (host) frame; None = all hosts — the
+    batch-sweep mode) spends its cash: outdeg equal shares of
+    cash div outdeg go to its out-neighbors, the truncation remainder
+    (or, for a dangling host, the whole cash) goes to the virtual
+    root; the root then pays root_cash div n to every host and keeps
+    its own remainder. history += spent. Hosts not crawled keep their
+    cash and accrue incoming shares untouched — the ONLINE property:
+    a crawl round only needs its own fetched hosts + discovered edges.
+
+    Scale shape: one src-keyed edges⋈flush join and one dst-keyed
+    aggregation are the only edge-sized moves (pass prepared=True with
+    a prepare_host_edges table to scan edges in place); everything
+    else is host-keyed joins over O(hosts) rows plus two one-row
+    scalar aggregates broadcast back. No floats, no fold-order drift:
+    sum(cash) is conserved exactly (asserted in tests, and the law the
+    oracle hash-match rests on)."""
+    e = edges if prepared else _clean_edges(edges, src_col, dst_col)
+
+    outdeg = e.groupBy(F.col("src").alias("host")).agg(
+        F.count(F.lit(1)).alias("od")
+    )
+    non_root = state.filter(F.col("host") != ROOT)
+    # aggregate (not a row filter) so this is always exactly one row —
+    # a state missing its root row reads as zero root cash instead of
+    # silently emptying the cross join
+    root = state.filter(F.col("host") == ROOT).agg(
+        F.coalesce(F.sum("cash"), F.lit(0)).alias("_root_cash")
+    )
+
+    fl = non_root
+    if crawled is not None:
+        fl = fl.join(
+            crawled.select(F.col(crawled.columns[0]).alias("host")).distinct(),
+            "host", "semi",
+        )
+    fl = fl.join(outdeg, "host", "left").select(
+        "host",
+        F.col("cash").alias("spent"),
+        F.coalesce(F.col("od"), F.lit(0)).alias("od"),
+        F.when(F.coalesce(F.col("od"), F.lit(0)) > 0,
+               F.expr("cash div od")).otherwise(F.lit(0))
+        .cast("long").alias("give"),
+    ).withColumn("rem", F.col("spent") - F.col("od") * F.col("give"))
+
+    in_cash = (
+        e.join(fl.select(F.col("host").alias("src"), "give"), "src")
+        .groupBy(F.col("dst").alias("host"))
+        .agg(F.sum("give").alias("in_cash"))
+    )
+
+    # one-row scalar frame: root intake, host count, per-host share
+    scalars = (
+        fl.agg(F.coalesce(F.sum("rem"), F.lit(0)).alias("_rem_tot"))
+        .crossJoin(F.broadcast(root))
+        .crossJoin(F.broadcast(
+            non_root.agg(F.count(F.lit(1)).alias("_n"))))
+        .select(
+            (F.col("_rem_tot") + F.col("_root_cash")).alias("_rin"),
+            F.col("_n"),
+        )
+        .select(
+            "_rin", "_n",
+            F.expr("_rin div _n").cast("long").alias("_share"),
+        )
+    )
+
+    new_non_root = (
+        non_root.join(fl.select("host", "spent"), "host", "left")
+        .join(in_cash, "host", "left")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "host",
+            (F.col("cash") - F.coalesce(F.col("spent"), F.lit(0))
+             + F.coalesce(F.col("in_cash"), F.lit(0))
+             + F.col("_share")).cast("long").alias("cash"),
+            (F.col("history")
+             + F.coalesce(F.col("spent"), F.lit(0))).cast("long")
+            .alias("history"),
+        )
+    )
+    new_root = scalars.select(
+        F.lit(ROOT).alias("host"),
+        (F.col("_rin") - F.col("_n") * F.col("_share")).cast("long")
+        .alias("cash"),
+        F.lit(0).cast("long").alias("history"),
+    )
+    return new_non_root.unionByName(new_root)
+
+
+def opic_run(
+    hosts: DataFrame,
+    edges: DataFrame,
+    sweeps: int = 3,
+    unit: int = 10**12,
+    host_col: str = "host",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Batch convenience: init + K full sweeps (crawled = everyone),
+    edges cleaned once and state checkpointed between sweeps so the
+    plan stays flat — the cold-start ranking before the incremental
+    per-round opic_sweep takes over."""
+    if sweeps < 1:
+        raise ValueError("sweeps must be >= 1")
+    sc = hosts.sparkSession.sparkContext
+
+    def ckpt(df: DataFrame) -> DataFrame:
+        if sc.getCheckpointDir() is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    e = ckpt(_clean_edges(edges, src_col, dst_col))
+    state = ckpt(opic_init(hosts, host_col=host_col, unit=unit))
+    for _ in range(sweeps):
+        state = ckpt(opic_sweep(state, e, crawled=None, prepared=True))
+    return state
+
+
+def opic_py(
+    hosts: list[str],
+    edges: list[tuple[str, str]],
+    sweeps: int = 3,
+    unit: int = 10**12,
+    crawled_per_sweep: list[set[str]] | None = None,
+) -> dict[str, tuple[int, int]]:
+    """Single-threaded exact-integer reference (test oracle). Returns
+    {host: (cash, history)} plus the virtual root under ROOT."""
+    e = sorted({(s, d) for s, d in edges if s != d})
+    hs = sorted(set(hosts) - {ROOT})
+    outdeg: dict[str, int] = {}
+    for s, _ in e:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    cash = {h: unit for h in hs}
+    hist = {h: 0 for h in hs}
+    root = 0
+    for i in range(sweeps):
+        crawled = (
+            set(hs) if crawled_per_sweep is None
+            else crawled_per_sweep[i] & set(hs)
+        )
+        give = {}
+        rem_tot = 0
+        for h in crawled:
+            od = outdeg.get(h, 0)
+            g = cash[h] // od if od else 0
+            give[h] = g
+            rem_tot += cash[h] - od * g
+        incoming = {h: 0 for h in hs}
+        for s, d in e:
+            if s in crawled:
+                incoming[d] += give[s]
+        rin = root + rem_tot
+        share = rin // len(hs)
+        root = rin - len(hs) * share
+        for h in hs:
+            spent = cash[h] if h in crawled else 0
+            cash[h] = cash[h] - spent + incoming[h] + share
+            hist[h] += spent
+    out = {h: (cash[h], hist[h]) for h in hs}
+    out[ROOT] = (root, 0)
+    return out
+
+
+def opic_importance(state: DataFrame) -> DataFrame:
+    """State → (host, cash, history, importance): the paper's
+    importance estimate (history + cash) / Σ(history + cash), total
+    taken over ALL rows including the virtual root (honest mass
+    accounting), root row excluded from the output. One scalar agg
+    broadcast back; O(hosts) output."""
+    tot = state.agg(
+        F.sum(F.col("cash") + F.col("history")).alias("_tot")
+    )
+    return (
+        state.filter(F.col("host") != ROOT)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "host", "cash", "history",
+            F.round(
+                (F.col("cash") + F.col("history")).cast("double")
+                / F.col("_tot").cast("double"), 6,
+            ).alias("importance"),
+        )
+    )

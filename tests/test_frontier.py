@@ -1966,3 +1966,62 @@ def test_soft404_host_demotion(spark):
     assert {(r["host"], r["politeness_budget"]) for r in dem} == {
         ("bad.example", 0.0)
     }
+
+
+def test_opic_sweep_semantics_and_conservation(spark):
+    """OPIC (plans/opic, Abiteboul WWW'03): one hand-checked sweep —
+    equal cash splits over out-links by truncating division, remainders
+    and dangling cash pool at the virtual root, the root pays back
+    div-n shares — then exact cash conservation over repeated sweeps
+    and the online (crawled-subset) update law vs the single-threaded
+    reference."""
+    import random
+
+    from go_htmldate_spark.plans.opic import (
+        ROOT, opic_importance, opic_init, opic_py, opic_run, opic_sweep,
+    )
+
+    # a: ->b,->c  b: ->c  c: dangling ; unit 90
+    hosts = spark.createDataFrame([("a",), ("b",), ("c",)], "host string")
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("b", "b")],  # self-loop drops
+        "src string, dst string",
+    )
+    st = opic_sweep(opic_init(hosts, unit=90), edges)
+    got = {r["host"]: (r["cash"], r["history"]) for r in st.collect()}
+    # spent: a=90 (od 2, give 45, rem 0); b=90 (od 1, give 90, rem 0);
+    # c=90 dangling -> rem 90. root intake 90, share 30, root keeps 0.
+    # cash': a=0+0+30=30; b=0+45+30=75; c=0+(45+90)+30=165
+    assert got["a"] == (30, 90) and got["b"] == (75, 90)
+    assert got["c"] == (165, 90) and got[ROOT] == (0, 0)
+
+    # batch run: conservation + parity with the reference at 3 sweeps
+    st3 = opic_run(hosts, edges, sweeps=3, unit=10**6)
+    rows = {r["host"]: (r["cash"], r["history"]) for r in st3.collect()}
+    assert sum(c for c, _ in rows.values()) == 3 * 10**6
+    ref = opic_py(["a", "b", "c"], [("a", "b"), ("a", "c"), ("b", "c")],
+                  sweeps=3, unit=10**6)
+    assert rows == ref
+
+    # online mode: random crawled subsets, sweep-by-sweep parity
+    rng = random.Random(7)
+    hs = [f"h{i}" for i in range(12)]
+    es = sorted({(rng.choice(hs), rng.choice(hs)) for _ in range(40)})
+    crawls = [set(rng.sample(hs, rng.randint(0, 12))) for _ in range(3)]
+    hdf = spark.createDataFrame([(h,) for h in hs], "host string")
+    edf = spark.createDataFrame(es, "src string, dst string")
+    st = opic_init(hdf, unit=10**6)
+    for cs in crawls:
+        cdf = spark.createDataFrame([(h,) for h in sorted(cs)] or [("_none_",)],
+                                    "host string")
+        st = opic_sweep(st, edf, crawled=cdf)
+    got = {r["host"]: (r["cash"], r["history"]) for r in st.collect()}
+    ref = opic_py(hs, es, sweeps=3, unit=10**6, crawled_per_sweep=crawls)
+    assert got == ref
+    assert sum(c for c, _ in got.values()) == 12 * 10**6
+
+    imp = {r["host"]: r for r in opic_importance(st3).collect()}
+    assert ROOT not in imp
+    assert abs(sum(r["importance"] for r in imp.values()) - 1.0) < 1e-5
+    # dangling sink c absorbed the most total mass
+    assert max(imp, key=lambda h: imp[h]["importance"]) == "c"

@@ -68,6 +68,44 @@ def opic_init(hosts: DataFrame, host_col: str = "host",
     )
 
 
+def opic_grow(state: DataFrame, hosts: DataFrame,
+              host_col: str = "host") -> DataFrame:
+    """Add hosts discovered since init to the state with ZERO cash and
+    history — the paper's page-addition rule (new nodes earn cash only
+    through in-links and root shares), which keeps total cash exactly
+    equal to the initial n₀·unit forever. O(new hosts): one anti-join
+    against the host-cardinality state."""
+    new = (
+        hosts.select(F.col(host_col).alias("host"))
+        .filter(F.col("host").isNotNull() & (F.col("host") != ROOT))
+        .distinct()
+        .join(state.select("host"), "host", "left_anti")
+        .select(
+            "host",
+            F.lit(0).cast("long").alias("cash"),
+            F.lit(0).cast("long").alias("history"),
+        )
+    )
+    return state.unionByName(new)
+
+
+def opic_budgets(state: DataFrame, lo: float = 1.0,
+                 hi: float = 8.0) -> DataFrame:
+    """OPIC state → (host, politeness_budget): rank = cash + history
+    (the paper's unnormalized importance mass, ≥1-clamped so zero-mass
+    just-grown hosts stay log-mappable) through the same log-affine
+    rank→crawl-budget bridge PageRank uses (hostgraph.rank_to_budget).
+    One row per host, broadcast-size by construction."""
+    from .hostgraph import rank_to_budget
+
+    ranks = state.filter(F.col("host") != ROOT).select(
+        "host",
+        F.greatest(F.col("cash") + F.col("history"), F.lit(1))
+        .cast("long").alias("rank"),
+    )
+    return rank_to_budget(ranks, lo=lo, hi=hi)
+
+
 def opic_sweep(
     state: DataFrame,
     edges: DataFrame,
@@ -198,26 +236,42 @@ def opic_run(
 
 def opic_py(
     hosts: list[str],
-    edges: list[tuple[str, str]],
+    edges: list[tuple[str, str]] | None = None,
     sweeps: int = 3,
     unit: int = 10**12,
-    crawled_per_sweep: list[set[str]] | None = None,
+    crawled_per_sweep: list[set[str] | None] | None = None,
+    edges_per_sweep: list[list[tuple[str, str]]] | None = None,
+    grow: bool = False,
 ) -> dict[str, tuple[int, int]]:
     """Single-threaded exact-integer reference (test oracle). Returns
-    {host: (cash, history)} plus the virtual root under ROOT."""
-    e = sorted({(s, d) for s, d in edges if s != d})
+    {host: (cash, history)} plus the virtual root under ROOT.
+
+    `edges` fixes one edge set for every sweep (batch mode);
+    `edges_per_sweep` gives sweep i its own observed edges (the online
+    crawl-round shape, sweeps = len(edges_per_sweep)). A None entry in
+    `crawled_per_sweep` means "all current hosts". With grow=True,
+    hosts first appearing in sweep i's edges or crawled set join the
+    state with zero cash before that sweep — mirroring opic_grow."""
+    if edges_per_sweep is not None:
+        sweeps = len(edges_per_sweep)
     hs = sorted(set(hosts) - {ROOT})
-    outdeg: dict[str, int] = {}
-    for s, _ in e:
-        outdeg[s] = outdeg.get(s, 0) + 1
     cash = {h: unit for h in hs}
     hist = {h: 0 for h in hs}
     root = 0
     for i in range(sweeps):
-        crawled = (
-            set(hs) if crawled_per_sweep is None
-            else crawled_per_sweep[i] & set(hs)
-        )
+        ei = edges if edges_per_sweep is None else edges_per_sweep[i]
+        e = sorted({(s, d) for s, d in (ei or []) if s != d})
+        ci = None if crawled_per_sweep is None else crawled_per_sweep[i]
+        if grow:
+            fresh = {s for s, _ in e} | {d for _, d in e} | set(ci or ())
+            for h in sorted(fresh - set(cash)):
+                cash[h] = 0
+                hist[h] = 0
+        hs_now = sorted(cash)
+        crawled = set(hs_now) if ci is None else set(ci) & set(hs_now)
+        outdeg: dict[str, int] = {}
+        for s, _ in e:
+            outdeg[s] = outdeg.get(s, 0) + 1
         give = {}
         rem_tot = 0
         for h in crawled:
@@ -225,18 +279,18 @@ def opic_py(
             g = cash[h] // od if od else 0
             give[h] = g
             rem_tot += cash[h] - od * g
-        incoming = {h: 0 for h in hs}
+        incoming = {h: 0 for h in hs_now}
         for s, d in e:
             if s in crawled:
                 incoming[d] += give[s]
         rin = root + rem_tot
-        share = rin // len(hs)
-        root = rin - len(hs) * share
-        for h in hs:
+        share = rin // len(hs_now)
+        root = rin - len(hs_now) * share
+        for h in hs_now:
             spent = cash[h] if h in crawled else 0
             cash[h] = cash[h] - spent + incoming[h] + share
             hist[h] += spent
-    out = {h: (cash[h], hist[h]) for h in hs}
+    out = {h: (cash[h], hist[h]) for h in cash}
     out[ROOT] = (root, 0)
     return out
 

@@ -102,6 +102,11 @@ class CrawlConfig:
     # broadcast builds); larger lists use per-depth broadcast joins.
     # ~20k domains x ~20 B ships ~400 KB in the stage's task binary.
     blocklist_inset_max: int = 20_000
+    # OPIC on-line importance (plans/opic.py, active when the scheduler
+    # is given an opic_state): the [lo, hi] budget range the live
+    # cash+history rank log-maps onto after every round's sweep.
+    opic_lo: float = 1.0
+    opic_hi: float = 8.0
 
 
 def recency_score(date_col):
@@ -141,6 +146,20 @@ def fetch_join(corpus: DataFrame, sched_keys: DataFrame, mode: str = "broadcast"
         )
     return sched_keys.hint("shuffle_hash").join(
         corpus, sched_keys["url"] == corpus["url_canon"], "inner"
+    )
+
+
+def _min_budgets(a: DataFrame | None, b: DataFrame) -> DataFrame:
+    """Per-host min across two (host, politeness_budget) tables — the
+    same cautious-source-wins law jobs/crawl_job.py merges demotion
+    sources with. Host-cardinality groupBy; broadcast-size output."""
+    if a is None:
+        return b.select("host", "politeness_budget")
+    return (
+        a.select("host", "politeness_budget")
+        .unionByName(b.select("host", "politeness_budget"))
+        .groupBy("host")
+        .agg(F.min("politeness_budget").alias("politeness_budget"))
     )
 
 
@@ -195,6 +214,7 @@ class CrawlScheduler:
         redirects: DataFrame | None = None,
         dust: DataFrame | None = None,
         host_ip: DataFrame | None = None,
+        opic_state: DataFrame | None = None,
     ) -> None:
         self.spark = spark
         self.config = config
@@ -313,15 +333,53 @@ class CrawlScheduler:
             if host_ip is not None
             else None
         )
-        # One host-DIMENSION table: robots rules, politeness budget and
-        # primary IP are all keyed by host, so they merge (full outer)
-        # into a single per-host table ONCE here — each round then pays
-        # ONE broadcast build for steps 3/4/5.5 instead of three. The
-        # table is host-cardinality (broadcast-size by construction);
-        # cached so the merge itself is also paid once.
+        # OPIC on-line importance (plans/opic.py): when a cold-start
+        # state is given, every round sweeps it — the round's FETCHED
+        # hosts spend their cash over the round's OBSERVED out-link
+        # edges (Abiteboul WWW'03's online property: no batch job over
+        # the full graph, ever) — and the politeness budget refreshes
+        # as min(static sources, live OPIC rank→budget). Both the state
+        # and the static budget table snapshot to parquet here so the
+        # per-round refresh replays a scan, not their build lineage.
+        self._opic_state: DataFrame | None = None
+        self._budget_static = self.host_budget
+        if opic_state is not None:
+            from .opic import opic_budgets
+
+            if self._budget_static is not None:
+                bdir = os.path.join(self.state_dir, "budget_static")
+                self._budget_static.select(
+                    "host", "politeness_budget"
+                ).write.mode("overwrite").parquet(bdir)
+                self._budget_static = spark.read.parquet(bdir)
+            odir = os.path.join(self.state_dir, "opic_init")
+            opic_state.write.mode("overwrite").parquet(odir)
+            self._opic_state = spark.read.parquet(odir)
+            self.host_budget = _min_budgets(
+                self._budget_static,
+                opic_budgets(self._opic_state, config.opic_lo, config.opic_hi),
+            )
         self._has_delay = (
             self.robots is not None and "crawl_delay" in self.robots.columns
         )
+        self._host_dim: DataFrame | None = None
+        self._rebuild_host_dim()
+        self.round = 0
+        self.frontier: DataFrame | None = None
+        self.seen: DataFrame | None = None
+        self.blooms: DataFrame | None = None
+
+    def _rebuild_host_dim(self) -> None:
+        """(Re)build the one host-DIMENSION table: robots rules,
+        politeness budget and primary IP are all keyed by host, so they
+        merge (full outer) into a single per-host table — each round
+        then pays ONE broadcast build for steps 3/4/5.5 instead of
+        three. The table is host-cardinality (broadcast-size by
+        construction) and cached so the merge itself is paid once per
+        (re)build — at init, and after every online OPIC budget refresh
+        (the stale cache is dropped first)."""
+        if self._host_dim is not None:
+            self._host_dim.unpersist()
         dim = None
         if self.robots is not None:
             cols = ["host", "rules"] + (
@@ -338,10 +396,6 @@ class CrawlScheduler:
                 else dim.join(self.host_ip, "host", "full_outer")
             )
         self._host_dim = dim.cache() if dim is not None else None
-        self.round = 0
-        self.frontier: DataFrame | None = None
-        self.seen: DataFrame | None = None
-        self.blooms: DataFrame | None = None
 
     # -- seen-filter family dispatch ----------------------------------------
     def _filter_fns(self):
@@ -470,6 +524,23 @@ class CrawlScheduler:
         # snapshots fall back to the monolithic round_r/seen table
         self._seen_chain = manifest.get("seen_chain", [f"round_{r}/seen"])
         self.seen = self._seen_from_chain(self._seen_chain)
+        # online OPIC state rides the snapshot: the resumed round's
+        # swept state if it exists, else the cold-start init table
+        # (a resume into round 0 of an OPIC-enabled crawl)
+        for odir in (f"{base}/opic", os.path.join(self.state_dir, "opic_init")):
+            if os.path.exists(odir):
+                from .opic import opic_budgets
+
+                self._opic_state = self.spark.read.parquet(odir)
+                self.host_budget = _min_budgets(
+                    self._budget_static,
+                    opic_budgets(
+                        self._opic_state,
+                        self.config.opic_lo, self.config.opic_hi,
+                    ),
+                )
+                self._rebuild_host_dim()
+                break
         self.round = r + 1
         return self.round
 
@@ -778,6 +849,47 @@ class CrawlScheduler:
         self.frontier = self.spark.read.parquet(f"{base}/frontier")
         self.seen = self._seen_from_chain(self._seen_chain)
         self.blooms = self.spark.read.parquet(f"{base}/blooms")
+
+        if self._opic_state is not None:
+            # online OPIC sweep: this round's fetched hosts spend their
+            # cash over this round's observed out-link host edges; hosts
+            # first seen this round join the state with zero cash (total
+            # cash stays exactly n₀·unit — the conservation law the
+            # tests pin). State snapshots per round (lineage cut, and
+            # resume() reloads it); budgets for the NEXT round become
+            # min(static sources, live rank→budget). One extra write
+            # job + host-cardinality joins per round, only when enabled.
+            from .opic import opic_budgets, opic_grow, opic_sweep
+
+            round_edges = (
+                extracted.select(
+                    F.col("host").alias("src"),
+                    F.explode("outlinks").alias("_o"),
+                )
+                .select(
+                    "src",
+                    url_host(canonicalize_url(F.col("_o"))).alias("dst"),
+                )
+                .filter(F.col("src") != F.col("dst"))
+                .distinct()
+            )
+            touched = (
+                extracted.select("host")
+                .unionByName(round_edges.select(F.col("src").alias("host")))
+                .unionByName(round_edges.select(F.col("dst").alias("host")))
+            )
+            st = opic_grow(self._opic_state, touched)
+            st = opic_sweep(
+                st, round_edges, crawled=extracted.select("host"),
+                prepared=True,
+            )
+            st.write.mode("overwrite").parquet(f"{base}/opic")
+            self._opic_state = self.spark.read.parquet(f"{base}/opic")
+            self.host_budget = _min_budgets(
+                self._budget_static,
+                opic_budgets(self._opic_state, cfg.opic_lo, cfg.opic_hi),
+            )
+            self._rebuild_host_dim()
 
         import pyarrow.parquet as pq
 

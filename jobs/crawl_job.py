@@ -10,7 +10,8 @@ In this sandbox the corpus can be synthesized: pass --synth N instead
 of --pages. Seeds can come from fetched sitemaps (--sitemaps, parsed
 natively and prioritized by lastmod recency) and per-host politeness
 budgets from host-graph PageRank over the corpus outlinks
-(--pagerank-budgets LO,HI).
+(--pagerank-budgets LO,HI) or live OPIC importance that re-ranks after
+every round's fetches (--opic-budgets LO,HI).
 """
 
 from __future__ import annotations
@@ -55,6 +56,16 @@ def main() -> None:
         help="derive per-host politeness budgets from host-graph PageRank "
         "over the corpus outlinks, log-mapped onto [LO,HI] "
         "(e.g. 1.0,8.0); overrides --budgets",
+    )
+    ap.add_argument(
+        "--opic-budgets", metavar="LO,HI",
+        help="OPIC on-line importance (Abiteboul WWW'03): a 3-sweep "
+        "cold-start batch over the corpus out-link host graph seeds "
+        "per-host politeness budgets log-mapped onto [LO,HI]; each "
+        "crawl round then runs ONE online sweep (that round's fetched "
+        "hosts spend cash over that round's observed out-links) and "
+        "budgets refresh as min(other sources, OPIC) — importance "
+        "stays live without ever re-running a batch rank job",
     )
     ap.add_argument(
         "--redirects",
@@ -239,6 +250,23 @@ def main() -> None:
         ).filter(F.col("streak") > 0)
         budgets = merge_budgets(budgets, decayed)
 
+    opic_state = None
+    opic_range = (1.0, 8.0)
+    if args.opic_budgets:
+        from go_htmldate_spark.plans.canonical import url_host
+        from go_htmldate_spark.plans.opic import opic_run
+
+        lo, _, hi = args.opic_budgets.partition(",")
+        opic_range = (float(lo), float(hi or lo))
+        o_edges = pages.select(
+            url_host(F.col("url")).alias("src"),
+            F.explode("outlinks").alias("out_url"),
+        ).select("src", url_host(F.col("out_url")).alias("dst"))
+        o_hosts = o_edges.select(F.col("src").alias("host")).unionByName(
+            o_edges.select(F.col("dst").alias("host"))
+        )
+        opic_state = opic_run(o_hosts, o_edges, sweeps=3)
+
     dust = None
     if args.dust_history:
         from go_htmldate_spark.plans.dust import dust_rules
@@ -291,11 +319,13 @@ def main() -> None:
         config=CrawlConfig(
             trap_guard=args.trap_guard, ip_budget=args.ip_budget,
             aging=args.aging,
+            opic_lo=opic_range[0], opic_hi=opic_range[1],
         ),
         blocklist=blocklist, redirects=redirects, dust=dust,
         host_ip=(
             spark.read.parquet(args.host_ip) if args.host_ip else None
         ),
+        opic_state=opic_state,
     )
 
     if args.resume:

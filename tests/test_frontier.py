@@ -2025,3 +2025,123 @@ def test_opic_sweep_semantics_and_conservation(spark):
     assert abs(sum(r["importance"] for r in imp.values()) - 1.0) < 1e-5
     # dangling sink c absorbed the most total mass
     assert max(imp, key=lambda h: imp[h]["importance"]) == "c"
+
+
+def test_opic_grow_zero_cash_and_budget_bridge(spark):
+    """opic_grow adds only unseen hosts, at zero cash/history (total
+    cash unchanged — the conservation law under online discovery);
+    opic_budgets maps cash+history onto [lo, hi] with the ≥1 clamp
+    keeping just-grown zero-mass hosts at the floor."""
+    from go_htmldate_spark.plans.opic import (
+        ROOT, opic_budgets, opic_grow, opic_init, opic_sweep,
+    )
+
+    hosts = spark.createDataFrame([("a",), ("b",)], "host string")
+    st = opic_init(hosts, unit=100)
+    grown = opic_grow(st, spark.createDataFrame(
+        [("b",), ("c",), (ROOT,), (None,)], "host string"))
+    rows = {r["host"]: (r["cash"], r["history"]) for r in grown.collect()}
+    assert rows == {"a": (100, 0), "b": (100, 0), "c": (0, 0), ROOT: (0, 0)}
+    assert sum(c for c, _ in rows.values()) == 200
+
+    edges = spark.createDataFrame([("a", "c")], "src string, dst string")
+    swept = opic_sweep(grown, edges)
+    b = {r["host"]: r["politeness_budget"]
+         for r in opic_budgets(swept, lo=1.0, hi=4.0).collect()}
+    assert set(b) == {"a", "b", "c"}
+    assert all(0.999 <= v <= 4.001 for v in b.values())
+    # a spent everything into c: c holds the most mass -> the ceiling
+    assert b["c"] == max(b.values())
+
+
+def test_scheduler_opic_online_updates(spark, corpus, tmp_path_factory):
+    """CrawlScheduler(opic_state=…) end-to-end: cold-start batch state
+    over the corpus host graph, then ONE online sweep per crawl round
+    (that round's fetched hosts spend cash over that round's observed
+    out-link edges; hosts first seen mid-crawl grow in at zero cash).
+    The final distributed state replays EXACTLY — cash and history,
+    exact integers — on the single-threaded reference fed the
+    scheduler's own per-round fetch/edge logs; total cash is conserved
+    at n₀·unit; the refreshed budget table is min(static, OPIC∈[lo,hi])
+    and survives resume()."""
+    from go_htmldate_spark.plans.canonical import canonicalize_url, url_host
+    from go_htmldate_spark.plans.opic import ROOT, opic_py, opic_run
+
+    unit = 10**6
+    edges_df = corpus.select(
+        url_host(F.col("url")).alias("src"),
+        F.explode("outlinks").alias("o"),
+    ).select("src", url_host(canonicalize_url(F.col("o"))).alias("dst"))
+    hosts_df = edges_df.select(F.col("src").alias("host")).unionByName(
+        edges_df.select(F.col("dst").alias("host"))
+    )
+    state0 = opic_run(hosts_df, edges_df, sweeps=2, unit=unit)
+
+    state_dir = tmp_path_factory.mktemp("opic_sched")
+    cfg = CrawlConfig(bloom_min_seen=0, n_salts=4, opic_lo=1.0, opic_hi=4.0)
+    sched = CrawlScheduler(
+        spark, corpus, robots=None, host_budget=_budget_df(spark),
+        state_dir=str(state_dir), config=cfg, opic_state=state0,
+    )
+    sched.init_from_seeds(
+        spark.createDataFrame(_seeds(corpus), "url string, priority double")
+    )
+    manifests = sched.run(3)
+    n_rounds = len(manifests)
+    assert n_rounds == 3 and all(m["n_fetched"] > 0 for m in manifests)
+
+    # replay inputs from the scheduler's own snapshots, via the same
+    # Spark expressions run_round uses for the sweep
+    corpus_c = corpus.withColumn("url_canon", canonicalize_url(F.col("url")))
+    crawled_per, edges_per = [], []
+    for r in range(n_rounds):
+        f = spark.read.parquet(f"{state_dir}/round_{r}/fetched").select("url")
+        crawled_per.append(
+            {row["h"] for row in
+             f.select(url_host(F.col("url")).alias("h")).collect()}
+        )
+        e = (
+            f.join(corpus_c, f["url"] == corpus_c["url_canon"])
+            .select(
+                url_host(corpus_c["url_canon"]).alias("src"),
+                F.explode("outlinks").alias("o"),
+            )
+            .select("src", url_host(canonicalize_url(F.col("o"))).alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        edges_per.append([(row["src"], row["dst"]) for row in e.collect()])
+
+    hosts0 = [row["host"] for row in hosts_df.distinct().collect()]
+    base_edges = [(row["src"], row["dst"]) for row in edges_df.collect()]
+    ref = opic_py(
+        hosts0,
+        edges_per_sweep=[base_edges] * 2 + edges_per,
+        crawled_per_sweep=[None] * 2 + crawled_per,
+        unit=unit, grow=True,
+    )
+    final = spark.read.parquet(f"{state_dir}/round_{n_rounds - 1}/opic")
+    got = {r2["host"]: (r2["cash"], r2["history"]) for r2 in final.collect()}
+    assert got == ref
+    n0 = len(set(hosts0) - {ROOT})
+    assert sum(c for c, _ in got.values()) == n0 * unit
+
+    # refreshed budgets: every OPIC host inside [lo, hi], min-merged
+    # with the static table (site1's static 1.0 still caps it)
+    b = {r2["host"]: r2["politeness_budget"]
+         for r2 in sched.host_budget.collect()}
+    assert all(0.999 <= v <= 4.001 for v in b.values())
+    assert b["site1.example.org"] <= 1.0 + 1e-9
+
+    # resume() reloads the swept state and rebuilds the same budgets
+    sched2 = CrawlScheduler(
+        spark, corpus, robots=None, host_budget=_budget_df(spark),
+        state_dir=str(state_dir), config=cfg,
+    )
+    assert sched2.resume() == n_rounds
+    got2 = {r2["host"]: (r2["cash"], r2["history"])
+            for r2 in sched2._opic_state.collect()}
+    assert got2 == ref
+    b2 = {r2["host"]: r2["politeness_budget"]
+          for r2 in sched2.host_budget.collect()}
+    assert b2 == b

@@ -767,9 +767,11 @@ def dup_span_stats(
 
     Returns (id, n_tok, n_windows, n_dup_windows, dup_token_frac)
     where dup_token_frac is the fraction of token positions covered by
-    at least one duplicated window."""
+    at least one duplicated window. Row-stable like line_dedup: a
+    null-text document (zero token rows after posexplode) still comes
+    back, with zero counts."""
     tokf = _dup_span_tokens(df, n, text_col, id_col, min_count, hashed)
-    return tokf.groupBy(id_col).agg(
+    agg = tokf.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_tok"),
         F.greatest(
             F.count(F.lit(1)) - F.lit(n - 1), F.lit(0)
@@ -778,6 +780,14 @@ def dup_span_stats(
         F.round(
             F.sum("covered").cast("double") / F.count(F.lit(1)), 6
         ).alias("dup_token_frac"),
+    )
+    return df.select(id_col).join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce("n_tok", F.lit(0)).cast("long").alias("n_tok"),
+        F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+        F.coalesce("n_dup_windows", F.lit(0)).cast("long")
+        .alias("n_dup_windows"),
+        F.coalesce("dup_token_frac", F.lit(0.0)).alias("dup_token_frac"),
     )
 
 
@@ -794,12 +804,13 @@ def remove_dup_spans(
     corpus-duplicated n-token window and reassemble the remainder in
     original order (Lee et al. 2022 cut the duplicated span bytes out
     of the training text; this is the same cut at word granularity).
-    A document that was entirely duplicated spans comes back with
-    empty text, mirroring line_dedup's row-stability contract.
+    A document that was entirely duplicated spans — or had null text
+    (zero token rows after posexplode) — comes back with empty text,
+    mirroring line_dedup's row-stability contract.
 
     Returns (id, out_col, n_tok, n_removed)."""
     tokf = _dup_span_tokens(df, n, text_col, id_col, min_count, hashed)
-    return tokf.groupBy(id_col).agg(
+    agg = tokf.groupBy(id_col).agg(
         F.array_join(
             F.transform(
                 F.filter(
@@ -814,4 +825,10 @@ def remove_dup_spans(
         ).alias(out_col),
         F.count(F.lit(1)).cast("long").alias("n_tok"),
         F.sum("covered").cast("long").alias("n_removed"),
+    )
+    return df.select(id_col).join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce(out_col, F.lit("")).alias(out_col),
+        F.coalesce("n_tok", F.lit(0)).cast("long").alias("n_tok"),
+        F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
     )

@@ -274,13 +274,25 @@ def rank_to_budget(
 # Anchor-text aggregation (web-graph quality signal)
 # ---------------------------------------------------------------------------
 
-# one pattern, two capture groups: extracting both with the SAME regex
-# guarantees the href/text arrays align element-for-element. Lazy
-# [^>]*? cannot cross a '>' so <a name="x"> (no href) never matches;
-# [^<]* requires plain inner text, so anchors wrapping nested markup
-# (<a href=..><img ..></a> and friends) are skipped as edges entirely —
-# the aggregation is over TEXT links, the signal of interest.
-ANCHOR_RX = r"""(?is)<a\s[^>]*?href\s*=\s*["']([^"']*)["'][^>]*>([^<]*)</a>"""
+# one pattern, two used capture groups (2 = href value, 3 = inner
+# text): extracting both with the SAME regex guarantees the href/text
+# arrays align element-for-element. Attribute scanning is quote-AWARE:
+# the prefix/suffix skip whole quoted attribute values atomically
+# ((?:[^>"']|"[^"]*"|'[^']*')*?), so an `href=` inside another
+# attribute's value can't hijack the target and a '>' inside a quoted
+# title can't end the tag early; the href value itself is delimited by
+# a backreference to its own opening quote (group 1), so the other
+# quote kind is legal inside a URL (/o'brien/). Neither the scan nor
+# the value may cross an unquoted '>' — <a name="x"> (no href) never
+# matches. [^<]* requires plain inner text, so anchors wrapping nested
+# markup (<a href=..><img ..></a> and friends) are skipped as edges
+# entirely — the aggregation is over TEXT links, the signal of
+# interest. Java regex (Spark-side only; the oracle is closed-form).
+ANCHOR_RX = (
+    r"""(?is)<a\s(?:[^>"']|"[^"]*"|'[^']*')*?"""
+    r"""href\s*=\s*(["'])((?:(?!\1)[^>])*)\1"""
+    r"""(?:[^>"']|"[^"]*"|'[^']*')*>([^<]*)</a>"""
+)
 
 
 def extract_anchors(
@@ -299,8 +311,8 @@ def extract_anchors(
     read once and never shuffled."""
     from .canonical import url_host
 
-    hrefs = F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_RX), F.lit(1))
-    texts = F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_RX), F.lit(2))
+    hrefs = F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_RX), F.lit(2))
+    texts = F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_RX), F.lit(3))
     pairs = df.select(
         url_host(F.col(url_col)).alias("src_host"),
         F.explode(F.arrays_zip(hrefs.alias("t"), texts.alias("a"))).alias("z"),

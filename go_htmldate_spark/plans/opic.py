@@ -42,9 +42,18 @@ ROOT = "__root__"
 
 
 def _clean_edges(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+    # empty-string endpoints are url_host()'s "no host" result for
+    # relative/malformed URLs — dropping the edge (rather than keeping
+    # a phantom '' node) means such links simply don't exist in the
+    # graph; a page with ONLY relative outlinks is dangling (all cash
+    # to the root), exactly the paper's rule for no out-links
     return (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
+        .filter(
+            F.col("src").isNotNull() & (F.col("src") != "")
+            & F.col("dst").isNotNull() & (F.col("dst") != "")
+            & (F.col("src") != F.col("dst"))
+        )
         .distinct()
     )
 
@@ -55,7 +64,9 @@ def opic_init(hosts: DataFrame, host_col: str = "host",
     starts with `unit` cash and zero history; one virtual-root row
     (host = __root__) starts empty. O(hosts) rows, one distinct."""
     h = hosts.select(F.col(host_col).alias("host")).filter(
-        F.col("host") != ROOT
+        F.col("host").isNotNull()
+        & (F.col("host") != ROOT)
+        & (F.col("host") != "")
     ).distinct()
     spark = hosts.sparkSession
     root = spark.createDataFrame([(ROOT,)], "host string")
@@ -77,7 +88,14 @@ def opic_grow(state: DataFrame, hosts: DataFrame,
     against the host-cardinality state."""
     new = (
         hosts.select(F.col(host_col).alias("host"))
-        .filter(F.col("host").isNotNull() & (F.col("host") != ROOT))
+        # "" is what url_host() yields for relative/malformed URLs — a
+        # phantom host that would absorb give-shares forever and never
+        # spend (it is never crawled); keep it out of the state
+        .filter(
+            F.col("host").isNotNull()
+            & (F.col("host") != ROOT)
+            & (F.col("host") != "")
+        )
         .distinct()
         .join(state.select("host"), "host", "left_anti")
         .select(
@@ -126,13 +144,29 @@ def opic_sweep(
     a crawl round only needs its own fetched hosts + discovered edges.
 
     Scale shape: one src-keyed edges⋈flush join and one dst-keyed
-    aggregation are the only edge-sized moves (pass prepared=True with
-    a prepare_host_edges table to scan edges in place); everything
+    aggregation are the only edge-sized moves (pass prepared=True ONLY
+    for edges already deduped, self-loop-free and with non-empty
+    endpoints — the _clean_edges contract); everything
     else is host-keyed joins over O(hosts) rows plus two one-row
     scalar aggregates broadcast back. No floats, no fold-order drift:
     sum(cash) is conserved exactly (asserted in tests, and the law the
     oracle hash-match rests on)."""
     e = edges if prepared else _clean_edges(edges, src_col, dst_col)
+
+    # auto-grow: any host this sweep touches (edge endpoint or crawled
+    # entry) that the state has never seen joins at zero cash BEFORE
+    # the sweep — otherwise in_cash destined for an unknown dst would
+    # silently vanish in the left join below, breaking the exact
+    # conservation law this module is built on. O(touched) anti-join;
+    # a no-op (empty union branch) when the caller grew the state.
+    touched = e.select(F.col("src").alias("host")).unionByName(
+        e.select(F.col("dst").alias("host"))
+    )
+    if crawled is not None:
+        touched = touched.unionByName(
+            crawled.select(F.col(crawled.columns[0]).alias("host"))
+        )
+    state = opic_grow(state, touched)
 
     outdeg = e.groupBy(F.col("src").alias("host")).agg(
         F.count(F.lit(1)).alias("od")
@@ -241,7 +275,7 @@ def opic_py(
     unit: int = 10**12,
     crawled_per_sweep: list[set[str] | None] | None = None,
     edges_per_sweep: list[list[tuple[str, str]]] | None = None,
-    grow: bool = False,
+    grow: bool = True,
 ) -> dict[str, tuple[int, int]]:
     """Single-threaded exact-integer reference (test oracle). Returns
     {host: (cash, history)} plus the virtual root under ROOT.
@@ -249,21 +283,24 @@ def opic_py(
     `edges` fixes one edge set for every sweep (batch mode);
     `edges_per_sweep` gives sweep i its own observed edges (the online
     crawl-round shape, sweeps = len(edges_per_sweep)). A None entry in
-    `crawled_per_sweep` means "all current hosts". With grow=True,
-    hosts first appearing in sweep i's edges or crawled set join the
-    state with zero cash before that sweep — mirroring opic_grow."""
+    `crawled_per_sweep` means "all current hosts". With grow=True
+    (default — matching opic_sweep's auto-grow), hosts first appearing
+    in sweep i's edges or crawled set join the state with zero cash
+    before that sweep. Edges with empty/identical endpoints drop,
+    like _clean_edges."""
     if edges_per_sweep is not None:
         sweeps = len(edges_per_sweep)
-    hs = sorted(set(hosts) - {ROOT})
+    hs = sorted(set(hosts) - {ROOT, ""})
     cash = {h: unit for h in hs}
     hist = {h: 0 for h in hs}
     root = 0
     for i in range(sweeps):
         ei = edges if edges_per_sweep is None else edges_per_sweep[i]
-        e = sorted({(s, d) for s, d in (ei or []) if s != d})
+        e = sorted({(s, d) for s, d in (ei or []) if s and d and s != d})
         ci = None if crawled_per_sweep is None else crawled_per_sweep[i]
         if grow:
             fresh = {s for s, _ in e} | {d for _, d in e} | set(ci or ())
+            fresh -= {ROOT, ""}
             for h in sorted(fresh - set(cash)):
                 cash[h] = 0
                 hist[h] = 0

@@ -149,10 +149,12 @@ def fetch_join(corpus: DataFrame, sched_keys: DataFrame, mode: str = "broadcast"
     )
 
 
-def _min_budgets(a: DataFrame | None, b: DataFrame) -> DataFrame:
+def min_budgets(a: DataFrame | None, b: DataFrame) -> DataFrame:
     """Per-host min across two (host, politeness_budget) tables — the
-    same cautious-source-wins law jobs/crawl_job.py merges demotion
-    sources with. Host-cardinality groupBy; broadcast-size output."""
+    cautious source (demotion, backoff) always wins. The ONE merge law
+    for budget sources: jobs/crawl_job.py folds its demotion tables
+    with it and the per-round OPIC refresh reuses it. Host-cardinality
+    groupBy; broadcast-size output."""
     if a is None:
         return b.select("host", "politeness_budget")
     return (
@@ -346,16 +348,11 @@ class CrawlScheduler:
         if opic_state is not None:
             from .opic import opic_budgets
 
-            if self._budget_static is not None:
-                bdir = os.path.join(self.state_dir, "budget_static")
-                self._budget_static.select(
-                    "host", "politeness_budget"
-                ).write.mode("overwrite").parquet(bdir)
-                self._budget_static = spark.read.parquet(bdir)
+            self._snapshot_budget_static()
             odir = os.path.join(self.state_dir, "opic_init")
             opic_state.write.mode("overwrite").parquet(odir)
             self._opic_state = spark.read.parquet(odir)
-            self.host_budget = _min_budgets(
+            self.host_budget = min_budgets(
                 self._budget_static,
                 opic_budgets(self._opic_state, config.opic_lo, config.opic_hi),
             )
@@ -368,6 +365,22 @@ class CrawlScheduler:
         self.frontier: DataFrame | None = None
         self.seen: DataFrame | None = None
         self.blooms: DataFrame | None = None
+
+    def _snapshot_budget_static(self) -> None:
+        """Pin the static budget table to parquet under state_dir so
+        every per-round OPIC budget refresh replays a scan instead of
+        the table's build lineage (the pagerank + demotion merge chain
+        can be arbitrarily deep). Overwrites any earlier snapshot: the
+        constructor's table is authoritative — a resume may carry
+        refreshed demotion sources. One write per construction/resume,
+        never per round."""
+        if self._budget_static is None:
+            return
+        bdir = os.path.join(self.state_dir, "budget_static")
+        self._budget_static.select(
+            "host", "politeness_budget"
+        ).write.mode("overwrite").parquet(bdir)
+        self._budget_static = self.spark.read.parquet(bdir)
 
     def _rebuild_host_dim(self) -> None:
         """(Re)build the one host-DIMENSION table: robots rules,
@@ -531,8 +544,9 @@ class CrawlScheduler:
             if os.path.exists(odir):
                 from .opic import opic_budgets
 
+                self._snapshot_budget_static()
                 self._opic_state = self.spark.read.parquet(odir)
-                self.host_budget = _min_budgets(
+                self.host_budget = min_budgets(
                     self._budget_static,
                     opic_budgets(
                         self._opic_state,
@@ -859,8 +873,13 @@ class CrawlScheduler:
             # resume() reloads it); budgets for the NEXT round become
             # min(static sources, live rank→budget). One extra write
             # job + host-cardinality joins per round, only when enabled.
-            from .opic import opic_budgets, opic_grow, opic_sweep
+            from .opic import opic_budgets, opic_sweep
 
+            # the prepared=True contract: deduped, self-loop-free,
+            # non-empty endpoints ('' is url_host's result for
+            # relative/malformed outlinks — those links don't exist in
+            # the host graph). Hosts first seen this round auto-grow
+            # into the state inside opic_sweep.
             round_edges = (
                 extracted.select(
                     F.col("host").alias("src"),
@@ -870,22 +889,19 @@ class CrawlScheduler:
                     "src",
                     url_host(canonicalize_url(F.col("_o"))).alias("dst"),
                 )
-                .filter(F.col("src") != F.col("dst"))
+                .filter(
+                    (F.col("src") != "") & (F.col("dst") != "")
+                    & (F.col("src") != F.col("dst"))
+                )
                 .distinct()
             )
-            touched = (
-                extracted.select("host")
-                .unionByName(round_edges.select(F.col("src").alias("host")))
-                .unionByName(round_edges.select(F.col("dst").alias("host")))
-            )
-            st = opic_grow(self._opic_state, touched)
             st = opic_sweep(
-                st, round_edges, crawled=extracted.select("host"),
-                prepared=True,
+                self._opic_state, round_edges,
+                crawled=extracted.select("host"), prepared=True,
             )
             st.write.mode("overwrite").parquet(f"{base}/opic")
             self._opic_state = self.spark.read.parquet(f"{base}/opic")
-            self.host_budget = _min_budgets(
+            self.host_budget = min_budgets(
                 self._budget_static,
                 opic_budgets(self._opic_state, cfg.opic_lo, cfg.opic_hi),
             )

@@ -76,16 +76,21 @@ def soft404_flags(
     content group; the handful of groups over the threshold join back
     broadcast-sized under AQE. Page text itself never enters an
     exchange."""
-    head = F.substring(F.col(text_col), 1, head_chars)
+    # null text reads as empty: otherwise every flag is null and
+    # filter(~soft404) silently drops the page while host_stats'
+    # sum(soft404) skips it against a count(*) that includes it —
+    # diluting a host's rate with pages that were never even judged
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    head = F.substring(txt, 1, head_chars)
     err = F.regexp_extract(head, _ERR_RX, 0) != ""
-    ntok = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    ntok = F.size(F.split(F.trim(txt), r"\s+"))
     tiny = ntok <= F.lit(int(max_tokens))
 
     base = (
         df.withColumn("err_phrase", err)
         .withColumn("tiny_body", tiny)
         .withColumn("_host", url_host(F.col(url_col)))
-        .withColumn("_sig", F.md5(F.col(text_col)))
+        .withColumn("_sig", F.md5(txt))
     )
     templates = (
         base.filter(F.col("tiny_body"))

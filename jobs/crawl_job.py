@@ -198,17 +198,9 @@ def main() -> None:
         budgets = rank_to_budget(
             host_pagerank(edges), lo=float(lo), hi=float(hi or lo)
         )
-    def merge_budgets(a, b):
-        """Per-host min across two budget tables: the more cautious
-        source (demotion, backoff) always wins."""
-        if a is None:
-            return b.select("host", "politeness_budget")
-        return (
-            a.select("host", "politeness_budget")
-            .unionByName(b.select("host", "politeness_budget"))
-            .groupBy("host")
-            .agg(F.min("politeness_budget").alias("politeness_budget"))
-        )
+    # per-host min across budget tables: the more cautious source
+    # (demotion, backoff) always wins — the scheduler's own merge law
+    from go_htmldate_spark.plans.scheduler import min_budgets as merge_budgets
 
     if args.demote_mirrors:
         from go_htmldate_spark.plans.canonical import url_host
@@ -253,11 +245,15 @@ def main() -> None:
     opic_state = None
     opic_range = (1.0, 8.0)
     if args.opic_budgets:
+        lo, _, hi = args.opic_budgets.partition(",")
+        opic_range = (float(lo), float(hi or lo))
+    if args.opic_budgets and not args.resume:
+        # cold start only on a fresh crawl: resume() reloads the round
+        # snapshot's swept state (or opic_init), so running the 3-sweep
+        # batch here would be discarded work on every resume
         from go_htmldate_spark.plans.canonical import url_host
         from go_htmldate_spark.plans.opic import opic_run
 
-        lo, _, hi = args.opic_budgets.partition(",")
-        opic_range = (float(lo), float(hi or lo))
         o_edges = pages.select(
             url_host(F.col("url")).alias("src"),
             F.explode("outlinks").alias("out_url"),

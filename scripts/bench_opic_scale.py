@@ -1,0 +1,178 @@
+"""Two-parallelism scaling point for OPIC on-line page importance
+(the north-rule two-cluster-size proxy applied to the incremental
+link-analysis side): run 3 batch sweeps + 1 online sweep (a crawled
+~1/3 host subset, the per-crawl-round shape) over the same
+materialized host graph at local[N] and local[4N] and report
+throughput at both plus scaling efficiency
+(eff = T_N / (4 * T_4N); 1.0 = perfect).
+
+Per sweep the only edge-sized moves are the src-keyed edges⋈flush join
+and the dst-keyed in-cash aggregation; everything else is host-keyed
+plus two one-row broadcast scalars — the same shape a 1000-executor
+per-round budget refresh would stress. The exact-integer cash law
+(truncating splits, virtual-root remainder pool) means the two
+parallelism levels must agree BIT-FOR-BIT (asserted via an order-free
+checksum), and total cash must equal n_hosts·unit exactly at the end.
+
+Edge synthesis is deterministic (xxhash64 streams) with a hub-skewed
+in-degree like bench_hostgraph_scale; the crawled subset is a
+deterministic hash bucket of the hosts.
+
+Usage: python scripts/bench_opic_scale.py [low_cores] [high_cores]
+Env:   OPIC_EDGES (default 8000000), OPIC_HOSTS (default 1000000)
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_EDGES = int(os.environ.get("OPIC_EDGES", "8000000"))
+N_HOSTS = int(os.environ.get("OPIC_HOSTS", "1000000"))
+UNIT = 10**9
+
+
+def materialize(spark, path: str) -> None:
+    """Build + persist the cleaned host graph and host list ONCE
+    (untimed): a real crawl holds both as tables already; timing
+    covers the sweeps, not row synthesis or the one-time dedup."""
+    import pyspark.sql.functions as F
+
+    n_hubs = max(N_HOSTS // 1000, 1)
+    e = spark.range(N_EDGES).select(
+        F.concat(
+            F.lit("h"), F.pmod(F.xxhash64("id", F.lit(1)), F.lit(N_HOSTS))
+        ).alias("src"),
+        F.concat(
+            F.lit("h"),
+            F.when(
+                F.pmod(F.xxhash64("id", F.lit(2)), F.lit(5)) == 0,
+                F.pmod(F.xxhash64("id", F.lit(3)), F.lit(n_hubs)),
+            ).otherwise(F.pmod(F.xxhash64("id", F.lit(3)), F.lit(N_HOSTS))),
+        ).alias("dst"),
+    ).filter(F.col("src") != F.col("dst")).distinct()
+    e.write.mode("overwrite").parquet(f"{path}/edges")
+    hosts = (
+        spark.range(N_HOSTS)
+        .select(F.concat(F.lit("h"), F.col("id")).alias("host"))
+    )
+    hosts.write.mode("overwrite").parquet(f"{path}/hosts")
+    # deterministic ~1/3 crawled subset for the online sweep
+    hosts.filter(F.pmod(F.xxhash64("host"), F.lit(3)) == 0).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/crawled")
+
+
+def run_job(spark, path: str) -> tuple[int, int, int]:
+    """3 batch sweeps + 1 online (crawled-subset) sweep; returns
+    (n_hosts, total_cash, order-free exact checksum)."""
+    import pyspark.sql.functions as F
+
+    from go_htmldate_spark.plans.opic import opic_init, opic_sweep
+
+    e = spark.read.parquet(f"{path}/edges")
+    hosts = spark.read.parquet(f"{path}/hosts")
+    crawled = spark.read.parquet(f"{path}/crawled")
+
+    state = opic_init(hosts, unit=UNIT).localCheckpoint(eager=True)
+    for _ in range(3):
+        state = opic_sweep(state, e, prepared=True).localCheckpoint(
+            eager=True
+        )
+    state = opic_sweep(state, e, crawled=crawled, prepared=True)
+    row = state.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cash").alias("cash"),
+        F.sum(
+            F.xxhash64("host", "cash", "history").cast("decimal(38,0)")
+        ).alias("chk"),
+    ).head()
+    return int(row["n"]), int(row["cash"]), int(row["chk"])
+
+
+def _cpu_times() -> tuple[int, int]:
+    """(steal_jiffies, total_jiffies) from /proc/stat."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(x) for x in parts[1:9]]
+    return vals[7], sum(vals)
+
+
+def visit(cores: int) -> tuple[float, tuple[int, int, int], float]:
+    """One visit to a parallelism level: fresh session, prep (untimed),
+    warm run, one timed run. Visits to the two levels are interleaved
+    by main() — this VM has multi-minute hypervisor phases where
+    identical runs vary ±50%, so back-to-back A/A/B/B timing conflates
+    phase with parallelism; A/B/A/B + best-per-level does not."""
+    import shutil
+    import tempfile
+
+    from go_htmldate_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"opic-scale-{cores}", master=f"local[{cores}]",
+        shuffle_partitions=max(cores * 2, 8),
+    )
+    path = tempfile.mkdtemp(prefix="opic_scale_")
+    try:
+        materialize(spark, path)
+        run_job(spark, path)  # warm: codegen + shuffle services
+        s0, tot0 = _cpu_times()
+        t0 = time.time()
+        res = run_job(spark, path)
+        el = time.time() - t0
+        s1, tot1 = _cpu_times()
+        steal = 100.0 * (s1 - s0) / max(tot1 - tot0, 1)
+        return el, res, steal
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+        spark.stop()
+
+
+def main() -> None:
+    low = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    high = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    reps = int(os.environ.get("OPIC_REPS", "2"))
+
+    results: dict[int, list[tuple[float, float]]] = {low: [], high: []}
+    checks = set()
+    for _ in range(reps):
+        for cores in (low, high):
+            el, res, steal = visit(cores)
+            results[cores].append((el, steal))
+            checks.add(res)
+    assert len(checks) == 1, (
+        f"exact-integer OPIC diverged across parallelism: {checks}"
+    )
+    n_rows, cash, _ = next(iter(checks))
+    n = n_rows - 1  # state carries one virtual-root row
+    assert cash == n * UNIT, f"cash not conserved: {cash} != {n}*{UNIT}"
+    t_low, steal_low = min(results[low])
+    t_high, steal_high = min(results[high])
+    factor = high / low
+    print(json.dumps({
+        "metric": "opic_sweeps_scaling",
+        "n_edges": N_EDGES,
+        "n_hosts": n,
+        "sweeps": 4,
+        "cores_low": low,
+        "cores_high": high,
+        "wall_low_s": round(t_low, 2),
+        "wall_high_s": round(t_high, 2),
+        "edge_sweeps_per_s_low": round(4 * N_EDGES / t_low),
+        "edge_sweeps_per_s_high": round(4 * N_EDGES / t_high),
+        "scaling_efficiency": round(t_low / (factor * t_high), 3),
+        "steal_pct_low": round(steal_low, 1),
+        "steal_pct_high": round(steal_high, 1),
+        "bit_identical_across_parallelism": True,
+        "cash_conserved": True,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1863,11 +1863,22 @@ def test_anchor_text_agg_semantics(spark):
         ("https://s2.example/p2",
          '<a href="https://t.example/a">other words</a>'
          '<a href="https://t.example/b">read me</a>'),
+        # quote-awareness: an apostrophe inside a double-quoted href
+        # stays in the URL; an `href=` inside ANOTHER attribute's
+        # value can't hijack the target; a '>' inside a quoted title
+        # can't end the tag early
+        ("https://s3.example/p3",
+         "<a href=\"https://t.example/o'brien/x\">bio</a>"
+         '<a data-note="see href= \'https://evil.example/x\'"'
+         ' href="https://real.example/y">real thing</a>'
+         '<a href="https://t.example/c" title="a>b">angle</a>'),
     ]
     df = spark.createDataFrame(rows, ["url", "html"])
     out = {r["target_url"]: r for r in anchor_text_agg(df).collect()}
     assert set(out) == {
-        "https://t.example/a", "https://t.example/b", "https://hub.example/t"
+        "https://t.example/a", "https://t.example/b", "https://hub.example/t",
+        "https://t.example/o'brien/x", "https://real.example/y",
+        "https://t.example/c",
     }
     a = out["https://t.example/a"]
     assert a["n_links"] == 3 and a["n_src_hosts"] == 2
@@ -1875,6 +1886,9 @@ def test_anchor_text_agg_semantics(spark):
     hub = out["https://hub.example/t"]
     assert hub["n_links"] == 1 and hub["n_unique_anchors"] == 0
     assert hub["top_anchor"] is None
+    assert out["https://t.example/o'brien/x"]["top_anchor"] == "bio"
+    assert out["https://real.example/y"]["top_anchor"] == "real thing"
+    assert out["https://t.example/c"]["top_anchor"] == "angle"
 
 
 def test_soft404_flags_semantics(spark):
@@ -1903,10 +1917,15 @@ def test_soft404_flags_semantics(spark):
         + [(f"https://h4.example/s/{i}", f"stub {i}") for i in range(3)]
         # long article about 404s -> clean
         + [("https://h5.example/article", long404)]
+        # null text -> judged as empty (not flagged, still counted),
+        # never silently dropped by soft404_filter's ~soft404
+        + [("https://h5.example/null", None)]
     )
-    df = spark.createDataFrame(rows, ["url", "text"])
+    df = spark.createDataFrame(rows, "url string, text string")
     out = {r["url"]: r for r in soft404_flags(df, min_template_urls=5).collect()}
     assert len(out) == len(rows)
+    r = out["https://h5.example/null"]
+    assert not r["err_phrase"] and r["tiny_body"] and not r["soft404"]
 
     r = out["https://h1.example/dead/0"]
     assert r["err_phrase"] and r["tiny_body"]
@@ -2044,14 +2063,28 @@ def test_opic_grow_zero_cash_and_budget_bridge(spark):
     assert rows == {"a": (100, 0), "b": (100, 0), "c": (0, 0), ROOT: (0, 0)}
     assert sum(c for c, _ in rows.values()) == 200
 
-    edges = spark.createDataFrame([("a", "c")], "src string, dst string")
+    # auto-grow inside the sweep: dst 'd' was never grown, yet its
+    # incoming cash must not vanish — conservation holds; edges with
+    # '' endpoints (url_host's no-host result) drop entirely, so 'a'
+    # splits over {c, d} only and no phantom '' host enters the state
+    edges = spark.createDataFrame(
+        [("a", "c"), ("a", "d"), ("a", ""), ("", "b")],
+        "src string, dst string",
+    )
     swept = opic_sweep(grown, edges)
+    rows2 = {r["host"]: (r["cash"], r["history"]) for r in swept.collect()}
+    assert set(rows2) == {"a", "b", "c", "d", ROOT}
+    assert sum(c for c, _ in rows2.values()) == 200
+    # a (cash 100, od 2): give 50 to each of c,d; b dangling -> root;
+    # root intake 100, n=4, share 25
+    assert rows2["c"] == (75, 0) and rows2["d"] == (75, 0)
+    assert rows2["a"] == (25, 100) and rows2["b"] == (25, 100)
     b = {r["host"]: r["politeness_budget"]
          for r in opic_budgets(swept, lo=1.0, hi=4.0).collect()}
-    assert set(b) == {"a", "b", "c"}
+    assert set(b) == {"a", "b", "c", "d"}
     assert all(0.999 <= v <= 4.001 for v in b.values())
-    # a spent everything into c: c holds the most mass -> the ceiling
-    assert b["c"] == max(b.values())
+    # cash+history: a,b hold 125 each, c,d 75 -> a,b at the ceiling
+    assert b["a"] == max(b.values()) and b["c"] == min(b.values())
 
 
 def test_scheduler_opic_online_updates(spark, corpus, tmp_path_factory):

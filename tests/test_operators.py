@@ -1255,8 +1255,11 @@ def test_dup_span_stats_and_removal(spark):
             (3, "p p p p w"),
             # shorter than n: zero windows, nothing covered
             (4, "u v"),
+            # null text: zero token rows after posexplode — the doc
+            # must still come back (line_dedup row-stability contract)
+            (5, None),
         ],
-        ["doc_id", "text"],
+        "doc_id int, text string",
     )
     stats = {r["doc_id"]: r for r in dup_span_stats(docs, n=3).collect()}
     assert stats[1]["n_tok"] == 6 and stats[1]["n_windows"] == 4
@@ -1267,12 +1270,15 @@ def test_dup_span_stats_and_removal(spark):
     assert stats[3]["n_dup_windows"] == 2
     assert stats[3]["dup_token_frac"] == round(4 / 5, 6)
     assert stats[4]["n_windows"] == 0 and stats[4]["dup_token_frac"] == 0.0
+    assert len(stats) == 5
+    assert stats[5]["n_tok"] == 0 and stats[5]["dup_token_frac"] == 0.0
 
     out = {r["doc_id"]: r for r in remove_dup_spans(docs, n=3).collect()}
     assert out[1]["clean_text"] == "x y z" and out[1]["n_removed"] == 3
     assert out[2]["clean_text"] == "q r" and out[2]["n_removed"] == 3
     assert out[3]["clean_text"] == "w" and out[3]["n_removed"] == 4
     assert out[4]["clean_text"] == "u v" and out[4]["n_removed"] == 0
+    assert out[5]["clean_text"] == "" and out[5]["n_tok"] == 0
 
     # hashed=True (the 100 TB path: 8-byte keys shuffle, not gram
     # strings) is value-identical to the oracle-exact string keys

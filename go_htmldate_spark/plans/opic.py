@@ -131,6 +131,8 @@ def opic_sweep(
     src_col: str = "src",
     dst_col: str = "dst",
     prepared: bool = False,
+    grow: bool = True,
+    outdeg: DataFrame | None = None,
 ) -> DataFrame:
     """One OPIC update over the state table.
 
@@ -157,20 +159,27 @@ def opic_sweep(
     # entry) that the state has never seen joins at zero cash BEFORE
     # the sweep — otherwise in_cash destined for an unknown dst would
     # silently vanish in the left join below, breaking the exact
-    # conservation law this module is built on. O(touched) anti-join;
-    # a no-op (empty union branch) when the caller grew the state.
-    touched = e.select(F.col("src").alias("host")).unionByName(
-        e.select(F.col("dst").alias("host"))
-    )
-    if crawled is not None:
-        touched = touched.unionByName(
-            crawled.select(F.col(crawled.columns[0]).alias("host"))
+    # conservation law this module is built on. Costs an edge-endpoint
+    # distinct + anti-join: pass grow=False ONLY when the state
+    # provably covers every endpoint (the batch opic_run, whose init
+    # ran over all endpoints) — the online per-round default keeps it.
+    if grow:
+        touched = e.select(F.col("src").alias("host")).unionByName(
+            e.select(F.col("dst").alias("host"))
         )
-    state = opic_grow(state, touched)
+        if crawled is not None:
+            touched = touched.unionByName(
+                crawled.select(F.col(crawled.columns[0]).alias("host"))
+            )
+        state = opic_grow(state, touched)
 
-    outdeg = e.groupBy(F.col("src").alias("host")).agg(
-        F.count(F.lit(1)).alias("od")
-    )
+    # (host, od) out-degrees: static for a fixed edge set — batch
+    # sweeps (opic_run) compute it ONCE and pass it in, saving an
+    # edge-sized aggregation per sweep
+    if outdeg is None:
+        outdeg = e.groupBy(F.col("src").alias("host")).agg(
+            F.count(F.lit(1)).alias("od")
+        )
     non_root = state.filter(F.col("host") != ROOT)
     # aggregate (not a row filter) so this is always exactly one row —
     # a state missing its root row reads as zero root cash instead of
@@ -262,9 +271,24 @@ def opic_run(
         return df.localCheckpoint(eager=True)
 
     e = ckpt(_clean_edges(edges, src_col, dst_col))
-    state = ckpt(opic_init(hosts, host_col=host_col, unit=unit))
+    # grow ONCE up-front (endpoints outside `hosts` join at zero cash,
+    # same as the per-sweep auto-grow would do — the edge set is fixed,
+    # so later sweeps touch no new hosts) and compute out-degrees ONCE:
+    # each sweep then skips both edge-sized preambles (grow=False,
+    # outdeg=od), leaving the src join + dst agg as its only edge moves
+    endpoints = e.select(F.col("src").alias("host")).unionByName(
+        e.select(F.col("dst").alias("host"))
+    )
+    state = ckpt(opic_grow(
+        opic_init(hosts, host_col=host_col, unit=unit), endpoints
+    ))
+    od = ckpt(e.groupBy(F.col("src").alias("host")).agg(
+        F.count(F.lit(1)).alias("od")
+    ))
     for _ in range(sweeps):
-        state = ckpt(opic_sweep(state, e, crawled=None, prepared=True))
+        state = ckpt(opic_sweep(
+            state, e, crawled=None, prepared=True, grow=False, outdeg=od,
+        ))
     return state
 
 

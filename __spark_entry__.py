@@ -1818,6 +1818,80 @@ def _sql_opic_cte(sweeps: int = 3, unit: int = 10**12) -> str:
     )
 
 
+def q_host_hits(spark, sf_dir):
+    """Pipeline: HITS hubs/authorities (plans/hostgraph.host_hits —
+    Kleinberg JACM'99) in exact-integer fixed-point: each half-sweep
+    L1-renormalizes to n·scale by truncating division instead of the
+    classic fold-order-dependent L2 norm, so the distributed result is
+    bit-identical to the single-threaded reference and the oracle (2
+    unrolled sweeps in HUGEINT CTEs) hash-matches. Hubs rank hosts for
+    outlink-DISCOVERY budget (complementing PageRank/OPIC's fetch
+    priority); host link edges synthesized from orders."""
+    from go_htmldate_spark.plans.hostgraph import host_hits
+
+    o = _t(spark, sf_dir, "orders")
+    edges = o.select(
+        F.concat(F.lit("k"), (F.col("o_custkey") % 37).cast("string")).alias("src"),
+        F.concat(F.lit("k"), (F.col("o_orderkey") % 37).cast("string")).alias("dst"),
+    )
+    return host_hits(edges, iters=2)
+
+
+def _sql_hits_cte(iters: int = 2, scale: int = 10**12) -> str:
+    """DuckDB oracle for q_host_hits: the identical integer law
+    unrolled as chained CTEs — per half-sweep a neighbor-sum (ar/hr),
+    a nodes-framed COALESCE (af/hf), a one-row global sum (sa/sh) and
+    the L1 renormalization (raw·n·scale)//S, all in HUGEINT (// is
+    floor division, equal to truncating division on non-negatives)."""
+    parts = [f"""
+        e AS (
+          SELECT DISTINCT 'k' || (o_custkey % 37) AS src,
+                          'k' || (o_orderkey % 37) AS dst
+          FROM orders WHERE (o_custkey % 37) <> (o_orderkey % 37)
+        ),
+        nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+        nn AS (SELECT CAST(COUNT(*) AS HUGEINT) * {scale} AS t FROM nodes),
+        h0 AS (SELECT host, CAST({scale} AS HUGEINT) AS hub FROM nodes)"""]
+    for i in range(1, iters + 1):
+        parts.append(f"""
+        ar{i} AS (
+          SELECT e.dst AS host, SUM(h.hub) AS raw
+          FROM e JOIN h{i-1} h ON h.host = e.src GROUP BY e.dst
+        ),
+        af{i} AS (
+          SELECT n.host, COALESCE(a.raw, 0) AS raw
+          FROM nodes n LEFT JOIN ar{i} a USING (host)
+        ),
+        sa{i} AS (SELECT SUM(raw) AS s FROM af{i}),
+        a{i} AS (
+          SELECT f.host,
+                 CASE WHEN sa.s > 0 THEN (f.raw * nn.t) // sa.s
+                      ELSE 0 END AS auth
+          FROM af{i} f CROSS JOIN sa{i} sa CROSS JOIN nn
+        ),
+        hr{i} AS (
+          SELECT e.src AS host, SUM(a.auth) AS raw
+          FROM e JOIN a{i} a ON a.host = e.dst GROUP BY e.src
+        ),
+        hf{i} AS (
+          SELECT n.host, COALESCE(h.raw, 0) AS raw
+          FROM nodes n LEFT JOIN hr{i} h USING (host)
+        ),
+        sh{i} AS (SELECT SUM(raw) AS s FROM hf{i}),
+        h{i} AS (
+          SELECT f.host,
+                 CASE WHEN sh.s > 0 THEN (f.raw * nn.t) // sh.s
+                      ELSE 0 END AS hub
+          FROM hf{i} f CROSS JOIN sh{i} sh CROSS JOIN nn
+        )""")
+    return (
+        "WITH " + ",".join(parts) + f"""
+        SELECT a.host, CAST(a.auth AS BIGINT) AS auth,
+               CAST(h.hub AS BIGINT) AS hub
+        FROM a{iters} a JOIN h{iters} h USING (host)"""
+    )
+
+
 def _sql_pagerank_cte(iters: int, scale: int = 10**12,
                       num: int = 85, den: int = 100) -> str:
     """DuckDB oracle for q_host_pagerank: the same exact integer
@@ -1929,6 +2003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "host_pagerank": q_host_pagerank,
         "host_opic": q_host_opic,
+        "host_hits": q_host_hits,
         "anchor_text": q_anchor_text,
         "soft404": q_soft404,
         "soft404_demotion": q_soft404_demotion,
@@ -3095,6 +3170,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "host_pagerank": _sql_pagerank_cte(4),
         "host_opic": _sql_opic_cte(3),
+        "host_hits": _sql_hits_cte(2),
         # anchor-text aggregation: the oracle rebuilds the planted link
         # tuples closed-form from orders (Spark parses them back out of
         # the synthesized HTML with the native regex) and aggregates

@@ -65,10 +65,13 @@ def prepare_host_edges(
     src_col: str = "src",
     dst_col: str = "dst",
     path: str | None = None,
+    key_col: str = "src",
 ) -> DataFrame:
     """Persist the cleaned (self-loops dropped, parallel edges
     collapsed) host graph ONCE as a parquet table bucketed AND sorted
-    on src — the rank-sweep substrate. A bucketed scan reports
+    on `key_col` (src for the PageRank/OPIC sweeps; pass "dst" for a
+    second layout feeding host_hits' hub half-sweep) — the rank-sweep
+    substrate. A bucketed scan reports
     HashPartitioning(src)/sorted natively, so every sweep's edges⋈state
     sort-merge join scans the big side in place: no per-sweep edge
     exchange, no per-sweep edge sort. (Checkpointed DataFrames lose
@@ -94,8 +97,8 @@ def prepare_host_edges(
     # file per bucket, which is what lets the scan report the per-bucket
     # sort order (multi-file buckets force a re-sort at read time)
     writer = (
-        e.repartition(n_buckets, "src")
-        .write.bucketBy(n_buckets, "src").sortBy("src")
+        e.repartition(n_buckets, key_col)
+        .write.bucketBy(n_buckets, key_col).sortBy(key_col)
         .mode("overwrite").format("parquet")
     )
     if path:
@@ -367,3 +370,147 @@ def anchor_text_agg(
         .select("target_url", F.col("anchor").alias("top_anchor"))
     )
     return stats.join(top, "target_url", "left")
+
+# ---------------------------------------------------------------------------
+# HITS hubs/authorities (Kleinberg JACM'99) — the discovery-side rank
+# ---------------------------------------------------------------------------
+
+
+def host_hits(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 3,
+    scale: int = 10**12,
+    prepared: bool = False,
+    edges_by_dst: DataFrame | None = None,
+) -> DataFrame:
+    """(src_host, dst_host) edges → (host, auth, hub): Kleinberg's HITS
+    (JACM'99) in the same exact-integer fixed-point discipline as
+    host_pagerank — auth(p) = Σ hub over in-neighbors, hub(p) = Σ auth
+    over out-neighbors, each re-normalized per half-sweep. Where
+    PageRank/OPIC rank hosts for FETCH priority, hubs rank hosts for
+    DISCOVERY: a high-hub host is a link farm of *good* targets whose
+    recrawl yields fresh frontier URLs, the signal a crawl scheduler
+    wants when allocating outlink-harvest budget (feed hub through
+    rank_to_budget), while authorities feed document-quality priors.
+
+    Exactness: classic HITS L2-normalizes in floating point, which is
+    fold-order-dependent; here each half-sweep L1-normalizes to total
+    mass T = n·scale by v' = (v_raw · T) div S with S = Σ v_raw —
+    integer sums are exact under any combine order and truncating
+    division is deterministic, so the distributed result is
+    bit-identical to a single-threaded evaluation (host_hits_py) and a
+    HUGEINT SQL oracle. Truncation bleeds ≤1/scale of relative mass per
+    half-sweep — rank-irrelevant at scale=10**12. Per-node values stay
+    ≤ T; per-node sums run in codegen'd longs under the required bound
+    n·scale ≤ 2^62 (ValueError beyond: lower `scale` — at 10**9 the
+    bound spans 4.6e9 hosts, the whole-web host count), and only the
+    one-row global sum S and the normalization product v_raw·T (≤ T² <
+    10^38) touch DECIMAL(38,0).
+
+    Scale shape: the auth half-sweep joins edges⋈state ON src and pays
+    one dst-keyed agg exchange; the hub half-sweep joins ON dst and
+    pays one src-keyed agg exchange. Pass the graph twice —
+    prepare_host_edges(key_col="src") and (key_col="dst"), i.e.
+    `prepared=True, edges_by_dst=…` — and each join scans its edge side
+    in place, leaving the two aggs as the only edge-sized exchanges per
+    sweep (host_pagerank's shape, once per half-sweep). The global S
+    and n are one-row broadcasts. Self-loops dropped, parallel edges
+    collapsed; no-in-link hosts have auth 0, no-out-link hosts hub 0.
+
+    Reference: no analog (go-htmldate has no link-graph layer); public
+    literature: Kleinberg JACM'99 §2.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    sc = edges.sparkSession.sparkContext
+
+    def ckpt(df: DataFrame) -> DataFrame:
+        if sc.getCheckpointDir() is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    if not prepared:
+        e = ckpt(e.filter(F.col("src") != F.col("dst")).distinct())
+    ed = e if edges_by_dst is None else edges_by_dst.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    nodes = ckpt(
+        e.select(F.col("src").alias("host"))
+        .unionByName(e.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    n_nodes = nodes.count()  # nodes is checkpointed: count is a cache scan
+    if n_nodes * scale > (1 << 62):
+        raise ValueError(
+            "n_hosts*scale exceeds 2^62 — lower `scale` to keep the "
+            "half-sweep sums in exact codegen'd longs"
+        )
+    total = n_nodes * scale  # T: the conserved L1 mass target
+
+    def _normalize(raw_col):
+        # (raw · T) div S in DECIMAL(38,0): raw ≤ T ≤ 2^62 so the
+        # product is < 10^38 (exact), and _idiv truncates exactly; a
+        # mass-less half-sweep (no edges) keeps everyone at zero
+        prod = raw_col.cast(_DEC) * F.lit(int(total)).cast(_DEC)
+        return F.when(
+            F.col("_s") > 0, _idiv(prod, F.col("_s")).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+
+    def _half_sweep(state_vals, join_key, agg_key, out_name):
+        # state_vals: (host, _v) current mass; join edges on join_key,
+        # sum the neighbor mass per agg_key, L1-renormalize to T
+        raw = (
+            (e if join_key == "src" else ed)
+            .join(state_vals, F.col(join_key) == F.col("host"))
+            .groupBy(F.col(agg_key).alias("_h"))
+            .agg(F.sum("_v").alias("_raw"))
+        )
+        framed = (
+            nodes.join(raw, nodes["host"] == raw["_h"], "left")
+            .select("host", F.coalesce(F.col("_raw"), F.lit(0)).alias("_raw"))
+        )
+        s = framed.agg(F.sum(F.col("_raw").cast(_DEC)).alias("_s"))
+        return framed.crossJoin(F.broadcast(s)).select(
+            "host", _normalize(F.col("_raw")).alias(out_name)
+        )
+
+    hub = ckpt(nodes.select(
+        "host", F.lit(int(scale)).cast("long").alias("hub")
+    ))
+    auth = None
+    for _ in range(iters):
+        auth = ckpt(_half_sweep(
+            hub.select("host", F.col("hub").alias("_v")), "src", "dst", "auth"
+        ))
+        hub = ckpt(_half_sweep(
+            auth.select("host", F.col("auth").alias("_v")), "dst", "src", "hub"
+        ))
+    return auth.join(hub, "host").select("host", "auth", "hub")
+
+
+def host_hits_py(
+    edges: list[tuple[str, str]],
+    iters: int = 3,
+    scale: int = 10**12,
+) -> dict[str, tuple[int, int]]:
+    """Single-threaded exact-integer reference (test oracle)."""
+    e = sorted({(s, d) for s, d in edges if s != d})
+    nodes = sorted({s for s, _ in e} | {d for _, d in e})
+    total = len(nodes) * scale
+    hub = {x: scale for x in nodes}
+    auth = {x: 0 for x in nodes}
+    for _ in range(iters):
+        raw = {x: 0 for x in nodes}
+        for s, d in e:
+            raw[d] += hub[s]
+        tot = sum(raw.values())
+        auth = {x: (raw[x] * total) // tot if tot > 0 else 0 for x in nodes}
+        raw = {x: 0 for x in nodes}
+        for s, d in e:
+            raw[s] += auth[d]
+        tot = sum(raw.values())
+        hub = {x: (raw[x] * total) // tot if tot > 0 else 0 for x in nodes}
+    return {x: (auth[x], hub[x]) for x in nodes}

@@ -753,6 +753,84 @@ def test_host_pagerank_prepared_table_and_decimal_fallback(spark, tmp_path_facto
     assert got_dec == host_pagerank_py(edges, iters=3, scale=10**17)
 
 
+def test_host_hits_matches_integer_reference(spark):
+    """Distributed exact-integer HITS equals the single-threaded
+    reference bit-for-bit (the L1-renormalized half-sweeps replace the
+    classic fold-order-dependent L2 norm), hubs/authorities land where
+    Kleinberg says, and dup edges/self-loops are invisible."""
+    from go_htmldate_spark.plans.hostgraph import host_hits, host_hits_py
+
+    # bipartite-flavored core: h0/h1 are hubs linking every authority
+    # a0..a4; a few back-links, a chain, a self-loop and dup edges
+    edges = (
+        [(f"h{i}", f"a{j}") for i in range(2) for j in range(5)]
+        + [("a0", "h0"), ("a1", "h0"), ("c0", "c1"), ("c1", "c2")]
+        + [("c2", "a0"), ("h0", "h0"), ("h1", "a0"), ("h1", "a0")]
+    )
+    exp = host_hits_py(edges, iters=3)
+    got = {
+        r["host"]: (r["auth"], r["hub"])
+        for r in host_hits(
+            spark.createDataFrame(edges, "src string, dst string"), iters=3
+        ).collect()
+    }
+    assert got == exp
+    # hubs are the pages linking many good authorities; authorities the
+    # pages hubs point at — a0 (3 in-links, two from the hubs) tops
+    # auth, h0/h1 top hub, and the off-topic chain c* is mass-starved
+    auth = {h: v[0] for h, v in got.items()}
+    hub = {h: v[1] for h, v in got.items()}
+    assert max(auth, key=auth.get) == "a0"
+    assert set(sorted(hub, key=hub.get, reverse=True)[:2]) == {"h0", "h1"}
+    assert hub["c0"] < min(hub["h0"], hub["h1"])
+    # no-in-link hosts have zero authority; no-out-link hosts zero hub
+    assert auth["h1"] == 0 and hub["a2"] == 0
+    # scale guard: mass bound past 2^62 is refused, not silently wrong
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        host_hits(
+            spark.createDataFrame(edges, "src string, dst string"),
+            iters=1, scale=10**18,
+        )
+
+
+def test_host_hits_prepared_two_layout_parity(spark, tmp_path_factory):
+    """The at-scale path — src-bucketed edges for the auth half-sweep
+    plus a dst-bucketed copy for the hub half-sweep — produces the
+    identical integers as the naive single-frame run."""
+    import random
+
+    from go_htmldate_spark.plans.hostgraph import (
+        host_hits, host_hits_py, prepare_host_edges,
+    )
+
+    random.seed(29)
+    edges = [
+        (f"h{random.randrange(80)}", f"h{random.randrange(80)}")
+        for _ in range(1500)
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    exp = host_hits_py(edges, iters=3)
+
+    base = tmp_path_factory.mktemp("hitsedge")
+    by_src = prepare_host_edges(
+        df, "hits_edges_src_test", n_buckets=8, path=str(base / "esrc")
+    )
+    by_dst = prepare_host_edges(
+        df, "hits_edges_dst_test", n_buckets=8, path=str(base / "edst"),
+        key_col="dst",
+    )
+    got = {
+        r["host"]: (r["auth"], r["hub"])
+        for r in host_hits(
+            by_src, iters=3, prepared=True, edges_by_dst=by_dst
+        ).collect()
+    }
+    assert got == exp
+    spark.sql("DROP TABLE IF EXISTS hits_edges_src_test")
+    spark.sql("DROP TABLE IF EXISTS hits_edges_dst_test")
+
+
 def test_parse_sitemaps_urlset_index_and_seeds(spark):
     """Sitemap XML → frontier seeds: urlset entries with lastmod dates,
     index entries flagged for re-fetch, XML entities decoded, malformed

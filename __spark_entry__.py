@@ -1837,6 +1837,66 @@ def q_host_hits(spark, sf_dir):
     return host_hits(edges, iters=2)
 
 
+def q_focused_relevance(spark, sf_dir):
+    """Pipeline: focused-crawl topic relevance
+    (plans/hostgraph.focused_host_relevance — Chakrabarti et al.
+    Computer Networks 1999): per-target-host share of in-link anchors
+    containing a topic keyword on a word boundary, the signal that
+    prioritizes crawl budget toward where the link context says the
+    topic lives before fetching. Pages synthesized from orders with two
+    planted links each whose anchor text cycles through topical and
+    off-topic phrases plus no-href/relative distractors; Spark parses
+    the real HTML natively and matches with one codegen'd rlike, the
+    oracle rebuilds the link tuples closed-form and decides topicality
+    by variant index."""
+    from go_htmldate_spark.plans.hostgraph import focused_host_relevance
+
+    o = _t(spark, sf_dir, "orders")
+    okey = F.col("o_orderkey")
+    site = F.concat(F.lit("https://s"), (F.col("o_custkey") % 20).cast("string"),
+                    F.lit(".example/post/"), okey.cast("string"))
+    t1 = F.concat(F.lit("https://t"), (okey % 9).cast("string"),
+                  F.lit(".example/page/"), (okey % 50).cast("string"))
+    t2 = F.concat(F.lit("https://u"), (okey % 5).cast("string"),
+                  F.lit(".example/x"))
+    a1 = F.element_at(
+        F.array(F.lit("cheap pills here"), F.lit("daily news digest"),
+                F.lit("sports news update"), F.lit("holiday photos")),
+        (okey % 4).cast("int") + 1,
+    )
+    a2 = F.element_at(
+        F.array(F.lit("breaking news"), F.lit("about us"),
+                F.lit("news archive")),
+        (F.col("o_custkey") % 3).cast("int") + 1,
+    )
+    html = F.concat(
+        F.lit('<html><body><a name="x">not a link</a><a href="'),
+        t1, F.lit('">'), a1, F.lit('</a><a href="/rel/skip">rel</a><a href="'),
+        t2, F.lit('">'), a2, F.lit("</a></body></html>"),
+    )
+    pages = o.select(site.alias("url"), html.alias("html"))
+    return focused_host_relevance(pages, ["news", "breaking"])
+
+
+_SQL_FOCUSED_RELEVANCE = """
+    WITH links AS (
+      SELECT 't' || (o_orderkey % 9) || '.example' AS host,
+             CASE WHEN (o_orderkey % 4) IN (1, 2) THEN 1 ELSE 0 END AS hit
+      FROM orders
+      UNION ALL
+      SELECT 'u' || (o_orderkey % 5) || '.example' AS host,
+             CASE WHEN (o_custkey % 3) IN (0, 2) THEN 1 ELSE 0 END AS hit
+      FROM orders
+    )
+    SELECT host,
+           CAST(COUNT(*) AS BIGINT) AS n_inlinks,
+           CAST(SUM(hit) AS BIGINT) AS n_topic_inlinks,
+           round(CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS relevance
+    FROM links GROUP BY host
+"""
+
+
 def _sql_hits_cte(iters: int = 2, scale: int = 10**12) -> str:
     """DuckDB oracle for q_host_hits: the identical integer law
     unrolled as chained CTEs — per half-sweep a neighbor-sum (ar/hr),
@@ -2004,6 +2064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": q_host_pagerank,
         "host_opic": q_host_opic,
         "host_hits": q_host_hits,
+        "focused_relevance": q_focused_relevance,
         "anchor_text": q_anchor_text,
         "soft404": q_soft404,
         "soft404_demotion": q_soft404_demotion,
@@ -3171,6 +3232,7 @@ def oracle_sql() -> dict[str, str]:
         "host_pagerank": _sql_pagerank_cte(4),
         "host_opic": _sql_opic_cte(3),
         "host_hits": _sql_hits_cte(2),
+        "focused_relevance": _SQL_FOCUSED_RELEVANCE,
         # anchor-text aggregation: the oracle rebuilds the planted link
         # tuples closed-form from orders (Spark parses them back out of
         # the synthesized HTML with the native regex) and aggregates

@@ -831,6 +831,52 @@ def test_host_hits_prepared_two_layout_parity(spark, tmp_path_factory):
     spark.sql("DROP TABLE IF EXISTS hits_edges_dst_test")
 
 
+def test_focused_relevance_and_budget_bridge(spark):
+    """Anchor keyword share per target host, word-boundary matched on
+    the lowercased collapsed anchor; relevance maps linearly onto the
+    scheduler budget range (off-topic floor, on-topic ceiling)."""
+    from go_htmldate_spark.plans.hostgraph import (
+        focused_host_relevance, relevance_to_budget,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            # t0: 2 in-links, one topical ("news" word-boundary; NOT
+            # the embedded "newsletter"), anchor case-collapsed
+            ("https://s1.example/a",
+             '<a href="https://t0.example/p">Daily  NEWS</a>'
+             '<a href="https://t0.example/q">our newsletter</a>'),
+            # t1: 1 in-link, off-topic; relative + no-href distractors
+            ("https://s2.example/b",
+             '<a href="https://t1.example/p">holiday photos</a>'
+             '<a href="/rel">news</a><a name="x">news</a>'),
+            # t2: fully topical
+            ("https://s3.example/c",
+             '<a href="https://t2.example/p">breaking news now</a>'),
+        ],
+        "url string, html string",
+    )
+    rel = {
+        r["host"]: (r["n_inlinks"], r["n_topic_inlinks"], r["relevance"])
+        for r in focused_host_relevance(pages, ["news"]).collect()
+    }
+    assert rel == {
+        "t0.example": (2, 1, 0.5),
+        "t1.example": (1, 0, 0.0),
+        "t2.example": (1, 1, 1.0),
+    }
+    bud = {
+        r["host"]: r["politeness_budget"]
+        for r in relevance_to_budget(
+            focused_host_relevance(pages, ["news"]), lo=1.0, hi=9.0
+        ).collect()
+    }
+    assert bud == {"t0.example": 5.0, "t1.example": 1.0, "t2.example": 9.0}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        focused_host_relevance(pages, [])
+
+
 def test_parse_sitemaps_urlset_index_and_seeds(spark):
     """Sitemap XML → frontier seeds: urlset entries with lastmod dates,
     index entries flagged for re-fetch, XML entities decoded, malformed

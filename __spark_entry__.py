@@ -1837,6 +1837,70 @@ def q_host_hits(spark, sf_dir):
     return host_hits(edges, iters=2)
 
 
+def q_bm25_topk(spark, sf_dir):
+    """Pipeline: inverted postings + BM25 top-k retrieval
+    (operators/retrieval — Robertson/Zaragoza 2009, Lucene positive
+    idf): the corpus-search primitive behind decontamination audits
+    and corpus QA. build_postings tokenizes documents into a
+    (term, doc_id, tf, dl) postings frame; bm25_topk filters to the
+    query terms (InSet, bucket-prunable against a prepare_postings
+    table), broadcasts the per-term dfs + one-row corpus stats, and
+    ranks with TakeOrderedAndProject. Per-doc double summation follows
+    the lm_score fold-order contract (round-6 partials, sorted
+    explicit left fold) so the oracle hash-matches; k exceeds the
+    qualifying-doc count so the result set is cut-free and stable."""
+    from go_htmldate_spark.operators.retrieval import (
+        bm25_topk, build_postings, corpus_stats,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    postings = build_postings(d.select("doc_id", "text"))
+    return bm25_topk(
+        postings, corpus_stats(postings), ["merge", "spark", "window"],
+        k=600,
+    )
+
+
+_SQL_BM25_TOPK = """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY term, doc_id
+    ),
+    dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM dl
+    ),
+    hits AS (
+      SELECT t.term, t.doc_id, t.tf, d.dl
+      FROM tf t JOIN dl d USING (doc_id)
+      WHERE t.term IN ('merge', 'spark', 'window')
+    ),
+    dft AS (
+      SELECT term, CAST(count(*) AS DOUBLE) AS df FROM hits GROUP BY term
+    ),
+    scored AS (
+      SELECT h.doc_id, h.term,
+             round(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                   * ((h.tf * (1.2 + 1.0))
+                      / (h.tf + 1.2 * ((1.0 - 0.75)
+                                       + (0.75 * h.dl) / s.avgdl))),
+                   6) AS sc
+      FROM hits h JOIN dft d USING (term) CROSS JOIN stats s
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+           round(list_reduce(list(sc ORDER BY term), (x, y) -> x + y), 6)
+             AS score
+    FROM scored GROUP BY doc_id
+"""
+
+
 def q_focused_relevance(spark, sf_dir):
     """Pipeline: focused-crawl topic relevance
     (plans/hostgraph.focused_host_relevance — Chakrabarti et al.
@@ -2065,6 +2129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_opic": q_host_opic,
         "host_hits": q_host_hits,
         "focused_relevance": q_focused_relevance,
+        "bm25_topk": q_bm25_topk,
         "anchor_text": q_anchor_text,
         "soft404": q_soft404,
         "soft404_demotion": q_soft404_demotion,
@@ -3233,6 +3298,7 @@ def oracle_sql() -> dict[str, str]:
         "host_opic": _sql_opic_cte(3),
         "host_hits": _sql_hits_cte(2),
         "focused_relevance": _SQL_FOCUSED_RELEVANCE,
+        "bm25_topk": _SQL_BM25_TOPK,
         # anchor-text aggregation: the oracle rebuilds the planted link
         # tuples closed-form from orders (Spark parses them back out of
         # the synthesized HTML with the native regex) and aggregates

@@ -1288,3 +1288,62 @@ def test_dup_span_stats_and_removal(spark):
         and h[d]["dup_token_frac"] == stats[d]["dup_token_frac"]
         for d in (1, 2, 3, 4)
     )
+
+
+def test_bm25_postings_and_retrieval(spark, tmp_path_factory):
+    """Inverted postings carry (tf, dl) per (term, doc); BM25 ranks the
+    saturated-tf / length-normalized way (more hits beats fewer, short
+    beats long at equal tf); the prepared bucketed table returns the
+    identical scores with a bucket-pruned scan; k cuts with the doc_id
+    tie-break."""
+    from go_htmldate_spark.operators.retrieval import (
+        bm25_topk, build_postings, corpus_stats, prepare_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark merge window"),       # all 3 terms, tf=2 on spark
+            (2, "spark merge"),                    # 2 terms, short
+            (3, "spark and a lot of other filler words here now"),  # 1 term, long
+            (4, "nothing relevant at all"),
+            (5, "Spark SPARK merge"),              # case-folded, = doc 2 + extra tf
+        ],
+        "doc_id long, text string",
+    )
+    postings = build_postings(docs)
+    rows = {(r["term"], r["doc_id"]): (r["tf"], r["dl"])
+            for r in postings.collect()}
+    assert rows[("spark", 1)] == (2, 4) and rows[("spark", 5)] == (2, 3)
+    assert rows[("merge", 2)] == (1, 2) and ("spark", 4) not in rows
+
+    stats = corpus_stats(postings)
+    top = bm25_topk(postings, stats, ["spark", "merge", "window"], k=4).collect()
+    order = [r["doc_id"] for r in top]
+    scores = {r["doc_id"]: r["score"] for r in top}
+    # doc 1 matches all three terms; doc 4 matches none and is absent
+    assert order[0] == 1 and 4 not in scores and len(order) == 4
+    # doc 2 (dl=2) edges doc 5 (dl=3): the shorter doc's length
+    # normalization amplifies the high-idf 'merge' term more than doc
+    # 5's extra low-idf 'spark' occurrence adds — the saturation+idf
+    # interaction BM25 exists for; the long single-term doc 3 trails
+    assert scores[2] > scores[5] > scores[3]
+
+    # prepared lookup: same scores, and the scan touches only the
+    # buckets that can hold the query terms (bucket pruning)
+    base = tmp_path_factory.mktemp("postings")
+    t = prepare_postings(postings, "bm25_postings_test", n_buckets=8,
+                         path=str(base / "p"))
+    top_p = bm25_topk(t, stats, ["spark", "merge", "window"], k=4)
+    assert {(r["doc_id"], r["score"]) for r in top_p.collect()} == {
+        (r["doc_id"], r["score"]) for r in top
+    }
+    plan = top_p._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+    m = _re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m and int(m.group(1)) < int(m.group(2)), plan[:800]
+    assert "TakeOrderedAndProject" in plan
+    spark.sql("DROP TABLE IF EXISTS bm25_postings_test")
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        bm25_topk(postings, stats, [], k=4)

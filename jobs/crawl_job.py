@@ -68,6 +68,14 @@ def main() -> None:
         "stays live without ever re-running a batch rank job",
     )
     ap.add_argument(
+        "--hits-budgets", metavar="LO,HI",
+        help="derive per-host politeness budgets from HITS hub scores "
+        "(Kleinberg JACM'99) over the corpus outlinks, log-mapped onto "
+        "[LO,HI] — hubs are link farms of good targets whose recrawl "
+        "yields fresh frontier URLs, so this allocates outlink-harvest "
+        "budget; min-merges with the other budget sources",
+    )
+    ap.add_argument(
         "--redirects",
         help="parquet dir of one-hop redirect edges (src_url, dst_url, "
         "canonical); chains resolve to terminal targets before "
@@ -201,6 +209,25 @@ def main() -> None:
     # per-host min across budget tables: the more cautious source
     # (demotion, backoff) always wins — the scheduler's own merge law
     from go_htmldate_spark.plans.scheduler import min_budgets as merge_budgets
+
+    if args.hits_budgets:
+        # discovery-side rank: HITS hubs over the same outlink host
+        # graph, ≥1-clamped (no-out-link hosts have hub 0) through the
+        # log-affine bridge, min-merged with whatever else is set
+        from go_htmldate_spark.plans.canonical import url_host
+        from go_htmldate_spark.plans.hostgraph import host_hits, rank_to_budget
+
+        lo, _, hi = args.hits_budgets.partition(",")
+        h_edges = pages.select(
+            url_host(F.col("url")).alias("src"),
+            F.explode("outlinks").alias("out_url"),
+        ).select("src", url_host(F.col("out_url")).alias("dst"))
+        hub_ranks = host_hits(h_edges).select(
+            "host", F.greatest(F.col("hub"), F.lit(1)).alias("rank")
+        )
+        budgets = merge_budgets(
+            budgets, rank_to_budget(hub_ranks, lo=float(lo), hi=float(hi or lo))
+        )
 
     if args.demote_mirrors:
         from go_htmldate_spark.plans.canonical import url_host

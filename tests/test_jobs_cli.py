@@ -27,8 +27,9 @@ def test_crawl_job_sitemap_seeds_and_pagerank_budgets(
 ):
     """--sitemaps drives seeding (urlset locs become round-0 frontier,
     prioritized by lastmod recency) and --pagerank-budgets derives the
-    per-host politeness table from the corpus link graph — the two
-    round-4 bridges, exercised through the real argv surface."""
+    per-host politeness table from the corpus link graph, min-merged
+    with --hits-budgets hub-rank discovery budgets — exercised through
+    the real argv surface."""
     import go_htmldate_spark.session as sess
     from go_htmldate_spark.sources.pages import synth_pages
 
@@ -62,6 +63,7 @@ def test_crawl_job_sitemap_seeds_and_pagerank_budgets(
         "--rounds", "2",
         "--sitemaps", sitemap_dir,
         "--pagerank-budgets", "1.0,4.0",
+        "--hits-budgets", "1.0,6.0",
     ])
     job.main()
 

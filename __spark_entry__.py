@@ -1901,6 +1901,76 @@ _SQL_BM25_TOPK = """
 """
 
 
+def q_host_trustrank(spark, sf_dir):
+    """Pipeline: TrustRank spam demotion
+    (plans/hostgraph.host_trustrank — Gyöngyi et al. VLDB'04):
+    PageRank with the teleport restricted to a trusted seed set, in the
+    same exact integer fixed-point (per-seed base =
+    n·scale·(den-num) div (den·|seeds|), truncating divisions), so the
+    distributed result is bit-identical to any single-threaded
+    evaluation and the oracle (4 unrolled HUGEINT CTE sweeps with the
+    seed-gated base) hash-matches. Host link edges synthesized from
+    orders; five fixed seed hosts."""
+    from go_htmldate_spark.plans.hostgraph import host_trustrank
+
+    o = _t(spark, sf_dir, "orders")
+    edges = o.select(
+        F.concat(F.lit("m"), (F.col("o_custkey") % 33).cast("string")).alias("src"),
+        F.concat(F.lit("m"), (F.col("o_orderkey") % 33).cast("string")).alias("dst"),
+    )
+    seeds = spark.createDataFrame(
+        [("m0",), ("m1",), ("m2",), ("m3",), ("m4",)], "host string"
+    )
+    return host_trustrank(edges, seeds, iters=4)
+
+
+def _sql_trustrank_cte(iters: int = 4, scale: int = 10**12,
+                       num: int = 85, den: int = 100) -> str:
+    """DuckDB oracle for q_host_trustrank: the seed-teleport integer
+    recurrence unrolled as chained CTEs, HUGEINT arithmetic with //;
+    the per-seed base is computed from the data (n_nodes, n_seeds)
+    exactly as the operator does."""
+    return f"""
+        WITH e AS (
+          SELECT DISTINCT 'm' || (o_custkey % 33) AS src,
+                          'm' || (o_orderkey % 33) AS dst
+          FROM orders WHERE (o_custkey % 33) <> (o_orderkey % 33)
+        ),
+        nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+        od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+        sd AS (
+          SELECT host FROM nodes
+          WHERE host IN ('m0', 'm1', 'm2', 'm3', 'm4')
+        ),
+        bs AS (
+          SELECT (CAST((SELECT COUNT(*) FROM nodes) AS HUGEINT)
+                  * {scale} * {den - num})
+                 // ({den} * (SELECT COUNT(*) FROM sd)) AS b
+        ),
+        r0 AS (
+          SELECT n.host,
+                 CASE WHEN s.host IS NOT NULL THEN bs.b
+                      ELSE CAST(0 AS HUGEINT) END AS trust
+          FROM nodes n LEFT JOIN sd s USING (host) CROSS JOIN bs
+        )""" + "".join(f""",
+        r{i} AS (
+          SELECT n.host,
+                 CASE WHEN sd.host IS NOT NULL THEN bs.b
+                      ELSE CAST(0 AS HUGEINT) END
+                   + (COALESCE(x.in_sum, 0) * {num}) // {den} AS trust
+          FROM nodes n
+          LEFT JOIN sd USING (host)
+          CROSS JOIN bs
+          LEFT JOIN (
+            SELECT e.dst AS host, SUM(r.trust // od.outdeg) AS in_sum
+            FROM e JOIN r{i-1} r ON r.host = e.src
+                   JOIN od ON od.src = e.src
+            GROUP BY e.dst
+          ) x USING (host)
+        )""" for i in range(1, iters + 1)) + f"""
+        SELECT host, CAST(trust AS BIGINT) AS trust FROM r{iters}"""
+
+
 def q_focused_relevance(spark, sf_dir):
     """Pipeline: focused-crawl topic relevance
     (plans/hostgraph.focused_host_relevance — Chakrabarti et al.
@@ -2130,6 +2200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_hits": q_host_hits,
         "focused_relevance": q_focused_relevance,
         "bm25_topk": q_bm25_topk,
+        "host_trustrank": q_host_trustrank,
         "anchor_text": q_anchor_text,
         "soft404": q_soft404,
         "soft404_demotion": q_soft404_demotion,
@@ -3299,6 +3370,7 @@ def oracle_sql() -> dict[str, str]:
         "host_hits": _sql_hits_cte(2),
         "focused_relevance": _SQL_FOCUSED_RELEVANCE,
         "bm25_topk": _SQL_BM25_TOPK,
+        "host_trustrank": _sql_trustrank_cte(4),
         # anchor-text aggregation: the oracle rebuilds the planted link
         # tuples closed-form from orders (Spark parses them back out of
         # the synthesized HTML with the native regex) and aggregates

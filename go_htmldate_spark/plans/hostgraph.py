@@ -589,3 +589,171 @@ def relevance_to_budget(
         (F.lit(lo) + F.lit(hi - lo) * F.col("relevance"))
         .alias("politeness_budget"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TrustRank (Gyöngyi/Garcia-Molina/Pedersen, VLDB'04) — spam demotion
+# ---------------------------------------------------------------------------
+
+
+def host_trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "host",
+    iters: int = 4,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 10**12,
+    prepared: bool = False,
+) -> DataFrame:
+    """(src_host, dst_host) edges + a trusted seed-host frame →
+    (host, trust): TrustRank (Gyöngyi et al. VLDB'04) — PageRank with
+    the teleport restricted to a hand-vetted seed set, so trust decays
+    with link distance from the seeds and spam farms (which good hosts
+    don't link to) starve no matter how densely they link themselves.
+    The crawl use is budget demotion: link-spam hosts rank high on raw
+    PageRank (that is the point of a farm) but near zero here; feed
+    trust through rank_to_budget and min-merge so farms lose fetch
+    budget the blocklist never heard of.
+
+    Same exact-integer discipline as host_pagerank — the recurrence is
+    trust = base·[host ∈ seeds] + damp(Σ in-edge trust div outdeg)
+    with per-seed base = n·scale·(den-num) div (den·|seeds|): the same
+    TOTAL base mass as PageRank (n·base_pr), concentrated on the
+    seeds, so the n·scale mass bound and the int64/DECIMAL width
+    switch carry over unchanged. Truncating division everywhere means
+    the distributed result is bit-identical to host_trustrank_py and a
+    HUGEINT CTE oracle under any partitioning. Non-seed hosts start at
+    0 and earn trust only through in-links from the seed side —
+    iters bounds the trust radius (seeds' 4-hop neighborhood at the
+    default), the paper's damped-propagation semantics.
+
+    Scale shape: identical to host_pagerank (the seed flag rides the
+    state row, seeds broadcast once at init) — one src-key join + one
+    dst agg per sweep over a prepare_host_edges table.
+
+    Reference: no analog (go-htmldate has no link-graph layer).
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    if not 0 < damping_num < damping_den:
+        raise ValueError("need 0 < damping_num < damping_den")
+    sc = edges.sparkSession.sparkContext
+
+    def ckpt(df: DataFrame) -> DataFrame:
+        if sc.getCheckpointDir() is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    if not prepared:
+        e = ckpt(e.filter(F.col("src") != F.col("dst")).distinct())
+    nodes = ckpt(
+        e.select(F.col("src").alias("host"))
+        .unionByName(e.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    s = seeds.select(F.col(seed_col).alias("host")).distinct()
+    # seeds outside the graph would siphon base mass into nodes no
+    # edge can drain or feed — keep the teleport on graph members
+    s = ckpt(s.join(nodes, "host", "left_semi"))
+    n_nodes = nodes.count()  # checkpointed: cache scans
+    n_seeds = s.count()
+    if n_seeds < 1:
+        raise ValueError("need at least one seed host present in the graph")
+    # per-seed base: total base mass n·scale·(den-num) div den split
+    # over the seeds — the PageRank total, concentrated
+    base = (n_nodes * scale * (damping_den - damping_num)) // (
+        damping_den * n_seeds
+    )
+    use_long = n_nodes * scale <= (1 << 62)
+
+    outdeg = e.groupBy(F.col("src").alias("host")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    seed_flag = F.when(F.col("_seed").isNotNull(), F.lit(1)).otherwise(
+        F.lit(0)
+    )
+    state = ckpt(
+        nodes.join(outdeg, "host", "left")
+        .join(s.select("host", F.lit(1).alias("_seed")), "host", "left")
+        .select(
+            "host",
+            (seed_flag * F.lit(int(base)))
+            .cast("long" if use_long else _DEC).alias("trust"),
+            F.coalesce(F.col("outdeg"), F.lit(0)).alias("outdeg"),
+            seed_flag.alias("is_seed"),
+        )
+    )
+    for _ in range(iters):
+        if use_long:
+            contrib_expr = F.expr("trust div outdeg").alias("contrib")
+        else:
+            contrib_expr = _idiv(F.col("trust"), F.col("outdeg")).alias(
+                "contrib"
+            )
+        contrib = e.join(state, e["src"] == state["host"]).select(
+            F.col("dst"), contrib_expr
+        )
+        if use_long:
+            in_sum = contrib.groupBy(F.col("dst").alias("host")).agg(
+                F.sum("contrib").alias("in_sum")
+            )
+            # overflow-split (a·num) div den, same as host_pagerank
+            a = "coalesce(in_sum, 0L)"
+            num, den = damping_num, damping_den
+            trust_expr = F.expr(
+                f"is_seed * {int(base)}L + ({a} div {den}) * {num}L"
+                f" + (({a} % {den}) * {num}L) div {den}"
+            ).alias("trust")
+        else:
+            in_sum = contrib.groupBy(F.col("dst").alias("host")).agg(
+                F.sum("contrib").cast(_DEC).alias("in_sum")
+            )
+            trust_expr = (
+                F.col("is_seed").cast(_DEC) * F.lit(int(base)).cast(_DEC)
+                + _idiv(
+                    F.coalesce(F.col("in_sum"), F.lit(0)).cast(_DEC)
+                    * F.lit(damping_num),
+                    F.lit(damping_den),
+                )
+            ).cast(_DEC).alias("trust")
+        state = ckpt(
+            state.select("host", "outdeg", "is_seed")
+            .join(in_sum, "host", "left")
+            .select("host", trust_expr, "outdeg", "is_seed")
+        )
+    return state.select("host", F.col("trust").cast("long").alias("trust"))
+
+
+def host_trustrank_py(
+    edges: list[tuple[str, str]],
+    seeds: list[str],
+    iters: int = 4,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 10**12,
+) -> dict[str, int]:
+    """Single-threaded exact-integer reference (test oracle)."""
+    e = sorted({(s, d) for s, d in edges if s != d})
+    nodes = sorted({s for s, _ in e} | {d for _, d in e})
+    sd = sorted(set(seeds) & set(nodes))
+    outdeg: dict[str, int] = {}
+    for s, _ in e:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    base = (len(nodes) * scale * (damping_den - damping_num)) // (
+        damping_den * len(sd)
+    )
+    trust = {n: (base if n in sd else 0) for n in nodes}
+    for _ in range(iters):
+        in_sum = {n: 0 for n in nodes}
+        for s, d in e:
+            in_sum[d] += trust[s] // outdeg[s]
+        trust = {
+            n: (base if n in sd else 0)
+            + (in_sum[n] * damping_num) // damping_den
+            for n in nodes
+        }
+    return trust

@@ -76,6 +76,19 @@ def main() -> None:
         "budget; min-merges with the other budget sources",
     )
     ap.add_argument(
+        "--trustrank-budgets", metavar="LO,HI",
+        help="TrustRank (Gyöngyi VLDB'04) over the corpus outlinks with "
+        "the teleport restricted to --trust-seeds hosts, log-mapped "
+        "onto [LO,HI] and min-merged: link-spam farms rank high on raw "
+        "PageRank but starve here, losing fetch budget the blocklist "
+        "never heard of",
+    )
+    ap.add_argument(
+        "--trust-seeds", metavar="PARQUET",
+        help="with --trustrank-budgets: parquet dir of hand-vetted "
+        "trusted hosts (host)",
+    )
+    ap.add_argument(
         "--redirects",
         help="parquet dir of one-hop redirect edges (src_url, dst_url, "
         "canonical); chains resolve to terminal targets before "
@@ -227,6 +240,29 @@ def main() -> None:
         )
         budgets = merge_budgets(
             budgets, rank_to_budget(hub_ranks, lo=float(lo), hi=float(hi or lo))
+        )
+
+    if args.trustrank_budgets:
+        # spam demotion: teleport restricted to the vetted seed hosts,
+        # ≥1-clamped (unreachable hosts have trust 0) through the log
+        # bridge so farms land on the budget floor, then min-merged
+        if not args.trust_seeds:
+            ap.error("--trustrank-budgets requires --trust-seeds")
+        from go_htmldate_spark.plans.canonical import url_host
+        from go_htmldate_spark.plans.hostgraph import (
+            host_trustrank, rank_to_budget,
+        )
+
+        lo, _, hi = args.trustrank_budgets.partition(",")
+        t_edges = pages.select(
+            url_host(F.col("url")).alias("src"),
+            F.explode("outlinks").alias("out_url"),
+        ).select("src", url_host(F.col("out_url")).alias("dst"))
+        trust = host_trustrank(
+            t_edges, spark.read.parquet(args.trust_seeds)
+        ).select("host", F.greatest(F.col("trust"), F.lit(1)).alias("rank"))
+        budgets = merge_budgets(
+            budgets, rank_to_budget(trust, lo=float(lo), hi=float(hi or lo))
         )
 
     if args.demote_mirrors:

@@ -831,6 +831,56 @@ def test_host_hits_prepared_two_layout_parity(spark, tmp_path_factory):
     spark.sql("DROP TABLE IF EXISTS hits_edges_dst_test")
 
 
+def test_host_trustrank_matches_reference_and_demotes_spam(spark):
+    """Distributed exact-integer TrustRank equals the single-threaded
+    reference bit-for-bit; a densely self-linked spam farm with no
+    in-links from the trusted side starves while it would DOMINATE raw
+    PageRank — the demotion TrustRank exists for (Gyöngyi VLDB'04)."""
+    from go_htmldate_spark.plans.hostgraph import (
+        host_pagerank, host_pagerank_py, host_trustrank, host_trustrank_py,
+    )
+
+    # trusted core: seed s0 links good hosts g*, which interlink; spam
+    # farm: 20 supporter hosts whose ONLY link is the boost target f0
+    # (the link-farm shape: full-rank contributions, outdeg 1),
+    # unreachable from the trusted side
+    good = [("s0", f"g{i}") for i in range(3)] + [
+        ("g0", "g1"), ("g1", "g2"), ("g2", "g0"), ("g1", "s0")
+    ]
+    farm = [(f"f{i}", "f0") for i in range(1, 21)]
+    edges = good + farm
+    # seed list includes an off-graph host that must be ignored
+    exp = host_trustrank_py(edges, ["s0", "absent.example"], iters=4)
+    df = spark.createDataFrame(edges, "src string, dst string")
+    seeds = spark.createDataFrame(
+        [("s0",), ("absent.example",)], "host string"
+    )
+    got = {
+        r["host"]: r["trust"]
+        for r in host_trustrank(df, seeds, iters=4).collect()
+    }
+    assert got == exp
+    # raw PageRank crowns the farm target; TrustRank starves it
+    pr = host_pagerank_py(edges, iters=4)
+    assert max(pr, key=pr.get) == "f0"
+    assert got["f0"] == 0 and all(got[f"f{i}"] == 0 for i in range(1, 21))
+    assert got["g1"] > 0 and got["s0"] > 0
+    # decimal fallback (mass bound past int64) = identical integers
+    got_dec = {
+        r["host"]: r["trust"]
+        for r in host_trustrank(df, seeds, iters=3, scale=10**18).collect()
+    }
+    assert got_dec == host_trustrank_py(
+        edges, ["s0"], iters=3, scale=10**18
+    )
+    # no usable seed → explicit refusal
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        host_trustrank(
+            df, spark.createDataFrame([("nope",)], "host string"), iters=2
+        )
+
+
 def test_focused_relevance_and_budget_bridge(spark):
     """Anchor keyword share per target host, word-boundary matched on
     the lowercased collapsed anchor; relevance maps linearly onto the

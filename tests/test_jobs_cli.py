@@ -28,8 +28,9 @@ def test_crawl_job_sitemap_seeds_and_pagerank_budgets(
     """--sitemaps drives seeding (urlset locs become round-0 frontier,
     prioritized by lastmod recency) and --pagerank-budgets derives the
     per-host politeness table from the corpus link graph, min-merged
-    with --hits-budgets hub-rank discovery budgets — exercised through
-    the real argv surface."""
+    with --hits-budgets hub-rank discovery budgets and
+    --trustrank-budgets seed-teleport trust budgets — exercised
+    through the real argv surface."""
     import go_htmldate_spark.session as sess
     from go_htmldate_spark.sources.pages import synth_pages
 
@@ -55,6 +56,14 @@ def test_crawl_job_sitemap_seeds_and_pagerank_budgets(
     monkeypatch.setattr(sess, "get_spark", lambda **kw: spark)
     monkeypatch.setattr(type(spark), "stop", lambda self: None)
 
+    from pyspark.sql import functions as F
+
+    from go_htmldate_spark.plans.canonical import url_host as _uh
+    seeds_dir = str(base / "trust_seeds")
+    synth_pages(spark, 600, seed=42).select(
+        _uh(F.col("url")).alias("host")
+    ).distinct().limit(3).write.parquet(seeds_dir)
+
     job = _load_job("crawl_job")
     monkeypatch.setattr(sys, "argv", [
         "crawl_job.py",
@@ -64,6 +73,8 @@ def test_crawl_job_sitemap_seeds_and_pagerank_budgets(
         "--sitemaps", sitemap_dir,
         "--pagerank-budgets", "1.0,4.0",
         "--hits-budgets", "1.0,6.0",
+        "--trustrank-budgets", "1.0,5.0",
+        "--trust-seeds", seeds_dir,
     ])
     job.main()
 

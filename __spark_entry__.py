@@ -1901,6 +1901,44 @@ _SQL_BM25_TOPK = """
 """
 
 
+def q_cdx_index(spark, sf_dir):
+    """§2.1 sources: CDX index build over the WARC fixture
+    (sources/warc.cdx_index) — the Common-Crawl lookup sidecar: SURT
+    urlkey (host labels reversed for domain-subtree range scans),
+    14-digit capture timestamp, mime sans parameters, sha256 body
+    digest, body length, shard filename. The oracle reconstructs every
+    column closed-form from the documents table (same body/url/date
+    law as warc_roundtrip). `offset` is excluded from this projection:
+    it depends on gzip member byte sizes no SQL can predict — the
+    pytest instead re-parses the shard files and pins each offset to
+    the record found there."""
+    import os
+
+    from go_htmldate_spark.sources.warc import cdx_index, read_warc
+
+    d = _warc_fixture_dir(spark, sf_dir)
+    recs = read_warc(spark, os.path.join(d, "*.warc.gz"))
+    return cdx_index(recs).drop("offset")
+
+
+_SQL_CDX_INDEX = """
+    SELECT 'example,warc)/' || lang || '/doc-' || CAST(doc_id AS VARCHAR)
+             AS urlkey,
+           strftime(TIMESTAMP '2024-01-01 00:00:00'
+                    + doc_id * INTERVAL 1 SECOND, '%Y%m%d%H%M%S') AS ts14,
+           'https://warc.example/' || lang || '/doc-' ||
+             CAST(doc_id AS VARCHAR) AS url,
+           'text/html' AS mime,
+           CAST(200 AS INT) AS status,
+           sha256('<html><body><p>' || text || '</p></body></html>')
+             AS digest,
+           CAST(strlen('<html><body><p>' || text || '</p></body></html>')
+                AS BIGINT) AS length,
+           'shard-' || CAST(doc_id % 4 AS VARCHAR) || '.warc.gz' AS filename
+    FROM documents
+"""
+
+
 def q_host_trustrank(spark, sf_dir):
     """Pipeline: TrustRank spam demotion
     (plans/hostgraph.host_trustrank — Gyöngyi et al. VLDB'04):
@@ -2201,6 +2239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "focused_relevance": q_focused_relevance,
         "bm25_topk": q_bm25_topk,
         "host_trustrank": q_host_trustrank,
+        "cdx_index": q_cdx_index,
         "anchor_text": q_anchor_text,
         "soft404": q_soft404,
         "soft404_demotion": q_soft404_demotion,
@@ -3371,6 +3410,7 @@ def oracle_sql() -> dict[str, str]:
         "focused_relevance": _SQL_FOCUSED_RELEVANCE,
         "bm25_topk": _SQL_BM25_TOPK,
         "host_trustrank": _sql_trustrank_cte(4),
+        "cdx_index": _SQL_CDX_INDEX,
         # anchor-text aggregation: the oracle rebuilds the planted link
         # tuples closed-form from orders (Spark parses them back out of
         # the synthesized HTML with the native regex) and aggregates

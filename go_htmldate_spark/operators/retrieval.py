@@ -50,25 +50,28 @@ def build_postings(
     denormalized onto every row, so scoring never joins a separate
     doc-length table. One tokenize-explode (Generate, codegen) and one
     (term, doc)-keyed aggregation — the single shuffle an index build
-    pays; dl = sum(tf) over the doc rides the same exchange via a
-    window rather than a second doc-keyed shuffle."""
-    from pyspark.sql import Window
-
+    pays: dl is size(token array), stamped on every exploded row
+    before the shuffle and carried through the aggregation as a
+    constant-per-group max, so it rides the SAME exchange (an earlier
+    doc-keyed window here was a second full exchange + sort and capped
+    the build's scaling at ~0.72)."""
     toks = F.expr(
         f"regexp_extract_all(lower({text_col}), '{TOKEN_RX}', 0)"
     )
-    tf = (
+    return (
         docs.select(F.col(doc_col).alias("doc_id"), toks.alias("_t"))
-        .select("doc_id", F.explode("_t").alias("term"))
+        .select(
+            "doc_id",
+            F.size("_t").cast("long").alias("dl"),
+            F.explode("_t").alias("term"),
+        )
         .groupBy("term", "doc_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("tf"),
+            F.max("dl").alias("dl"),  # constant per doc: rides the exchange
+        )
+        .select("term", "doc_id", "tf", "dl")
     )
-    # dl = Σ tf over the doc's terms — a doc-keyed window over the
-    # already-aggregated (term, doc) rows, far smaller than re-scanning
-    # raw tokens; hash partitioning on (term, doc_id) does not serve
-    # partitionBy(doc_id), so this is the build's second exchange
-    dl = F.sum("tf").over(Window.partitionBy("doc_id"))
-    return tf.select("term", "doc_id", "tf", dl.cast("long").alias("dl"))
 
 
 def prepare_postings(

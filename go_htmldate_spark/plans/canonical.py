@@ -78,3 +78,29 @@ def canonicalize_url_py(url: str) -> str:
     if query:
         out += "?" + "&".join(sorted(query.split("&")))
     return out
+
+
+def surt_key(url: Column) -> Column:
+    """SURT urlkey (Sort-friendly URI Reordering Transform — the
+    Internet Archive / Common Crawl CDX index key): host labels
+    reversed and comma-joined so a lexicographic sort clusters every
+    URL under a domain subtree, then ')' + lowercased path +
+    '?' + param-sorted query. 'www\\d*.' prefixes strip (Heritrix's
+    canonicalization — www variants of a host must collate together)
+    and default ports drop, matching canonicalize_url's host law.
+    All codegen'd string ops — the key is computed in the scan
+    projection of a CDX build, never in Python.
+
+    Example: https://www.Example.com/A/b?z=1&a=2 →
+    'com,example)/a/b?a=2&z=1'."""
+    host = url_host(url)
+    host = F.regexp_replace(host, r"^www\d*\.", "")
+    rev_host = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    path = F.lower(url_path(url))
+    query = F.lower(F.regexp_extract(url, r"\?([^#]*)", 1))
+    sorted_query = F.array_join(F.sort_array(F.split(query, "&")), "&")
+    return F.concat(
+        rev_host, F.lit(")"), path,
+        F.when(query != "", F.concat(F.lit("?"), sorted_query))
+        .otherwise(F.lit("")),
+    )

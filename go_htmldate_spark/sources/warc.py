@@ -352,3 +352,51 @@ def write_warc_shards(
         return iter(())
 
     df.rdd.mapPartitionsWithIndex(dump).count()
+
+
+# ---------------------------------------------------------------------------
+# CDX index build (the Common-Crawl lookup sidecar)
+# ---------------------------------------------------------------------------
+
+def cdx_index(records: DataFrame) -> DataFrame:
+    """read_warc response records → CDX index rows (urlkey, ts14, url,
+    mime, status, digest, length, offset, filename), sorted by
+    (urlkey, ts14) — the Common-Crawl/Internet-Archive lookup sidecar:
+    given a URL, find which WARC file and byte offset holds its
+    capture. urlkey is the SURT transform (plans/canonical.surt_key)
+    so a range scan covers a whole domain subtree; ts14 is the
+    14-digit capture timestamp; digest is sha256 hex of the HTTP body
+    (this engine's variant of CC's sha1-b32 — sha256 because both
+    Spark and the DuckDB oracle compute it natively; disclosed
+    format deviation); offset/filename come straight from the reader's
+    record bookkeeping.
+
+    Scale shape: everything except the final ordering is computed in
+    the scan projection (codegen'd string/hash ops, no Python beyond
+    the WARC parse itself); the sort is one range exchange — exactly
+    the global order a CDX file needs, and Spark's range partitioner
+    writes it shard-parallel. Output is O(records) small rows (no
+    payload column survives the projection, so page bytes never enter
+    the sort)."""
+    from go_htmldate_spark.plans.canonical import surt_key
+
+    r = records.filter(F.col("warc_type") == "response")
+    ts14 = F.regexp_replace(
+        F.regexp_replace(F.col("warc_date"), r"\.\d+", ""), r"[^0-9]", ""
+    )
+    mime = F.trim(F.regexp_extract(F.col("http_content_type"), r"^([^;]*)", 1))
+    return (
+        r.select(
+            surt_key(F.col("url")).alias("urlkey"),
+            ts14.alias("ts14"),
+            "url",
+            mime.alias("mime"),
+            F.col("http_status").alias("status"),
+            F.sha2(F.col("payload"), 256).alias("digest"),
+            F.length("payload").cast("long").alias("length"),
+            F.col("record_offset").alias("offset"),
+            F.regexp_extract(F.col("warc_file"), r"([^/]+)$", 1)
+            .alias("filename"),
+        )
+        .orderBy("urlkey", "ts14")
+    )

@@ -84,7 +84,8 @@ def main() -> None:
         "lm_score", "token_budget_sample", "url_blocklist",
         "line_dedup", "host_pagerank", "host_opic", "host_hits",
         "host_trustrank",
-        "anchor_text", "focused_relevance", "bm25_topk", "sitemap_parse",
+        "anchor_text", "focused_relevance", "bm25_topk", "cdx_index",
+        "sitemap_parse",
         "robots_sitemaps", "url_trap_flags", "redirect_resolve",
         "change_rate", "dust_rules", "dust_apply", "mirror_hosts",
         "ip_topk", "host_backoff", "rel_canonical", "soft404",

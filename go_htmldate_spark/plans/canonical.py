@@ -86,8 +86,10 @@ def surt_key(url: Column) -> Column:
     reversed and comma-joined so a lexicographic sort clusters every
     URL under a domain subtree, then ')' + lowercased path +
     '?' + param-sorted query. 'www\\d*.' prefixes strip (Heritrix's
-    canonicalization — www variants of a host must collate together)
-    and default ports drop, matching canonicalize_url's host law.
+    canonicalization — www variants of a host must collate together);
+    default ports (:80/:443) drop and any other port stays as
+    ':port' after the reversed host, so captures of one host on two
+    ports never collide under one urlkey.
     All codegen'd string ops — the key is computed in the scan
     projection of a CDX build, never in Python.
 
@@ -96,11 +98,20 @@ def surt_key(url: Column) -> Column:
     host = url_host(url)
     host = F.regexp_replace(host, r"^www\d*\.", "")
     rev_host = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    # url_host truncates at ':', so recover the port from the authority
+    # and keep it when non-default (:80/:443 drop — canonicalize_url's
+    # law): captures of one host on two ports must NOT collide
+    port = F.regexp_extract(
+        url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*:(\d+)", 1
+    )
+    port_sfx = F.when(
+        port.isin("", "80", "443"), F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
     path = F.lower(url_path(url))
     query = F.lower(F.regexp_extract(url, r"\?([^#]*)", 1))
     sorted_query = F.array_join(F.sort_array(F.split(query, "&")), "&")
     return F.concat(
-        rev_host, F.lit(")"), path,
+        rev_host, port_sfx, F.lit(")"), path,
         F.when(query != "", F.concat(F.lit("?"), sorted_query))
         .otherwise(F.lit("")),
     )

@@ -431,6 +431,12 @@ def host_hits(
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
+    if edges_by_dst is not None and not prepared:
+        # the dst layout bypasses the cleaning below — pairing it with
+        # raw edges would run the two half-sweeps over DIFFERENT graphs
+        # (dups/self-loops present on one side only) and return silently
+        # wrong integers; both layouts must come from prepare_host_edges
+        raise ValueError("edges_by_dst requires prepared=True")
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     if not prepared:
         e = ckpt(e.filter(F.col("src") != F.col("dst")).distinct())
@@ -668,6 +674,17 @@ def host_trustrank(
     base = (n_nodes * scale * (damping_den - damping_num)) // (
         damping_den * n_seeds
     )
+    # trust CONCENTRATES by design (that is the demotion mechanism), so
+    # unlike PageRank a single host can realistically approach the full
+    # n·scale mass: the BIGINT return column requires the mass bound
+    # itself to fit int64, else the top-trust host would overflow the
+    # final cast to NULL and (via greatest(trust,1)) land on the budget
+    # FLOOR — the exact inversion of what TrustRank is for
+    if n_nodes * scale > (1 << 63) - 1:
+        raise ValueError(
+            "n_hosts*scale exceeds int64 — lower `scale` so trust "
+            "values (bounded by the total mass) stay representable"
+        )
     use_long = n_nodes * scale <= (1 << 62)
 
     outdeg = e.groupBy(F.col("src").alias("host")).agg(

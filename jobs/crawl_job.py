@@ -203,67 +203,68 @@ def main() -> None:
 
     robots = spark.read.parquet(args.robots) if args.robots else None
     budgets = spark.read.parquet(args.budgets) if args.budgets else None
+    # per-host min across budget tables: the more cautious source
+    # (demotion, backoff) always wins — the scheduler's own merge law
+    from go_htmldate_spark.plans.scheduler import min_budgets as merge_budgets
+
+    if args.pagerank_budgets or args.hits_budgets or args.trustrank_budgets:
+        # ONE outlink host-edge frame shared by every rank source — the
+        # pages explode + url_host scan is paid once, not per flag —
+        # checkpointed so each rank job reads the materialized edges
+        from go_htmldate_spark.plans.canonical import url_host
+        from go_htmldate_spark.plans.hostgraph import rank_to_budget
+
+        edges = pages.select(
+            url_host(F.col("url")).alias("src"),
+            F.explode("outlinks").alias("out_url"),
+        ).select(
+            "src", url_host(F.col("out_url")).alias("dst")
+        ).localCheckpoint(eager=True)
+
+        def _lohi(flag):
+            lo, _, hi = flag.partition(",")
+            return float(lo), float(hi or lo)
+
     if args.pagerank_budgets:
         # link analysis → politeness: host-graph PageRank over the corpus
         # outlinks, log-mapped onto [lo, hi] fetches/round per host. The
         # rank table is one row per host — broadcast-size by construction
         # for the scheduler's own budget join.
-        from go_htmldate_spark.plans.canonical import url_host
-        from go_htmldate_spark.plans.hostgraph import host_pagerank, rank_to_budget
+        from go_htmldate_spark.plans.hostgraph import host_pagerank
 
-        lo, _, hi = args.pagerank_budgets.partition(",")
-        edges = pages.select(
-            url_host(F.col("url")).alias("src"),
-            F.explode("outlinks").alias("out_url"),
-        ).select("src", url_host(F.col("out_url")).alias("dst"))
-        budgets = rank_to_budget(
-            host_pagerank(edges), lo=float(lo), hi=float(hi or lo)
-        )
-    # per-host min across budget tables: the more cautious source
-    # (demotion, backoff) always wins — the scheduler's own merge law
-    from go_htmldate_spark.plans.scheduler import min_budgets as merge_budgets
+        lo, hi = _lohi(args.pagerank_budgets)
+        budgets = rank_to_budget(host_pagerank(edges), lo=lo, hi=hi)
 
     if args.hits_budgets:
         # discovery-side rank: HITS hubs over the same outlink host
         # graph, ≥1-clamped (no-out-link hosts have hub 0) through the
-        # log-affine bridge, min-merged with whatever else is set
-        from go_htmldate_spark.plans.canonical import url_host
-        from go_htmldate_spark.plans.hostgraph import host_hits, rank_to_budget
+        # log-affine bridge, min-merged with whatever else is set.
+        # scale=10**9 keeps host_hits' n·scale ≤ 2^62 long bound out to
+        # ~4.6e9 hosts (the whole-web count) — ppb rank resolution, far
+        # past what the log-affine budget map distinguishes anyway.
+        from go_htmldate_spark.plans.hostgraph import host_hits
 
-        lo, _, hi = args.hits_budgets.partition(",")
-        h_edges = pages.select(
-            url_host(F.col("url")).alias("src"),
-            F.explode("outlinks").alias("out_url"),
-        ).select("src", url_host(F.col("out_url")).alias("dst"))
-        hub_ranks = host_hits(h_edges).select(
+        lo, hi = _lohi(args.hits_budgets)
+        hub_ranks = host_hits(edges, scale=10**9).select(
             "host", F.greatest(F.col("hub"), F.lit(1)).alias("rank")
         )
-        budgets = merge_budgets(
-            budgets, rank_to_budget(hub_ranks, lo=float(lo), hi=float(hi or lo))
-        )
+        budgets = merge_budgets(budgets, rank_to_budget(hub_ranks, lo=lo, hi=hi))
 
     if args.trustrank_budgets:
         # spam demotion: teleport restricted to the vetted seed hosts,
         # ≥1-clamped (unreachable hosts have trust 0) through the log
-        # bridge so farms land on the budget floor, then min-merged
+        # bridge so farms land on the budget floor, then min-merged.
+        # Same whole-web-safe scale: trust CONCENTRATES, so
+        # host_trustrank requires the full n·scale mass to fit int64.
         if not args.trust_seeds:
             ap.error("--trustrank-budgets requires --trust-seeds")
-        from go_htmldate_spark.plans.canonical import url_host
-        from go_htmldate_spark.plans.hostgraph import (
-            host_trustrank, rank_to_budget,
-        )
+        from go_htmldate_spark.plans.hostgraph import host_trustrank
 
-        lo, _, hi = args.trustrank_budgets.partition(",")
-        t_edges = pages.select(
-            url_host(F.col("url")).alias("src"),
-            F.explode("outlinks").alias("out_url"),
-        ).select("src", url_host(F.col("out_url")).alias("dst"))
+        lo, hi = _lohi(args.trustrank_budgets)
         trust = host_trustrank(
-            t_edges, spark.read.parquet(args.trust_seeds)
+            edges, spark.read.parquet(args.trust_seeds), scale=10**9
         ).select("host", F.greatest(F.col("trust"), F.lit(1)).alias("rank"))
-        budgets = merge_budgets(
-            budgets, rank_to_budget(trust, lo=float(lo), hi=float(hi or lo))
-        )
+        budgets = merge_budgets(budgets, rank_to_budget(trust, lo=lo, hi=hi))
 
     if args.demote_mirrors:
         from go_htmldate_spark.plans.canonical import url_host

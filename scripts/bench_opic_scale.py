@@ -148,7 +148,7 @@ def _cpu_times() -> tuple[int, int]:
     return vals[7], sum(vals)
 
 
-def visit(cores: int) -> tuple[float, tuple[int, int, int], float]:
+def visit(cores: int) -> tuple[float, tuple[int, int, int], float, int]:
     """One visit to a parallelism level: fresh session, prep (untimed),
     warm run, one timed run. Visits to the two levels are interleaved
     by main() — this VM has multi-minute hypervisor phases where
@@ -180,7 +180,17 @@ def visit(cores: int) -> tuple[float, tuple[int, int, int], float]:
         el = time.time() - t0
         s1, tot1 = _cpu_times()
         steal = 100.0 * (s1 - s0) / max(tot1 - tot0, 1)
-        return el, res, steal
+        # untimed: edges the ONLINE sweep actually processed (the
+        # crawled-subset semi-join) — the honest throughput numerator
+        # is 3*N_EDGES + this, not 4*N_EDGES
+        import pyspark.sql.functions as F
+        n_round = (
+            spark.table(table)
+            .join(spark.read.parquet(f"{path}/crawled")
+                  .select(F.col("host").alias("src")), "src", "semi")
+            .count()
+        )
+        return el, res, steal, n_round
     finally:
         shutil.rmtree(path, ignore_errors=True)
         spark.stop()
@@ -193,15 +203,19 @@ def main() -> None:
 
     results: dict[int, list[tuple[float, float]]] = {low: [], high: []}
     checks = set()
+    rounds = set()
     for _ in range(reps):
         for cores in (low, high):
-            el, res, steal = visit(cores)
+            el, res, steal, n_round = visit(cores)
             results[cores].append((el, steal))
             checks.add(res)
+            rounds.add(n_round)
     assert len(checks) == 1, (
         f"exact-integer OPIC diverged across parallelism: {checks}"
     )
     n_rows, cash, _ = next(iter(checks))
+    assert len(rounds) == 1, f"online edge subset diverged: {rounds}"
+    n_round = next(iter(rounds))
     n = n_rows - 1  # state carries one virtual-root row
     assert cash == n * UNIT, f"cash not conserved: {cash} != {n}*{UNIT}"
     t_low, steal_low = min(results[low])
@@ -216,8 +230,9 @@ def main() -> None:
         "cores_high": high,
         "wall_low_s": round(t_low, 2),
         "wall_high_s": round(t_high, 2),
-        "edge_sweeps_per_s_low": round(4 * N_EDGES / t_low),
-        "edge_sweeps_per_s_high": round(4 * N_EDGES / t_high),
+        "n_online_edges": n_round,
+        "edge_sweeps_per_s_low": round((3 * N_EDGES + n_round) / t_low),
+        "edge_sweeps_per_s_high": round((3 * N_EDGES + n_round) / t_high),
         "scaling_efficiency": round(t_low / (factor * t_high), 3),
         "steal_pct_low": round(steal_low, 1),
         "steal_pct_high": round(steal_high, 1),

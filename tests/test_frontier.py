@@ -865,14 +865,20 @@ def test_host_trustrank_matches_reference_and_demotes_spam(spark):
     assert max(pr, key=pr.get) == "f0"
     assert got["f0"] == 0 and all(got[f"f{i}"] == 0 for i in range(1, 21))
     assert got["g1"] > 0 and got["s0"] > 0
-    # decimal fallback (mass bound past int64) = identical integers
+    # decimal fallback (mass bound in (2^62, 2^63): sums need wide
+    # arithmetic but values still fit the BIGINT output) = identical
+    # integers; past int64 the concentrated-mass overflow is REFUSED
+    # (a silent cast-to-NULL would floor the most-trusted host)
     got_dec = {
         r["host"]: r["trust"]
-        for r in host_trustrank(df, seeds, iters=3, scale=10**18).collect()
+        for r in host_trustrank(df, seeds, iters=3, scale=3 * 10**17).collect()
     }
     assert got_dec == host_trustrank_py(
-        edges, ["s0"], iters=3, scale=10**18
+        edges, ["s0"], iters=3, scale=3 * 10**17
     )
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        host_trustrank(df, seeds, iters=1, scale=10**18)
     # no usable seed → explicit refusal
     import pytest as _pytest
     with _pytest.raises(ValueError):

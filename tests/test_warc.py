@@ -265,7 +265,7 @@ def test_write_warc_shards_overwrite_clears_stale(spark, tmp_path):
 def test_surt_key_transform(spark):
     """SURT urlkey: host labels reversed comma-joined (domain subtrees
     collate), www-prefix stripped, path lowered, query params sorted,
-    fragment-free."""
+    fragment-free; non-default ports kept, :80/:443 dropped."""
     from pyspark.sql import functions as F
 
     from go_htmldate_spark.plans.canonical import surt_key
@@ -276,6 +276,8 @@ def test_surt_key_transform(spark):
         ("https://example.com", "com,example)/"),
         ("https://www2.example.com/x#frag", "com,example)/x"),
         ("https://example.com/x?b=2", "com,example)/x?b=2"),
+        ("http://example.com:8080/x", "com,example:8080)/x"),
+        ("https://example.com:443/x", "com,example)/x"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r["k"] for r in

@@ -1149,7 +1149,9 @@ def q_sitemap_parse(spark, sf_dir):
     """§2.1 source: sitemap XML → frontier entries
     (sources/sitemaps.parse_sitemaps) — native regexp block extraction
     (RE2-safe dotall patterns), urlset + sitemapindex kinds, lastmod
-    date prefix, XML entity decode. Sitemap bodies synthesized from
+    date prefix, XML entity decode, declared <priority>
+    (protocol-range clamped) and <changefreq> (vocabulary-gated, an
+    invalid value parses as NULL). Sitemap bodies synthesized from
     orders (every 10th order advertises a child sitemap index instead);
     the oracle replays the same regexes in DuckDB."""
     from go_htmldate_spark.sources.sitemaps import parse_sitemaps
@@ -1158,12 +1160,25 @@ def q_sitemap_parse(spark, sf_dir):
     okey = F.col("o_orderkey").cast("string")
     site = F.concat(F.lit("https://s"), (F.col("o_custkey") % 20).cast("string"),
                     F.lit(".example"))
+    freq = F.element_at(
+        F.array(*[F.lit(x) for x in
+                  ("always", "hourly", "daily", "weekly", "monthly",
+                   "yearly", "sometimes")]),  # 'sometimes': invalid → NULL
+        (F.col("o_orderkey") % 7).cast("int") + 1,
+    )
+    prio = F.element_at(
+        F.array(*[F.lit(x) for x in
+                  ("0.0", "0.3", "0.5", "0.8", "1.0", "1.2")]),  # 1.2 clamps
+        (F.col("o_orderkey") % 6).cast("int") + 1,
+    )
     urlset = F.concat(
         F.lit('<?xml version="1.0"?><urlset><url><loc>'),
         site, F.lit("/o/"), okey,
         F.lit("</loc><lastmod>"),
         F.date_format("o_orderdate", "yyyy-MM-dd"),
-        F.lit("T12:00:00+00:00</lastmod></url><url>\n <loc> "),
+        F.lit("T12:00:00+00:00</lastmod><changefreq>"), freq,
+        F.lit("</changefreq><priority>"), prio,
+        F.lit("</priority></url><url>\n <loc> "),
         site, F.lit("/p/"), okey, F.lit("?a=1&amp;b=2 </loc>\n</url></urlset>"),
     )
     index = F.concat(
@@ -3807,7 +3822,12 @@ def oracle_sql() -> dict[str, str]:
                        '<?xml version="1.0"?><urlset><url><loc>https://s'
                        || (o_custkey % 20) || '.example/o/' || o_orderkey
                        || '</loc><lastmod>' || strftime(o_orderdate, '%Y-%m-%d')
-                       || 'T12:00:00+00:00</lastmod></url><url>' || chr(10)
+                       || 'T12:00:00+00:00</lastmod><changefreq>'
+                       || (['always','hourly','daily','weekly','monthly',
+                           'yearly','sometimes'])[CAST(o_orderkey % 7 AS INT) + 1]
+                       || '</changefreq><priority>'
+                       || (['0.0','0.3','0.5','0.8','1.0','1.2'])[CAST(o_orderkey % 6 AS INT) + 1]
+                       || '</priority></url><url>' || chr(10)
                        || ' <loc> https://s' || (o_custkey % 20) || '.example/p/'
                        || o_orderkey || '?a=1&amp;b=2 </loc>' || chr(10)
                        || '</url></urlset>'
@@ -3832,11 +3852,21 @@ def oracle_sql() -> dict[str, str]:
                        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
                        '&apos;', ''''), '&amp;', '&') AS loc,
                      regexp_extract(block,
-                       '(?s)<lastmod\s*>\s*(\d{4}-\d{2}-\d{2})', 1) AS lastmod
+                       '(?s)<lastmod\s*>\s*(\d{4}-\d{2}-\d{2})', 1) AS lastmod,
+                     regexp_extract(block,
+                       '(?s)<priority\s*>\s*([0-9]+(?:\.[0-9]+)?)', 1) AS prio,
+                     lower(regexp_extract(block,
+                       '(?s)<changefreq\s*>\s*([A-Za-z]+)', 1)) AS freq
               FROM blocks
             )
             SELECT sitemap_url, kind, loc,
-                   CASE WHEN lastmod <> '' THEN lastmod END AS lastmod
+                   CASE WHEN lastmod <> '' THEN lastmod END AS lastmod,
+                   CASE WHEN prio <> '' THEN
+                     least(greatest(CAST(prio AS DOUBLE), 0.0), 1.0)
+                   END AS priority,
+                   CASE WHEN freq IN ('always','hourly','daily','weekly',
+                                      'monthly','yearly','never')
+                        THEN freq END AS changefreq
             FROM parsed WHERE loc <> ''
         """,
         "line_dedup": """

@@ -39,6 +39,18 @@ _URL_BLOCK = r"(?s)<url\s*>(.*?)</url\s*>"
 _SITEMAP_BLOCK = r"(?s)<sitemap\s*>(.*?)</sitemap\s*>"
 _LOC = r"(?s)<loc\s*>\s*(.*?)\s*</loc\s*>"
 _LASTMOD = r"(?s)<lastmod\s*>\s*(\d{4}-\d{2}-\d{2})"
+_PRIORITY = r"(?s)<priority\s*>\s*([0-9]+(?:\.[0-9]+)?)"
+_CHANGEFREQ = r"(?s)<changefreq\s*>\s*([A-Za-z]+)"
+
+# sitemap-protocol changefreq → expected revisit interval (seconds):
+# the site's own freshness hint, usable as a Cho–Garcia-Molina rate
+# prior (rate = 1/interval) for URLs with no fetch history yet.
+# 'always' maps to half an hour (the protocol means "changes every
+# visit" — any finite prior beats none); 'never' yields no prior.
+CHANGEFREQ_SECONDS = {
+    "always": 1800, "hourly": 3600, "daily": 86400, "weekly": 604800,
+    "monthly": 2592000, "yearly": 31536000,
+}
 
 
 def _xml_unescape(col):
@@ -76,12 +88,25 @@ def parse_sitemaps(
     entries = url_entries.unionByName(index_entries)
     loc = _xml_unescape(F.regexp_extract(F.col("block"), _LOC, 1))
     lastmod = F.regexp_extract(F.col("block"), _LASTMOD, 1)
+    prio = F.regexp_extract(F.col("block"), _PRIORITY, 1)
+    freq = F.lower(F.regexp_extract(F.col("block"), _CHANGEFREQ, 1))
     return (
         entries.select(
             src_col,
             "kind",
             loc.alias("loc"),
             F.when(lastmod != "", lastmod).alias("lastmod"),
+            # protocol range is [0,1]; out-of-range declarations are
+            # site bugs — clamp rather than drop (0.5 is the documented
+            # default for ABSENT priority, applied by sitemap_seeds)
+            F.when(
+                prio != "",
+                F.least(F.greatest(prio.cast("double"), F.lit(0.0)),
+                        F.lit(1.0)),
+            ).alias("priority"),
+            F.when(
+                freq.isin(*CHANGEFREQ_SECONDS, "never"), freq
+            ).alias("changefreq"),
         )
         .filter(F.col("loc") != "")
     )
@@ -90,10 +115,14 @@ def parse_sitemaps(
 def sitemap_seeds(df: DataFrame, xml_col: str = "xml",
                   src_col: str = "sitemap_url") -> DataFrame:
     """Parsed `<urlset>` entries as frontier seeds:
-    (url, priority, lastmod) with priority = recency_score(lastmod) —
-    the scheduler's own freshness law, so sitemap-declared update times
-    order the first crawl round the same way discovered dates order
-    later ones. Feed straight into CrawlScheduler.init_from_seeds."""
+    (url, priority, lastmod) with priority = recency_score(lastmod) ×
+    2·declared-priority — the scheduler's freshness law weighted by the
+    site's own importance hint (sitemaps.org: <priority>, default 0.5).
+    The weight is 2·coalesce(declared, 0.5), so entries WITHOUT a
+    declaration keep exactly the bare recency priority (multiplier 1)
+    and a declaration scales it in [0, 2] around that — fully
+    backward-compatible with priority-less sitemaps. Feed straight
+    into CrawlScheduler.init_from_seeds."""
     from go_htmldate_spark.plans.scheduler import recency_score
 
     return (
@@ -101,8 +130,40 @@ def sitemap_seeds(df: DataFrame, xml_col: str = "xml",
         .filter(F.col("kind") == "url")
         .select(
             F.col("loc").alias("url"),
-            F.round(recency_score(F.col("lastmod")), 6).alias("priority"),
+            F.round(
+                recency_score(F.col("lastmod"))
+                * (F.lit(2.0) * F.coalesce(F.col("priority"), F.lit(0.5))),
+                6,
+            ).alias("priority"),
             "lastmod",
+        )
+    )
+
+
+def sitemap_rate_priors(df: DataFrame, xml_col: str = "xml",
+                        src_col: str = "sitemap_url") -> DataFrame:
+    """Parsed `<changefreq>` hints as Cho–Garcia-Molina rate priors:
+    (url, rate) with rate = 1/CHANGEFREQ_SECONDS — the seed-time
+    stand-in for plans/recrawl's estimated per-URL Poisson change
+    rates on URLs that have no fetch history yet ('never' and absent
+    hints yield no row: no evidence, no prior). Union/coalesce with
+    estimated rates; estimates win once two fetches exist."""
+    freq_s = F.element_at(
+        F.create_map(*[
+            F.lit(x) for kv in CHANGEFREQ_SECONDS.items() for x in kv
+        ]),
+        F.col("changefreq"),
+    )
+    return (
+        parse_sitemaps(df, xml_col=xml_col, src_col=src_col)
+        .filter(
+            (F.col("kind") == "url")
+            & F.col("changefreq").isNotNull()
+            & (F.col("changefreq") != "never")
+        )
+        .select(
+            F.col("loc").alias("url"),
+            F.round(F.lit(1.0) / freq_s.cast("double"), 12).alias("rate"),
         )
     )
 

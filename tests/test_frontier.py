@@ -945,9 +945,12 @@ def test_parse_sitemaps_urlset_index_and_seeds(spark):
         '<?xml version="1.0" encoding="UTF-8"?>\n'
         '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
         " <url><loc>https://a.example/p?x=1&amp;y=2</loc>"
-        "<lastmod>2024-03-05</lastmod></url>\n"
+        "<lastmod>2024-03-05</lastmod>"
+        "<changefreq>Daily</changefreq><priority>0.8</priority></url>\n"
         " <url>\n  <loc>\n   https://a.example/q\n  </loc>\n"
-        "  <lastmod>2020-01-31T18:00:02+00:00</lastmod>\n </url>\n"
+        "  <lastmod>2020-01-31T18:00:02+00:00</lastmod>\n"
+        "  <changefreq>sometimes</changefreq>\n"  # invalid vocab -> NULL
+        "  <priority>1.7</priority>\n </url>\n"  # out of range -> clamp 1.0
         " <url><loc>https://a.example/nolastmod</loc></url>\n"
         " <url><lastmod>2024-01-01</lastmod></url>\n"  # no loc: dropped
         "</urlset>"
@@ -965,28 +968,45 @@ def test_parse_sitemaps_urlset_index_and_seeds(spark):
         "sitemap_url string, xml string",
     )
     rows = {
-        (r["sitemap_url"], r["kind"], r["loc"]): r["lastmod"]
+        (r["sitemap_url"], r["kind"], r["loc"]):
+            (r["lastmod"], r["priority"], r["changefreq"])
         for r in parse_sitemaps(df).collect()
     }
     assert rows == {
-        ("https://a.example/sitemap.xml", "url", "https://a.example/p?x=1&y=2"): "2024-03-05",
-        ("https://a.example/sitemap.xml", "url", "https://a.example/q"): "2020-01-31",
-        ("https://a.example/sitemap.xml", "url", "https://a.example/nolastmod"): None,
-        ("https://b.example/sitemap.xml", "sitemap", "https://b.example/sitemap-1.xml"): "2023-12-01",
-        ("https://b.example/sitemap.xml", "sitemap", "https://b.example/sitemap-2.xml"): None,
+        ("https://a.example/sitemap.xml", "url", "https://a.example/p?x=1&y=2"):
+            ("2024-03-05", 0.8, "daily"),  # changefreq case-folded
+        ("https://a.example/sitemap.xml", "url", "https://a.example/q"):
+            ("2020-01-31", 1.0, None),  # 1.7 clamps; bad vocab -> NULL
+        ("https://a.example/sitemap.xml", "url", "https://a.example/nolastmod"):
+            (None, None, None),
+        ("https://b.example/sitemap.xml", "sitemap", "https://b.example/sitemap-1.xml"):
+            ("2023-12-01", None, None),
+        ("https://b.example/sitemap.xml", "sitemap", "https://b.example/sitemap-2.xml"):
+            (None, None, None),
     }
     seeds = {r["url"]: r["priority"] for r in sitemap_seeds(df).collect()}
     assert set(seeds) == {
         "https://a.example/p?x=1&y=2", "https://a.example/q",
         "https://a.example/nolastmod",
     }
+    # priority law: recency × 2·coalesce(declared, 0.5) — declared 0.8
+    # scales ×1.6, absent declaration keeps the bare recency exactly
     assert seeds["https://a.example/p?x=1&y=2"] == round(
-        recency_score_py("2024-03-05"), 6
+        recency_score_py("2024-03-05") * 1.6, 6
+    )
+    assert seeds["https://a.example/nolastmod"] == round(
+        recency_score_py(None), 6
     )
     # fresher lastmod → higher priority; missing lastmod → the fixed floor
     assert (seeds["https://a.example/p?x=1&y=2"]
             > seeds["https://a.example/q"]
             > seeds["https://a.example/nolastmod"])
+
+    # changefreq → Cho–Garcia-Molina rate priors: only valid, non-never
+    # hints on url-kind entries yield a row
+    from go_htmldate_spark.sources.sitemaps import sitemap_rate_priors
+    priors = {r["url"]: r["rate"] for r in sitemap_rate_priors(df).collect()}
+    assert priors == {"https://a.example/p?x=1&y=2": round(1.0 / 86400, 12)}
 
 
 def test_resolve_redirects_chains_cycles_and_apply(spark):

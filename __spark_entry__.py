@@ -2024,6 +2024,46 @@ def _sql_trustrank_cte(iters: int = 4, scale: int = 10**12,
         SELECT host, CAST(trust AS BIGINT) AS trust FROM r{iters}"""
 
 
+def q_host_lang_budgets(spark, sf_dir):
+    """Pipeline: language-quota crawl budgets
+    (plans/hostgraph.host_lang_budgets) — per-host majority language
+    (lexicographic tie-break: deterministic under any partitioning)
+    mapped through a language→budget quota table, the allocation law
+    of a language-balanced crawl. Hosts synthesized from documents
+    (doc_id % 40), languages from the table's lang column; en gets
+    quota 8, de 4, the rest the 1.0 floor."""
+    from go_htmldate_spark.plans.hostgraph import host_lang_budgets
+
+    d = _t(spark, sf_dir, "documents")
+    pages = d.select(
+        F.concat(F.lit("https://h"), (F.col("doc_id") % 40).cast("string"),
+                 F.lit(".example/d/"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        "lang",
+    )
+    return host_lang_budgets(pages, {"en": 8.0, "de": 4.0}, default=1.0)
+
+
+_SQL_HOST_LANG_BUDGETS = """
+    WITH counts AS (
+      SELECT 'h' || (doc_id % 40) || '.example' AS host,
+             coalesce(lang, 'unknown') AS lang,
+             count(*) AS c
+      FROM documents GROUP BY 1, 2
+    ),
+    win AS (
+      SELECT host, lang,
+             row_number() OVER (PARTITION BY host
+                                ORDER BY c DESC, lang ASC) AS rn
+      FROM counts
+    )
+    SELECT host, lang,
+           CASE lang WHEN 'en' THEN 8.0 WHEN 'de' THEN 4.0
+                ELSE 1.0 END AS politeness_budget
+    FROM win WHERE rn = 1
+"""
+
+
 def q_focused_relevance(spark, sf_dir):
     """Pipeline: focused-crawl topic relevance
     (plans/hostgraph.focused_host_relevance — Chakrabarti et al.
@@ -2255,6 +2295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "host_trustrank": q_host_trustrank,
         "cdx_index": q_cdx_index,
+        "host_lang_budgets": q_host_lang_budgets,
         "anchor_text": q_anchor_text,
         "soft404": q_soft404,
         "soft404_demotion": q_soft404_demotion,
@@ -3426,6 +3467,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _SQL_BM25_TOPK,
         "host_trustrank": _sql_trustrank_cte(4),
         "cdx_index": _SQL_CDX_INDEX,
+        "host_lang_budgets": _SQL_HOST_LANG_BUDGETS,
         # anchor-text aggregation: the oracle rebuilds the planted link
         # tuples closed-form from orders (Spark parses them back out of
         # the synthesized HTML with the native regex) and aggregates

@@ -83,7 +83,7 @@ def main() -> None:
         "pipeline_curate", "pii_scrub", "c4_heuristics", "pack_sequences",
         "lm_score", "token_budget_sample", "url_blocklist",
         "line_dedup", "host_pagerank", "host_opic", "host_hits",
-        "host_trustrank",
+        "host_trustrank", "host_lang_budgets",
         "anchor_text", "focused_relevance", "bm25_topk", "cdx_index",
         "sitemap_parse",
         "robots_sitemaps", "url_trap_flags", "redirect_resolve",

@@ -774,3 +774,50 @@ def host_trustrank_py(
             for n in nodes
         }
     return trust
+
+
+def host_lang_budgets(
+    pages: DataFrame,
+    quotas: dict[str, float],
+    default: float = 1.0,
+    url_col: str = "url",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Pages → (host, lang, politeness_budget): per-host majority
+    language (ties break lexicographically — deterministic under any
+    partitioning) mapped through a language→budget quota table — how a
+    language-balanced crawl (Common Crawl publishes language
+    distributions and crawls against them) allocates fetch budget:
+    hosts serving an under-represented target language get the high
+    quota, everything else the default floor. Min-merges with the
+    other budget sources via plans/scheduler.min_budgets.
+
+    Scale shape: one (host, lang)-keyed count exchange over the pages
+    scan, then the majority window moves only the collapsed per-pair
+    counts (the anchor_text_agg top-phrase discipline — never raw
+    rows); the quota map compiles to a chained when. Output O(hosts),
+    broadcast-size for the scheduler's budget join."""
+    from pyspark.sql import Window
+
+    from .canonical import url_host
+
+    counts = (
+        pages.select(
+            url_host(F.col(url_col)).alias("host"),
+            F.coalesce(F.col(lang_col), F.lit("unknown")).alias("lang"),
+        )
+        .filter(F.col("host") != "")
+        .groupBy("host", "lang")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("_c").desc(), F.col("lang").asc()
+    )
+    budget = F.lit(float(default))
+    for lang, q in sorted(quotas.items()):
+        budget = F.when(F.col("lang") == lang, F.lit(float(q))).otherwise(budget)
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("host", "lang", budget.alias("politeness_budget"))
+    )

@@ -2378,3 +2378,35 @@ def test_scheduler_opic_online_updates(spark, corpus, tmp_path_factory):
     b2 = {r2["host"]: r2["politeness_budget"]
           for r2 in sched2.host_budget.collect()}
     assert b2 == b
+
+
+def test_host_lang_budgets_majority_and_quota(spark):
+    """Per-host majority language with lexicographic tie-break; quota
+    map with default floor; '' hosts (malformed URLs) dropped; NULL
+    lang folds to 'unknown'."""
+    from go_htmldate_spark.plans.hostgraph import host_lang_budgets
+
+    pages = spark.createDataFrame(
+        [
+            ("https://a.example/1", "en"), ("https://a.example/2", "en"),
+            ("https://a.example/3", "de"),            # en majority
+            ("https://b.example/1", "de"), ("https://b.example/2", "en"),
+            # b: tie en/de -> 'de' wins lexicographically
+            ("https://c.example/1", "tr"),            # not in quotas -> floor
+            ("https://d.example/1", None),            # NULL -> unknown
+            ("not-a-url", "en"),                      # '' host dropped
+        ],
+        "url string, lang string",
+    )
+    got = {
+        r["host"]: (r["lang"], r["politeness_budget"])
+        for r in host_lang_budgets(
+            pages, {"en": 8.0, "de": 4.0}, default=1.0
+        ).collect()
+    }
+    assert got == {
+        "a.example": ("en", 8.0),
+        "b.example": ("de", 4.0),
+        "c.example": ("tr", 1.0),
+        "d.example": ("unknown", 1.0),
+    }

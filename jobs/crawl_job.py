@@ -89,6 +89,12 @@ def main() -> None:
         "trusted hosts (host)",
     )
     ap.add_argument(
+        "--lang-budgets", metavar="LANG=Q[,...][,*=F]",
+        help="language-balanced crawl: per-host majority language "
+        "mapped to fetch quotas (e.g. en=8,de=4,*=1), min-merged with "
+        "the other budget sources",
+    )
+    ap.add_argument(
         "--redirects",
         help="parquet dir of one-hop redirect edges (src_url, dst_url, "
         "canonical); chains resolve to terminal targets before "
@@ -249,6 +255,25 @@ def main() -> None:
             "host", F.greatest(F.col("hub"), F.lit(1)).alias("rank")
         )
         budgets = merge_budgets(budgets, rank_to_budget(hub_ranks, lo=lo, hi=hi))
+
+    if args.lang_budgets:
+        # language-balanced allocation: majority language per host →
+        # quota; same parse syntax as curate_job --sample
+        from go_htmldate_spark.plans.hostgraph import host_lang_budgets
+
+        quotas: dict[str, float] = {}
+        lang_default = 1.0
+        for part in args.lang_budgets.split(","):
+            k, _, v = part.partition("=")
+            if k.strip() == "*":
+                lang_default = float(v)
+            else:
+                quotas[k.strip()] = float(v)
+        budgets = merge_budgets(
+            budgets,
+            host_lang_budgets(pages, quotas, default=lang_default)
+            .select("host", "politeness_budget"),
+        )
 
     if args.trustrank_budgets:
         # spam demotion: teleport restricted to the vetted seed hosts,

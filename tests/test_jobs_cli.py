@@ -75,6 +75,7 @@ def test_crawl_job_sitemap_seeds_and_pagerank_budgets(
         "--hits-budgets", "1.0,6.0",
         "--trustrank-budgets", "1.0,5.0",
         "--trust-seeds", seeds_dir,
+        "--lang-budgets", "en=6,de=3,*=1",
     ])
     job.main()
 

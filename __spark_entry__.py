@@ -1145,6 +1145,40 @@ def q_line_dedup(spark, sf_dir):
     return line_dedup(synth, min_docs=3)
 
 
+def q_host_boilerplate(spark, sf_dir):
+    """Pipeline: host-scoped fractional template-line removal
+    (operators/curation.host_boilerplate) — the CCNet/RefinedWeb
+    host-level refinement of line_dedup: a line is removed only when
+    it repeats across >= 30% of ITS host's documents (integer-exact
+    100*n_docs >= 30*host_docs rule), so a small site's nav template
+    is caught while the same sentence quoted on two unrelated hosts
+    survives. Hosts synthesized as doc_id % 37; the per-host nav line
+    repeats in every page, the copyright in ~half, the promo rotation
+    in ~1/3 (straddling the 30% threshold — an exact-comparison
+    probe), and prose stays unique. The oracle replays the same
+    construction and rule on raw (host, line) pairs."""
+    from go_htmldate_spark.operators.curation import host_boilerplate
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    host = F.concat(F.lit("h"), (did % 37).cast("string"))
+    synth = d.select(
+        "doc_id",
+        host.alias("host"),
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("nav "), host),
+            F.concat(F.lit("promo "), (did % 3).cast("string")),
+            F.substring(F.col("text"), 1, 60),
+            F.lit(""),
+            F.when(did % 2 == 0, F.concat(F.lit("copyright "), host))
+            .otherwise(F.concat(F.lit("body "), did.cast("string"),
+                                F.lit(" unique tail"))),
+        ).alias("text"),
+    )
+    return host_boilerplate(synth, min_pct=30, min_docs=2)
+
+
 def q_sitemap_parse(spark, sf_dir):
     """§2.1 source: sitemap XML → frontier entries
     (sources/sitemaps.parse_sitemaps) — native regexp block extraction
@@ -2288,6 +2322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": q_token_budget_sample,
         "url_blocklist": q_url_blocklist,
         "line_dedup": q_line_dedup,
+        "host_boilerplate": q_host_boilerplate,
         "host_pagerank": q_host_pagerank,
         "host_opic": q_host_opic,
         "host_hits": q_host_hits,
@@ -3943,6 +3978,57 @@ def oracle_sql() -> dict[str, str]:
               FROM kept GROUP BY doc_id
             )
             SELECT s.doc_id,
+                   COALESCE(r.clean_text, '') AS clean_text,
+                   CAST(COALESCE(r.n_lines, 0) AS BIGINT) AS n_lines,
+                   CAST(len(string_split(s.text, chr(10))) - COALESCE(r.n_lines, 0)
+                        AS BIGINT) AS n_removed
+            FROM synth s LEFT JOIN reasm r USING (doc_id)
+        """,
+        "host_boilerplate": """
+            WITH synth AS (
+              SELECT doc_id,
+                     'h' || (doc_id % 37) AS host,
+                     concat_ws(chr(10),
+                       'nav h' || (doc_id % 37),
+                       'promo ' || (doc_id % 3),
+                       substr(text, 1, 60),
+                       '',
+                       CASE WHEN doc_id % 2 = 0
+                            THEN 'copyright h' || (doc_id % 37)
+                            ELSE 'body ' || doc_id || ' unique tail' END
+                       ) AS text
+              FROM documents
+            ),
+            hd AS (
+              SELECT host, COUNT(DISTINCT doc_id) AS host_docs
+              FROM synth GROUP BY host
+            ),
+            lines AS (
+              SELECT doc_id, host, unnest(ls) AS line,
+                     generate_subscripts(ls, 1) AS pos
+              FROM (SELECT doc_id, host, string_split(text, chr(10)) AS ls
+                    FROM synth)
+            ),
+            rem AS (
+              SELECT l.host, l.line
+              FROM lines l JOIN hd USING (host)
+              WHERE trim(l.line) <> ''
+              GROUP BY l.host, l.line, hd.host_docs
+              HAVING COUNT(DISTINCT l.doc_id) >= 2
+                 AND hd.host_docs >= 2
+                 AND 100 * COUNT(DISTINCT l.doc_id) >= 30 * hd.host_docs
+            ),
+            kept AS (
+              SELECT l.doc_id, l.pos, l.line FROM lines l
+              WHERE NOT EXISTS (SELECT 1 FROM rem r
+                                WHERE r.host = l.host AND r.line = l.line)
+            ),
+            reasm AS (
+              SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+                     CAST(COUNT(*) AS BIGINT) AS n_lines
+              FROM kept GROUP BY doc_id
+            )
+            SELECT s.doc_id, s.host,
                    COALESCE(r.clean_text, '') AS clean_text,
                    CAST(COALESCE(r.n_lines, 0) AS BIGINT) AS n_lines,
                    CAST(len(string_split(s.text, chr(10))) - COALESCE(r.n_lines, 0)

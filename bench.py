@@ -82,7 +82,8 @@ def main() -> None:
         "dup_span_stats", "dup_span_removal",
         "pipeline_curate", "pii_scrub", "c4_heuristics", "pack_sequences",
         "lm_score", "token_budget_sample", "url_blocklist",
-        "line_dedup", "host_pagerank", "host_opic", "host_hits",
+        "line_dedup", "host_boilerplate",
+        "host_pagerank", "host_opic", "host_hits",
         "host_trustrank", "host_lang_budgets",
         "anchor_text", "focused_relevance", "bm25_topk", "cdx_index",
         "sitemap_parse",

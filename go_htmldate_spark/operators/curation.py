@@ -682,6 +682,107 @@ def line_dedup(
     )
 
 
+def host_boilerplate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    host_col: str = "host",
+    text_col: str = "text",
+    min_pct: int = 30,
+    min_docs: int = 2,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Host-scoped fractional template-line removal — the CCNet/
+    RefinedWeb refinement of `line_dedup`: a line is boilerplate for
+    a HOST when it appears in >= min_pct% of that host's documents
+    (nav bars and footers repeat across one site's pages; the same
+    sentence on two unrelated hosts is quotation, not template).
+    Complements the global gate: host-fractional catches small sites'
+    templates that never cross the corpus-wide absolute threshold,
+    and spares popular quotes that do.
+
+    Removal rule (all integer arithmetic so the DuckDB oracle is
+    bit-exact — a float `ceil(0.3 * 10)` is 4 in IEEE doubles):
+      host_docs >= min_docs  AND  n_docs >= 2
+      AND  100 * n_docs >= min_pct * host_docs
+    Whitespace-only lines are never removal-eligible (document
+    structure, same rule as line_dedup).
+
+    Returns (id, host, out_col, n_lines, n_removed); pages that were
+    all template come back with an empty string so row counts are
+    stable through the gate.
+
+    Scale shape: lines shuffle ONCE keyed by the 60-bit md5 of
+    (host, line) — page-sized strings stay out of the exchange; the
+    per-key doc count is an aggregation on that same key and the
+    left-anti apply re-uses its partitioning. Per-host doc totals are
+    one (host) agg over (id, host) pairs — bytes per document — and
+    join the (already tiny) duplicated-key table, not the line table.
+    At 100 TB the only materialized state is the per-host removal-key
+    set; nothing collects to the driver.
+    """
+    trimmed = F.trim(F.col("line"))
+    lines = df.select(
+        F.col(id_col),
+        F.col(host_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn(
+        "line_key",
+        F.when(
+            trimmed != "",
+            md5_h1(F.concat_ws("\x01", F.col(host_col), F.col("line"))),
+        ),
+    )
+    host_docs = df.groupBy(host_col).agg(
+        F.count_distinct(F.col(id_col)).alias("_host_docs")
+    )
+    removal = (
+        lines.filter(F.col("line_key").isNotNull())
+        .groupBy("line_key")
+        .agg(
+            F.count_distinct(F.col(id_col)).alias("_n_docs"),
+            F.first(host_col).alias(host_col),
+        )
+        .filter(F.col("_n_docs") >= F.lit(2))
+        .join(F.broadcast(host_docs), host_col)
+        .filter(
+            (F.col("_host_docs") >= F.lit(int(min_docs)))
+            & (
+                F.lit(100) * F.col("_n_docs")
+                >= F.lit(int(min_pct)) * F.col("_host_docs")
+            )
+        )
+        .select("line_key")
+    )
+    kept = lines.join(removal, "line_key", "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias(out_col),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(host_col),
+            F.size(F.split(F.col(text_col), "\n")).alias("_n_orig"),
+        )
+        .join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            host_col,
+            F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
+            F.coalesce(F.col("n_lines"), F.lit(0)).cast("long").alias("n_lines"),
+            (F.col("_n_orig") - F.coalesce(F.col("n_lines"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+
+
 def _dup_span_tokens(
     df: DataFrame,
     n: int,

@@ -1077,6 +1077,51 @@ def test_line_dedup_removes_cross_doc_boilerplate(spark):
     assert out4 == {1: 0, 2: 0, 3: 0, 4: 0}
 
 
+def test_host_boilerplate_is_host_scoped_and_fractional(spark):
+    """A line repeating in >= min_pct% of ITS host's docs is removed;
+    the same string on another host is untouched (host-scoped keys);
+    the integer threshold rule is exact at the boundary; a singleton
+    host (host_docs < min_docs) is never eligible."""
+    from go_htmldate_spark.operators.curation import host_boilerplate
+
+    docs = spark.createDataFrame(
+        [
+            # host a: 4 docs. "nav A" in all 4 (100%); "promo" in 2 of 4
+            # (50% >= 30% -> removed); "rare" in 1 (never: n_docs < 2).
+            (1, "a", "nav A\nprose one\npromo"),
+            (2, "a", "nav A\nprose two\npromo"),
+            (3, "a", "nav A\nprose three\nrare"),
+            (4, "a", "nav A\nprose four"),
+            # host b: 2 docs sharing "nav A" — same STRING as host a's
+            # template but b's own 2/2 = 100% makes it b-boilerplate too;
+            # "quote" shared 1-and-1 across hosts a/b never removed.
+            (5, "b", "nav A\nb prose\nquote"),
+            (6, "b", "nav A\nb tail"),
+            # host c: singleton — its repeated-within-one-doc line stays
+            # (count_distinct doc_id = 1) and host_docs=1 < min_docs.
+            (7, "c", "solo line\nsolo line\nquote"),
+        ],
+        ["doc_id", "host", "text"],
+    )
+    out = {r["doc_id"]: r for r in
+           host_boilerplate(docs, min_pct=30, min_docs=2).collect()}
+    assert out[1]["clean_text"] == "prose one"
+    assert out[1]["n_removed"] == 2
+    assert out[3]["clean_text"] == "prose three\nrare"
+    assert out[4]["clean_text"] == "prose four"
+    assert out[5]["clean_text"] == "b prose\nquote"
+    assert out[7]["clean_text"] == "solo line\nsolo line\nquote"
+    assert out[7]["n_removed"] == 0
+    # boundary exactness: promo is 2/4 = 50%; at min_pct=51 it survives
+    out51 = {r["doc_id"]: r for r in
+             host_boilerplate(docs, min_pct=51, min_docs=2).collect()}
+    assert out51[1]["clean_text"] == "prose one\npromo"
+    # at min_pct=50 exactly (100*2 >= 50*4) it is removed
+    out50 = {r["doc_id"]: r for r in
+             host_boilerplate(docs, min_pct=50, min_docs=2).collect()}
+    assert out50[1]["clean_text"] == "prose one"
+
+
 def test_stream_change_rate_matches_batch(spark, tmp_path):
     """Streaming CGM change-rate (streaming/recrawl): folding fetch
     observations across three micro-batches yields, for every URL, a

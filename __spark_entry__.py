@@ -969,6 +969,20 @@ def q_lm_score(spark, sf_dir):
     return lm_score(d.select("doc_id", "text"), ref)
 
 
+def q_ccnet_buckets(spark, sf_dir):
+    """Pipeline: CCNet head/middle/tail perplexity terciles (Wenzek et
+    al. 2020 §4.3) — bigram-LM score per doc, then per-language rank
+    terciles with integer bucket math and a (ppl, doc_id) total order
+    (operators/curation.ccnet_buckets). The scale path (precomputed
+    cutoffs broadcast, map-only) is exercised by pytest; the ranked
+    exact path is the oracle gate."""
+    from go_htmldate_spark.operators.curation import ccnet_buckets
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    ref = d.filter(F.col("lang") == "en").select("text")
+    return ccnet_buckets(d, ref)
+
+
 def q_pack_sequences(spark, sf_dir):
     """Pipeline: GPT-style sequence packing — concatenate docs in id
     order per shard, chunk into 256-token windows; per doc: token
@@ -2319,6 +2333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_heuristics": q_c4_heuristics,
         "pack_sequences": q_pack_sequences,
         "lm_score": q_lm_score,
+        "ccnet_buckets": q_ccnet_buckets,
         "token_budget_sample": q_token_budget_sample,
         "url_blocklist": q_url_blocklist,
         "line_dedup": q_line_dedup,
@@ -3461,6 +3476,67 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_bigrams, avg_logp,
                    round(exp(-avg_logp), 6) AS ppl
             FROM agg
+        """,
+        # CCNet terciles: the lm_score chain plus a per-language rank
+        # window; bucket = floor((rn-1)*3/n) — integer math, same
+        # (ppl, doc_id) total order as the Spark window
+        "ccnet_buckets": """
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+              FROM documents
+            ),
+            uni AS (
+              SELECT w, count(*) AS cp FROM (
+                SELECT unnest(t) AS w FROM toks WHERE lang = 'en'
+              ) WHERE w <> '' GROUP BY w
+            ),
+            big AS (
+              SELECT w1, w2, count(*) AS cb FROM (
+                SELECT unnest([{'w1': t[i], 'w2': t[i + 1]}
+                               for i in range(1, len(t))], recursive := true)
+                FROM toks WHERE lang = 'en'
+              ) GROUP BY w1, w2
+            ),
+            dbg AS (
+              SELECT doc_id,
+                     unnest([{'pos': i, 'w1': t[i], 'w2': t[i + 1]}
+                             for i in range(1, len(t))], recursive := true)
+              FROM toks
+            ),
+            lp AS (
+              SELECT d.doc_id, d.pos,
+                     round(ln((coalesce(b.cb, 0) + 1.0)
+                              / (coalesce(u.cp, 0)
+                                 + (SELECT CAST(count(*) AS DOUBLE) FROM uni))), 6) AS lp
+              FROM dbg d
+              LEFT JOIN uni u ON d.w1 = u.w
+              LEFT JOIN big b ON d.w1 = b.w1 AND d.w2 = b.w2
+            ),
+            agg AS (
+              SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_bigrams,
+                     round(list_reduce(list(lp ORDER BY pos), (x, y) -> x + y)
+                           / count(*), 6) AS avg_logp
+              FROM lp GROUP BY doc_id
+            ),
+            scored AS (
+              SELECT a.doc_id, coalesce(d.lang, 'unknown') AS lang,
+                     a.n_bigrams, a.avg_logp,
+                     round(exp(-a.avg_logp), 6) AS ppl
+              FROM agg a JOIN documents d ON a.doc_id = d.doc_id
+            ),
+            ranked AS (
+              SELECT *,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY ppl ASC, doc_id ASC) AS rn,
+                     count(*) OVER (PARTITION BY lang) AS n
+              FROM scored
+            )
+            SELECT doc_id, lang, n_bigrams, avg_logp, ppl,
+                   (['head', 'middle', 'tail'])[
+                     CAST(floor((rn - 1) * 3 / n) AS INT) + 1] AS bucket
+            FROM ranked
         """,
         # token-budget sampling: same uniform, same (u, id) order, same
         # budget-crossing rule (start-of-doc < budget)

@@ -412,6 +412,88 @@ def lm_score(
 
 
 # ---------------------------------------------------------------------------
+# CCNet head/middle/tail perplexity buckets
+# ---------------------------------------------------------------------------
+
+_CCNET_BUCKET_NAMES = ["head", "middle", "tail"]
+
+
+def ccnet_buckets(
+    docs: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    cutoffs: dict[str, tuple[float, float]] | None = None,
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al., LREC 2020 §4.3):
+    score every document with the bigram-LM perplexity (`lm_score`),
+    then bucket each language's documents into perplexity terciles —
+    head = the lowest-perplexity (most reference-like) third. Returns
+    (id, lang, n_bigrams, avg_logp, ppl, bucket).
+
+    Two modes, mirroring CCNet's own deployment:
+
+    * ``cutoffs=None`` (the exact / oracle-gated path): terciles from
+      per-language rank — ``floor((rn-1)*3 / n)`` with a total order on
+      (ppl, id), integer arithmetic so any engine reproduces the bucket
+      bit-for-bit. One window shuffle on lang; lang is heavy-tailed
+      (en dominates a web crawl), so at 100 TB the rank sort is the
+      skew hazard — that is exactly why CCNet itself does NOT rank the
+      full corpus, and why the second mode exists.
+    * ``cutoffs={lang: (head_max_ppl, middle_max_ppl)}``: the scale
+      path — cutoffs come precomputed from a sample (kilobytes), are
+      broadcast, and bucketing becomes a map-only projection with zero
+      exchanges, riding whatever partitioning the corpus already has.
+      Languages absent from the map fall into `tail` above the last
+      cutoff like CCNet's default-keep-middle convention: here they get
+      NULL cutoffs and bucket `middle` (kept, unranked).
+    """
+    from pyspark.sql import Window
+
+    scored = lm_score(docs, reference, text_col=text_col, id_col=id_col)
+    langs = docs.select(
+        F.col(id_col),
+        F.coalesce(F.col(lang_col), F.lit("unknown")).alias("lang"),
+    )
+    withlang = scored.join(langs, id_col)
+
+    if cutoffs is not None:
+        spark = docs.sparkSession
+        cut = spark.createDataFrame(
+            [(k, float(v[0]), float(v[1])) for k, v in sorted(cutoffs.items())],
+            "lang string, head_max double, middle_max double",
+        )
+        bucket = (
+            F.when(F.col("head_max").isNull(), F.lit("middle"))
+            .when(F.col("ppl") <= F.col("head_max"), F.lit("head"))
+            .when(F.col("ppl") <= F.col("middle_max"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+        )
+        return (
+            withlang.join(F.broadcast(cut), "lang", "left")
+            .select(
+                F.col(id_col), "lang", "n_bigrams", "avg_logp", "ppl",
+                bucket.alias("bucket"),
+            )
+        )
+
+    w = Window.partitionBy("lang").orderBy(
+        F.col("ppl").asc(), F.col(id_col).asc()
+    )
+    rn = F.row_number().over(w)
+    n = F.count(F.lit(1)).over(Window.partitionBy("lang"))
+    idx = F.floor((rn - F.lit(1)) * F.lit(3) / n).cast("int")
+    bucket = F.element_at(
+        F.array(*[F.lit(b) for b in _CCNET_BUCKET_NAMES]), idx + F.lit(1)
+    )
+    return withlang.select(
+        F.col(id_col), "lang", "n_bigrams", "avg_logp", "ppl",
+        bucket.alias("bucket"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Token-budget sampling (build a training mix to an exact token budget)
 # ---------------------------------------------------------------------------
 

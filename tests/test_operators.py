@@ -910,6 +910,54 @@ def test_lm_score_ranks_reference_like_text_higher(spark):
     assert lm_score(one, ref).count() == 0
 
 
+def test_ccnet_buckets_rank_terciles_and_cutoff_path(spark):
+    from go_htmldate_spark.operators.curation import ccnet_buckets
+
+    ref = spark.createDataFrame(
+        [("the cat sat on the mat",), ("the dog sat on the rug",),
+         ("a cat and a dog sat down",)],
+        ["text"],
+    )
+    # 6 en docs spanning in-distribution → gibberish, plus one de doc
+    docs = spark.createDataFrame(
+        [(0, "the cat sat on the mat", "en"),
+         (1, "the dog sat on the rug", "en"),
+         (2, "a cat and a dog sat down", "en"),
+         (3, "the cat sat on zq xv", "en"),
+         (4, "zq xv sat on the mat", "en"),
+         (5, "zq xv qqq zzz vvv kkk", "en"),
+         (6, "der hund sitzt auf dem teppich", "de")],
+        ["doc_id", "text", "lang"],
+    )
+    rows = {r["doc_id"]: r for r in ccnet_buckets(docs, ref).collect()}
+    # 6 en docs → exactly 2 per tercile; buckets follow the ppl order
+    en = sorted((r["ppl"], r["doc_id"]) for r in rows.values()
+                if r["lang"] == "en")
+    want = ["head", "head", "middle", "middle", "tail", "tail"]
+    assert [rows[d]["bucket"] for _, d in en] == want
+    assert rows[0]["bucket"] == "head"      # most reference-like
+    assert rows[5]["bucket"] == "tail"      # gibberish
+    # a 1-doc language is a complete tercile family of its own: head
+    assert rows[6]["bucket"] == "head"
+
+    # cutoff mode: map-only, zero exchanges after the score, and a
+    # language absent from the cutoff map stays kept as 'middle'
+    cut = ccnet_buckets(docs, ref, cutoffs={"en": (20.0, 200.0)})
+    crows = {r["doc_id"]: r for r in cut.collect()}
+    for d, r in crows.items():
+        if r["lang"] == "de":
+            assert r["bucket"] == "middle"
+        elif r["ppl"] <= 20.0:
+            assert r["bucket"] == "head"
+        elif r["ppl"] <= 200.0:
+            assert r["bucket"] == "middle"
+        else:
+            assert r["bucket"] == "tail"
+    # rank mode and cutoff mode score identically
+    assert {d: r["ppl"] for d, r in rows.items()} == \
+           {d: r["ppl"] for d, r in crows.items()}
+
+
 def test_token_budget_sample_meets_budget_exactly_once(spark):
     from go_htmldate_spark.operators.curation import token_budget_sample
 

@@ -1282,6 +1282,52 @@ def q_robots_sitemaps(spark, sf_dir):
     )
 
 
+def _snapshot_pair(spark, sf_dir):
+    """Two deterministic crawl snapshots of the documents corpus:
+    snapshot A drops every 11th doc (those become `added`), snapshot B
+    drops every 13th (`removed`) and rewrites every 7th text
+    (`changed`); everything else is `unchanged`."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://h"), (F.col("doc_id") % 40).cast("string"),
+        F.lit(".example/p/"), F.col("doc_id").cast("string"),
+    )
+    old = d.filter(F.col("doc_id") % 11 != 0).select(
+        url.alias("url"), F.md5(F.col("text")).alias("content_hash")
+    )
+    new_text = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" updated"))
+    ).otherwise(F.col("text"))
+    new = d.filter(F.col("doc_id") % 13 != 0).select(
+        url.alias("url"), F.md5(new_text).alias("content_hash")
+    )
+    return old, new
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """§2.9 frontier: cross-snapshot crawl diff (plans/snapshots) —
+    full-outer join on the canonical URL key classifying every URL as
+    added / removed / changed / unchanged between two crawl passes
+    (Ntoulas/Cho/Olston WWW'04 corpus-drift measurement; feeds
+    plans/recrawl's change-rate estimator). One shuffle; bodies never
+    move — both sides project to (url, hash) first."""
+    from go_htmldate_spark.plans.snapshots import snapshot_diff
+
+    old, new = _snapshot_pair(spark, sf_dir)
+    return snapshot_diff(old, new)
+
+
+def q_snapshot_diff_stats(spark, sf_dir):
+    """Corpus-drift roll-up of q_snapshot_diff: per-status URL counts
+    and fractions (plans/snapshots.snapshot_diff_stats)."""
+    from go_htmldate_spark.plans.snapshots import (
+        snapshot_diff, snapshot_diff_stats,
+    )
+
+    old, new = _snapshot_pair(spark, sf_dir)
+    return snapshot_diff_stats(snapshot_diff(old, new))
+
+
 def q_change_rate(spark, sf_dir):
     """§2.9 frontier: freshness-aware recrawl (plans/recrawl) — Cho &
     Garcia-Molina Poisson change-rate estimation over fetch history
@@ -2354,6 +2400,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_trap_flags": q_url_trap_flags,
         "redirect_resolve": q_redirect_resolve,
         "change_rate": q_change_rate,
+        "snapshot_diff": q_snapshot_diff,
+        "snapshot_diff_stats": q_snapshot_diff_stats,
         "rel_canonical": q_rel_canonical,
         "host_backoff": q_host_backoff,
         "frontier_allgates": q_frontier_allgates,
@@ -3695,6 +3743,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT host, n_pages, n_soft404, soft404_frac,
                    (soft404_frac >= 0.5 AND n_pages >= 20) AS demoted
             FROM stats
+        """,
+        # snapshot diff: same full-outer classification; md5 is
+        # identical hex in both engines
+        "snapshot_diff": """
+            WITH o AS (
+              SELECT 'https://h' || (doc_id % 40) || '.example/p/' || doc_id AS url,
+                     md5(text) AS old_hash
+              FROM documents WHERE doc_id % 11 <> 0
+            ),
+            n AS (
+              SELECT 'https://h' || (doc_id % 40) || '.example/p/' || doc_id AS url,
+                     md5(CASE WHEN doc_id % 7 = 0
+                              THEN text || ' updated' ELSE text END) AS new_hash
+              FROM documents WHERE doc_id % 13 <> 0
+            )
+            SELECT coalesce(o.url, n.url) AS url, old_hash, new_hash,
+                   CASE WHEN old_hash IS NULL THEN 'added'
+                        WHEN new_hash IS NULL THEN 'removed'
+                        WHEN old_hash = new_hash THEN 'unchanged'
+                        ELSE 'changed' END AS status
+            FROM o FULL OUTER JOIN n ON o.url = n.url
+        """,
+        "snapshot_diff_stats": """
+            WITH o AS (
+              SELECT 'https://h' || (doc_id % 40) || '.example/p/' || doc_id AS url,
+                     md5(text) AS old_hash
+              FROM documents WHERE doc_id % 11 <> 0
+            ),
+            n AS (
+              SELECT 'https://h' || (doc_id % 40) || '.example/p/' || doc_id AS url,
+                     md5(CASE WHEN doc_id % 7 = 0
+                              THEN text || ' updated' ELSE text END) AS new_hash
+              FROM documents WHERE doc_id % 13 <> 0
+            ),
+            diff AS (
+              SELECT CASE WHEN old_hash IS NULL THEN 'added'
+                          WHEN new_hash IS NULL THEN 'removed'
+                          WHEN old_hash = new_hash THEN 'unchanged'
+                          ELSE 'changed' END AS status
+              FROM o FULL OUTER JOIN n ON o.url = n.url
+            )
+            SELECT status, CAST(count(*) AS BIGINT) AS n_urls,
+                   round(count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM diff), 6) AS frac
+            FROM diff GROUP BY status
         """,
         "change_rate": """
             WITH g AS (

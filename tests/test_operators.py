@@ -910,6 +910,30 @@ def test_lm_score_ranks_reference_like_text_higher(spark):
     assert lm_score(one, ref).count() == 0
 
 
+def test_snapshot_diff_classifies_all_four_statuses(spark):
+    from go_htmldate_spark.plans.snapshots import (
+        snapshot_diff, snapshot_diff_stats,
+    )
+
+    old = spark.createDataFrame(
+        [("u1", "h1"), ("u2", "h2"), ("u3", "h3"), ("u5", None)],
+        ["url", "content_hash"],
+    )
+    new = spark.createDataFrame(
+        [("u1", "h1"), ("u2", "h2x"), ("u4", "h4")],
+        ["url", "content_hash"],
+    )
+    rows = {r["url"]: r["status"]
+            for r in snapshot_diff(old, new).collect()}
+    # u5 has a NULL hash → not present in the old snapshot at all
+    assert rows == {"u1": "unchanged", "u2": "changed",
+                    "u3": "removed", "u4": "added"}
+    stats = {r["status"]: (r["n_urls"], r["frac"])
+             for r in snapshot_diff_stats(snapshot_diff(old, new)).collect()}
+    assert stats == {"unchanged": (1, 0.25), "changed": (1, 0.25),
+                     "removed": (1, 0.25), "added": (1, 0.25)}
+
+
 def test_ccnet_buckets_rank_terciles_and_cutoff_path(spark):
     from go_htmldate_spark.operators.curation import ccnet_buckets
 

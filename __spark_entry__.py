@@ -1088,6 +1088,49 @@ def q_warc_roundtrip(spark, sf_dir):
     )
 
 
+def q_wet_roundtrip(spark, sf_dir):
+    """§2.1 sources: WET export + ingest roundtrip — the DISTRIBUTED
+    writer (sources/warc.write_wet_shards: WARC `conversion` records,
+    text/plain blocks, 4 deterministic range-partitioned shards) then
+    the distributed reader (read_warc conversion mode → wet_to_docs).
+    The oracle reconstructs url/timestamp/char-count/md5 straight from
+    the documents table, so a byte fault anywhere in the gzip-member /
+    record-header / UTF-8 chain breaks the hash. Completes the Common
+    Crawl artifact trio: WARC (warc_roundtrip), WET (this), CDX
+    (cdx_index)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from go_htmldate_spark.sources.warc import (
+        read_warc, wet_to_docs, write_wet_shards,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"spark_graft_wet_{tag}")
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(F.lit("https://wet.example/"), F.col("lang"),
+                 F.lit("/doc-"), F.col("doc_id").cast("string")).alias("url"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00'"
+            " + make_interval(0, 0, 0, 0, 0, 0, doc_id)"
+        ).alias("warc_ts"),
+        "text",
+    )
+    write_wet_shards(pages, d, n_shards=4)
+    recs = read_warc(spark, os.path.join(d, "*.warc.wet.gz"),
+                     warc_types=("conversion",))
+    out = wet_to_docs(recs)
+    return out.select(
+        F.regexp_extract("url", r"doc-(\d+)$", 1).cast("long").alias("doc_id"),
+        "url",
+        "warc_ts",
+        F.length("text").cast("long").alias("n_chars"),
+        F.md5("text").alias("text_md5"),
+    )
+
+
 def q_warc_curate(spark, sf_dir):
     """End-to-end ingest→curate composition: WARC shards → distributed
     parse (sources/warc.read_warc) → text recovery from the HTTP body →
@@ -2409,6 +2452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dust_apply": q_dust_apply,
         "mirror_hosts": q_mirror_hosts,
         "warc_roundtrip": q_warc_roundtrip,
+        "wet_roundtrip": q_wet_roundtrip,
         "warc_curate": q_warc_curate,
     }
 
@@ -4219,6 +4263,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strlen(body) AS BIGINT) AS n_bytes,
                    md5(body) AS body_md5
             FROM recs
+        """,
+        "wet_roundtrip": """
+            SELECT doc_id,
+                   'https://wet.example/' || lang || '/doc-' ||
+                     CAST(doc_id AS VARCHAR) AS url,
+                   TIMESTAMP '2024-01-01 00:00:00'
+                     + doc_id * INTERVAL 1 SECOND AS warc_ts,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   md5(text) AS text_md5
+            FROM documents
         """,
         "warc_curate": """
             WITH t AS (

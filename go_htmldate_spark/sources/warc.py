@@ -311,40 +311,52 @@ def write_warc_shards(
     or the task output committer instead — this sink does not speak
     those protocols.
     """
+    def write_row(out, pid, r):
+        body = bytes(r[2]) if r[2] is not None else b""
+        ts = r[1]
+        write_warc_record(
+            out, "response", http_response_payload(body),
+            url=r[0],
+            warc_date=ts.strftime("%Y-%m-%dT%H:%M:%SZ") if ts else
+            "1970-01-01T00:00:00Z",
+            record_id=f"urn:warc-export:{pid}:{r[0]}",
+            gzip_member=True,
+        )
+
+    cols = [F.col(url_col), F.col(ts_col).cast("timestamp"),
+            F.col(html_col).cast("binary")]
+    _write_shard_files(pages.select(*cols), out_dir, url_col, n_shards,
+                       "warc", write_row)
+
+
+def _write_shard_files(df, out_dir, url_col, n_shards, ext, write_row):
+    """Shared shard-file scaffolding for the WARC/WET export sinks:
+    optional deterministic range partition + sort on url, stale-part
+    cleanup, tmp-file atomic rename, empty-partition skip. Same
+    shared-filesystem contract as write_warc_shards."""
     import os
 
     import glob as _glob
 
-    cols = [F.col(url_col), F.col(ts_col).cast("timestamp"),
-            F.col(html_col).cast("binary")]
-    df = pages.select(*cols)
     if n_shards is not None:
-        df = df.repartitionByRange(n_shards, F.col(url_col)).sortWithinPartitions(url_col)
+        df = (df.repartitionByRange(n_shards, F.col(url_col))
+                .sortWithinPartitions(url_col))
     os.makedirs(out_dir, exist_ok=True)
     # overwrite semantics: a previous export with MORE partitions (or
     # data where this run's partition is empty) would otherwise leave
     # stale part files behind, and a glob read of the dir would mix
     # two corpora — clear our own naming scheme first
-    for stale in _glob.glob(os.path.join(out_dir, "part-*.warc.gz")):
+    for stale in _glob.glob(os.path.join(out_dir, f"part-*.{ext}.gz")):
         os.remove(stale)
 
     def dump(pid, rows):
-        path = os.path.join(out_dir, f"part-{pid:05d}.warc.gz")
+        path = os.path.join(out_dir, f"part-{pid:05d}.{ext}.gz")
         tmp = path + ".tmp"
         wrote = False
         with open(tmp, "wb") as out:
             for r in rows:
                 wrote = True
-                body = bytes(r[2]) if r[2] is not None else b""
-                ts = r[1]
-                write_warc_record(
-                    out, "response", http_response_payload(body),
-                    url=r[0],
-                    warc_date=ts.strftime("%Y-%m-%dT%H:%M:%SZ") if ts else
-                    "1970-01-01T00:00:00Z",
-                    record_id=f"urn:warc-export:{pid}:{r[0]}",
-                    gzip_member=True,
-                )
+                write_row(out, pid, r)
         if wrote:
             os.replace(tmp, path)
         else:
@@ -352,6 +364,58 @@ def write_warc_shards(
         return iter(())
 
     df.rdd.mapPartitionsWithIndex(dump).count()
+
+
+def write_wet_shards(
+    pages: DataFrame,
+    out_dir: str,
+    url_col: str = "url",
+    text_col: str = "text",
+    ts_col: str = "warc_ts",
+    n_shards: int | None = None,
+) -> None:
+    """pages(url, warc_ts, text) → WET shard files: WARC `conversion`
+    records whose block is the extracted plain text (Content-Type
+    text/plain, UTF-8) — the Common Crawl WET layout, the artifact a
+    text-only training pipeline ingests instead of raw WARC. Together
+    with write_warc_shards and cdx_index this completes the CC
+    artifact trio (WARC / WET / CDX). Records are re-readable with
+    ``read_warc(spark, glob, warc_types=("conversion",))`` — a
+    non-HTTP payload passes through split_http_response unsplit.
+
+    Same determinism (range partition + sort on url, gzip mtime 0) and
+    shared-filesystem contract as write_warc_shards."""
+    def write_row(out, pid, r):
+        text = r[2] if r[2] is not None else ""
+        ts = r[1]
+        write_warc_record(
+            out, "conversion", text.encode("utf-8"),
+            url=r[0],
+            warc_date=ts.strftime("%Y-%m-%dT%H:%M:%SZ") if ts else
+            "1970-01-01T00:00:00Z",
+            record_id=f"urn:wet-export:{pid}:{r[0]}",
+            content_type="text/plain",
+            gzip_member=True,
+        )
+
+    cols = [F.col(url_col), F.col(ts_col).cast("timestamp"),
+            F.col(text_col).cast("string")]
+    _write_shard_files(pages.select(*cols), out_dir, url_col, n_shards,
+                       "warc.wet", write_row)
+
+
+def wet_to_docs(records: DataFrame) -> DataFrame:
+    """read_warc conversion records → (url, warc_ts, text): the WET
+    ingest projection, decoding the UTF-8 text block. Mirror of
+    warc_to_pages for the text-only artifact."""
+    return records.filter(F.col("warc_type") == "conversion").select(
+        F.col("url"),
+        F.to_timestamp(
+            F.regexp_replace(F.col("warc_date"), r"\.\d+", ""),
+            "yyyy-MM-dd'T'HH:mm:ssX",
+        ).alias("warc_ts"),
+        F.decode(F.col("payload"), "UTF-8").alias("text"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -170,6 +170,47 @@ def test_write_warc_shards_roundtrip(spark, tmp_path):
     assert got_bodies == want
 
 
+def test_write_wet_shards_roundtrip(spark, tmp_path):
+    """WET export sink → reader parity: text written as conversion
+    records reads back row-identical through wet_to_docs (including
+    non-ASCII through the UTF-8 chain), layout deterministic across
+    reruns, and response-mode readers skip conversion records."""
+    import hashlib
+    import pathlib
+
+    from go_htmldate_spark.sources.warc import (
+        wet_to_docs, write_wet_shards,
+    )
+
+    pages = spark.createDataFrame(
+        [(f"https://s.example/p{i}", f"2024-02-0{1 + i % 3}T00:00:{i:02d}",
+          f"döc {i} — café 中文") for i in range(20)],
+        "url string, warc_ts string, text string",
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts", "yyyy-MM-dd'T'HH:mm:ss"))
+
+    out1, out2 = tmp_path / "w1", tmp_path / "w2"
+    write_wet_shards(pages, str(out1), n_shards=3)
+    write_wet_shards(pages, str(out2), n_shards=3)
+
+    def digest(d):
+        return {p.name: hashlib.md5(p.read_bytes()).hexdigest()
+                for p in pathlib.Path(d).glob("*.warc.wet.gz")}
+
+    assert digest(out1) == digest(out2) and len(digest(out1)) >= 1
+
+    back = wet_to_docs(
+        read_warc(spark, str(out1 / "*.warc.wet.gz"),
+                  warc_types=("conversion",))
+    )
+    got = {(r["url"], str(r["warc_ts"]), r["text"]) for r in back.collect()}
+    want = {(f"https://s.example/p{i}",
+             f"2024-02-0{1 + i % 3} 00:00:{i:02d}",
+             f"döc {i} — café 中文") for i in range(20)}
+    assert got == want
+    # a response-mode reader must not surface conversion records
+    assert read_warc(spark, str(out1 / "*.warc.wet.gz")).count() == 0
+
+
 def test_warc_roundtrip_property_fuzz():
     """Property: write_warc_record → iter_warc_records is the identity
     on (url, date, type, payload) for arbitrary binary payloads —

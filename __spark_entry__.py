@@ -1347,6 +1347,25 @@ def _snapshot_pair(spark, sf_dir):
     return old, new
 
 
+def q_host_datacard(spark, sf_dir):
+    """Pipeline: per-host data card (operators/curation.host_datacard)
+    — the C4/FineWeb per-domain corpus report: doc/token counts,
+    C4-gate pass rate, mean doc length, majority language + share.
+    One (host, lang) exchange with map-side combine; text never
+    shuffles. Hosts synthesized from documents (doc_id % 40)."""
+    from go_htmldate_spark.operators.curation import host_datacard
+
+    d = _t(spark, sf_dir, "documents")
+    pages = d.select(
+        F.concat(F.lit("https://h"), (F.col("doc_id") % 40).cast("string"),
+                 F.lit(".example/d/"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        "text",
+        "lang",
+    )
+    return host_datacard(pages)
+
+
 def q_snapshot_diff(spark, sf_dir):
     """§2.9 frontier: cross-snapshot crawl diff (plans/snapshots) —
     full-outer join on the canonical URL key classifying every URL as
@@ -2443,6 +2462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_trap_flags": q_url_trap_flags,
         "redirect_resolve": q_redirect_resolve,
         "change_rate": q_change_rate,
+        "host_datacard": q_host_datacard,
         "snapshot_diff": q_snapshot_diff,
         "snapshot_diff_stats": q_snapshot_diff_stats,
         "rel_canonical": q_rel_canonical,
@@ -3787,6 +3807,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT host, n_pages, n_soft404, soft404_frac,
                    (soft404_frac >= 0.5 AND n_pages >= 20) AS demoted
             FROM stats
+        """,
+        # per-host data card: the c4_heuristics flag chain aggregated
+        # by synthesized host; doubles divided only after exact BIGINT
+        # sums, majority lang by (count DESC, lang ASC)
+        "host_datacard": """
+            WITH t AS (
+              SELECT doc_id,
+                     'h' || (doc_id % 40) || '.example' AS host,
+                     coalesce(lang, 'unknown') AS lang,
+                     CAST(length(text) AS BIGINT) AS chars,
+                     text,
+                     string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
+              FROM documents
+            ),
+            s AS (
+              SELECT host, lang, chars,
+                     CAST(len(toks) AS BIGINT) AS n_words,
+                     (len(toks) >= 5 AND len(toks) <= 100000
+                      AND round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                                / len(toks), 6) >= 3.0
+                      AND round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                                / len(toks), 6) <= 10.0
+                      AND regexp_matches(trim(text), '[.!?"'']$')
+                      AND NOT (contains(lower(text), '{') OR contains(lower(text), '}'))
+                      AND NOT contains(lower(text), 'lorem ipsum')
+                      AND NOT contains(lower(text), 'javascript')) AS c4_ok
+              FROM t
+            ),
+            g AS (
+              SELECT host, lang, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(n_words) AS BIGINT) AS tok,
+                     CAST(sum(CASE WHEN c4_ok THEN 1 ELSE 0 END) AS BIGINT) AS ok,
+                     CAST(sum(chars) AS BIGINT) AS ch
+              FROM s GROUP BY host, lang
+            ),
+            totals AS (
+              SELECT host, CAST(sum(n) AS BIGINT) AS n_docs,
+                     CAST(sum(tok) AS BIGINT) AS n_tokens,
+                     round(sum(ok) / CAST(sum(n) AS DOUBLE), 6) AS pct_c4_ok,
+                     round(sum(ch) / CAST(sum(n) AS DOUBLE), 6) AS mean_doc_chars
+              FROM g GROUP BY host
+            ),
+            major AS (
+              SELECT host, lang AS major_lang,
+                     round(n / CAST(sum(n) OVER (PARTITION BY host) AS DOUBLE), 6)
+                       AS major_lang_frac,
+                     row_number() OVER (PARTITION BY host
+                                        ORDER BY n DESC, lang ASC) AS rn
+              FROM g
+            )
+            SELECT t.host, n_docs, n_tokens, pct_c4_ok, mean_doc_chars,
+                   major_lang, major_lang_frac
+            FROM totals t JOIN major m ON t.host = m.host AND m.rn = 1
         """,
         # snapshot diff: same full-outer classification; md5 is
         # identical hex in both engines

@@ -258,6 +258,87 @@ def c4_heuristics(
 
 
 # ---------------------------------------------------------------------------
+# Per-host data card (corpus reporting)
+# ---------------------------------------------------------------------------
+
+def host_datacard(
+    pages: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-host corpus report — the "data card" aggregation every
+    published web corpus ships (C4's and FineWeb's per-domain
+    statistics; Dolma's source summaries): for each host, document and
+    token counts, the C4-gate pass rate, mean document length, the
+    majority language and its share. This is both the reporting
+    artifact and the input to host-level curation decisions (a host
+    with a 2% c4_ok rate is a boilerplate farm; `host_boilerplate` and
+    the blocklist gates act on exactly these signals).
+
+    Returns (host, n_docs, n_tokens, pct_c4_ok, mean_doc_chars,
+    major_lang, major_lang_frac).
+
+    Scale shape: ONE wide exchange — the per-document projection
+    (tokenize + C4 flags, all codegen'd map-side) collapses into a
+    groupBy on (host, lang) with map-side combine, so the shuffle
+    carries O(hosts × langs) rows of counters, never text. The host
+    totals and the majority-language window both run over that
+    collapsed table (the `host_lang_budgets` discipline); their join
+    is tiny-to-tiny. Division happens after exact int64 sums, so every
+    double is reproducible under any partitioning."""
+    from pyspark.sql import Window
+
+    from go_htmldate_spark.plans.canonical import url_host
+
+    # the per-document metadata rides THROUGH c4_heuristics as its id
+    # column (a struct), so no row id and no join are ever needed —
+    # the whole per-doc stage is one map-only projection
+    meta = pages.select(
+        F.struct(
+            url_host(F.col(url_col)).alias("host"),
+            F.coalesce(F.col(lang_col), F.lit("unknown")).alias("lang"),
+            F.length(F.col(text_col)).cast("long").alias("chars"),
+        ).alias("_meta"),
+        F.col(text_col),
+    )
+    flags = c4_heuristics(meta, text_col=text_col, id_col="_meta")
+    per_doc = flags.select(
+        F.col("_meta.host").alias("host"),
+        F.col("_meta.lang").alias("lang"),
+        F.col("_meta.chars").alias("_chars"),
+        "n_words",
+        "c4_ok",
+    ).filter(F.col("host") != "")
+    g = per_doc.groupBy("host", "lang").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("n_words").alias("_tok"),
+        F.sum(F.col("c4_ok").cast("long")).alias("_ok"),
+        F.sum("_chars").alias("_ch"),
+    )
+    totals = g.groupBy("host").agg(
+        F.sum("_n").cast("long").alias("n_docs"),
+        F.sum("_tok").cast("long").alias("n_tokens"),
+        F.round(F.sum("_ok") / F.sum("_n"), 6).alias("pct_c4_ok"),
+        F.round(F.sum("_ch") / F.sum("_n"), 6).alias("mean_doc_chars"),
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("_n").desc(), F.col("lang").asc()
+    )
+    major = (
+        g.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_tot", F.sum("_n").over(Window.partitionBy("host")))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "host",
+            F.col("lang").alias("major_lang"),
+            F.round(F.col("_n") / F.col("_tot"), 6).alias("major_lang_frac"),
+        )
+    )
+    return totals.join(major, "host")
+
+
+# ---------------------------------------------------------------------------
 # Sequence packing (concatenate-then-chunk training prep)
 # ---------------------------------------------------------------------------
 

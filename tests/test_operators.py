@@ -910,6 +910,41 @@ def test_lm_score_ranks_reference_like_text_higher(spark):
     assert lm_score(one, ref).count() == 0
 
 
+def test_host_datacard_aggregates_and_majority_lang(spark):
+    from go_htmldate_spark.operators.curation import host_datacard
+
+    ok_text = "This is a perfectly normal sentence with enough words."
+    bad_text = "short {brace}"
+    pages = spark.createDataFrame(
+        [("https://a.example/1", ok_text, "en"),
+         ("https://a.example/2", ok_text, "en"),
+         ("https://a.example/3", bad_text, "de"),
+         ("https://b.example/1", ok_text, None),      # lang → unknown
+         ("not a url", ok_text, "en")],               # no host → dropped
+        ["url", "text", "lang"],
+    )
+    rows = {r["host"]: r for r in host_datacard(pages).collect()}
+    assert set(rows) == {"a.example", "b.example"}
+    a = rows["a.example"]
+    assert a["n_docs"] == 3
+    assert a["n_tokens"] == 2 * len(ok_text.split()) + 2
+    assert a["pct_c4_ok"] == round(2 / 3, 6)
+    assert a["major_lang"] == "en"
+    assert a["major_lang_frac"] == round(2 / 3, 6)
+    b = rows["b.example"]
+    assert (b["n_docs"], b["major_lang"], b["major_lang_frac"]) == \
+           (1, "unknown", 1.0)
+    assert b["mean_doc_chars"] == float(len(ok_text))
+    # majority tie breaks lexicographically: 1 en + 1 de → de
+    tie = spark.createDataFrame(
+        [("https://t.example/1", ok_text, "en"),
+         ("https://t.example/2", ok_text, "de")],
+        ["url", "text", "lang"],
+    )
+    t = host_datacard(tie).collect()[0]
+    assert (t["major_lang"], t["major_lang_frac"]) == ("de", 0.5)
+
+
 def test_snapshot_diff_classifies_all_four_statuses(spark):
     from go_htmldate_spark.plans.snapshots import (
         snapshot_diff, snapshot_diff_stats,

@@ -519,6 +519,40 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     )
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Pipeline: O(new) incremental dedup — a new crawl batch probed
+    against the existing corpus's LSH band index, never corpus×corpus
+    (operators/dedup.incremental_dedup). New batch = exact copies of
+    every 11th doc (must flag is_dup with est 1.0) plus genuinely new
+    texts (suffixed every 7th ≡ 3) that should mostly miss. Portable
+    md5-KM family + raw band buckets so DuckDB recomputes the whole
+    index/probe/estimate/best-match chain."""
+    from go_htmldate_spark.operators.dedup import (
+        incremental_dedup, minhash_signatures,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    new = (
+        d.filter(F.col("doc_id") % 11 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        .unionByName(
+            d.filter(F.col("doc_id") % 7 == 3).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.concat(
+                    F.col("text"), F.lit(" zq unique suffix "),
+                    F.col("doc_id").cast("string"),
+                ).alias("text"),
+            )
+        )
+    )
+    corpus_sigs = minhash_signatures(d, n_hashes=16, hash_family="md5_seeded")
+    new_sigs = minhash_signatures(new, n_hashes=16, hash_family="md5_seeded")
+    return incremental_dedup(
+        corpus_sigs, new_sigs, bands=4, max_bucket=1_000_000,
+        threshold=0.5, hashed_buckets=False,
+    )
+
+
 def q_simhash_groups(spark, sf_dir):
     """Pipeline: SimHash near-dup groups (portable 48-bit md5-KM family,
     DuckDB recomputes the signatures bit-for-bit)."""
@@ -2419,6 +2453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_topk": q_host_topk,
         "ip_topk": q_ip_topk,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "incremental_dedup": q_incremental_dedup,
         "simhash_groups": q_simhash_groups,
         "simhash_near_pairs": q_simhash_near_pairs,
         "ann_selfjoin": q_ann_selfjoin,
@@ -2939,6 +2974,86 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
             FROM band x JOIN band y
               ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+        """,
+        # incremental dedup: the minhash_lsh_pairs algebra with the
+        # corpus index on one side and the new batch probing it
+        "incremental_dedup": r"""
+            WITH newb AS (
+                SELECT doc_id + 1000000 AS doc_id, text
+                FROM documents WHERE doc_id % 11 = 0
+                UNION ALL
+                SELECT doc_id + 2000000,
+                       text || ' zq unique suffix ' || doc_id
+                FROM documents WHERE doc_id % 7 = 3
+            ),
+            sigc AS (
+                SELECT doc_id,
+                       list_transform(range(0, 16), j ->
+                           list_aggregate(list_transform(
+                               CASE WHEN length(t) >= 5
+                                    THEN list_transform(
+                                        range(1, length(t) - 3),
+                                        i -> substr(t, CAST(i AS INT), 5))
+                                    ELSE [t] END, g ->
+                               CAST('0x' || substr(md5(j || ':' || g), 1, 15) AS BIGINT)),
+                               'min')) AS mh
+                FROM (SELECT doc_id,
+                             lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+                      FROM documents)
+            ),
+            sign AS (
+                SELECT doc_id,
+                       list_transform(range(0, 16), j ->
+                           list_aggregate(list_transform(
+                               CASE WHEN length(t) >= 5
+                                    THEN list_transform(
+                                        range(1, length(t) - 3),
+                                        i -> substr(t, CAST(i AS INT), 5))
+                                    ELSE [t] END, g ->
+                               CAST('0x' || substr(md5(j || ':' || g), 1, 15) AS BIGINT)),
+                               'min')) AS mh
+                FROM (SELECT doc_id,
+                             lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+                      FROM newb)
+            ),
+            bandc AS (
+                SELECT doc_id, t.band AS band,
+                       array_to_string(
+                           mh[CAST(t.band * 4 + 1 AS INT):CAST(t.band * 4 + 4 AS INT)],
+                           ',') AS bucket
+                FROM sigc, range(0, 4) t(band)
+            ),
+            bandn AS (
+                SELECT doc_id, t.band AS band,
+                       array_to_string(
+                           mh[CAST(t.band * 4 + 1 AS INT):CAST(t.band * 4 + 4 AS INT)],
+                           ',') AS bucket
+                FROM sign, range(0, 4) t(band)
+            ),
+            cand AS (
+                SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+                FROM bandn n JOIN bandc c
+                  ON n.band = c.band AND n.bucket = c.bucket
+            ),
+            est AS (
+                SELECT cand.new_id, cand.corpus_id,
+                       len(list_filter(range(1, 17),
+                           i -> sn.mh[CAST(i AS INT)] = sc.mh[CAST(i AS INT)]))
+                         / 16.0 AS e
+                FROM cand
+                JOIN sign sn ON sn.doc_id = cand.new_id
+                JOIN sigc sc ON sc.doc_id = cand.corpus_id
+            ),
+            best AS (
+                SELECT *, row_number() OVER (PARTITION BY new_id
+                                             ORDER BY e DESC, corpus_id ASC) AS rn
+                FROM est
+            )
+            SELECT n.doc_id, b.corpus_id AS dup_of,
+                   round(b.e, 6) AS est_jaccard,
+                   coalesce(b.e >= 0.5, false) AS is_dup
+            FROM newb n LEFT JOIN best b
+              ON b.new_id = n.doc_id AND b.rn = 1
         """,
         "simhash_groups": r"""
             WITH corpus AS (

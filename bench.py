@@ -91,6 +91,8 @@ def main() -> None:
         "change_rate", "dust_rules", "dust_apply", "mirror_hosts",
         "ip_topk", "host_backoff", "rel_canonical", "soft404",
         "soft404_demotion",
+        "ccnet_buckets", "snapshot_diff", "snapshot_diff_stats",
+        "host_datacard", "wet_roundtrip", "incremental_dedup",
     ]:
         fn = queries[name]
         run(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())

@@ -165,15 +165,17 @@ def bucket_candidate_pairs(
     ).select("p.a", "p.b").distinct()
 
 
-def lsh_candidate_pairs(
+def band_signatures(
     signatures: DataFrame,
     id_col: str = "doc_id",
     bands: int = 16,
-    max_bucket: int = 64,
     hashed_buckets: bool = True,
 ) -> DataFrame:
-    """Band the signatures, bucket-join, emit candidate near-dup pairs
-    (a < b). max_bucket caps pathological buckets (boilerplate skew).
+    """(id, minhash) → (id, band, bucket): the LSH band-index rows.
+    This IS the persistable dedup state — written bucketed by
+    (band, bucket) it becomes the corpus-side index that
+    `incremental_dedup` probes without ever re-pairing the corpus
+    against itself.
 
     hashed_buckets=True compresses each band slice to an xxhash64 key
     (the at-scale shape); False keeps the raw comma-joined slice string
@@ -192,13 +194,116 @@ def lsh_candidate_pairs(
         )
         return F.xxhash64(slice_str, b) if hashed_buckets else slice_str
 
-    banded = signatures.select(
+    return signatures.select(
         F.col(id_col),
         F.posexplode(
             F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), band_key)
         ).alias("band", "bucket"),
     )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    max_bucket: int = 64,
+    hashed_buckets: bool = True,
+) -> DataFrame:
+    """Band the signatures, bucket-join, emit candidate near-dup pairs
+    (a < b). max_bucket caps pathological buckets (boilerplate skew)."""
+    banded = band_signatures(signatures, id_col, bands, hashed_buckets)
     return bucket_candidate_pairs(banded, id_col, max_bucket)
+
+
+def incremental_dedup(
+    corpus_sigs: DataFrame,
+    new_sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    max_bucket: int = 64,
+    threshold: float = 0.5,
+    hashed_buckets: bool = True,
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus in O(new): band the
+    new batch's signatures and probe the corpus band index — never
+    corpus × corpus. This is the dedup analog of the frontier's
+    O(new) seen-filter discipline: each monthly snapshot is compared
+    against the full crawl history at the cost of the snapshot, not
+    the history (the deployment shape of MinHash dedup in
+    RefinedWeb / FineWeb across crawl dumps; Broder's resemblance
+    sketching, SEQUENCES '97, unchanged underneath).
+
+    Returns one row per new document: (id, dup_of, est_jaccard,
+    is_dup) — dup_of is the best-matching corpus id (ties: highest
+    estimated Jaccard, then smallest id), NULL when no band collides.
+
+    Scale shape: the corpus index (`band_signatures` output, written
+    bucketed by (band, bucket)) never reshuffles — only the new
+    batch's O(new × bands) rows move to it. A boilerplate mega-bucket
+    on the corpus side is capped to its max_bucket smallest ids with
+    the same pre-collect row_number guard as `bucket_candidate_pairs`.
+    The signature re-join for Jaccard estimation touches only
+    colliding pairs."""
+    from pyspark.sql import Window
+
+    idx = band_signatures(corpus_sigs, id_col, bands, hashed_buckets)
+    w = Window.partitionBy("band", "bucket").orderBy(F.col(id_col).asc())
+    idx = (
+        idx.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_bucket)
+        .select(F.col(id_col).alias("_corpus_id"), "band", "bucket")
+    )
+    probes = band_signatures(new_sigs, id_col, bands, hashed_buckets)
+    cand = (
+        probes.join(idx, ["band", "bucket"])
+        .select(F.col(id_col).alias("_new_id"), "_corpus_id")
+        .distinct()
+    )
+    sa = new_sigs.select(
+        F.col(id_col).alias("_new_id"), F.col("minhash").alias("_sig_n")
+    )
+    sb = corpus_sigs.select(
+        F.col(id_col).alias("_corpus_id"), F.col("minhash").alias("_sig_c")
+    )
+    est = (
+        cand.join(sa, "_new_id").join(sb, "_corpus_id")
+        .select(
+            "_new_id",
+            "_corpus_id",
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with(
+                            F.col("_sig_n"), F.col("_sig_c"),
+                            lambda x, y: x == y,
+                        ),
+                        lambda eq: eq,
+                    )
+                ).cast("double")
+                / F.size("_sig_n")
+            ).alias("_est"),
+        )
+    )
+    bw = Window.partitionBy("_new_id").orderBy(
+        F.col("_est").desc(), F.col("_corpus_id").asc()
+    )
+    best = (
+        est.withColumn("_rn", F.row_number().over(bw))
+        .filter(F.col("_rn") == 1)
+        .select("_new_id", "_corpus_id", "_est")
+    )
+    return (
+        new_sigs.select(F.col(id_col))
+        .join(best, new_sigs[id_col] == best["_new_id"], "left")
+        .select(
+            F.col(id_col),
+            F.col("_corpus_id").alias("dup_of"),
+            F.round(F.col("_est"), 6).alias("est_jaccard"),
+            F.coalesce(
+                F.col("_est") >= F.lit(float(threshold)), F.lit(False)
+            ).alias("is_dup"),
+        )
+    )
 
 
 def minhash_jaccard_estimate(

@@ -45,6 +45,36 @@ def test_minhash_detects_identical_docs(spark, docs):
     assert perfect.count() == 50
 
 
+def test_incremental_dedup_probes_corpus_index(spark, docs):
+    from go_htmldate_spark.operators.dedup import (
+        incremental_dedup, minhash_signatures,
+    )
+
+    d = docs.select("doc_id", "text").limit(50)
+    corpus_sigs = minhash_signatures(d, n_hashes=32).cache()
+    # new batch: 10 exact copies + 5 genuinely new texts
+    copies = d.limit(10).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "text"
+    )
+    fresh = spark.createDataFrame(
+        [(20_000 + i,
+          f"entirely novel zz{i} document qq{i} with no corpus overlap")
+         for i in range(5)],
+        ["doc_id", "text"],
+    )
+    new_sigs = minhash_signatures(copies.unionByName(fresh), n_hashes=32)
+    out = incremental_dedup(corpus_sigs, new_sigs, bands=8, threshold=0.9)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 15  # every new doc gets a row
+    # copies match their original with estimated jaccard 1.0
+    copy = [v for k, v in rows.items()
+            if 10_000 <= k < 20_000 and v["dup_of"] == k - 10_000]
+    assert len(copy) == 10
+    assert all(v["est_jaccard"] == 1.0 and v["is_dup"] for v in copy)
+    novel = [v for k, v in rows.items() if k >= 20_000]
+    assert all(not v["is_dup"] for v in novel)
+
+
 def test_simhash_identical_docs_collide(spark, docs):
     from go_htmldate_spark.operators.dedup import simhash
 

@@ -1321,6 +1321,59 @@ def q_sitemap_parse(spark, sf_dir):
     return parse_sitemaps(docs)
 
 
+def q_feed_parse(spark, sf_dir):
+    """§2.1 source: RSS/Atom feed parsing (sources/feeds.parse_feeds)
+    — the third discovery channel after sitemaps and links. RSS
+    `<item>` link + RFC-822 pubDate (date rebuilt from the
+    day/month-name/year core), Atom `<entry>` first link href +
+    published-over-updated preference, XML entity decode, linkless
+    entries dropped. Bodies synthesized from orders (every 3rd order
+    publishes Atom instead of RSS); the oracle replays the same
+    RE2-safe regexes in DuckDB."""
+    from go_htmldate_spark.sources.feeds import parse_feeds
+
+    o = _t(spark, sf_dir, "orders")
+    okey = F.col("o_orderkey").cast("string")
+    site = F.concat(F.lit("https://s"), (F.col("o_custkey") % 20).cast("string"),
+                    F.lit(".example"))
+    mon_name = F.element_at(
+        F.array(*[F.lit(m) for m in
+                  ("Jan", "Feb", "Mar", "Apr", "May", "Jun",
+                   "Jul", "Aug", "Sep", "Oct", "Nov", "Dec")]),
+        F.month("o_orderdate"),
+    )
+    rfc822 = F.concat(
+        F.lit("Mon, "), F.lpad(F.dayofmonth("o_orderdate").cast("string"), 2, "0"),
+        F.lit(" "), mon_name, F.lit(" "), F.year("o_orderdate").cast("string"),
+        F.lit(" 10:30:00 GMT"),
+    )
+    rss = F.concat(
+        F.lit("<rss><channel><item><link>"), site, F.lit("/a/"), okey,
+        F.lit("</link><pubDate>"), rfc822,
+        F.lit("</pubDate></item><item>\n <link> "),
+        site, F.lit("/b/"), okey, F.lit("?x=1&amp;y=2 </link>\n"),
+        F.lit("<pubDate>not a date</pubDate></item>"),
+        F.lit("<item><guid>linkless-dropped</guid></item></channel></rss>"),
+    )
+    iso = F.date_format("o_orderdate", "yyyy-MM-dd")
+    atom = F.concat(
+        F.lit('<feed><entry><link rel="alternate" href="'),
+        site, F.lit("/e/"), okey,
+        F.lit('"/><published>'), iso,
+        F.lit("T08:00:00Z</published><updated>2026-01-01T00:00:00Z"
+              "</updated></entry>"),
+        F.lit('<entry><link href="'), site, F.lit("/f/"), okey,
+        F.lit('"/><updated>'), iso, F.lit("T09:00:00Z</updated></entry>"),
+        F.lit("<entry><title>no link</title></entry></feed>"),
+    )
+    xml = F.when(F.col("o_orderkey") % 3 == 0, atom).otherwise(rss)
+    docs = o.select(
+        F.concat(site, F.lit("/feed.xml?id="), okey).alias("feed_url"),
+        xml.alias("xml"),
+    )
+    return parse_feeds(docs)
+
+
 def q_robots_sitemaps(spark, sf_dir):
     """§2.1 source: robots.txt `Sitemap:` advertisement discovery
     (sources/robots.robots_sitemaps) — case-insensitive key,
@@ -2493,6 +2546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft404": q_soft404,
         "soft404_demotion": q_soft404_demotion,
         "sitemap_parse": q_sitemap_parse,
+        "feed_parse": q_feed_parse,
         "robots_sitemaps": q_robots_sitemaps,
         "url_trap_flags": q_url_trap_flags,
         "redirect_resolve": q_redirect_resolve,
@@ -4285,6 +4339,97 @@ def oracle_sql() -> dict[str, str]:
                    CAST(3 + CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END AS INT),
                    'http://site' || i || '.example.org/sm-b.xml'
             FROM g WHERE i % 3 = 0
+        """,
+        "feed_parse": r"""
+            WITH docs AS (
+              SELECT 'https://s' || (o_custkey % 20) || '.example/feed.xml?id='
+                       || o_orderkey AS feed_url,
+                     CASE WHEN o_orderkey % 3 = 0 THEN
+                       '<feed><entry><link rel="alternate" href="https://s'
+                       || (o_custkey % 20) || '.example/e/' || o_orderkey
+                       || '"/><published>' || strftime(o_orderdate, '%Y-%m-%d')
+                       || 'T08:00:00Z</published><updated>2026-01-01T00:00:00Z'
+                       || '</updated></entry>'
+                       || '<entry><link href="https://s' || (o_custkey % 20)
+                       || '.example/f/' || o_orderkey || '"/><updated>'
+                       || strftime(o_orderdate, '%Y-%m-%d')
+                       || 'T09:00:00Z</updated></entry>'
+                       || '<entry><title>no link</title></entry></feed>'
+                     ELSE
+                       '<rss><channel><item><link>https://s' || (o_custkey % 20)
+                       || '.example/a/' || o_orderkey
+                       || '</link><pubDate>Mon, '
+                       || lpad(CAST(day(o_orderdate) AS VARCHAR), 2, '0') || ' '
+                       || (['Jan','Feb','Mar','Apr','May','Jun','Jul','Aug',
+                            'Sep','Oct','Nov','Dec'])[month(o_orderdate)]
+                       || ' ' || year(o_orderdate)
+                       || ' 10:30:00 GMT</pubDate></item><item>' || chr(10)
+                       || ' <link> https://s' || (o_custkey % 20)
+                       || '.example/b/' || o_orderkey || '?x=1&amp;y=2 </link>'
+                       || chr(10) || '<pubDate>not a date</pubDate></item>'
+                       || '<item><guid>linkless-dropped</guid></item>'
+                       || '</channel></rss>'
+                     END AS xml
+              FROM orders
+            ),
+            blocks AS (
+              SELECT feed_url, 'rss' AS kind,
+                     unnest(regexp_extract_all(xml,
+                       '(?s)<item[\s>](.*?)</item\s*>', 1)) AS block
+              FROM docs
+              UNION ALL
+              SELECT feed_url, 'atom' AS kind,
+                     unnest(regexp_extract_all(xml,
+                       '(?s)<entry[\s>](.*?)</entry\s*>', 1)) AS block
+              FROM docs
+            ),
+            parsed AS (
+              SELECT feed_url, kind,
+                     replace(replace(replace(replace(replace(
+                       CASE WHEN kind = 'rss' THEN
+                         regexp_extract(block,
+                           '(?s)<link\s*>\s*(.*?)\s*</link\s*>', 1)
+                       ELSE
+                         regexp_extract(block,
+                           '(?s)<link[^>]*href\s*=\s*"([^"]*)"', 1)
+                       END,
+                       '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                       '&apos;', ''''), '&amp;', '&') AS loc,
+                     regexp_extract(block,
+                       '(?s)<pubDate\s*>[^<]*?(\d{1,2}) ([A-Za-z]{3}) (\d{4})',
+                       1) AS r_day,
+                     regexp_extract(block,
+                       '(?s)<pubDate\s*>[^<]*?(\d{1,2}) ([A-Za-z]{3}) (\d{4})',
+                       2) AS r_mon,
+                     regexp_extract(block,
+                       '(?s)<pubDate\s*>[^<]*?(\d{1,2}) ([A-Za-z]{3}) (\d{4})',
+                       3) AS r_yr,
+                     regexp_extract(block,
+                       '(?s)<published\s*>\s*(\d{4}-\d{2}-\d{2})', 1) AS a_pub,
+                     regexp_extract(block,
+                       '(?s)<updated\s*>\s*(\d{4}-\d{2}-\d{2})', 1) AS a_upd
+              FROM blocks
+            ),
+            dated AS (
+              SELECT feed_url, kind, loc,
+                     CASE WHEN kind = 'rss' THEN
+                       CASE WHEN r_day <> '' AND list_position(
+                              ['Jan','Feb','Mar','Apr','May','Jun','Jul','Aug',
+                               'Sep','Oct','Nov','Dec'], r_mon) IS NOT NULL
+                            THEN r_yr || '-'
+                                 || lpad(CAST(list_position(
+                                      ['Jan','Feb','Mar','Apr','May','Jun',
+                                       'Jul','Aug','Sep','Oct','Nov','Dec'],
+                                      r_mon) AS VARCHAR), 2, '0')
+                                 || '-' || lpad(r_day, 2, '0')
+                            ELSE '' END
+                       WHEN a_pub <> '' THEN a_pub
+                       ELSE a_upd END AS pub_date
+              FROM parsed
+            )
+            SELECT feed_url, kind, loc,
+                   CASE WHEN pub_date <> '' THEN pub_date END AS pub_date
+            FROM dated WHERE loc <> ''
         """,
         "sitemap_parse": r"""
             WITH docs AS (

@@ -93,6 +93,7 @@ def main() -> None:
         "soft404_demotion",
         "ccnet_buckets", "snapshot_diff", "snapshot_diff_stats",
         "host_datacard", "wet_roundtrip", "incremental_dedup",
+        "feed_parse",
     ]:
         fn = queries[name]
         run(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())

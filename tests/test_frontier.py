@@ -933,6 +933,61 @@ def test_focused_relevance_and_budget_bridge(spark):
         focused_host_relevance(pages, [])
 
 
+def test_parse_feeds_rss_atom_and_seeds(spark):
+    """RSS/Atom feed XML → discovery rows: RFC-822 pubDate rebuilt
+    (1- and 2-digit days), bad month names rejected, Atom published
+    preferred over updated, first link href taken, entities decoded,
+    linkless entries dropped; feed_seeds applies the scheduler's
+    recency law."""
+    from go_htmldate_spark.plans.oracle import recency_score_py
+    from go_htmldate_spark.sources.feeds import feed_seeds, parse_feeds
+
+    rss = (
+        "<rss version=\"2.0\"><channel><title>t</title>\n"
+        "<item><link>https://a.example/p?x=1&amp;y=2</link>"
+        "<pubDate>Tue, 5 Mar 2024 10:30:00 GMT</pubDate></item>\n"
+        "<item>\n <link> https://a.example/q </link>\n"
+        "<pubDate>Mon, 02 Foo 2024 10:30:00 GMT</pubDate></item>\n"  # bad month
+        "<item><link>https://a.example/r</link></item>\n"  # no date
+        "<item><guid>linkless</guid></item>\n"  # dropped
+        "</channel></rss>"
+    )
+    atom = (
+        '<feed xmlns="http://www.w3.org/2005/Atom">\n'
+        '<entry><link rel="alternate" href="https://b.example/e1"/>'
+        "<published>2023-12-01T08:00:00Z</published>"
+        "<updated>2026-01-01T00:00:00Z</updated></entry>\n"
+        '<entry><link href="https://b.example/e2"/>'
+        "<updated>2022-06-15T09:00:00Z</updated></entry>\n"
+        "<entry><title>no link</title></entry>\n"
+        "</feed>"
+    )
+    df = spark.createDataFrame(
+        [("https://a.example/feed", rss), ("https://b.example/atom", atom)],
+        "feed_url string, xml string",
+    )
+    rows = {
+        (r["feed_url"], r["kind"], r["loc"]): r["pub_date"]
+        for r in parse_feeds(df).collect()
+    }
+    assert rows == {
+        ("https://a.example/feed", "rss", "https://a.example/p?x=1&y=2"):
+            "2024-03-05",  # 1-digit day padded
+        ("https://a.example/feed", "rss", "https://a.example/q"): None,
+        ("https://a.example/feed", "rss", "https://a.example/r"): None,
+        ("https://b.example/atom", "atom", "https://b.example/e1"):
+            "2023-12-01",  # published wins over updated
+        ("https://b.example/atom", "atom", "https://b.example/e2"):
+            "2022-06-15",
+    }
+    seeds = {r["url"]: r["priority"] for r in feed_seeds(df).collect()}
+    assert seeds["https://a.example/p?x=1&y=2"] == round(
+        recency_score_py("2024-03-05"), 6
+    )
+    assert seeds["https://a.example/r"] == round(recency_score_py(None), 6)
+    assert seeds["https://b.example/e1"] > seeds["https://b.example/e2"]
+
+
 def test_parse_sitemaps_urlset_index_and_seeds(spark):
     """Sitemap XML → frontier seeds: urlset entries with lastmod dates,
     index entries flagged for re-fetch, XML entities decoded, malformed

@@ -412,3 +412,92 @@ def test_anchor_text_agg_exchanges_are_post_aggregate(spark):
     # every hash exchange is keyed on the aggregate keys, never raw html
     keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
     assert keys and all(k.startswith(("target_url", "anchor")) for k in keys), plan
+
+
+def test_feed_parse_is_map_only(spark):
+    """parse_feeds must stay a zero-exchange scan-transform: XML blobs
+    never shuffle and no Python enters the plan — at 10^8 feed bodies
+    the parse rides the fetch corpus's partitioning untouched."""
+    from go_htmldate_spark.sources.feeds import parse_feeds
+
+    feeds = spark.range(2000).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 7).cast("string"),
+                 F.lit(".example/feed")).alias("feed_url"),
+        F.concat(F.lit("<rss><channel><item><link>https://h.example/p/"),
+                 F.col("id").cast("string"),
+                 F.lit("</link></item></channel></rss>")).alias("xml"),
+    )
+    plan = _plan(parse_feeds(feeds))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_snapshot_diff_is_single_join_no_payload(spark):
+    """snapshot_diff must be ONE join keyed on url with both sides
+    projected to (url, hash) BEFORE the exchange — page bodies never
+    move, and nothing degenerates to a nested-loop join."""
+    import re
+
+    from go_htmldate_spark.plans.snapshots import snapshot_diff
+
+    snap = spark.range(2000).select(
+        F.concat(F.lit("https://h.example/p/"),
+                 F.col("id").cast("string")).alias("url"),
+        F.md5(F.col("id").cast("string")).alias("content_hash"),
+        F.repeat(F.lit("x"), 100).alias("html"),  # payload that must not move
+    )
+    plan = _plan(snapshot_diff(snap, snap))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "html" not in plan  # projected away before any exchange
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert keys and all(k.startswith("url") for k in keys), plan
+
+
+def test_host_datacard_shuffles_counters_not_text(spark):
+    """host_datacard's wide exchange must carry (host, lang) partial
+    counters — the text column is consumed map-side by the C4 flag
+    projection and never crosses the wire; every later exchange and
+    the majority window run on the collapsed O(hosts × langs) table."""
+    from go_htmldate_spark.operators.curation import host_datacard
+
+    pages = spark.range(2000).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 7).cast("string"),
+                 F.lit(".example/p/"), F.col("id").cast("string")).alias("url"),
+        F.repeat(F.lit("word "), 50).alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    plan = _plan(host_datacard(pages))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # map-side combine before the first exchange; text absent after it
+    assert "partial_count" in plan or "partial_sum" in plan
+    post_first_exchange = plan.split("Exchange hashpartitioning", 1)[1]
+    assert "text#" not in post_first_exchange, plan
+
+
+def test_incremental_dedup_no_corpus_self_pairing(spark):
+    """incremental_dedup must never pair the corpus against itself: no
+    cartesian/nested-loop anywhere, the probe join keyed on the
+    (band, bucket) index key, and the corpus-side mega-bucket cap a
+    window (rides the same exchange), not a post-collect slice."""
+    import re
+
+    from go_htmldate_spark.operators.dedup import (
+        incremental_dedup, minhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    corpus_sigs = minhash_signatures(docs, n_hashes=16)
+    new_sigs = minhash_signatures(
+        docs.select((F.col("doc_id") + 10_000).alias("doc_id"), "text"),
+        n_hashes=16,
+    )
+    plan = _plan(incremental_dedup(corpus_sigs, new_sigs, bands=4))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "collect_list" not in plan
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    # exchanges are the sig groupBys (doc_id), the band/bucket probe
+    # join, and the per-new-doc best-match window — nothing else
+    assert keys and all(
+        k.startswith(("doc_id", "band", "bucket", "_new_id", "_corpus_id"))
+        for k in keys
+    ), keys

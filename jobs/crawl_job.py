@@ -52,6 +52,13 @@ def main() -> None:
         "`Sitemap:` line are parsed into seeds",
     )
     ap.add_argument(
+        "--feeds",
+        help="parquet dir of fetched RSS/Atom feed bodies (feed_url, "
+        "xml); parsed entries become seeds prioritized by pubDate "
+        "recency, merged with --sitemaps seeds when both are given "
+        "(max priority per url; ignored with --seeds or --resume)",
+    )
+    ap.add_argument(
         "--pagerank-budgets", metavar="LO,HI",
         help="derive per-host politeness budgets from host-graph PageRank "
         "over the corpus outlinks, log-mapped onto [LO,HI] "
@@ -436,20 +443,34 @@ def main() -> None:
                 # data-derived "now": deterministic for a given history
                 as_of = rates.agg(F.max("last_fetch_ts")).first()[0] or 0.0
             seeds = recrawl_priority(rates, as_of_ts=float(as_of))
-        elif args.sitemaps:
-            from go_htmldate_spark.sources.sitemaps import (
-                seeds_from_robots,
-                sitemap_seeds,
-            )
+        elif args.sitemaps or args.feeds:
+            seeds = None
+            if args.sitemaps:
+                from go_htmldate_spark.sources.sitemaps import (
+                    seeds_from_robots,
+                    sitemap_seeds,
+                )
 
-            bodies = spark.read.parquet(args.sitemaps)
-            if args.sitemaps_from_robots:
-                robots_bodies = spark.read.parquet(args.sitemaps_from_robots)
-                seeds = seeds_from_robots(robots_bodies, bodies).select(
+                bodies = spark.read.parquet(args.sitemaps)
+                if args.sitemaps_from_robots:
+                    robots_bodies = spark.read.parquet(args.sitemaps_from_robots)
+                    seeds = seeds_from_robots(robots_bodies, bodies).select(
+                        "url", "priority"
+                    )
+                else:
+                    seeds = sitemap_seeds(bodies).select("url", "priority")
+            if args.feeds:
+                from go_htmldate_spark.sources.feeds import feed_seeds
+
+                fs = feed_seeds(spark.read.parquet(args.feeds)).select(
                     "url", "priority"
                 )
-            else:
-                seeds = sitemap_seeds(bodies).select("url", "priority")
+                # both channels advertise overlapping URLs; keep each
+                # url once at its best (max) priority
+                seeds = fs if seeds is None else seeds.unionByName(fs)
+            seeds = seeds.groupBy("url").agg(
+                F.max("priority").alias("priority")
+            )
         else:
             # hash order disperses seeds across hosts — alphabetical order
             # would cluster them onto a couple of hosts and politeness

@@ -59,6 +59,15 @@ def main() -> None:
         help="cut tokens covered by any corpus-duplicated NGRAM-token "
         "window (ExactSubstr, Lee et al. 2022); 0 disables",
     )
+    ap.add_argument(
+        "--wet-output", metavar="DIR",
+        help="also export the curated text as WET shards (WARC "
+        "conversion records, the Common Crawl text artifact) into DIR",
+    )
+    ap.add_argument(
+        "--wet-shards", type=int, default=8,
+        help="shard count for --wet-output (deterministic url ranges)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -168,6 +177,14 @@ def main() -> None:
 
     docs.write.mode("overwrite").parquet(args.output)
     out = spark.read.parquet(args.output)
+    if args.wet_output:
+        from go_htmldate_spark.sources.warc import write_wet_shards
+
+        write_wet_shards(
+            out.select("url", "warc_ts", "text"),
+            args.wet_output,
+            n_shards=args.wet_shards,
+        )
     stats = out.agg(
         F.count("*").alias("docs"),
         F.sum("n_tok").alias("tokens"),
@@ -176,6 +193,7 @@ def main() -> None:
         "curated_docs": int(stats["docs"]),
         "curated_tokens": int(stats["tokens"] or 0),
         "output": args.output,
+        **({"wet_output": args.wet_output} if args.wet_output else {}),
     }))
 
 

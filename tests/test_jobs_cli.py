@@ -258,3 +258,114 @@ def test_crawl_job_composed_crawl_waste_flags(
     # crawl alive through every gate
     fetched_r1 = spark.read.parquet(str(state / "round_1" / "fetched"))
     assert fetched_r1.count() == manifests[1]["n_fetched"] > 0
+
+
+def test_crawl_job_feed_seeds_merge_with_sitemaps(
+    spark, tmp_path_factory, monkeypatch, capsys
+):
+    """--feeds seeds the frontier from RSS/Atom entries; given with
+    --sitemaps the two channels merge one-row-per-url at max priority,
+    exercised through the real argv surface."""
+    import go_htmldate_spark.session as sess
+    from go_htmldate_spark.sources.pages import synth_pages
+
+    base = tmp_path_factory.mktemp("crawl_cli_feeds")
+    urls = [
+        r["url"]
+        for r in synth_pages(spark, 600, seed=42).select("url").limit(12).collect()
+    ]
+    # sitemaps advertise the first 8 (stale lastmod), feeds advertise
+    # urls 4..11 (fresh pubDate) — overlap 4..7 must surface once
+    sm = "<urlset>" + "".join(
+        f"<url><loc>{u}</loc><lastmod>2020-01-11</lastmod></url>"
+        for u in urls[:8]
+    ) + "</urlset>"
+    rss = "<rss><channel>" + "".join(
+        f"<item><link>{u}</link>"
+        "<pubDate>Tue, 05 Mar 2024 10:30:00 GMT</pubDate></item>"
+        for u in urls[4:]
+    ) + "</channel></rss>"
+    sm_dir, feed_dir = str(base / "sm"), str(base / "feeds")
+    spark.createDataFrame(
+        [("https://seeds.example/sitemap.xml", sm)],
+        "sitemap_url string, xml string",
+    ).write.parquet(sm_dir)
+    spark.createDataFrame(
+        [("https://seeds.example/feed.xml", rss)],
+        "feed_url string, xml string",
+    ).write.parquet(feed_dir)
+
+    monkeypatch.setattr(sess, "get_spark", lambda **kw: spark)
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    job = _load_job("crawl_job")
+    monkeypatch.setattr(sys, "argv", [
+        "crawl_job.py",
+        "--synth", "600",
+        "--state", str(base / "state"),
+        "--rounds", "1",
+        "--sitemaps", sm_dir,
+        "--feeds", feed_dir,
+    ])
+    job.main()
+    out = capsys.readouterr().out
+    manifests = [json.loads(l) for l in out.splitlines()
+                 if l.startswith("{") and "n_scheduled" in l]
+    assert len(manifests) == 1 and manifests[0]["n_fetched"] > 0
+    # merged seed table is one-row-per-url: round 0 schedules from the
+    # 12-url union, never more (the 4-url overlap collapsed)
+    assert manifests[0]["n_scheduled"] <= len(set(urls))
+    assert (base / "state" / "round_0" / "frontier").exists()
+
+
+def test_curate_job_wet_output(spark, tmp_path_factory, monkeypatch, capsys):
+    """--wet-output exports the curated corpus as re-readable WET
+    conversion shards whose text matches the curated parquet."""
+    import go_htmldate_spark.session as sess
+
+    from pyspark.sql import functions as F
+
+    base = tmp_path_factory.mktemp("curate_wet")
+    monkeypatch.setattr(sess, "get_spark", lambda **kw: spark)
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    # pages with C4-passing prose (synth pages fail the quality gates)
+    pages_dir = str(base / "pages")
+    spark.createDataFrame(
+        [(f"https://curate.example/post/{i}",
+          f"2024-01-01T00:00:{i % 60:02d}",
+          (f'<html><head><meta property="article:published_time" '
+           f'content="2021-06-{1 + i % 28:02d}"></head><body>'
+           f"<p>the quick brown fox number {i} jumps over the lazy dog "
+           f"and the weather is nice today in the small town.</p>"
+           f"</body></html>").encode())
+         for i in range(40)],
+        "url string, warc_ts string, html binary",
+    ).withColumn(
+        "warc_ts", F.to_timestamp("warc_ts", "yyyy-MM-dd'T'HH:mm:ss")
+    ).write.parquet(pages_dir)
+
+    job = _load_job("curate_job")
+    out_dir, wet_dir = str(base / "out"), str(base / "wet")
+    monkeypatch.setattr(sys, "argv", [
+        "curate_job.py",
+        "--pages", pages_dir,
+        "--output", out_dir,
+        "--wet-output", wet_dir,
+        "--wet-shards", "3",
+    ])
+    job.main()
+    stats = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert stats["curated_docs"] > 0 and stats["wet_output"] == wet_dir
+
+    from go_htmldate_spark.sources.warc import read_warc, wet_to_docs
+
+    back = wet_to_docs(
+        read_warc(spark, f"{wet_dir}/*.warc.wet.gz",
+                  warc_types=("conversion",))
+    )
+    curated = spark.read.parquet(out_dir)
+    assert back.count() == stats["curated_docs"]
+    # text roundtrips byte-identically
+    diff = back.select("url", "text").exceptAll(
+        curated.select("url", "text")
+    )
+    assert diff.count() == 0

@@ -1477,6 +1477,58 @@ def q_snapshot_diff_stats(spark, sf_dir):
     return snapshot_diff_stats(snapshot_diff(old, new))
 
 
+def _revisit_pair(spark, sf_dir):
+    """Deterministic fetch batch + prior capture index from documents:
+    every 6th doc changed content since the last pass (digest differs),
+    every 9th doc is a first capture (absent from the prior index),
+    the rest are identical-payload revisits."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://h"), (F.col("doc_id") % 40).cast("string"),
+        F.lit(".example/r/"), F.col("doc_id").cast("string"),
+    )
+    cur_text = F.when(
+        F.col("doc_id") % 6 == 0, F.concat(F.col("text"), F.lit(" v2"))
+    ).otherwise(F.col("text"))
+    fetched = d.select(
+        url.alias("url"),
+        F.md5(cur_text).alias("payload_digest"),
+        F.lit("2026-08-01T00:00:00Z").alias("warc_date"),
+        F.octet_length(cur_text).cast("long").alias("n_bytes"),
+    )
+    prior = d.filter(F.col("doc_id") % 9 != 0).select(
+        url.alias("url"),
+        F.md5(F.col("text")).alias("payload_digest"),
+        F.lit("2026-07-01T00:00:00Z").alias("warc_date"),
+    )
+    return fetched, prior
+
+
+def q_warc_revisit(spark, sf_dir):
+    """§2.9 frontier / WARC sink: identical-payload-digest revisit
+    classification (plans/revisits.revisit_classify) — WARC 1.1
+    (ISO 28500-2017) revisit records, the Heritrix/Internet-Archive
+    storage dedup: a re-fetch whose payload digest matches the prior
+    capture stores a payload-free revisit record pointing at the
+    original. One (url, digest, date)-projected left join; bodies
+    never shuffle; classification is a codegen CASE."""
+    from go_htmldate_spark.plans.revisits import revisit_classify
+
+    fetched, prior = _revisit_pair(spark, sf_dir)
+    return revisit_classify(fetched, prior)
+
+
+def q_revisit_stats(spark, sf_dir):
+    """Storage-ledger roll-up of q_warc_revisit: per-record-type counts
+    and bytes fetched/stored/saved (plans/revisits.revisit_stats)."""
+    from go_htmldate_spark.plans.revisits import (
+        revisit_classify, revisit_stats,
+    )
+
+    fetched, prior = _revisit_pair(spark, sf_dir)
+    return revisit_stats(revisit_classify(fetched, prior))
+
+
 def q_change_rate(spark, sf_dir):
     """§2.9 frontier: freshness-aware recrawl (plans/recrawl) — Cho &
     Garcia-Molina Poisson change-rate estimation over fetch history
@@ -2554,6 +2606,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_datacard": q_host_datacard,
         "snapshot_diff": q_snapshot_diff,
         "snapshot_diff_stats": q_snapshot_diff_stats,
+        "warc_revisit": q_warc_revisit,
+        "revisit_stats": q_revisit_stats,
         "rel_canonical": q_rel_canonical,
         "host_backoff": q_host_backoff,
         "frontier_allgates": q_frontier_allgates,
@@ -4073,6 +4127,71 @@ def oracle_sql() -> dict[str, str]:
             SELECT status, CAST(count(*) AS BIGINT) AS n_urls,
                    round(count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM diff), 6) AS frac
             FROM diff GROUP BY status
+        """,
+        # WARC 1.1 identical-payload-digest revisit classification:
+        # left join of the fetch batch against the prior capture index
+        # on url, CASE on digest equality. strlen() is DuckDB's byte
+        # length = Spark octet_length; md5 hex matches both engines.
+        "warc_revisit": """
+            WITH f AS (
+              SELECT 'https://h' || (doc_id % 40) || '.example/r/' || doc_id AS url,
+                     md5(CASE WHEN doc_id % 6 = 0 THEN text || ' v2'
+                              ELSE text END) AS digest,
+                     '2026-08-01T00:00:00Z' AS warc_date,
+                     CAST(strlen(CASE WHEN doc_id % 6 = 0 THEN text || ' v2'
+                                      ELSE text END) AS BIGINT) AS n_bytes
+              FROM documents
+            ),
+            p AS (
+              SELECT 'https://h' || (doc_id % 40) || '.example/r/' || doc_id AS url,
+                     md5(text) AS prior_digest,
+                     '2026-07-01T00:00:00Z' AS prior_date
+              FROM documents WHERE doc_id % 9 <> 0
+            )
+            SELECT f.url, f.digest, f.warc_date,
+                   CASE WHEN p.prior_digest = f.digest
+                        THEN 'revisit' ELSE 'response' END AS record_type,
+                   CASE WHEN p.prior_digest = f.digest
+                        THEN 'http://netpreservation.org/warc/1.1/revisit/identical-payload-digest'
+                        END AS profile,
+                   CASE WHEN p.prior_digest = f.digest
+                        THEN p.prior_date END AS refers_to_date,
+                   f.n_bytes AS bytes_fetched,
+                   CASE WHEN p.prior_digest = f.digest
+                        THEN CAST(0 AS BIGINT)
+                        ELSE f.n_bytes END AS bytes_stored
+            FROM f LEFT JOIN p ON f.url = p.url
+        """,
+        "revisit_stats": """
+            WITH f AS (
+              SELECT 'https://h' || (doc_id % 40) || '.example/r/' || doc_id AS url,
+                     md5(CASE WHEN doc_id % 6 = 0 THEN text || ' v2'
+                              ELSE text END) AS digest,
+                     CAST(strlen(CASE WHEN doc_id % 6 = 0 THEN text || ' v2'
+                                      ELSE text END) AS BIGINT) AS n_bytes
+              FROM documents
+            ),
+            p AS (
+              SELECT 'https://h' || (doc_id % 40) || '.example/r/' || doc_id AS url,
+                     md5(text) AS prior_digest
+              FROM documents WHERE doc_id % 9 <> 0
+            ),
+            c AS (
+              SELECT CASE WHEN p.prior_digest = f.digest
+                          THEN 'revisit' ELSE 'response' END AS record_type,
+                     f.n_bytes AS bytes_fetched,
+                     CASE WHEN p.prior_digest = f.digest
+                          THEN CAST(0 AS BIGINT)
+                          ELSE f.n_bytes END AS bytes_stored
+              FROM f LEFT JOIN p ON f.url = p.url
+            )
+            SELECT record_type,
+                   CAST(count(*) AS BIGINT) AS n_records,
+                   CAST(sum(bytes_fetched) AS BIGINT) AS bytes_fetched,
+                   CAST(sum(bytes_stored) AS BIGINT) AS bytes_stored,
+                   CAST(sum(bytes_fetched) - sum(bytes_stored) AS BIGINT)
+                       AS bytes_saved
+            FROM c GROUP BY record_type
         """,
         "change_rate": """
             WITH g AS (

@@ -1529,3 +1529,46 @@ def test_bm25_postings_and_retrieval(spark, tmp_path_factory):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         bm25_topk(postings, stats, [], k=4)
+
+
+def test_revisit_classify_and_stats(spark):
+    """WARC 1.1 identical-payload-digest revisit classification
+    (plans/revisits): a re-fetch with an unchanged digest becomes a
+    payload-free revisit record pointing at the prior capture; changed
+    content and first captures stay full response records; the stats
+    ledger reconciles bytes_saved = fetched - stored."""
+    from go_htmldate_spark.plans.revisits import (
+        REVISIT_PROFILE, revisit_classify, revisit_stats,
+    )
+
+    fetched = spark.createDataFrame(
+        [
+            ("u1", "d1", "2026-08-01", 100),  # unchanged → revisit
+            ("u2", "d2x", "2026-08-01", 200),  # changed → response
+            ("u3", "d3", "2026-08-01", 300),  # first capture → response
+        ],
+        ["url", "payload_digest", "warc_date", "n_bytes"],
+    )
+    prior = spark.createDataFrame(
+        [("u1", "d1", "2026-07-01"), ("u2", "d2", "2026-07-01")],
+        ["url", "payload_digest", "warc_date"],
+    )
+    rows = {r["url"]: r for r in revisit_classify(fetched, prior).collect()}
+    assert rows["u1"]["record_type"] == "revisit"
+    assert rows["u1"]["profile"] == REVISIT_PROFILE
+    assert rows["u1"]["refers_to_date"] == "2026-07-01"
+    assert rows["u1"]["bytes_stored"] == 0
+    assert rows["u1"]["bytes_fetched"] == 100
+    for u in ("u2", "u3"):
+        assert rows[u]["record_type"] == "response"
+        assert rows[u]["profile"] is None
+        assert rows[u]["refers_to_date"] is None
+        assert rows[u]["bytes_stored"] == rows[u]["bytes_fetched"]
+    stats = {r["record_type"]: r
+             for r in revisit_stats(revisit_classify(fetched, prior)).collect()}
+    assert stats["revisit"]["n_records"] == 1
+    assert stats["revisit"]["bytes_saved"] == 100
+    assert stats["revisit"]["bytes_stored"] == 0
+    assert stats["response"]["n_records"] == 2
+    assert stats["response"]["bytes_saved"] == 0
+    assert stats["response"]["bytes_stored"] == 500

@@ -501,3 +501,33 @@ def test_incremental_dedup_no_corpus_self_pairing(spark):
         k.startswith(("doc_id", "band", "bucket", "_new_id", "_corpus_id"))
         for k in keys
     ), keys
+
+
+def test_revisit_classify_single_join_no_payload(spark):
+    """revisit_classify must be ONE url-keyed join with both sides
+    projected to (url, digest, date[, n_bytes]) before the exchange —
+    the page body column never moves, and nothing degenerates to a
+    nested-loop join."""
+    import re
+
+    from go_htmldate_spark.plans.revisits import revisit_classify
+
+    base = spark.range(2000).select(
+        F.concat(F.lit("https://h.example/r/"),
+                 F.col("id").cast("string")).alias("url"),
+        F.md5(F.col("id").cast("string")).alias("payload_digest"),
+        F.lit("2026-08-01").alias("warc_date"),
+        (F.col("id") % 997 + 1).alias("n_bytes"),
+        F.repeat(F.lit("x"), 100).alias("html"),  # must not move
+    )
+    plan = _plan(revisit_classify(base, base.drop("n_bytes")))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "html" not in plan  # projected away before any exchange
+    # small prior index → broadcast equi-join (zero shuffles); at scale
+    # both sides hash-exchange on url and nothing else
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    if keys:
+        assert all(k.startswith("url") for k in keys), plan
+    else:
+        assert "BroadcastHashJoin [url" in plan, plan

@@ -1165,6 +1165,105 @@ def q_wet_roundtrip(spark, sf_dir):
     )
 
 
+def _wat_records(spark, sf_dir):
+    """Synthetic response records for the WAT queries: one capture per
+    document with a planted title (messy whitespace the extractor must
+    collapse), two name/content metas in both quote styles, one
+    content-before-name meta the parser must SKIP, two href links in
+    both quote styles, and no-href / inner-markup distractors — every
+    value a closed-form function of doc_id so the oracle rebuilds the
+    envelope without parsing HTML."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title> Doc  "), did,
+        F.lit("\n title</title>"),
+        F.lit('<meta name="description" content="d'),
+        (F.col("doc_id") % 50).cast("string"), F.lit('">'),
+        F.lit("<meta name='keywords' content='k"),
+        (F.col("doc_id") % 9).cast("string"), F.lit("'>"),
+        F.lit('<meta content="rev" name="skipped">'),
+        F.lit('</head><body><a href="https://t'),
+        (F.col("doc_id") % 7).cast("string"), F.lit(".example/p/"),
+        (F.col("doc_id") % 97).cast("string"), F.lit('">go '),
+        (F.col("doc_id") % 13).cast("string"), F.lit("</a>"),
+        F.lit(" mid <a class=\"x\" href='https://hub.example/t/"),
+        (F.col("doc_id") % 31).cast("string"), F.lit("'>hub</a>"),
+        F.lit('<a name="n">skip</a><p>'), F.col("text"),
+        F.lit("</p></body></html>"),
+    )
+    return d.select(
+        F.concat(F.lit("https://wat.example/"), F.col("lang"),
+                 F.lit("/doc-"), did).alias("url"),
+        F.lit("2026-08-01T00:00:00Z").alias("warc_date"),
+        F.concat(F.lit("urn:doc:"), did).alias("record_id"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(404))
+        .otherwise(F.lit(200)).cast("int").alias("http_status"),
+        F.lit("text/html; charset=utf-8").alias("http_content_type"),
+        F.encode(html, "UTF-8").alias("payload"),
+        F.lit("response").alias("warc_type"),
+    )
+
+
+def _wat_projection(meta):
+    """Driver-comparable projection of the wat_metadata column set:
+    arrays joined to strings (the driver hasher compares scalars)."""
+    return meta.select(
+        F.regexp_extract("url", r"doc-(\d+)$", 1).cast("long").alias("doc_id"),
+        "url",
+        "warc_date",
+        "record_id",
+        F.col("status").cast("int").alias("status"),
+        "mime",
+        F.col("payload_len").cast("long").alias("payload_len"),
+        "title",
+        F.array_join("meta_names", "|").alias("meta_names_joined"),
+        F.array_join("meta_contents", "|").alias("meta_contents_joined"),
+        F.array_join("links", "|").alias("links_joined"),
+        F.col("n_links").cast("long").alias("n_links"),
+    )
+
+
+def q_wat_metadata(spark, sf_dir):
+    """§2.1 sources: WAT envelope metadata extraction
+    (sources/warc.wat_metadata) — Common Crawl's per-capture metadata
+    artifact: WARC header fields, HTTP response message, payload byte
+    length, and the HTML-Metadata block (<title> whitespace-collapsed,
+    <meta name/content> pairs with quote-aware scanning that skips
+    content-before-name tags, <a href> links in document order).
+    MAP-ONLY — codegen regexps over the scan, page bytes never
+    shuffle. The oracle rebuilds every field closed-form including
+    strlen of the full planted page."""
+    from go_htmldate_spark.sources.warc import wat_metadata
+
+    return _wat_projection(wat_metadata(_wat_records(spark, sf_dir)))
+
+
+def q_wat_roundtrip(spark, sf_dir):
+    """§2.1 sources: WAT export + ingest roundtrip — wat_metadata →
+    write_wat_shards (WARC `metadata` records, byte-deterministic JSON
+    envelopes, 4 range-partitioned shards) → read_warc metadata mode →
+    wat_to_metadata (JVM-native from_json). The oracle is the same
+    closed-form envelope as wat_metadata, so a fault anywhere in the
+    JSON serialize / gzip / WARC header / from_json chain breaks the
+    hash. Completes the Common Crawl artifact family: WARC, WAT
+    (this), WET, CDX."""
+    import hashlib
+    import os
+    import tempfile
+
+    from go_htmldate_spark.sources.warc import (
+        read_warc, wat_metadata, wat_to_metadata, write_wat_shards,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"spark_graft_wat_{tag}")
+    write_wat_shards(wat_metadata(_wat_records(spark, sf_dir)), d, n_shards=4)
+    recs = read_warc(spark, os.path.join(d, "*.warc.wat.gz"),
+                     warc_types=("metadata",))
+    return _wat_projection(wat_to_metadata(recs))
+
+
 def q_warc_curate(spark, sf_dir):
     """End-to-end ingest→curate composition: WARC shards → distributed
     parse (sources/warc.read_warc) → text recovery from the HTTP body →
@@ -2616,6 +2715,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirror_hosts": q_mirror_hosts,
         "warc_roundtrip": q_warc_roundtrip,
         "wet_roundtrip": q_wet_roundtrip,
+        "wat_metadata": q_wat_metadata,
+        "wat_roundtrip": q_wat_roundtrip,
         "warc_curate": q_warc_curate,
     }
 
@@ -2692,6 +2793,43 @@ _DUST_CTES = """
                           THEN x ELSE y END AS beta
               FROM mids
             )
+"""
+
+
+# Shared closed-form rebuild of the _wat_records envelope (used by both
+# the direct-extraction and roundtrip WAT oracles).
+_WAT_ENVELOPE_SQL = """
+    SELECT doc_id,
+           'https://wat.example/' || lang || '/doc-' || doc_id AS url,
+           '2026-08-01T00:00:00Z' AS warc_date,
+           'urn:doc:' || doc_id AS record_id,
+           CAST(CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END
+                AS INTEGER) AS status,
+           'text/html' AS mime,
+           CAST(strlen(
+             '<html><head><title> Doc  ' || doc_id || chr(10) ||
+             ' title</title>' ||
+             '<meta name="description" content="d' || (doc_id % 50) ||
+             '">' ||
+             '<meta name=''keywords'' content=''k' || (doc_id % 9) ||
+             ''''  || '>' ||
+             '<meta content="rev" name="skipped">' ||
+             '</head><body><a href="https://t' || (doc_id % 7) ||
+             '.example/p/' || (doc_id % 97) || '">go ' ||
+             (doc_id % 13) || '</a>' ||
+             ' mid <a class="x" href=''https://hub.example/t/' ||
+             (doc_id % 31) || '''>hub</a>' ||
+             '<a name="n">skip</a><p>' || text || '</p></body></html>'
+           ) AS BIGINT) AS payload_len,
+           'Doc ' || doc_id || ' title' AS title,
+           'description|keywords' AS meta_names_joined,
+           'd' || (doc_id % 50) || '|k' || (doc_id % 9)
+             AS meta_contents_joined,
+           'https://t' || (doc_id % 7) || '.example/p/' ||
+             (doc_id % 97) || '|https://hub.example/t/' ||
+             (doc_id % 31) AS links_joined,
+           CAST(2 AS BIGINT) AS n_links
+    FROM documents
 """
 
 
@@ -4726,6 +4864,17 @@ def oracle_sql() -> dict[str, str]:
                    md5(text) AS text_md5
             FROM documents
         """,
+        # WAT envelope metadata: every field a closed-form function of
+        # doc_id — including strlen of the FULL planted page, so a
+        # single byte of drift in the Spark-side synthesis or decode
+        # breaks payload_len. The content-before-name meta and the
+        # no-href anchor are planted distractors the extractor must
+        # skip; they appear only inside the strlen reconstruction.
+        "wat_metadata": _WAT_ENVELOPE_SQL,
+        # Same closed form: the roundtrip must reproduce the direct
+        # extraction bit-for-bit after JSON serialize → gzip → WARC →
+        # from_json.
+        "wat_roundtrip": _WAT_ENVELOPE_SQL,
         "warc_curate": """
             WITH t AS (
               SELECT doc_id, lang, text,

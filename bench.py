@@ -93,6 +93,7 @@ def main() -> None:
         "soft404_demotion",
         "ccnet_buckets", "snapshot_diff", "snapshot_diff_stats",
         "host_datacard", "wet_roundtrip", "feed_parse",
+        "warc_revisit", "wat_metadata",
     ]:
         fn = queries[name]
         run(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())

@@ -464,3 +464,214 @@ def cdx_index(records: DataFrame) -> DataFrame:
         )
         .orderBy("urlkey", "ts14")
     )
+
+
+# ---------------------------------------------------------------------------
+# WAT metadata extraction + sink (the third Common-Crawl artifact)
+# ---------------------------------------------------------------------------
+
+# Title: plain inner text only ([^<]*), case-insensitive, attributes on
+# the tag tolerated. Java regex on the Spark side; oracles rebuild the
+# planted values closed-form (same contract as hostgraph.ANCHOR_RX).
+TITLE_RX = r"(?is)<title[^>]*>([^<]*)</title>"
+
+# <meta name=... content=...> pairs, name-before-content attribute
+# order (the order every CMS emits; content-first tags are skipped —
+# disclosed scope bound). Quote-aware attribute scanning identical to
+# ANCHOR_RX: quoted values are skipped atomically so a '>' or 'name='
+# inside another attribute's value can't hijack the match, and each
+# value is delimited by a backreference to its own opening quote.
+# Groups: 2 = name, 4 = content.
+META_RX = (
+    r"""(?is)<meta\s(?:[^>"']|"[^"]*"|'[^']*')*?"""
+    r"""name\s*=\s*(["'])((?:(?!\1)[^>])*)\1"""
+    r"""(?:[^>"']|"[^"]*"|'[^']*')*?"""
+    r"""content\s*=\s*(["'])((?:(?!\3)[^>])*)\3"""
+    r"""(?:[^>"']|"[^"]*"|'[^']*')*>"""
+)
+
+# Common Crawl's JSON-path notation for an <a href> link in WAT files.
+WAT_LINK_PATH = "A@/href"
+
+
+def wat_metadata(records: DataFrame) -> DataFrame:
+    """read_warc response records → one WAT-envelope metadata row per
+    capture: WARC header fields (url, warc_date, record_id), HTTP
+    response message (status, MIME), payload byte length, and the
+    HTML-Metadata block Common Crawl's WAT extractor emits — <title>
+    (whitespace-collapsed), <meta name/content> pairs as two aligned
+    arrays, and <a href> link targets in document order.
+
+    Scale shape: MAP-ONLY — one projection over the scan, every
+    extraction a codegen'd regexp over the decoded payload; page bytes
+    are read once and never shuffle, and the output is O(records)
+    small rows the downstream WAT sink serializes per-partition.
+
+    Reference anchor: the reference engine parses one document at a
+    time (core.go:FromDocument); WAT production is crawl-archive
+    tooling the Spark layer adds, completing the WARC / WAT / WET /
+    CDX artifact family (write_warc_shards / this / write_wet_shards /
+    cdx_index)."""
+    from go_htmldate_spark.plans.hostgraph import ANCHOR_RX
+
+    html = F.decode(F.col("payload"), "UTF-8")
+    title = F.trim(
+        F.regexp_replace(F.regexp_extract(html, TITLE_RX, 1), r"\s+", " ")
+    )
+    mime = F.trim(F.regexp_extract(F.col("http_content_type"), r"^([^;]*)", 1))
+    links = F.regexp_extract_all(html, F.lit(ANCHOR_RX), F.lit(2))
+    return records.filter(F.col("warc_type") == "response").select(
+        "url",
+        "warc_date",
+        "record_id",
+        F.col("http_status").alias("status"),
+        mime.alias("mime"),
+        F.octet_length(F.col("payload")).cast("long").alias("payload_len"),
+        title.alias("title"),
+        F.regexp_extract_all(html, F.lit(META_RX), F.lit(2)).alias("meta_names"),
+        F.regexp_extract_all(html, F.lit(META_RX), F.lit(4)).alias(
+            "meta_contents"
+        ),
+        links.alias("links"),
+        F.size(links).cast("long").alias("n_links"),
+    )
+
+
+def write_wat_shards(
+    meta: DataFrame,
+    out_dir: str,
+    n_shards: int | None = None,
+) -> None:
+    """wat_metadata rows → WAT shard files: WARC ``metadata`` records
+    whose block is the JSON envelope (Content-Type application/json),
+    each carrying WARC-Refers-To pointing at the described capture —
+    the Common Crawl WAT layout. Envelope structure follows CC's
+    published shape: Envelope → WARC-Header-Metadata +
+    Payload-Metadata → HTTP-Response-Metadata → Response-Message /
+    Headers / HTML-Metadata (Head.Title, Head.Metas, Links with
+    path "A@/href"). JSON is serialized with fixed key order and
+    compact separators so the export is byte-deterministic.
+
+    Same determinism (range partition + sort on url, gzip mtime 0,
+    stale-part cleanup, tmp-rename) and shared-filesystem contract as
+    write_warc_shards. Re-readable via
+    ``read_warc(spark, glob, warc_types=("metadata",))`` →
+    ``wat_to_metadata``."""
+    import json
+
+    cols = ["url", "warc_date", "record_id", "status", "mime",
+            "payload_len", "title", "meta_names", "meta_contents", "links"]
+
+    def write_row(out, pid, r):
+        (url, warc_date, record_id, status, mime, payload_len, title,
+         meta_names, meta_contents, links) = r
+        env = {
+            "Envelope": {
+                "Format": "WARC",
+                "WARC-Header-Metadata": {
+                    "WARC-Type": "response",
+                    "WARC-Target-URI": url,
+                    "WARC-Date": warc_date,
+                    "WARC-Record-ID": record_id,
+                },
+                "Payload-Metadata": {
+                    "Actual-Content-Length": payload_len,
+                    "HTTP-Response-Metadata": {
+                        "Response-Message": {"Status": status},
+                        "Headers": {"Content-Type": mime},
+                        "HTML-Metadata": {
+                            "Head": {
+                                "Title": title,
+                                "Metas": [
+                                    {"name": n, "content": c}
+                                    for n, c in zip(meta_names or [],
+                                                    meta_contents or [])
+                                ],
+                            },
+                            "Links": [
+                                {"path": WAT_LINK_PATH, "url": u}
+                                for u in (links or [])
+                            ],
+                        },
+                    },
+                },
+            }
+        }
+        payload = json.dumps(
+            env, separators=(",", ":"), ensure_ascii=True
+        ).encode("ascii")
+        write_warc_record(
+            out, "metadata", payload,
+            url=url,
+            warc_date=warc_date or "1970-01-01T00:00:00Z",
+            record_id=f"urn:wat-export:{pid}:{url}",
+            content_type="application/json",
+            gzip_member=True,
+        )
+
+    _write_shard_files(meta.select(*cols), out_dir, "url", n_shards,
+                       "warc.wat", write_row)
+
+
+def wat_to_metadata(records: DataFrame) -> DataFrame:
+    """read_warc metadata records → the wat_metadata column set,
+    recovered from the JSON envelope with from_json (JVM-native JSON
+    parse, no Python): the WAT ingest projection, mirror of
+    warc_to_pages / wet_to_docs for the metadata artifact."""
+    from pyspark.sql.types import (
+        ArrayType, LongType, StringType, StructField, StructType,
+    )
+
+    link_t = StructType([StructField("path", StringType()),
+                         StructField("url", StringType())])
+    meta_t = StructType([StructField("name", StringType()),
+                         StructField("content", StringType())])
+    env_t = StructType([StructField("Envelope", StructType([
+        StructField("Format", StringType()),
+        StructField("WARC-Header-Metadata", StructType([
+            StructField("WARC-Type", StringType()),
+            StructField("WARC-Target-URI", StringType()),
+            StructField("WARC-Date", StringType()),
+            StructField("WARC-Record-ID", StringType()),
+        ])),
+        StructField("Payload-Metadata", StructType([
+            StructField("Actual-Content-Length", LongType()),
+            StructField("HTTP-Response-Metadata", StructType([
+                StructField("Response-Message", StructType([
+                    StructField("Status", LongType()),
+                ])),
+                StructField("Headers", StructType([
+                    StructField("Content-Type", StringType()),
+                ])),
+                StructField("HTML-Metadata", StructType([
+                    StructField("Head", StructType([
+                        StructField("Title", StringType()),
+                        StructField("Metas", ArrayType(meta_t)),
+                    ])),
+                    StructField("Links", ArrayType(link_t)),
+                ])),
+            ])),
+        ])),
+    ]))])
+
+    j = records.filter(F.col("warc_type") == "metadata").select(
+        F.from_json(F.decode(F.col("payload"), "UTF-8"), env_t).alias("j")
+    )
+    hdr = "j.Envelope.`WARC-Header-Metadata`"
+    pm = "j.Envelope.`Payload-Metadata`"
+    http = f"{pm}.`HTTP-Response-Metadata`"
+    html_md = f"{http}.`HTML-Metadata`"
+    links = F.col(f"{html_md}.Links")
+    return j.select(
+        F.col(f"{hdr}.`WARC-Target-URI`").alias("url"),
+        F.col(f"{hdr}.`WARC-Date`").alias("warc_date"),
+        F.col(f"{hdr}.`WARC-Record-ID`").alias("record_id"),
+        F.col(f"{http}.`Response-Message`.Status").cast("int").alias("status"),
+        F.col(f"{http}.Headers.`Content-Type`").alias("mime"),
+        F.col(f"{pm}.`Actual-Content-Length`").alias("payload_len"),
+        F.col(f"{html_md}.Head.Title").alias("title"),
+        F.col(f"{html_md}.Head.Metas.name").alias("meta_names"),
+        F.col(f"{html_md}.Head.Metas.content").alias("meta_contents"),
+        F.transform(links, lambda x: x["url"]).alias("links"),
+        F.size(links).cast("long").alias("n_links"),
+    )

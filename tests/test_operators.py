@@ -1572,3 +1572,66 @@ def test_revisit_classify_and_stats(spark):
     assert stats["response"]["n_records"] == 2
     assert stats["response"]["bytes_saved"] == 0
     assert stats["response"]["bytes_stored"] == 500
+
+
+def test_wat_metadata_and_roundtrip(spark, tmp_path):
+    """WAT envelope metadata (sources/warc.wat_metadata): title
+    whitespace-collapsed, name/content metas in both quote styles
+    (content-before-name skipped), href links in document order,
+    payload byte length; the shard sink + from_json ingest reproduce
+    the direct extraction bit-for-bit and the export bytes are
+    deterministic across reruns."""
+    import glob
+    import os
+
+    from go_htmldate_spark.sources.warc import (
+        read_warc, wat_metadata, wat_to_metadata, write_wat_shards,
+    )
+
+    html = (
+        "<html><head><title>  A\n  B </title>"
+        '<meta name="description" content="d1">'
+        "<meta name='keywords' content='k1, k2'>"
+        '<meta content="rev" name="skipped">'
+        '</head><body><a href="https://t.example/x">one</a>'
+        "<a class='n' href='https://t.example/y'>two</a>"
+        '<a name="no">skip</a><a href="https://t.example/z"><b>img'
+        "</b></a></body></html>"
+    )
+    rec = spark.createDataFrame(
+        [("https://s.example/p", "2026-08-01T00:00:00Z", "urn:x:1", 200,
+          "text/html; charset=utf-8", bytearray(html.encode()), "response"),
+         ("https://s.example/empty", "2026-08-01T00:00:00Z", "urn:x:2",
+          404, "text/plain", bytearray(b"no markup"), "response")],
+        "url string, warc_date string, record_id string, http_status int,"
+        " http_content_type string, payload binary, warc_type string",
+    )
+    m = wat_metadata(rec)
+    rows = {r["url"]: r for r in m.collect()}
+    p = rows["https://s.example/p"]
+    assert p["title"] == "A B"
+    assert p["mime"] == "text/html"
+    assert p["status"] == 200
+    assert p["payload_len"] == len(html.encode())
+    assert list(p["meta_names"]) == ["description", "keywords"]
+    assert list(p["meta_contents"]) == ["d1", "k1, k2"]
+    # nested-markup anchor (z) is skipped, matching extract_anchors
+    assert list(p["links"]) == ["https://t.example/x", "https://t.example/y"]
+    assert p["n_links"] == 2
+    e = rows["https://s.example/empty"]
+    assert e["title"] == "" and e["n_links"] == 0
+    assert list(e["links"]) == [] and list(e["meta_names"]) == []
+
+    out = str(tmp_path / "wat")
+    write_wat_shards(m, out, n_shards=2)
+    first = {os.path.basename(f): open(f, "rb").read()
+             for f in glob.glob(out + "/*.warc.wat.gz")}
+    assert first
+    write_wat_shards(m, out, n_shards=2)  # deterministic rerun
+    again = {os.path.basename(f): open(f, "rb").read()
+             for f in glob.glob(out + "/*.warc.wat.gz")}
+    assert first == again
+    back = wat_to_metadata(
+        read_warc(spark, out + "/*.warc.wat.gz", warc_types=("metadata",))
+    )
+    assert sorted(map(str, back.collect())) == sorted(map(str, m.collect()))

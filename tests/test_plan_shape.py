@@ -531,3 +531,24 @@ def test_revisit_classify_single_join_no_payload(spark):
         assert all(k.startswith("url") for k in keys), plan
     else:
         assert "BroadcastHashJoin [url" in plan, plan
+
+
+def test_wat_metadata_is_map_only(spark):
+    """wat_metadata must be a single projection over the scan — no
+    exchange, no Python: page bytes are read once and never move."""
+    from go_htmldate_spark.sources.warc import wat_metadata
+
+    rec = spark.range(100).select(
+        F.concat(F.lit("https://h.example/"), F.col("id").cast("string"))
+        .alias("url"),
+        F.lit("2026-08-01T00:00:00Z").alias("warc_date"),
+        F.lit("urn:x").alias("record_id"),
+        F.lit(200).alias("http_status"),
+        F.lit("text/html").alias("http_content_type"),
+        F.encode(F.lit("<title>t</title>"), "UTF-8").alias("payload"),
+        F.lit("response").alias("warc_type"),
+    )
+    plan = _plan(wat_metadata(rec))
+    assert "Exchange" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan

@@ -843,6 +843,48 @@ def q_stratified_sample(spark, sf_dir):
     )
 
 
+def q_temporal_rebalance(spark, sf_dir):
+    """Pipeline: date-aware temporal rebalancing
+    (operators/curation.temporal_rebalance) — resample the corpus to a
+    target publication-YEAR distribution (the mix op this engine's
+    extraction cascade uniquely enables; cf. C4/Dolma temporal
+    audits). Proportional fitting keeps the binding year at 100% and
+    down-samples the rest: scale = min(n_y/frac_y), rate_y =
+    min(1, frac_y·scale/n_y); row choice is the portable 60-bit md5
+    uniform. Years outside the target are dropped. One O(#years)
+    count exchange, then a map-only literal-CASE filter."""
+    from go_htmldate_spark.operators.curation import temporal_rebalance
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(2015) + (F.col("doc_id") * 13) % 10).cast("int").alias("year"),
+    )
+    return temporal_rebalance(
+        docs, "year", "doc_id", {2016: 0.5, 2019: 0.3, 2022: 0.2}, seed=11
+    )
+
+
+def q_adaptive_delay(spark, sf_dir):
+    """§2.9 frontier: response-time-adaptive politeness
+    (plans/backoff.adaptive_delay) — Heritrix's delay-factor policy:
+    per-host crawl delay = clamp(5 × last fetch duration), budget =
+    round ms / delay; slow servers back off automatically, latency
+    being the leading indicator failure-based backoff lags. One
+    partial-aggregated host exchange, O(hosts) output rows in the
+    scheduler's min-merged budget currency."""
+    from go_htmldate_spark.plans.backoff import adaptive_delay
+
+    o = _t(spark, sf_dir, "orders")
+    log = o.select(
+        F.concat(F.lit("h"), (F.col("o_orderkey") % 40).cast("string"))
+        .alias("host"),
+        F.col("o_orderkey").alias("fetch_ts"),
+        (F.lit(50) + (F.col("o_orderkey") % 700) * 7)
+        .cast("double").alias("duration_ms"),
+    )
+    return adaptive_delay(log)
+
+
 def q_ngram_contamination(spark, sf_dir):
     """Pipeline: benchmark 8-gram decontamination stats — fraction of
     each document's distinct word 8-grams found anywhere in a benchmark
@@ -2672,6 +2714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mock_corpus_parity": q_mock_corpus_parity,
         "gopher_repetition": q_gopher_repetition,
         "stratified_sample": q_stratified_sample,
+        "temporal_rebalance": q_temporal_rebalance,
         "ngram_contamination": q_ngram_contamination,
         "dup_span_stats": q_dup_span_stats,
         "dup_span_removal": q_dup_span_removal,
@@ -2709,6 +2752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revisit_stats": q_revisit_stats,
         "rel_canonical": q_rel_canonical,
         "host_backoff": q_host_backoff,
+        "adaptive_delay": q_adaptive_delay,
         "frontier_allgates": q_frontier_allgates,
         "dust_rules": q_dust_rules,
         "dust_apply": q_dust_apply,
@@ -3626,6 +3670,65 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
                   / 1152921504606846976.0
                   < CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.3 ELSE 0.05 END
+        """,
+        # temporal rebalance: proportional fitting in closed form —
+        # per-year counts, scale = min(n_y/frac_y) over the target
+        # years, rate_y = least(1, frac_y*scale/n_y) with the exact
+        # operation order of the Python driver (f*scale then /n, all
+        # doubles), then the same 60-bit md5 uniform row law.
+        "temporal_rebalance": """
+            WITH d AS (
+              SELECT doc_id,
+                     CAST(2015 + (doc_id * 13) % 10 AS INTEGER) AS year
+              FROM documents
+            ),
+            c AS (
+              SELECT year, CAST(count(*) AS DOUBLE) AS n FROM d
+              WHERE year IN (2016, 2019, 2022) GROUP BY year
+            ),
+            s AS (
+              SELECT min(n / CASE year WHEN 2016 THEN 0.5
+                                       WHEN 2019 THEN 0.3
+                                       ELSE 0.2 END) AS scale
+              FROM c
+            ),
+            r AS (
+              SELECT year,
+                     least(1.0, CASE year WHEN 2016 THEN 0.5
+                                          WHEN 2019 THEN 0.3
+                                          ELSE 0.2 END * scale / n)
+                       AS rate
+              FROM c, s
+            )
+            SELECT d.doc_id, d.year FROM d JOIN r USING (year)
+            WHERE CAST('0x' || substr(md5('11:' || CAST(d.doc_id AS VARCHAR)), 1, 15)
+                       AS BIGINT) / 1152921504606846976.0 < r.rate
+        """,
+        # adaptive delay: arg_max replays Spark's max_by; durations are
+        # int-valued doubles so every sum/avg is exact regardless of
+        # fold order; clamp + division replicated with the same
+        # operation order.
+        "adaptive_delay": """
+            WITH l AS (
+              SELECT 'h' || (o_orderkey % 40) AS host,
+                     o_orderkey AS ts,
+                     CAST(50 + (o_orderkey % 700) * 7 AS DOUBLE) AS dur
+              FROM orders
+            ),
+            a AS (
+              SELECT host,
+                     arg_max(dur, ts) AS last_duration_ms,
+                     avg(dur) AS mean_duration_ms,
+                     CAST(count(*) AS BIGINT) AS n_fetches
+              FROM l GROUP BY host
+            )
+            SELECT host, last_duration_ms, mean_duration_ms, n_fetches,
+                   least(30000.0, greatest(100.0, 5.0 * last_duration_ms))
+                     AS crawl_delay_ms,
+                   60000.0 /
+                   least(30000.0, greatest(100.0, 5.0 * last_duration_ms))
+                     AS politeness_budget
+            FROM a
         """,
         # contamination: distinct doc 8-grams left-joined to the distinct
         # benchmark 8-gram set (docs with doc_id % 17 = 0)

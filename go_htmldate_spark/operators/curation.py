@@ -1096,3 +1096,60 @@ def remove_dup_spans(
         F.coalesce("n_tok", F.lit(0)).cast("long").alias("n_tok"),
         F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
     )
+
+
+def temporal_rebalance(
+    df: DataFrame,
+    year_col: str,
+    key_col: str,
+    target: dict[int, float],
+    seed: int = 0,
+) -> DataFrame:
+    """Rebalance a corpus to a target publication-YEAR distribution —
+    the date-aware training-mix op this engine uniquely enables (the
+    extraction cascade puts a publication date on every page; a crawl
+    snapshot is heavily skewed toward recent years, and a pretraining
+    mix usually wants a flatter or explicitly-shaped temporal profile;
+    cf. the temporal-distribution audits of C4/Dolma).
+
+    Proportional-fitting semantics: the largest output satisfying the
+    target exactly is kept —
+
+        scale  = min over target years y of  n_y / frac_y
+        rate_y = min(1, frac_y * scale / n_y)
+
+    so the binding year (scarcest relative to its target share) is
+    kept at 100% and every other year is down-sampled to proportion.
+    Rows whose year is not in ``target``, and target years absent
+    from the corpus, are dropped (matching an infeasible target would
+    need rows that don't exist; the caller sees the realized mix in
+    the output). Row selection is the engine's deterministic
+    hash-threshold law (sample_uniform), so the sample is a pure
+    function of (seed, key) — auditable, resumable, and recomputable
+    bit-for-bit by the DuckDB oracle.
+
+    Scale shape: one TINY partial-aggregated exchange over years
+    (O(#years) rows — decades, not documents — the same bounded
+    driver-side state as the IVF codebook), then a MAP-ONLY
+    hash-threshold filter with the per-year rates folded into the
+    scan as a literal CASE. Page text never shuffles."""
+    counts = {
+        r["_y"]: r["_n"]
+        for r in df.groupBy(F.col(year_col).alias("_y"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+        if r["_y"] is not None
+    }
+    scales = [
+        counts[y] / f for y, f in target.items() if f > 0 and y in counts
+    ]
+    if not scales:
+        return df.filter(F.lit(False))
+    scale = min(scales)
+    u = sample_uniform(F.col(key_col), seed)
+    rate = F.lit(0.0)
+    for y, f in sorted(target.items()):
+        if y in counts and f > 0:
+            r_y = min(1.0, f * scale / counts[y])
+            rate = F.when(F.col(year_col) == y, F.lit(r_y)).otherwise(rate)
+    return df.filter(u < rate)

@@ -62,3 +62,55 @@ def host_backoff(
         F.lit(float(base_budget)) * F.pow(F.lit(0.5), F.col("streak")),
     )
     return agg.select("host", "streak", budget.alias("politeness_budget"))
+
+
+def adaptive_delay(
+    fetch_log: DataFrame,
+    delay_factor: float = 5.0,
+    min_delay_ms: float = 100.0,
+    max_delay_ms: float = 30000.0,
+    round_seconds: float = 60.0,
+    host_col: str = "host",
+    ts_col: str = "fetch_ts",
+    duration_col: str = "duration_ms",
+) -> DataFrame:
+    """Response-time-adaptive politeness (Heritrix's delay-factor
+    policy): the gap a crawler leaves before re-hitting a host is a
+    MULTIPLE of how long that host took to answer last time —
+    ``delay = clamp(delay_factor · last_fetch_duration)`` — so a slow
+    (loaded) server is automatically backed off and a fast CDN is
+    drained at full politeness-floor speed. host_backoff reacts to
+    FAILURES; this reacts to latency, the leading indicator.
+
+    (host, fetch_ts, duration_ms) → one row per host with the last
+    observed duration (max_by on fetch_ts — feed unique timestamps;
+    a crawl log's (host, ts) is unique by construction since fetches
+    to one host are serialized by the very politeness this computes),
+    the mean duration and fetch count for the host datacard, the
+    clamped delay, and ``politeness_budget`` = fetches this host can
+    absorb per scheduler round (round_seconds / delay) — the same
+    broadcast-size budget currency as host_backoff / rank_to_budget,
+    min-merged by the scheduler.
+
+    Scale shape: ONE partial-aggregated exchange on host; output is
+    O(hosts) rows. Reference anchor: the reference is a single-page
+    parser (core.go) with no fetch layer; the policy is public crawler
+    practice (Heritrix CrawlController delay-factor, RFC 9309's
+    crawl-delay analog)."""
+    h = F.col(host_col)
+    agg = fetch_log.groupBy(h.alias("host")).agg(
+        F.max_by(F.col(duration_col).cast("double"), F.col(ts_col))
+        .alias("last_duration_ms"),
+        F.avg(F.col(duration_col).cast("double")).alias("mean_duration_ms"),
+        F.count(F.lit(1)).cast("long").alias("n_fetches"),
+    )
+    delay = F.least(
+        F.lit(float(max_delay_ms)),
+        F.greatest(
+            F.lit(float(min_delay_ms)),
+            F.lit(float(delay_factor)) * F.col("last_duration_ms"),
+        ),
+    )
+    out = agg.withColumn("crawl_delay_ms", delay)
+    budget = F.lit(float(round_seconds) * 1000.0) / F.col("crawl_delay_ms")
+    return out.withColumn("politeness_budget", budget)

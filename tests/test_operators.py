@@ -1635,3 +1635,63 @@ def test_wat_metadata_and_roundtrip(spark, tmp_path):
         read_warc(spark, out + "/*.warc.wat.gz", warc_types=("metadata",))
     )
     assert sorted(map(str, back.collect())) == sorted(map(str, m.collect()))
+
+
+def test_temporal_rebalance(spark):
+    """Date-aware proportional fitting (curation.temporal_rebalance):
+    binding years (scarcest vs their target share) are kept at 100%,
+    the rest down-sample to proportion, non-target years drop, and the
+    sample is a pure function of (seed, key)."""
+    from go_htmldate_spark.operators.curation import temporal_rebalance
+
+    rows = ([(i, 2016) for i in range(10)]
+            + [(100 + i, 2019) for i in range(30)]
+            + [(200 + i, 2022) for i in range(4)]
+            + [(300 + i, 1999) for i in range(5)])  # non-target year
+    df = spark.createDataFrame(rows, ["doc_id", "year"])
+    target = {2016: 0.5, 2019: 0.3, 2022: 0.2}
+    # scale = min(10/.5, 30/.3, 4/.2) = 20 -> rates 1.0 / 0.2 / 1.0
+    out = temporal_rebalance(df, "year", "doc_id", target, seed=3)
+    got = out.groupBy("year").count().collect()
+    by_year = {r["year"]: r["count"] for r in got}
+    assert by_year[2016] == 10 and by_year[2022] == 4  # binding: all kept
+    assert 1999 not in by_year
+    assert 0 < by_year.get(2019, 0) < 30  # down-sampled
+    # deterministic: the same call selects the same rows
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"]
+               for r in temporal_rebalance(df, "year", "doc_id", target,
+                                           seed=3).collect())
+    assert a == b
+    # different seed -> (almost surely) different 2019 subset, same law
+    c = temporal_rebalance(df, "year", "doc_id", target, seed=4)
+    assert c.filter("year = 2016").count() == 10
+    # every target year absent from the corpus -> empty result
+    assert temporal_rebalance(df, "year", "doc_id", {2030: 1.0}).count() == 0
+
+
+def test_adaptive_delay(spark):
+    """Heritrix delay-factor politeness (backoff.adaptive_delay): the
+    LAST fetch duration (by timestamp) drives the delay, clamped to
+    [min, max], and the budget is round_ms / delay."""
+    from go_htmldate_spark.plans.backoff import adaptive_delay
+
+    log = spark.createDataFrame(
+        [
+            ("slow.example", 1, 1000.0), ("slow.example", 2, 9000.0),
+            ("fast.example", 1, 4.0),    # 5x4=20 -> clamp up to 100
+            ("dead.example", 1, 50000.0),  # 5x50000 -> clamp to 30000
+        ],
+        ["host", "fetch_ts", "duration_ms"],
+    )
+    out = {r["host"]: r for r in adaptive_delay(log).collect()}
+    s = out["slow.example"]
+    assert s["last_duration_ms"] == 9000.0  # max_by ts, not max duration
+    assert s["mean_duration_ms"] == 5000.0
+    assert s["n_fetches"] == 2
+    assert s["crawl_delay_ms"] == 45000.0 or s["crawl_delay_ms"] == 30000.0
+    assert s["crawl_delay_ms"] == 30000.0  # clamped at max
+    assert out["fast.example"]["crawl_delay_ms"] == 100.0
+    assert out["fast.example"]["politeness_budget"] == 600.0
+    assert out["dead.example"]["crawl_delay_ms"] == 30000.0
+    assert out["dead.example"]["politeness_budget"] == 2.0

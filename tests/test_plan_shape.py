@@ -552,3 +552,39 @@ def test_wat_metadata_is_map_only(spark):
     assert "Exchange" not in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def test_temporal_rebalance_filter_is_map_only(spark):
+    """After the O(#years) count pre-pass, the returned plan must be a
+    pure scan+filter — the per-year rates fold into a literal CASE, no
+    exchange, no Python."""
+    from go_htmldate_spark.operators.curation import temporal_rebalance
+
+    df = spark.range(5000).select(
+        F.col("id").alias("doc_id"),
+        (F.lit(2015) + (F.col("id") * 13) % 10).cast("int").alias("year"),
+    )
+    out = temporal_rebalance(df, "year", "doc_id",
+                             {2016: 0.5, 2019: 0.3, 2022: 0.2}, seed=1)
+    plan = _plan(out)
+    assert "Exchange" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
+def test_adaptive_delay_single_host_exchange(spark):
+    """adaptive_delay: ONE partial-aggregated exchange on host and
+    nothing else."""
+    import re
+
+    from go_htmldate_spark.plans.backoff import adaptive_delay
+
+    log = spark.range(10000).select(
+        F.concat(F.lit("h"), (F.col("id") % 50).cast("string")).alias("host"),
+        F.col("id").alias("fetch_ts"),
+        (F.col("id") % 997).cast("double").alias("duration_ms"),
+    )
+    plan = _plan(adaptive_delay(log))
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert len(keys) == 1 and keys[0].startswith("host"), plan
+    assert "partial" in plan.lower() or "partial_" in plan, plan

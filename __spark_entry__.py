@@ -885,6 +885,23 @@ def q_adaptive_delay(spark, sf_dir):
     return adaptive_delay(log)
 
 
+def q_linear_quality(spark, sf_dir):
+    """Pipeline: hashing-trick linear document classifier
+    (operators/curation.linear_quality_score) — the fastText/VW-shaped
+    quality model of GPT-3's Wiki-ref filter and FineWeb-Edu: tokens
+    hash into 4096 buckets (portable md5 law), the logit is the mean
+    of the buckets' weights (dyadic weight vector → any-order double
+    sum is exact), keep thresholds the logit. Broadcast kilobyte
+    weight table; one partial-aggregated doc exchange."""
+    from go_htmldate_spark.operators.curation import (
+        hashed_weights, linear_quality_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    w = hashed_weights(spark, dim=4096, seed=13)
+    return linear_quality_score(docs, w, dim=4096, seed=13)
+
+
 def q_ngram_contamination(spark, sf_dir):
     """Pipeline: benchmark 8-gram decontamination stats — fraction of
     each document's distinct word 8-grams found anywhere in a benchmark
@@ -2715,6 +2732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": q_gopher_repetition,
         "stratified_sample": q_stratified_sample,
         "temporal_rebalance": q_temporal_rebalance,
+        "linear_quality": q_linear_quality,
         "ngram_contamination": q_ngram_contamination,
         "dup_span_stats": q_dup_span_stats,
         "dup_span_removal": q_dup_span_removal,
@@ -3729,6 +3747,37 @@ def oracle_sql() -> dict[str, str]:
                    least(30000.0, greatest(100.0, 5.0 * last_duration_ms))
                      AS politeness_budget
             FROM a
+        """,
+        # hashing-trick linear classifier: the dyadic weight vector and
+        # token->bucket law replayed exactly; sum(weight) is exact in
+        # any order (20 fractional bits), so no fold pinning.
+        "linear_quality": """
+            WITH w AS (
+              SELECT j AS bucket,
+                     (CAST('0x' || substr(md5('13w:' || j), 1, 15) AS BIGINT)
+                      % 2097152 - 1048576) / 1048576.0 AS weight
+              FROM range(4096) t(j)
+            ),
+            tok AS (
+              SELECT doc_id,
+                     unnest(string_split(lower(trim(regexp_replace(text,
+                       '\\s+', ' ', 'g'))), ' ')) AS tk
+              FROM documents
+            ),
+            b AS (
+              SELECT doc_id,
+                     CAST('0x' || substr(md5('13f:' || tk), 1, 15) AS BIGINT)
+                       % 4096 AS bucket
+              FROM tok WHERE tk <> ''
+            ),
+            s AS (
+              SELECT doc_id, sum(weight) AS sw,
+                     CAST(count(*) AS BIGINT) AS n_tok
+              FROM b JOIN w USING (bucket) GROUP BY doc_id
+            )
+            SELECT doc_id, n_tok, sw / n_tok AS logit,
+                   (sw / n_tok) > 0.0 AS keep
+            FROM s
         """,
         # contamination: distinct doc 8-grams left-joined to the distinct
         # benchmark 8-gram set (docs with doc_id % 17 = 0)

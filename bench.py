@@ -94,7 +94,7 @@ def main() -> None:
         "ccnet_buckets", "snapshot_diff", "snapshot_diff_stats",
         "host_datacard", "wet_roundtrip", "feed_parse",
         "warc_revisit", "wat_metadata",
-        "temporal_rebalance", "adaptive_delay",
+        "temporal_rebalance", "adaptive_delay", "linear_quality",
     ]:
         fn = queries[name]
         run(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())

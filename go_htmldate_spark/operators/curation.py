@@ -1153,3 +1153,78 @@ def temporal_rebalance(
             r_y = min(1.0, f * scale / counts[y])
             rate = F.when(F.col(year_col) == y, F.lit(r_y)).otherwise(rate)
     return df.filter(u < rate)
+
+
+def hashed_weights(spark, dim: int = 4096, seed: int = 0) -> DataFrame:
+    """Deterministic dyadic weight vector for the hashing-trick linear
+    classifier: w_j = (md5_h1(f"{seed}w:{j}") mod 2^21 − 2^20) / 2^20 —
+    uniform in [−1, 1) with exactly 20 fractional bits, so any-order
+    double summation of up to 2^33 terms is EXACT (every partial sum
+    is a dyadic rational far inside the 53-bit mantissa). Stands in
+    for trained weights in tests/oracles; a real deployment loads its
+    trained vector into the same (bucket, weight) shape."""
+    j = F.col("id").cast("string")
+    raw = md5_h1(F.concat(F.lit(f"{seed}w:"), j))
+    return spark.range(dim).select(
+        F.col("id").alias("bucket"),
+        ((raw % F.lit(1 << 21) - F.lit(1 << 20)) / F.lit(float(1 << 20)))
+        .alias("weight"),
+    )
+
+
+def linear_quality_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    dim: int = 4096,
+    threshold: float = 0.0,
+    seed: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hashing-trick linear document classifier — the
+    fastText/Vowpal-Wabbit-shaped quality model every LLM pipeline runs
+    (GPT-3's Wiki-reference classifier, CCNet/FineWeb-Edu quality
+    filters; feature hashing per Weinberger et al. ICML'09, linear text
+    classification per Joulin et al. 2017): each token hashes into one
+    of ``dim`` buckets, the document logit is the mean of its buckets'
+    weights, and ``keep`` thresholds the logit (monotone in the
+    sigmoid, so thresholding the logit IS thresholding the
+    probability — no libm exp in the gate). Docs with no tokens are
+    omitted.
+
+    Determinism: the token→bucket law is the engine's portable 60-bit
+    md5 uniform (DuckDB replays it), and with hashed_weights' dyadic
+    vector the double sum is exact in ANY accumulation order — no
+    fold pinning needed.
+
+    Scale shape: the weight table is O(dim) — kilobytes — and is
+    broadcast, so the token stream never shuffles for the lookup; one
+    partial-aggregated exchange on the doc key produces the scores.
+    At 100 TB the cost is the token explode, the same shape as
+    token_count."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.split(
+                F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))),
+                " ",
+            )
+        ).alias("_tk"),
+    ).filter(F.col("_tk") != "")
+    bucket = md5_h1(F.concat(F.lit(f"{seed}f:"), F.col("_tk"))) % F.lit(dim)
+    scored = (
+        toks.select(F.col(id_col), bucket.alias("bucket"))
+        .join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("weight").alias("_sw"),
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+        )
+    )
+    logit = F.col("_sw") / F.col("n_tok")
+    return scored.select(
+        F.col(id_col),
+        "n_tok",
+        logit.alias("logit"),
+        (logit > F.lit(float(threshold))).alias("keep"),
+    )

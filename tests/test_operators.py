@@ -1695,3 +1695,38 @@ def test_adaptive_delay(spark):
     assert out["fast.example"]["politeness_budget"] == 600.0
     assert out["dead.example"]["crawl_delay_ms"] == 30000.0
     assert out["dead.example"]["politeness_budget"] == 2.0
+
+
+def test_linear_quality_score(spark):
+    """Hashing-trick linear classifier (curation.linear_quality_score):
+    logit = mean of hashed-bucket weights, exact and order-independent
+    with the dyadic weight vector; keep thresholds the logit; empty
+    docs are omitted; identical tokens get identical buckets so logit
+    is invariant to token order."""
+    from go_htmldate_spark.operators.curation import (
+        hashed_weights, linear_quality_score,
+    )
+
+    w = hashed_weights(spark, dim=64, seed=5)
+    wrows = {r["bucket"]: r["weight"] for r in w.collect()}
+    assert len(wrows) == 64
+    assert all(-1.0 <= v < 1.0 for v in wrows.values())
+    # dyadic: every weight is a multiple of 2^-20
+    assert all(v * (1 << 20) == int(v * (1 << 20)) for v in wrows.values())
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta  gamma"), (2, "gamma beta alpha"), (3, "   "),
+         (4, "alpha alpha alpha alpha")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r
+           for r in linear_quality_score(docs, w, dim=64, seed=5).collect()}
+    assert 3 not in out  # no tokens -> omitted
+    assert out[1]["n_tok"] == 3
+    # order-invariant: same bag of tokens, same logit bit-for-bit
+    assert out[1]["logit"] == out[2]["logit"]
+    # a single repeated token's logit is that token's bucket weight
+    import hashlib
+    h = int(hashlib.md5(b"5f:alpha").hexdigest()[:15], 16) % 64
+    assert out[4]["logit"] == wrows[h]
+    assert out[4]["keep"] == (out[4]["logit"] > 0.0)

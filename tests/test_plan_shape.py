@@ -588,3 +588,29 @@ def test_adaptive_delay_single_host_exchange(spark):
     keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
     assert len(keys) == 1 and keys[0].startswith("host"), plan
     assert "partial" in plan.lower() or "partial_" in plan, plan
+
+
+def test_linear_quality_broadcasts_weights(spark):
+    """linear_quality_score: the weight table must broadcast (the token
+    stream never shuffles for the lookup); the only hash exchange is
+    the final doc-key aggregation, partial-aggregated."""
+    import re
+
+    from go_htmldate_spark.operators.curation import (
+        hashed_weights, linear_quality_score,
+    )
+
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("tok"), (F.col("id") % 100).cast("string"),
+                 F.lit(" common word"), (F.col("id") % 7).cast("string"))
+        .alias("text"),
+    )
+    plan = _plan(linear_quality_score(
+        docs, hashed_weights(spark, dim=256, seed=1), dim=256, seed=1))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # the only permissible hash exchange is the doc-key aggregation
+    # (and over an already-co-partitioned source even that is elided)
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert all(k.startswith("doc_id") for k in keys), keys

@@ -885,6 +885,28 @@ def q_adaptive_delay(spark, sf_dir):
     return adaptive_delay(log)
 
 
+def q_host_cap_sample(spark, sf_dir):
+    """Pipeline: per-host document cap
+    (operators/curation.host_cap_sample) — the domain-fairness guard
+    (C4 per-domain dedup / FineWeb domain caps): keep at most 5 docs
+    per host, ranked by the deterministic md5 uniform with key
+    tiebreak; salted two-phase exact rank so a mega-host never sorts
+    in one task. Hosts synthesized skewed: host = doc_id % 23 except
+    every doc_id % 3 == 0 lands on the mega host h0."""
+    from go_htmldate_spark.operators.curation import host_cap_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("h"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(0))
+            .otherwise(F.col("doc_id") % 23).cast("string"),
+            F.lit(".example"),
+        ).alias("host"),
+    )
+    return host_cap_sample(docs, "host", "doc_id", cap=5, seed=17)
+
+
 def q_linear_quality(spark, sf_dir):
     """Pipeline: hashing-trick linear document classifier
     (operators/curation.linear_quality_score) — the fastText/VW-shaped
@@ -2733,6 +2755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "temporal_rebalance": q_temporal_rebalance,
         "linear_quality": q_linear_quality,
+        "host_cap_sample": q_host_cap_sample,
         "ngram_contamination": q_ngram_contamination,
         "dup_span_stats": q_dup_span_stats,
         "dup_span_removal": q_dup_span_removal,
@@ -3747,6 +3770,26 @@ def oracle_sql() -> dict[str, str]:
                    least(30000.0, greatest(100.0, 5.0 * last_duration_ms))
                      AS politeness_budget
             FROM a
+        """,
+        # per-host cap: rank by the md5 uniform with doc_id tiebreak,
+        # keep rank <= 5 per host (the salted two-phase is plan shape,
+        # not semantics — the oracle ranks directly).
+        "host_cap_sample": """
+            WITH d AS (
+              SELECT doc_id,
+                     'h' || (CASE WHEN doc_id % 3 = 0 THEN 0
+                             ELSE doc_id % 23 END) || '.example' AS host,
+                     CAST('0x' || substr(md5('17:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                          AS BIGINT) / 1152921504606846976.0 AS u
+              FROM documents
+            ),
+            r AS (
+              SELECT doc_id, host,
+                     row_number() OVER (PARTITION BY host
+                                        ORDER BY u, doc_id) AS rn
+              FROM d
+            )
+            SELECT doc_id, host FROM r WHERE rn <= 5
         """,
         # hashing-trick linear classifier: the dyadic weight vector and
         # token->bucket law replayed exactly; sum(weight) is exact in

@@ -95,6 +95,7 @@ def main() -> None:
         "host_datacard", "wet_roundtrip", "feed_parse",
         "warc_revisit", "wat_metadata",
         "temporal_rebalance", "adaptive_delay", "linear_quality",
+        "host_cap_sample",
     ]:
         fn = queries[name]
         run(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())

@@ -1228,3 +1228,49 @@ def linear_quality_score(
         logit.alias("logit"),
         (logit > F.lit(float(threshold))).alias("keep"),
     )
+
+
+def host_cap_sample(
+    df: DataFrame,
+    host_col: str,
+    key_col: str,
+    cap: int,
+    seed: int = 0,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Domain-fairness cap: keep at most ``cap`` documents per host —
+    the anti-boilerplate / anti-SEO-farm mix guard (C4 deduplicated per
+    domain; FineWeb caps per-dump domain contribution) that stops one
+    mega-host from dominating a training mix. Selection is
+    deterministic and auditable: rows rank by the engine's 60-bit md5
+    uniform of (seed, key) with the key as tiebreak, so the kept set
+    is a pure function of (seed, corpus) — a uniform random-without-
+    replacement sample per host, recomputable bit-for-bit by the
+    oracle.
+
+    Scale shape: the naive single window per host sorts a mega-host's
+    every row in ONE task; this uses the scheduler's salted two-phase
+    rank law (scheduler.py step 5) unconditionally — phase 1 ranks
+    within (host, salt) keeping ≤cap per salt (each task sorts 1/n_salts
+    of the worst host), phase 2 ranks the ≤cap·n_salts survivors per
+    host. Exact: the host-level top-cap by u is contained in the union
+    of per-salt top-caps. Size n_salts to the heaviest expected host
+    (8 salts bound a 10^9-row host's task at ~10^8 — raise it for
+    worse skew)."""
+    from pyspark.sql import Window
+
+    u = sample_uniform(F.col(key_col), seed).alias("_u")
+    salt = F.pmod(
+        md5_h1(F.concat(F.lit(f"{seed}s:"), F.col(key_col).cast("string"))),
+        F.lit(n_salts),
+    ).alias("_salt")
+    w1 = Window.partitionBy(host_col, "_salt").orderBy("_u", key_col)
+    w2 = Window.partitionBy(host_col).orderBy("_u", key_col)
+    return (
+        df.select("*", u, salt)
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= cap)
+        .withColumn("_r2", F.row_number().over(w2))
+        .filter(F.col("_r2") <= cap)
+        .drop("_u", "_salt", "_r1", "_r2")
+    )

@@ -1730,3 +1730,38 @@ def test_linear_quality_score(spark):
     h = int(hashlib.md5(b"5f:alpha").hexdigest()[:15], 16) % 64
     assert out[4]["logit"] == wrows[h]
     assert out[4]["keep"] == (out[4]["logit"] > 0.0)
+
+
+def test_host_cap_sample(spark):
+    """Domain-fairness cap (curation.host_cap_sample): at most cap
+    rows per host; the salted two-phase rank returns EXACTLY the
+    host-level top-cap by the deterministic uniform (verified against
+    a direct single-window rank); under-cap hosts keep everything."""
+    from pyspark.sql import Window
+
+    from go_htmldate_spark.operators.curation import (
+        host_cap_sample, sample_uniform,
+    )
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 5 < 4, F.lit("mega.example"))
+        .otherwise(F.concat(F.lit("small"), (F.col("id") % 7).cast("string"),
+                            F.lit(".example"))).alias("host"),
+    )
+    out = host_cap_sample(df, "host", "doc_id", cap=3, seed=2, n_salts=4)
+    counts = {r["host"]: r["n"] for r in
+              out.groupBy("host").agg(F.count("*").alias("n")).collect()}
+    assert all(n <= 3 for n in counts.values())
+    assert counts["mega.example"] == 3
+    # exactness: equals the direct (unsalted) top-cap
+    w = Window.partitionBy("host").orderBy("_u", "doc_id")
+    direct = (df.withColumn("_u", sample_uniform(F.col("doc_id"), 2))
+                .withColumn("_r", F.row_number().over(w))
+                .filter("_r <= 3").select("doc_id", "host"))
+    assert (sorted(map(str, out.collect()))
+            == sorted(map(str, direct.collect())))
+    # a host with fewer than cap rows keeps all of them
+    tiny = spark.createDataFrame([(1, "t.example"), (2, "t.example")],
+                                 ["doc_id", "host"])
+    assert host_cap_sample(tiny, "host", "doc_id", cap=5).count() == 2

@@ -614,3 +614,22 @@ def test_linear_quality_broadcasts_weights(spark):
     # (and over an already-co-partitioned source even that is elided)
     keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
     assert all(k.startswith("doc_id") for k in keys), keys
+
+
+def test_host_cap_sample_salted_windows(spark):
+    """host_cap_sample must rank in two phases — (host, salt) then
+    host — so no single task sorts a mega-host; no join, no Python."""
+    import re
+
+    from go_htmldate_spark.operators.curation import host_cap_sample
+
+    df = spark.range(5000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("h"), (F.col("id") % 11).cast("string")).alias("host"),
+    )
+    plan = _plan(host_cap_sample(df, "host", "doc_id", cap=4, seed=1))
+    keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(keys) == 2, keys
+    assert any("_salt" in k for k in keys), keys  # phase-1 salted exchange
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "SortMergeJoin"):
+        assert marker not in plan

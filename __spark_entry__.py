@@ -1709,6 +1709,58 @@ def q_revisit_stats(spark, sf_dir):
     return revisit_stats(revisit_classify(fetched, prior))
 
 
+def q_revisit_roundtrip(spark, sf_dir):
+    """§2.1 sources + §2.9 frontier: dedup-aware WARC export + ingest —
+    revisit_classify's output written through
+    sources/warc.write_dedup_warc_shards (response rows keep their
+    payload; revisit rows become payload-free records with
+    WARC-Profile / WARC-Refers-To-Date / WARC-Payload-Digest headers)
+    then re-read with read_warc(("response","revisit")). The oracle
+    rebuilds record type, profile, refers-to date and payload byte
+    length closed-form, so the storage-dedup claim (revisit bodies are
+    NOT in the archive) is hash-gated."""
+    import hashlib
+    import os
+    import tempfile
+
+    from go_htmldate_spark.plans.revisits import revisit_classify
+    from go_htmldate_spark.sources.warc import (
+        read_warc, write_dedup_warc_shards,
+    )
+
+    fetched, prior = _revisit_pair(spark, sf_dir)
+    cls = revisit_classify(fetched, prior)
+    d = _t(spark, sf_dir, "documents")
+    cur_text = F.when(
+        F.col("doc_id") % 6 == 0, F.concat(F.col("text"), F.lit(" v2"))
+    ).otherwise(F.col("text"))
+    url = F.concat(
+        F.lit("https://h"), (F.col("doc_id") % 40).cast("string"),
+        F.lit(".example/r/"), F.col("doc_id").cast("string"),
+    )
+    bodies = d.select(url.alias("url"), F.encode(cur_text, "UTF-8").alias("_p"))
+    inp = cls.join(bodies, "url").select(
+        "url", "warc_date", "record_type", "digest", "refers_to_date",
+        F.when(F.col("record_type") == "response", F.col("_p"))
+        .alias("payload"),
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = os.path.join(tempfile.gettempdir(), f"spark_graft_revwarc_{tag}")
+    write_dedup_warc_shards(inp, out, n_shards=4)
+    recs = read_warc(spark, os.path.join(out, "*.warc.gz"),
+                     warc_types=("response", "revisit"))
+    return recs.select(
+        F.regexp_extract("url", r"/r/(\d+)$", 1).cast("long").alias("doc_id"),
+        "url",
+        "warc_type",
+        "warc_date",
+        "content_type",
+        F.col("warc_profile").alias("profile"),
+        F.col("warc_refers_to_date").alias("refers_to_date"),
+        F.octet_length("payload").cast("long").alias("payload_len"),
+    )
+
+
 def q_change_rate(spark, sf_dir):
     """§2.9 frontier: freshness-aware recrawl (plans/recrawl) — Cho &
     Garcia-Molina Poisson change-rate estimation over fetch history
@@ -2791,6 +2843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff_stats": q_snapshot_diff_stats,
         "warc_revisit": q_warc_revisit,
         "revisit_stats": q_revisit_stats,
+        "revisit_roundtrip": q_revisit_roundtrip,
         "rel_canonical": q_rel_canonical,
         "host_backoff": q_host_backoff,
         "adaptive_delay": q_adaptive_delay,
@@ -4525,6 +4578,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(bytes_fetched) - sum(bytes_stored) AS BIGINT)
                        AS bytes_saved
             FROM c GROUP BY record_type
+        """,
+        # dedup-aware WARC roundtrip: record type / profile /
+        # refers-to / payload byte length rebuilt closed-form; a
+        # revisit body surviving into the archive breaks payload_len.
+        "revisit_roundtrip": """
+            SELECT doc_id,
+                   'https://h' || (doc_id % 40) || '.example/r/' || doc_id
+                     AS url,
+                   CASE WHEN doc_id % 9 <> 0 AND doc_id % 6 <> 0
+                        THEN 'revisit' ELSE 'response' END AS warc_type,
+                   '2026-08-01T00:00:00Z' AS warc_date,
+                   CASE WHEN doc_id % 9 <> 0 AND doc_id % 6 <> 0
+                        THEN 'message/http' ELSE 'text/html' END
+                     AS content_type,
+                   CASE WHEN doc_id % 9 <> 0 AND doc_id % 6 <> 0
+                        THEN 'http://netpreservation.org/warc/1.1/revisit/identical-payload-digest'
+                        END AS profile,
+                   CASE WHEN doc_id % 9 <> 0 AND doc_id % 6 <> 0
+                        THEN '2026-07-01T00:00:00Z' END AS refers_to_date,
+                   CASE WHEN doc_id % 9 <> 0 AND doc_id % 6 <> 0
+                        THEN CAST(0 AS BIGINT)
+                        ELSE CAST(strlen(CASE WHEN doc_id % 6 = 0
+                                              THEN text || ' v2'
+                                              ELSE text END) AS BIGINT)
+                        END AS payload_len
+            FROM documents
         """,
         "change_rate": """
             WITH g AS (

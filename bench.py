@@ -93,7 +93,7 @@ def main() -> None:
         "soft404_demotion",
         "ccnet_buckets", "snapshot_diff", "snapshot_diff_stats",
         "host_datacard", "wet_roundtrip", "feed_parse",
-        "warc_revisit", "wat_metadata",
+        "warc_revisit", "wat_metadata", "revisit_roundtrip",
         "temporal_rebalance", "adaptive_delay", "linear_quality",
         "host_cap_sample",
     ]:

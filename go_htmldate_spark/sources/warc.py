@@ -53,6 +53,8 @@ WARC_SCHEMA = StructType([
     StructField("content_type", StringType()),
     StructField("http_status", IntegerType()),
     StructField("http_content_type", StringType()),
+    StructField("warc_profile", StringType()),
+    StructField("warc_refers_to_date", StringType()),
     StructField("payload", BinaryType()),
 ])
 
@@ -185,9 +187,12 @@ def write_warc_record(
     record_id: str = "urn:uuid:00000000-0000-0000-0000-000000000000",
     content_type: str = "application/http; msgtype=response",
     gzip_member: bool = False,
+    extra_headers: list[tuple[str, str]] | None = None,
 ) -> None:
     """One spec-shaped record; gzip_member wraps it in its own gzip
-    member (the Common Crawl layout)."""
+    member (the Common Crawl layout). extra_headers (e.g.
+    WARC-Profile / WARC-Refers-To-Date on revisit records) are
+    emitted between the record id and Content-Type, in order."""
     head = [
         b"WARC/1.0",
         b"WARC-Type: " + warc_type.encode(),
@@ -196,6 +201,8 @@ def write_warc_record(
         b"Content-Type: " + content_type.encode(),
         b"Content-Length: " + str(len(payload)).encode(),
     ]
+    for i, (k, v) in enumerate(extra_headers or []):
+        head.insert(4 + i, k.encode() + b": " + v.encode())
     if url is not None:
         head.insert(2, b"WARC-Target-URI: " + url.encode())
     blob = CRLF.join(head) + CRLF + CRLF + payload + CRLF + CRLF
@@ -253,7 +260,9 @@ def read_warc(
                         fpath, rec["offset"], wtype,
                         h.get("warc-target-uri"), h.get("warc-date"),
                         _clean_record_id(h.get("warc-record-id")),
-                        h.get("content-type"), status, http_ctype, body,
+                        h.get("content-type"), status, http_ctype,
+                        h.get("warc-profile"),
+                        h.get("warc-refers-to-date"), body,
                     ))
             yield pd.DataFrame(rows, columns=[f.name for f in WARC_SCHEMA.fields])
 
@@ -675,3 +684,61 @@ def wat_to_metadata(records: DataFrame) -> DataFrame:
         F.transform(links, lambda x: x["url"]).alias("links"),
         F.size(links).cast("long").alias("n_links"),
     )
+
+
+def write_dedup_warc_shards(
+    classified: DataFrame,
+    out_dir: str,
+    n_shards: int | None = None,
+) -> None:
+    """revisit-classified fetches → WARC shards with fetch-time storage
+    dedup (the Heritrix/IA layout plans/revisits computes the
+    classification for): ``response`` rows store their payload;
+    ``revisit`` rows store a PAYLOAD-FREE record carrying WARC-Profile
+    (identical-payload-digest), WARC-Refers-To-Date (the prior
+    capture), and WARC-Payload-Digest (the shared digest) — a
+    recurring crawl's archive grows by its delta, not its size.
+
+    Input columns: url, warc_date, record_type ('response'|'revisit'),
+    digest, refers_to_date (null on response rows), payload (binary;
+    ignored on revisit rows — callers may pass NULL there so revisit
+    page bodies never even reach the sink's exchange). Re-readable via
+    ``read_warc(spark, glob, warc_types=("response", "revisit"))``;
+    the reader surfaces warc_profile / warc_refers_to_date columns.
+
+    Same determinism + shared-filesystem contract as
+    write_warc_shards."""
+    # import here to avoid a module cycle at import time
+    from go_htmldate_spark.plans.revisits import REVISIT_PROFILE
+
+    cols = ["url", "warc_date", "record_type", "digest",
+            "refers_to_date", "payload"]
+
+    def write_row(out, pid, r):
+        url, warc_date, rtype, digest, refers, payload = r
+        date = warc_date or "1970-01-01T00:00:00Z"
+        if rtype == "revisit":
+            write_warc_record(
+                out, "revisit", b"",
+                url=url, warc_date=date,
+                record_id=f"urn:dedup-export:{pid}:{url}",
+                content_type="message/http",
+                gzip_member=True,
+                extra_headers=[
+                    ("WARC-Profile", REVISIT_PROFILE),
+                    ("WARC-Refers-To-Date", refers or date),
+                    ("WARC-Payload-Digest", f"md5:{digest}"),
+                ],
+            )
+        else:
+            write_warc_record(
+                out, "response", bytes(payload) if payload else b"",
+                url=url, warc_date=date,
+                record_id=f"urn:dedup-export:{pid}:{url}",
+                content_type="text/html",
+                gzip_member=True,
+                extra_headers=[("WARC-Payload-Digest", f"md5:{digest}")],
+            )
+
+    _write_shard_files(classified.select(*cols), out_dir, "url", n_shards,
+                       "warc", write_row)

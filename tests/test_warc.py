@@ -374,3 +374,47 @@ def test_cdx_index_offsets_and_order(spark, tmp_path):
         _, _, body = split_http_response(rec["payload"])
         assert hashlib.sha256(body).hexdigest() == r["digest"]
         assert len(body) == r["length"]
+
+
+def test_write_dedup_warc_shards(spark, tmp_path):
+    """Dedup-aware WARC sink (write_dedup_warc_shards): revisit rows
+    are stored payload-free with WARC-Profile / WARC-Refers-To-Date /
+    WARC-Payload-Digest headers, response rows keep their payload; the
+    reader surfaces both; the archive is physically smaller than a
+    dedup-less export of the same fetches."""
+    import glob
+    import os
+
+    from go_htmldate_spark.plans.revisits import REVISIT_PROFILE
+    from go_htmldate_spark.sources.warc import (
+        read_warc, write_dedup_warc_shards,
+    )
+
+    body = b"<html>" + b"x" * 2000 + b"</html>"
+    rows = [
+        ("https://a.example/1", "2026-08-01T00:00:00Z", "revisit",
+         "d1", "2026-07-01T00:00:00Z", None),
+        ("https://a.example/2", "2026-08-01T00:00:00Z", "response",
+         "d2", None, bytearray(body)),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_date string, record_type string,"
+        " digest string, refers_to_date string, payload binary")
+    out = str(tmp_path / "dedup")
+    write_dedup_warc_shards(df, out, n_shards=1)
+    recs = {r["url"]: r for r in read_warc(
+        spark, out + "/*.warc.gz", warc_types=("response", "revisit")
+    ).collect()}
+    rev = recs["https://a.example/1"]
+    assert rev["warc_type"] == "revisit"
+    assert rev["warc_profile"] == REVISIT_PROFILE
+    assert rev["warc_refers_to_date"] == "2026-07-01T00:00:00Z"
+    assert bytes(rev["payload"]) == b""
+    resp = recs["https://a.example/2"]
+    assert resp["warc_type"] == "response"
+    assert resp["warc_profile"] is None
+    assert bytes(resp["payload"]) == body
+    # the dedup shard is materially smaller than storing both bodies
+    total = sum(os.path.getsize(f)
+                for f in glob.glob(out + "/*.warc.gz"))
+    assert total < 2 * len(body)

@@ -60,6 +60,32 @@ def main() -> None:
         "window (ExactSubstr, Lee et al. 2022); 0 disables",
     )
     ap.add_argument(
+        "--quality-threshold", type=float, default=None, metavar="LOGIT",
+        help="keep docs whose hashing-trick linear-classifier logit "
+        "exceeds LOGIT (fastText-shaped quality model); omit to disable",
+    )
+    ap.add_argument(
+        "--quality-weights", metavar="DIR",
+        help="parquet dir with (bucket, weight) trained weights for "
+        "--quality-threshold; defaults to the deterministic dyadic "
+        "stand-in vector",
+    )
+    ap.add_argument(
+        "--quality-dim", type=int, default=4096,
+        help="hash bucket count for --quality-threshold",
+    )
+    ap.add_argument(
+        "--host-cap", type=int, default=0, metavar="CAP",
+        help="keep at most CAP docs per host (domain-fairness guard, "
+        "salted two-phase exact rank); 0 disables",
+    )
+    ap.add_argument(
+        "--year-mix", default="", metavar="SPEC",
+        help="temporal rebalance to a publication-year mix, e.g. "
+        "'2020=0.5,2021=0.3,2022=0.2' (years come from the extracted "
+        "date; undated docs drop under a mix)",
+    )
+    ap.add_argument(
         "--wet-output", metavar="DIR",
         help="also export the curated text as WET shards (WARC "
         "conversion records, the Common Crawl text artifact) into DIR",
@@ -166,7 +192,36 @@ def main() -> None:
             .filter(F.trim(F.col("text")) != "")
             .drop("n_tok", "n_removed")
         )
+    if args.quality_threshold is not None:
+        from go_htmldate_spark.operators.curation import (
+            hashed_weights, linear_quality_score,
+        )
+
+        w = (spark.read.parquet(args.quality_weights)
+             if args.quality_weights
+             else hashed_weights(spark, dim=args.quality_dim,
+                                 seed=args.seed))
+        kept = linear_quality_score(
+            docs.select("doc_id", "text"), w, dim=args.quality_dim,
+            seed=args.seed,
+        ).filter(F.col("logit") > args.quality_threshold).select("doc_id")
+        docs = docs.join(kept, "doc_id")
     docs = exact_dedup(docs, text_col="text", id_col="doc_id")
+    if args.host_cap:
+        from go_htmldate_spark.operators.curation import host_cap_sample
+
+        docs = host_cap_sample(docs, "host", "doc_id", cap=args.host_cap,
+                               seed=args.seed)
+    if args.year_mix:
+        from go_htmldate_spark.operators.curation import temporal_rebalance
+
+        mix = {int(k): float(v) for k, v in
+               (p.partition("=")[::2] for p in args.year_mix.split(","))}
+        docs = docs.withColumn(
+            "pub_year", F.substring("date", 1, 4).cast("int")
+        )
+        docs = temporal_rebalance(docs, "pub_year", "doc_id", mix,
+                                  seed=args.seed).drop("pub_year")
     if args.sample:
         fracs, default = parse_fractions(args.sample)
         docs = stratified_sample(

@@ -369,3 +369,57 @@ def test_curate_job_wet_output(spark, tmp_path_factory, monkeypatch, capsys):
         curated.select("url", "text")
     )
     assert diff.count() == 0
+
+
+def test_curate_job_quality_cap_yearmix(spark, tmp_path_factory, monkeypatch,
+                                        capsys):
+    """--quality-threshold / --host-cap / --year-mix compose in the
+    curation job: the linear classifier gates docs, each host keeps at
+    most CAP docs, and the output's publication years follow the
+    requested mix (non-target years dropped)."""
+    import go_htmldate_spark.session as sess
+
+    from pyspark.sql import functions as F
+
+    base = tmp_path_factory.mktemp("curate_qcy")
+    monkeypatch.setattr(sess, "get_spark", lambda **kw: spark)
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    pages_dir = str(base / "pages")
+    # 60 pages across 4 hosts; years 2020 (i%3==0), 2021 (else)
+    spark.createDataFrame(
+        [(f"https://h{i % 4}.example/post/{i}",
+          f"2024-01-01T00:00:{i % 60:02d}",
+          (f'<html><head><meta property="article:published_time" '
+           f'content="{2020 + (0 if i % 3 == 0 else 1)}-06-'
+           f'{1 + i % 28:02d}"></head><body>'
+           f"<p>the quick brown fox number {i} jumps over the lazy dog "
+           f"and the weather is nice today in the small town.</p>"
+           f"</body></html>").encode())
+         for i in range(60)],
+        "url string, warc_ts string, html binary",
+    ).withColumn(
+        "warc_ts", F.to_timestamp("warc_ts", "yyyy-MM-dd'T'HH:mm:ss")
+    ).write.parquet(pages_dir)
+
+    job = _load_job("curate_job")
+    out_dir = str(base / "out")
+    monkeypatch.setattr(sys, "argv", [
+        "curate_job.py",
+        "--pages", pages_dir,
+        "--output", out_dir,
+        "--quality-threshold", "-1.0",  # keeps all (logit in [-1,1))
+        "--host-cap", "8",
+        "--year-mix", "2020=0.6,2021=0.4",
+        "--seed", "3",
+    ])
+    job.main()
+    stats = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert stats["curated_docs"] > 0
+    out = spark.read.parquet(out_dir)
+    per_host = [r["n"] for r in out.groupBy("host")
+                .agg(F.count("*").alias("n")).collect()]
+    assert per_host and all(n <= 8 for n in per_host)
+    years = {r["y"] for r in out.select(
+        F.substring("date", 1, 4).alias("y")).distinct().collect()}
+    assert years <= {"2020", "2021"}
+    assert out.count() == stats["curated_docs"]

@@ -169,6 +169,29 @@ def main() -> None:
         "politeness budgets, floored at 0.25 so they stay probe-able",
     )
     ap.add_argument(
+        "--adaptive-delay-log",
+        help="parquet dir of the timed fetch log (host, fetch_ts, "
+        "duration_ms); per-host crawl delay = clamp(--delay-factor x "
+        "last fetch duration) and the implied fetches/round budget "
+        "min-merges with the other sources (only ever lowering a "
+        "host below the scheduler default)",
+    )
+    ap.add_argument(
+        "--delay-factor", type=float, default=5.0,
+        help="multiple of the last fetch duration a host rests "
+        "between fetches (default 5.0, the Heritrix default)",
+    )
+    ap.add_argument(
+        "--max-delay-ms", type=float, default=120000.0,
+        help="delay clamp for --adaptive-delay-log (default 120000: a "
+        "host answering in 24s+ drops to 0.5 fetches/round)",
+    )
+    ap.add_argument(
+        "--round-seconds", type=float, default=60.0,
+        help="wall seconds one scheduler round represents when mapping "
+        "--adaptive-delay-log delays onto fetches/round budgets",
+    )
+    ap.add_argument(
         "--host-ip",
         help="parquet dir of the DNS cache (host, ip); with "
         "--ip-budget, virtual hosts resolving to one server share the "
@@ -337,6 +360,23 @@ def main() -> None:
             base_budget=_CC.default_budget,
         ).filter(F.col("streak") > 0)
         budgets = merge_budgets(budgets, decayed)
+
+    if args.adaptive_delay_log:
+        from go_htmldate_spark.plans.backoff import adaptive_delay
+        from go_htmldate_spark.plans.scheduler import CrawlConfig as _CC2
+
+        # latency-derived budgets only SLOW hosts: keep rows whose
+        # implied fetches/round fall below the scheduler default (same
+        # only-lower contract as --backoff-log)
+        slowed = adaptive_delay(
+            spark.read.parquet(args.adaptive_delay_log),
+            delay_factor=args.delay_factor,
+            max_delay_ms=args.max_delay_ms,
+            round_seconds=args.round_seconds,
+        ).select("host", "politeness_budget").filter(
+            F.col("politeness_budget") < _CC2.default_budget
+        )
+        budgets = merge_budgets(budgets, slowed)
 
     opic_state = None
     opic_range = (1.0, 8.0)

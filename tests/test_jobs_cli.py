@@ -423,3 +423,63 @@ def test_curate_job_quality_cap_yearmix(spark, tmp_path_factory, monkeypatch,
         F.substring("date", 1, 4).alias("y")).distinct().collect()}
     assert years <= {"2020", "2021"}
     assert out.count() == stats["curated_docs"]
+
+
+def test_crawl_job_adaptive_delay_budgets(spark, tmp_path_factory,
+                                          monkeypatch, capsys):
+    """--adaptive-delay-log slows a latency-heavy host: its implied
+    fetches/round budget (round_seconds / clamp(factor x last
+    duration)) min-merges below the scheduler default, so round 0
+    schedules fewer URLs from that host than a plain run would, while
+    fast hosts are untouched (their rows are filtered, never raising
+    anyone)."""
+    import go_htmldate_spark.session as sess
+    from go_htmldate_spark.plans.canonical import url_host
+    from go_htmldate_spark.sources.pages import synth_pages
+    from pyspark.sql import functions as F
+
+    base = tmp_path_factory.mktemp("adaptive_cli")
+    corpus = synth_pages(spark, 400, seed=42)
+    hosts = sorted(
+        r["h"] for r in corpus.select(url_host(F.col("url")).alias("h"))
+        .groupBy("h").agg(F.count("*").alias("n"))
+        .filter("n >= 4").collect()
+    )[:2]
+    slow, fast = hosts
+    log_dir = str(base / "timedlog")
+    spark.createDataFrame(
+        [(slow, 1.0, 40000.0),   # 5x40s -> clamp 120s -> 0.5/round
+         (slow, 2.0, 50000.0),
+         (fast, 1.0, 10.0)],     # 5x10ms -> min 100ms -> 600/round
+        "host string, fetch_ts double, duration_ms double",
+    ).write.parquet(log_dir)
+
+    monkeypatch.setattr(sess, "get_spark", lambda **kw: spark)
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    job = _load_job("crawl_job")
+
+    def run(state, extra):
+        monkeypatch.setattr(sys, "argv", [
+            "crawl_job.py", "--synth", "400",
+            "--state", str(base / state), "--rounds", "1",
+            "--n-seeds", "64",
+        ] + extra)
+        job.main()
+        out = capsys.readouterr().out
+        m = [json.loads(l) for l in out.splitlines()
+             if l.startswith("{") and "n_scheduled" in l][0]
+        fetched = spark.read.parquet(
+            str(base / state / "round_0" / "fetched"))
+        per_host = {r["h"]: r["n"] for r in fetched.select(
+            url_host(F.col("url")).alias("h")).groupBy("h")
+            .agg(F.count("*").alias("n")).collect()}
+        return m, per_host
+
+    _, plain = run("plain", [])
+    _, slowed = run("slowed", ["--adaptive-delay-log", log_dir])
+    # the slow host lost budget: 0.5/round floors to 0 scheduled
+    assert plain.get(slow, 0) >= 1
+    assert slowed.get(slow, 0) < plain[slow]
+    # the fast host's 600/round row was filtered out, not merged up:
+    # its schedule is unchanged from the plain run
+    assert slowed.get(fast, 0) == plain.get(fast, 0)

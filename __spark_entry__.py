@@ -885,6 +885,53 @@ def q_adaptive_delay(spark, sf_dir):
     return adaptive_delay(log)
 
 
+def q_water_fill(spark, sf_dir):
+    """§2.9 frontier: water-filling crawl-budget allocation
+    (plans/budget.water_fill_budgets) — max-min fair split of one
+    global per-cycle fetch budget across hosts with unequal frontier
+    depths (Bertsekas & Gallager §6.5.2 progressive filling, closed
+    form over a sorted prefix sum, exact integer arithmetic). Demands
+    synthesized skewed from customer (sum of 1 + c_custkey % 211 per
+    host bucket), budget 20,000 < total demand so the level cuts."""
+    from go_htmldate_spark.plans.budget import water_fill_budgets
+
+    c = _t(spark, sf_dir, "customer")
+    demands = c.groupBy(
+        F.concat(F.lit("h"), (F.col("c_custkey") % 37).cast("string"))
+        .alias("host")
+    ).agg(
+        F.sum(F.lit(1) + F.col("c_custkey") % 211).cast("long").alias("demand")
+    )
+    return water_fill_budgets(demands, 20_000)
+
+
+def q_wave_plan(spark, sf_dir):
+    """§2.9 frontier: multi-wave fetch planning
+    (plans/budget.fetch_wave_plan) — every frontier URL gets the
+    politeness round it will be fetched in over a 3-round horizon:
+    rank within host by (priority desc, url), wave = ceil(rank /
+    politeness_budget), salted two-phase exact rank so a mega-host
+    never sorts in one task. Frontier from orders (25 hosts), per-host
+    budgets 1 + hostnum % 7 derived from the same host set."""
+    from go_htmldate_spark.plans.budget import fetch_wave_plan
+
+    o = _t(spark, sf_dir, "orders")
+    hostnum = F.col("o_custkey") % 25
+    host = F.concat(F.lit("h"), hostnum.cast("string"))
+    frontier = o.select(
+        host.alias("host"),
+        F.concat(F.lit("https://"), host, F.lit("/p/"),
+                 F.col("o_orderkey").cast("string")).alias("url"),
+        ((F.col("o_orderkey") % 1000) / F.lit(1000.0)).alias("priority"),
+    )
+    budgets = frontier.select("host").distinct().select(
+        "host",
+        (F.lit(1) + F.expr("CAST(substring(host, 2) AS INT) % 7"))
+        .cast("long").alias("politeness_budget"),
+    )
+    return fetch_wave_plan(frontier, budgets, horizon=3)
+
+
 def q_host_cap_sample(spark, sf_dir):
     """Pipeline: per-host document cap
     (operators/curation.host_cap_sample) — the domain-fairness guard
@@ -2847,6 +2894,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_canonical": q_rel_canonical,
         "host_backoff": q_host_backoff,
         "adaptive_delay": q_adaptive_delay,
+        "water_fill": q_water_fill,
+        "wave_plan": q_wave_plan,
         "frontier_allgates": q_frontier_allgates,
         "dust_rules": q_dust_rules,
         "dust_apply": q_dust_apply,
@@ -3823,6 +3872,79 @@ def oracle_sql() -> dict[str, str]:
                    least(30000.0, greatest(100.0, 5.0 * last_duration_ms))
                      AS politeness_budget
             FROM a
+        """,
+        # water-fill: the closed form replayed — sorted prefix sums,
+        # max valid boundary candidate (greatest with the always-valid
+        # boundary-0 level B // n), +1 remainder to the first r hosts
+        # above the level; all integer arithmetic.
+        "water_fill": """
+            WITH d AS (
+              SELECT 'h' || (c_custkey % 37) AS host,
+                     CAST(sum(1 + c_custkey % 211) AS BIGINT) AS demand
+              FROM customer GROUP BY 1
+            ),
+            s AS (
+              SELECT host, demand,
+                     row_number() OVER (ORDER BY demand, host) AS i,
+                     sum(demand) OVER (ORDER BY demand, host
+                                       ROWS UNBOUNDED PRECEDING) AS prefix,
+                     count(*) OVER () AS n
+              FROM d
+            ),
+            lvl AS (
+              SELECT greatest(
+                  coalesce(max(CASE
+                    WHEN (20000 - prefix) >= demand * (n - i) THEN
+                      CASE WHEN i < n THEN (20000 - prefix) // (n - i)
+                           ELSE demand END
+                  END), 0),
+                  20000 // (SELECT count(*) FROM d)) AS t
+              FROM s
+            ),
+            base AS (
+              SELECT d.host, d.demand,
+                     least(d.demand, l.t) AS lvl_alloc, l.t AS t
+              FROM d CROSS JOIN lvl l
+            ),
+            rem AS (SELECT 20000 - sum(lvl_alloc) AS r FROM base),
+            above AS (
+              SELECT host, row_number() OVER (ORDER BY host) AS ar
+              FROM base WHERE demand > t
+            )
+            SELECT b.host, b.demand,
+                   CAST(b.lvl_alloc
+                        + CASE WHEN a.ar IS NOT NULL
+                                    AND a.ar <= (SELECT r FROM rem)
+                               THEN 1 ELSE 0 END AS BIGINT) AS alloc
+            FROM base b LEFT JOIN above a USING (host)
+        """,
+        # wave plan: per-host rank by (priority desc, url), horizon
+        # filter, wave = ceil(rank / budget) — the salted two-phase is
+        # plan shape, not semantics, so the oracle ranks directly.
+        "wave_plan": """
+            WITH f AS (
+              SELECT 'h' || (o_custkey % 25) AS host,
+                     'https://h' || (o_custkey % 25) || '/p/' || o_orderkey
+                       AS url,
+                     (o_orderkey % 1000) / 1000.0 AS priority
+              FROM orders
+            ),
+            b AS (
+              SELECT host,
+                     1 + (CAST(substring(host, 2) AS INT) % 7) AS pb
+              FROM (SELECT DISTINCT host FROM f)
+            ),
+            r AS (
+              SELECT f.host, f.url, f.priority, b.pb,
+                     row_number() OVER (PARTITION BY f.host
+                                        ORDER BY f.priority DESC,
+                                                 f.url ASC) AS rnk
+              FROM f JOIN b USING (host)
+            )
+            SELECT host, url, priority,
+                   CAST(rnk AS BIGINT) AS host_rank,
+                   CAST((rnk - 1) // pb + 1 AS BIGINT) AS wave
+            FROM r WHERE rnk <= pb * 3
         """,
         # per-host cap: rank by the md5 uniform with doc_id tiebreak,
         # keep rank <= 5 per host (the salted two-phase is plan shape,

@@ -1,0 +1,197 @@
+"""Crawl-budget allocation and multi-wave fetch planning.
+
+Two scheduler-adjacent allocation laws the frontier needs once it is
+asked for more than "the next round":
+
+1. **Water-filling budget allocation** (`water_fill_budgets`): a crawl
+   has one global fetch budget B per cycle and 10^7 hosts each with a
+   demand d_h (frontier depth).  Giving every host min(d_h, B/n)
+   strands budget on shallow hosts; the max-min fair answer is the
+   classic water-fill: find the largest integer level t with
+   sum(min(d_h, t)) <= B, allocate min(d_h, t), and hand the integral
+   remainder r = B - sum(min(d_h, t)) one-each to the first r hosts
+   (deterministic host order) still above the level.  This is the
+   progressive-filling algorithm of Bertsekas & Gallager (Data
+   Networks, 2e §6.5.2) restated in closed form over a sorted prefix
+   sum, so it is exact integer arithmetic — no fixpoint iteration, no
+   floats — and reproducible bit-for-bit under any partitioning.
+
+   Scale shape: the input is one row per HOST (10^7 rows for a
+   10^10-URL frontier — kilobytes per partition), so the single sort
+   window plus two broadcastable scalar aggregates are noise next to
+   the URL-table scans; URLs themselves never enter this plan.
+
+2. **Multi-wave fetch planning** (`fetch_wave_plan`): one politeness
+   round fetches at most budget_h URLs per host; planning a horizon of
+   W rounds ahead means assigning every frontier URL its wave number
+   ceil(rank_h / budget_h) where rank_h orders the host's URLs by
+   (priority desc, url).  The naive per-host window sorts a mega-host's
+   10^9 rows in one task; this reuses the scheduler's salted two-phase
+   exact-rank law (plans/scheduler.py step 5, operators/curation.py
+   host_cap_sample): phase 1 ranks within (host, salt) and keeps at
+   most budget_h * W per salt, phase 2 ranks the <= budget_h * W *
+   n_salts survivors per host.  Exact because the host-level top-k is
+   contained in the union of per-salt top-k.  URLs beyond the horizon
+   are not waved — they stay in the frontier for the next planning
+   pass (the same contract as the scheduler's per-round top-k).
+
+Reference: no analog (go-htmldate has no frontier); this extends the
+repo's scheduler (plans/scheduler.py) the way rank_to_budget extends
+hostgraph ranks — pure allocation algebra over the host table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..operators.dedup import md5_h1
+
+
+def water_fill_budgets(
+    demands: DataFrame,
+    total_budget: int,
+    host_col: str = "host",
+    demand_col: str = "demand",
+) -> DataFrame:
+    """Max-min fair integer allocation of ``total_budget`` fetch slots
+    across hosts with frontier depths ``demand_col``.
+
+    Returns (host, demand, alloc) with sum(alloc) = min(total_budget,
+    sum(demand)) and the water-fill property: there is a level t such
+    that alloc = min(demand, t) everywhere except that the first
+    r = B - sum(min(demand, t)) hosts (by host order) with demand > t
+    get one extra slot.
+
+    Closed form: sort hosts by (demand, host) ascending with prefix
+    sums.  For each boundary i (0-based, i hosts at or below the
+    level), the candidate level is t_i = (B - prefix_i) // (n - i),
+    valid when t_i >= d_i (equivalently B - prefix_i >= d_i * (n - i),
+    kept in that product form so no negative integer division is ever
+    evaluated — Spark and DuckDB disagree on its rounding).  The
+    maximum valid candidate IS the optimum: for the true level t*,
+    the boundary i* = #{d <= t*} yields a valid t_{i*} >= t*, and
+    every valid candidate is feasible (S(t_i) <= prefix_i +
+    (n-i) * t_i <= B since extra hosts crossing the boundary only
+    replace t_i-terms with smaller demands).
+    """
+    d = demands.select(
+        F.col(host_col).alias("host"),
+        F.col(demand_col).cast("long").alias("demand"),
+    ).filter(F.col("demand") > 0)
+
+    w = Window.orderBy("demand", "host")
+    rows = d.select(
+        "host",
+        "demand",
+        F.row_number().over(w).alias("i"),
+        F.sum("demand").over(w).alias("prefix"),
+    )
+    n_total = d.count()
+    if n_total == 0:
+        return rows.select("host", "demand", F.lit(0).alias("alloc"))
+    b = max(0, int(total_budget))
+
+    # candidate level at each boundary: i hosts fully served (the row's
+    # own demand is the last one AT or below the level), n - i above it.
+    # Boundary 0 (nobody below the level) is the row i=1 candidate with
+    # prefix replaced by 0 — folded in via greatest() on the same row.
+    cand = rows.select(
+        F.col("i"),
+        F.col("demand").alias("d_i"),
+        F.col("prefix"),
+    ).withColumn(
+        "t_i",
+        F.when(
+            (F.lit(b) - F.col("prefix"))
+            >= F.col("d_i") * (F.lit(n_total) - F.col("i")),
+            F.when(
+                F.col("i") < n_total,
+                # exact integer division (both operands nonneg here)
+                F.expr(f"({b} - prefix) div ({n_total} - i)"),
+            ).otherwise(F.col("d_i")),  # B >= total demand: level = max d
+        ),
+    )
+    agg = cand.agg(F.max("t_i").alias("t")).collect()[0]
+    t0 = b // n_total  # boundary-0 candidate, always feasible
+    t = max(int(agg["t"]), t0) if agg["t"] is not None else t0
+
+    # S(t) and the integral remainder, then +1 to the first r hosts
+    # (host order) whose demand is still above the level.
+    level = F.least(F.col("demand"), F.lit(t))
+    spent = d.agg(F.sum(level).alias("s")).collect()[0]["s"] or 0
+    r = max(0, b - int(spent))
+    w_above = Window.orderBy("host")
+    above = (
+        d.filter(F.col("demand") > t)
+        .select("host", F.row_number().over(w_above).alias("_ar"))
+    )
+    return (
+        d.join(above, "host", "left")
+        .select(
+            "host",
+            "demand",
+            (
+                F.least(F.col("demand"), F.lit(t))
+                + F.when(
+                    F.col("_ar").isNotNull() & (F.col("_ar") <= r), 1
+                ).otherwise(0)
+            ).cast("long").alias("alloc"),
+        )
+    )
+
+
+def fetch_wave_plan(
+    frontier: DataFrame,
+    budgets: DataFrame,
+    horizon: int = 4,
+    host_col: str = "host",
+    url_col: str = "url",
+    priority_col: str = "priority",
+    budget_col: str = "politeness_budget",
+    n_salts: int = 8,
+) -> DataFrame:
+    """Assign each frontier URL the politeness round ("wave") it will
+    be fetched in over a planning horizon of ``horizon`` rounds.
+
+    ``budgets`` is one row per host (host, politeness_budget) — the
+    scheduler's budget table (rank_to_budget / water_fill_budgets
+    output), broadcast-joined so the frontier never shuffles for it.
+    Within a host, URLs rank by (priority desc, url asc) — the
+    scheduler's exact ordering law — and wave = ceil(rank / budget),
+    1-based.  Only ranks <= budget * horizon are planned; deeper URLs
+    are left out of the result (they re-enter at the next planning
+    pass), which is what lets the salted two-phase rank bound every
+    task at cap * n_salts rows even for a 10^9-row host.
+    """
+    cap = F.col("_b") * horizon
+    b = F.broadcast(
+        budgets.select(
+            F.col(host_col).alias(host_col),
+            F.col(budget_col).cast("long").alias("_b"),
+        )
+    )
+    salt = F.pmod(md5_h1(F.concat(F.lit("wv:"), F.col(url_col))),
+                  F.lit(n_salts))
+    w1 = Window.partitionBy(host_col, "_salt").orderBy(
+        F.col(priority_col).desc(), F.col(url_col).asc()
+    )
+    w2 = Window.partitionBy(host_col).orderBy(
+        F.col(priority_col).desc(), F.col(url_col).asc()
+    )
+    return (
+        frontier.join(b, host_col, "inner")
+        .filter(F.col("_b") > 0)
+        .withColumn("_salt", salt)
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= cap)
+        .withColumn("_rank", F.row_number().over(w2))
+        .filter(F.col("_rank") <= cap)
+        .select(
+            host_col,
+            url_col,
+            priority_col,
+            F.col("_rank").cast("long").alias("host_rank"),
+            F.expr("((_rank - 1) div _b) + 1").cast("long").alias("wave"),
+        )
+    )

@@ -932,6 +932,74 @@ def q_wave_plan(spark, sf_dir):
     return fetch_wave_plan(frontier, budgets, horizon=3)
 
 
+_PARK_FILLER = ("lorem ipsum dolor sit amet consectetur adipiscing elit "
+                "sed do eiusmod tempor incididunt ut labore ") * 5
+
+
+def _parked_pages(spark, sf_dir):
+    """Shared synthesis for the parked-domain queries: six planted
+    classes from orders — registrar phrase lander, meta-refresh shell,
+    anchor farm, article mentioning parking past the lead window (must
+    NOT flag), meta-refresh with a real article body (must NOT flag),
+    normal article."""
+    o = _t(spark, sf_dir, "orders")
+    okey = F.col("o_orderkey")
+    ks = okey.cast("string")
+    url = F.concat(F.lit("https://h"), (F.col("o_custkey") % 30).cast("string"),
+                   F.lit(".example/p/"), ks)
+    filler = F.lit(_PARK_FILLER)
+    farm = F.concat(
+        F.expr("repeat('<a href=\"https://ad.example/x\">ad</a> ', 30)"),
+        F.lit("<div>"), F.expr("repeat('x', 200)"), F.lit("</div>"))
+    cls = okey % 6
+    text = (
+        F.when(cls == 0, F.concat(
+            F.lit("This domain is for sale. Buy this domain today. "), ks))
+        .when(cls == 1, F.lit(""))
+        .when(cls == 2, F.concat(F.lit("cheap flights hotels deals "), ks))
+        .when(cls == 3, F.concat(filler, F.lit(" domain for sale "), ks))
+        .when(cls == 4, F.concat(filler, ks))
+        .otherwise(F.concat(F.lit("Article body. "), filler, ks))
+    )
+    html = (
+        F.when(cls == 1, F.concat(
+            F.lit('<html><head><meta http-equiv="refresh" '
+                  'content="0;url=https://ads.example/'), ks,
+            F.lit('"></head><body></body></html>')))
+        .when(cls == 2, F.concat(farm, ks))
+        .when(cls == 4, F.concat(
+            F.lit('<html><head><meta http-equiv="REFRESH" content="300">'
+                  "</head><body>"), filler, ks, F.lit("</body></html>")))
+        .otherwise(F.concat(F.lit("<html><body>"), text,
+                            F.lit("</body></html>")))
+    )
+    return o.select(url.alias("url"), html.alias("html"), text.alias("text"))
+
+
+def q_parked(spark, sf_dir):
+    """§2.9 crawl-waste: parked-domain / link-farm page detection
+    (plans/parked.parked_flags — Vogt et al. CEAS 2007 shapes):
+    registrar phrase in the lead text window, meta-refresh shell with
+    a tiny body, anchor-grid link farm on a thin text/html ratio.
+    Map-only native regexp/length algebra (plan-pinned no-Exchange in
+    tests); planted classes scored closed-form by the oracle."""
+    from go_htmldate_spark.plans.parked import parked_flags
+
+    return parked_flags(_parked_pages(spark, sf_dir))
+
+
+def q_parked_hosts(spark, sf_dir):
+    """§2.9 crawl-waste: per-host parked-rate roll-up
+    (plans/parked.parked_host_stats) — the scheduler-facing currency:
+    hosts whose pages are (1/2 of 6 classes) parking templates read
+    rate 0.5 and cross parked_demotion's threshold only when the
+    planted mix says so. One partial-aggregated host exchange."""
+    from go_htmldate_spark.plans.parked import parked_flags, parked_host_stats
+
+    return parked_host_stats(parked_flags(_parked_pages(spark, sf_dir)),
+                             min_pages=3)
+
+
 def q_host_cap_sample(spark, sf_dir):
     """Pipeline: per-host document cap
     (operators/curation.host_cap_sample) — the domain-fairness guard
@@ -2896,6 +2964,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adaptive_delay": q_adaptive_delay,
         "water_fill": q_water_fill,
         "wave_plan": q_wave_plan,
+        "parked_flags": q_parked,
+        "parked_hosts": q_parked_hosts,
         "frontier_allgates": q_frontier_allgates,
         "dust_rules": q_dust_rules,
         "dust_apply": q_dust_apply,
@@ -3945,6 +4015,102 @@ def oracle_sql() -> dict[str, str]:
                    CAST(rnk AS BIGINT) AS host_rank,
                    CAST((rnk - 1) // pb + 1 AS BIGINT) AS wave
             FROM r WHERE rnk <= pb * 3
+        """,
+        # parked pages: the six planted classes re-synthesized, every
+        # signal replayed as RE2-safe regexp/length algebra.
+        "parked_flags": """
+            WITH t AS (
+              SELECT 'https://h' || (o_custkey % 30) || '.example/p/'
+                       || o_orderkey AS url,
+                     o_orderkey AS okey,
+                     o_orderkey % 6 AS cls,
+                     CASE o_orderkey % 6
+                       WHEN 0 THEN 'This domain is for sale. Buy this '
+                                   || 'domain today. ' || o_orderkey
+                       WHEN 1 THEN ''
+                       WHEN 2 THEN 'cheap flights hotels deals '
+                                   || o_orderkey
+                       WHEN 3 THEN repeat('lorem ipsum dolor sit amet '
+                              || 'consectetur adipiscing elit sed do '
+                              || 'eiusmod tempor incididunt ut labore ', 5)
+                              || ' domain for sale ' || o_orderkey
+                       WHEN 4 THEN repeat('lorem ipsum dolor sit amet '
+                              || 'consectetur adipiscing elit sed do '
+                              || 'eiusmod tempor incididunt ut labore ', 5)
+                              || o_orderkey
+                       ELSE 'Article body. '
+                            || repeat('lorem ipsum dolor sit amet '
+                              || 'consectetur adipiscing elit sed do '
+                              || 'eiusmod tempor incididunt ut labore ', 5)
+                            || o_orderkey
+                     END AS text
+              FROM orders
+            ),
+            p AS (
+              SELECT url, text,
+                     CASE cls
+                       WHEN 1 THEN '<html><head><meta http-equiv='
+                         || '"refresh" content="0;url=https://ads.example/'
+                         || okey || '"></head><body></body></html>'
+                       WHEN 2 THEN repeat('<a href="https://ad.example/x">'
+                         || 'ad</a> ', 30) || '<div>' || repeat('x', 200)
+                         || '</div>' || okey
+                       WHEN 4 THEN '<html><head><meta http-equiv="REFRESH"'
+                         || ' content="300"></head><body>'
+                         || repeat('lorem ipsum dolor sit amet '
+                           || 'consectetur adipiscing elit sed do '
+                           || 'eiusmod tempor incididunt ut labore ', 5)
+                         || okey || '</body></html>'
+                       ELSE '<html><body>' || text || '</body></html>'
+                     END AS html
+              FROM t
+            ),
+            f AS (
+              SELECT url,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE CAST(len(string_split(trim(regexp_replace(
+                            text, '\\s+', ' ', 'g')), ' ')) AS BIGINT)
+                     END AS n_tokens,
+                     CAST(len(regexp_extract_all(html, '(?i)<a[\\s>]'))
+                          AS BIGINT) AS n_anchors,
+                     len(regexp_extract_all(substring(text, 1, 300),
+                       '(?i)(this\\s+domain\\s+is\\s+for\\s+sale|domain\\s+for\\s+sale|buy\\s+this\\s+domain|domain\\s+has\\s+expired|domain\\s+name\\s+expired|parked\\s+free|domain\\s+parking|courtesy\\s+of\\s+godaddy|related\\s+searches)'
+                       )) > 0 AS park_phrase,
+                     len(regexp_extract_all(html,
+                       '(?i)<meta[^>]*http-equiv\\s*=\\s*["'']?refresh'
+                       )) > 0 AS meta_refresh,
+                     length(html) AS hl, length(text) AS tl
+              FROM p
+            )
+            SELECT url, n_tokens, n_anchors, park_phrase, meta_refresh,
+                   (n_anchors >= 20 AND n_tokens <= n_anchors * 3.0)
+                     AS link_farm,
+                   (hl >= 1000 AND tl <= hl * 0.05) AS thin_text,
+                   (park_phrase
+                    OR (meta_refresh AND n_tokens <= 40)
+                    OR ((n_anchors >= 20 AND n_tokens <= n_anchors * 3.0)
+                        AND (hl >= 1000 AND tl <= hl * 0.05))) AS parked
+            FROM f
+        """,
+        # parked host roll-up: classes 0/1/2 of 6 are parked by
+        # construction, so a host's rate is decided by which okeys it
+        # drew — the oracle recomputes the flag and aggregates.
+        "parked_hosts": """
+            WITH t AS (
+              SELECT 'h' || (o_custkey % 30) || '.example' AS host,
+                     o_orderkey % 6 AS cls
+              FROM orders
+            ),
+            f AS (
+              SELECT host,
+                     CASE WHEN cls IN (0, 1, 2) THEN 1 ELSE 0 END AS p
+              FROM t
+            )
+            SELECT host,
+                   CAST(count(*) AS BIGINT) AS n_pages,
+                   CAST(sum(p) AS BIGINT) AS n_parked,
+                   CAST(sum(p) AS DOUBLE) / count(*) AS parked_rate
+            FROM f GROUP BY host HAVING count(*) >= 3
         """,
         # per-host cap: rank by the md5 uniform with doc_id tiebreak,
         # keep rank <= 5 per host (the salted two-phase is plan shape,

@@ -1000,6 +1000,37 @@ def q_parked_hosts(spark, sf_dir):
                              min_pages=3)
 
 
+def q_registrable(spark, sf_dir):
+    """§2.9 frontier: registrable-domain (eTLD+1) extraction with
+    publicsuffix.org semantics (plans/psl.with_registrable) — the
+    politeness identity that splits platform tenants (*.github.io)
+    and merges site shards (www/img1/img2). Exact, wildcard (*.ck)
+    and exception (!www.ck) rules all exercised by the planted
+    classes; compiled InSet probes, map-only, zero joins. The oracle
+    scores the planted truth closed-form (it does not re-run the
+    algorithm), so this row independently validates the rule
+    semantics the 400-host fuzz test pins against the reference
+    transcription."""
+    from go_htmldate_spark.plans.psl import with_registrable
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    ks = k.cast("string")
+    cls = k % 8
+    host = (
+        F.when(cls == 0, F.concat(F.lit("a"), ks, F.lit(".example.com")))
+        .when(cls == 1, F.concat(F.lit("b.a"), ks, F.lit(".co.uk")))
+        .when(cls == 2, F.concat(F.lit("u"), ks, F.lit(".github.io")))
+        .when(cls == 3, F.concat(F.lit("x"), ks, F.lit(".unknowntld")))
+        .when(cls == 4, F.lit("www.ck"))
+        .when(cls == 5, F.concat(F.lit("shop.z"), ks, F.lit(".ck")))
+        .when(cls == 6, F.concat(F.lit("deep.sub.site"), ks,
+                                 F.lit(".org.uk")))
+        .otherwise(F.lit("com"))
+    )
+    return with_registrable(c.select(host.alias("host")), "host")
+
+
 def q_host_cap_sample(spark, sf_dir):
     """Pipeline: per-host document cap
     (operators/curation.host_cap_sample) — the domain-fairness guard
@@ -2966,6 +2997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wave_plan": q_wave_plan,
         "parked_flags": q_parked,
         "parked_hosts": q_parked_hosts,
+        "registrable_domain": q_registrable,
         "frontier_allgates": q_frontier_allgates,
         "dust_rules": q_dust_rules,
         "dust_apply": q_dust_apply,
@@ -4111,6 +4143,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(p) AS BIGINT) AS n_parked,
                    CAST(sum(p) AS DOUBLE) / count(*) AS parked_rate
             FROM f GROUP BY host HAVING count(*) >= 3
+        """,
+        # registrable domain: planted truth closed-form per class —
+        # cls 4 (www.ck) exercises the exception rule, cls 5 the *.ck
+        # wildcard, cls 3 the implicit '*', cls 7 a bare suffix.
+        "registrable_domain": """
+            WITH h AS (
+              SELECT c_custkey AS k, c_custkey % 8 AS cls FROM customer
+            )
+            SELECT CASE cls
+                     WHEN 0 THEN 'a' || k || '.example.com'
+                     WHEN 1 THEN 'b.a' || k || '.co.uk'
+                     WHEN 2 THEN 'u' || k || '.github.io'
+                     WHEN 3 THEN 'x' || k || '.unknowntld'
+                     WHEN 4 THEN 'www.ck'
+                     WHEN 5 THEN 'shop.z' || k || '.ck'
+                     WHEN 6 THEN 'deep.sub.site' || k || '.org.uk'
+                     ELSE 'com'
+                   END AS host,
+                   CASE cls
+                     WHEN 0 THEN 'com'
+                     WHEN 1 THEN 'co.uk'
+                     WHEN 2 THEN 'github.io'
+                     WHEN 3 THEN 'unknowntld'
+                     WHEN 4 THEN 'ck'
+                     WHEN 5 THEN 'z' || k || '.ck'
+                     WHEN 6 THEN 'org.uk'
+                     ELSE 'com'
+                   END AS public_suffix,
+                   CASE cls
+                     WHEN 0 THEN 'example.com'
+                     WHEN 1 THEN 'a' || k || '.co.uk'
+                     WHEN 2 THEN 'u' || k || '.github.io'
+                     WHEN 3 THEN 'x' || k || '.unknowntld'
+                     WHEN 4 THEN 'www.ck'
+                     WHEN 5 THEN 'shop.z' || k || '.ck'
+                     WHEN 6 THEN 'site' || k || '.org.uk'
+                     ELSE NULL
+                   END AS registrable_domain
+            FROM h
         """,
         # per-host cap: rank by the md5 uniform with doc_id tiebreak,
         # keep rank <= 5 per host (the salted two-phase is plan shape,

@@ -71,6 +71,11 @@ class OracleScheduler:
     # hosts are their own ip.
     ip_map: dict[str, str] = field(default_factory=dict)
     ip_budget: int = 0
+    # per-site politeness: hosts sharing a registrable domain
+    # (publicsuffix.org grouping, plans/psl.py) share site_budget
+    # fetches/round (0 = off).
+    site_budget: int = 0
+    psl_rules: tuple = ()  # () = plans/psl.MINI_PSL
     # starvation guard: additive per-round boost for unscheduled
     # frontier URLs (0 = off); applied before the max-merge with
     # discoveries, mirroring CrawlConfig.aging
@@ -138,6 +143,22 @@ class OracleScheduler:
             for _, items in by_ip.items():
                 items.sort(key=lambda t: (-t[0], t[1]))
                 scheduled.extend(items[: self.ip_budget])
+
+        # 5.6 per-site cap over the per-host selection (registrable
+        # domain grouping)
+        if self.site_budget > 0:
+            from .psl import MINI_PSL, registrable_py
+
+            rules = self.psl_rules or MINI_PSL
+            by_site: dict[str, list[tuple[float, str]]] = {}
+            for p, u in scheduled:
+                by_site.setdefault(
+                    registrable_py(host_of(u), rules), []
+                ).append((p, u))
+            scheduled = []
+            for _, items in by_site.items():
+                items.sort(key=lambda t: (-t[0], t[1]))
+                scheduled.extend(items[: self.site_budget])
 
         # 6-7. fetch + discover
         discovered: dict[str, float] = {}

@@ -111,6 +111,22 @@ def _tail_labels(parts: Column, n: Column, k: Column) -> Column:
     return F.array_join(F.slice(parts, n - k + 1, k), ".")
 
 
+def registrable_domain_col(host: Column, rules=MINI_PSL) -> Column:
+    """`registrable_domain` as a pure column expression (NULL when the
+    host IS a public suffix)."""
+    h = F.lower(host)
+    parts = F.split(h, r"\.")
+    labels = F.size(parts)
+    d = public_suffix_depth(host, rules)
+    return F.when(labels > d, _tail_labels(parts, labels, d + F.lit(1)))
+
+
+def registrable_or_host(host: Column, rules=MINI_PSL) -> Column:
+    """The politeness-grouping key: the registrable domain, falling
+    back to the host itself for bare public suffixes."""
+    return F.coalesce(registrable_domain_col(host, rules), F.lower(host))
+
+
 def with_registrable(
     df: DataFrame, host_col: str = "host", rules=MINI_PSL
 ) -> DataFrame:
@@ -128,6 +144,36 @@ def with_registrable(
             "registrable_domain"
         ),
     )
+
+
+def registrable_py(host: str, rules=MINI_PSL) -> str:
+    """Single-threaded reference of the publicsuffix.org algorithm —
+    the politeness-grouping key (registrable domain, or the host when
+    it IS a public suffix). Used by the scheduler parity oracle
+    (plans/oracle.py); the Spark column law must match it exactly."""
+    labels = host.lower().split(".")
+
+    def matches(rule: str) -> bool:
+        rl = rule.split(".")
+        if len(rl) > len(labels):
+            return False
+        return all(r == "*" or r == l
+                   for r, l in zip(reversed(rl), reversed(labels)))
+
+    depth = 1
+    for raw in rules:
+        r = raw.strip().lower()
+        if not r or r.startswith("//") or r.startswith("!"):
+            continue
+        if matches(r):
+            depth = max(depth, len(r.split(".")))
+    for raw in rules:
+        r = raw.strip().lower()
+        if r.startswith("!") and matches(r[1:]):
+            depth = len(r[1:].split(".")) - 1
+    if len(labels) > depth:
+        return ".".join(labels[-(depth + 1):])
+    return ".".join(labels)
 
 
 def registrable_rollup(

@@ -93,6 +93,14 @@ class CrawlConfig:
     # the per-host top-k, so the IP window's input is already bounded
     # at Σ floor(budget) per host — never the raw frontier.
     ip_budget: int = 0
+    # per-SITE politeness (registrable-domain grouping, plans/psl.py):
+    # one site's shards (www/img1/img2 of example.com) share
+    # site_budget fetches/round while platform tenants (*.github.io)
+    # stay separate. 0 = off. Applied AFTER the per-host top-k, same
+    # bounded-input shape as the per-IP cap; the grouping key is a
+    # compiled map-only InSet expression — no DNS-style side table.
+    site_budget: int = 0
+    psl_rules: tuple = ()  # () = plans/psl.MINI_PSL; pass the full PSL
     # starvation guard: additive per-round priority boost for frontier
     # URLs that lost the politeness race (0 = off). Bounds the wait of
     # any URL on a busy host at ~(p_max - p_0)/aging rounds.
@@ -667,6 +675,24 @@ class CrawlScheduler:
                 scheduled.withColumn("r3", F.row_number().over(w3))
                 .filter(F.col("r3") <= cfg.ip_budget)
                 .drop("r3", "ip")
+            )
+        if cfg.site_budget > 0:
+            # 5.6: per-site cap — hosts sharing a registrable domain
+            # (publicsuffix.org grouping) share cfg.site_budget
+            # fetches/round. Same bounded-input argument as 5.5: the
+            # window ranks the per-host top-k OUTPUT, never the raw
+            # frontier, and the grouping key is map-only compiled
+            # InSet algebra (plans/psl.py) — no side table, no join.
+            from .psl import MINI_PSL, registrable_or_host
+
+            rules = cfg.psl_rules or MINI_PSL
+            w4 = Window.partitionBy(
+                registrable_or_host(F.col("host"), rules)
+            ).orderBy(F.desc("priority"), F.asc("url"))
+            scheduled = (
+                scheduled.withColumn("r4", F.row_number().over(w4))
+                .filter(F.col("r4") <= cfg.site_budget)
+                .drop("r4")
             )
         scheduled = scheduled.cache()  # feeds fetch, seen update, leftover anti-join, manifest
 

@@ -1644,6 +1644,51 @@ def test_scheduler_ip_politeness_matches_oracle(
     assert len(r0_shared) == 2
 
 
+def test_scheduler_site_politeness_matches_oracle(
+    spark, corpus, corpus_dates, tmp_path_factory
+):
+    """Per-site politeness (registrable-domain grouping, step 5.6):
+    every corpus host is a shard of example.org under the PSL ('org'
+    is the suffix), so site_budget=2 caps the WHOLE crawl at 2
+    fetches/round. The distributed two-stage rank (host top-k, then
+    site top-k over its output) must match the single-threaded
+    oracle's fetch ordering exactly, and the cap must bind."""
+    seeds = _seeds(corpus)
+
+    orc = OracleScheduler(
+        pages=corpus_dates,
+        robots={h: rules for h, rules, _ in ROBOTS},
+        budgets=dict(BUDGETS),
+        delays={h: d for h, rules, d in ROBOTS},
+        site_budget=2,
+    )
+    orc.init_from_seeds(seeds)
+    orc.run(N_ROUNDS)
+
+    d = tmp_path_factory.mktemp("site_polite")
+    sched = CrawlScheduler(
+        spark, corpus, robots=_robots_df(spark),
+        host_budget=_budget_df(spark), state_dir=str(d),
+        config=CrawlConfig(n_bloom_partitions=4, bloom_bits=1 << 16,
+                           n_salts=4, site_budget=2),
+    )
+    sched.init_from_seeds(
+        spark.createDataFrame(seeds, "url string, priority double")
+    )
+    sched.run(N_ROUNDS)
+
+    spark_log = _spark_fetch_log(spark, d, N_ROUNDS)
+    oracle_log = [r for r in orc.fetch_log][: len(spark_log)]
+    assert len(spark_log) == len(oracle_log)
+    for rnd, (s_urls, o_urls) in enumerate(zip(spark_log, oracle_log)):
+        assert s_urls == o_urls, f"round {rnd} diverged under site cap"
+
+    # the cap binds: every round fetches at most 2 URLs total (one
+    # registrable domain spans the whole corpus)
+    assert all(len(urls) <= 2 for urls in spark_log)
+    assert len(spark_log[0]) == 2
+
+
 def test_host_backoff_streak_semantics(spark):
     """Failure-aware politeness (plans/backoff): the trailing streak
     counts failures strictly after the last success — a recovering

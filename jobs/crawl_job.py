@@ -202,6 +202,18 @@ def main() -> None:
         help="fetches/round shared by all hosts on one IP (0 = off)",
     )
     ap.add_argument(
+        "--site-budget", type=int, default=0,
+        help="fetches/round shared by all hosts of one registrable "
+        "domain (publicsuffix.org grouping: www/img1/img2 of one site "
+        "share the cap, *.github.io tenants stay separate; 0 = off)",
+    )
+    ap.add_argument(
+        "--psl", metavar="FILE",
+        help="with --site-budget: public suffix list file (one rule "
+        "per line, publicsuffix.org format); default is the built-in "
+        "representative subset",
+    )
+    ap.add_argument(
         "--aging", type=float, default=0.0,
         help="starvation guard: additive per-round priority boost for "
         "frontier URLs that lost the politeness race (0 = off)",
@@ -450,6 +462,10 @@ def main() -> None:
         state_dir=args.state,
         config=CrawlConfig(
             trap_guard=args.trap_guard, ip_budget=args.ip_budget,
+            site_budget=args.site_budget,
+            psl_rules=tuple(
+                line for line in open(args.psl, encoding="utf-8")
+            ) if args.psl else (),
             aging=args.aging,
             opic_lo=opic_range[0], opic_hi=opic_range[1],
         ),

@@ -425,6 +425,36 @@ def test_curate_job_quality_cap_yearmix(spark, tmp_path_factory, monkeypatch,
     assert out.count() == stats["curated_docs"]
 
 
+def test_crawl_job_site_budget_cap(spark, tmp_path_factory,
+                                   monkeypatch, capsys):
+    """--site-budget groups politeness by registrable domain: every
+    synth host is a shard of example.org ('org' is a public suffix),
+    so the whole round-0 schedule collapses to the site cap, while the
+    plain run schedules per-host."""
+    import go_htmldate_spark.session as sess
+
+    base = tmp_path_factory.mktemp("site_cli")
+    monkeypatch.setattr(sess, "get_spark", lambda **kw: spark)
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    job = _load_job("crawl_job")
+
+    def run(state, extra):
+        monkeypatch.setattr(sys, "argv", [
+            "crawl_job.py", "--synth", "300",
+            "--state", str(base / state), "--rounds", "1",
+            "--n-seeds", "48",
+        ] + extra)
+        job.main()
+        out = capsys.readouterr().out
+        return [json.loads(l) for l in out.splitlines()
+                if l.startswith("{") and "n_scheduled" in l][0]
+
+    plain = run("plain", [])
+    capped = run("capped", ["--site-budget", "3"])
+    assert plain["n_scheduled"] > 3
+    assert capped["n_scheduled"] == 3
+
+
 def test_crawl_job_adaptive_delay_budgets(spark, tmp_path_factory,
                                           monkeypatch, capsys):
     """--adaptive-delay-log slows a latency-heavy host: its implied

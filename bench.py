@@ -96,6 +96,8 @@ def main() -> None:
         "warc_revisit", "wat_metadata", "revisit_roundtrip",
         "temporal_rebalance", "adaptive_delay", "linear_quality",
         "host_cap_sample",
+        "water_fill", "wave_plan", "parked_flags", "parked_hosts",
+        "registrable_domain",
     ]:
         fn = queries[name]
         run(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())

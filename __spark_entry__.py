@@ -1000,6 +1000,49 @@ def q_parked_hosts(spark, sf_dir):
                              min_pages=3)
 
 
+def q_politeness_audit(spark, sf_dir):
+    """§2.9 frontier: politeness-compliance audit
+    (plans/backoff.politeness_audit) — per-host count of fetch gaps
+    shorter than the host's crawl delay, min gap, compliance rate;
+    the crawl's own SLA check (Heritrix politeness report). One lag
+    window + same-key aggregation = a single exchange. Fetch log from
+    orders (unique timestamps), delays 0..120 s across hosts so both
+    all-compliant and violating hosts are planted."""
+    from go_htmldate_spark.plans.backoff import politeness_audit
+
+    o = _t(spark, sf_dir, "orders")
+    host = F.concat(F.lit("h"), (F.col("o_custkey") % 40).cast("string"))
+    log = o.select(host.alias("host"),
+                   F.col("o_orderkey").cast("double").alias("fetch_ts"))
+    delays = log.select("host").distinct().select(
+        "host",
+        (F.expr("CAST(substring(host, 2) AS INT) % 7") * F.lit(20.0))
+        .alias("crawl_delay"),
+    )
+    return politeness_audit(log, delays)
+
+
+def q_alloc_fairness(spark, sf_dir):
+    """§2.9 frontier: allocation-fairness report
+    (plans/budget.allocation_fairness) — Jain's index and the Gini
+    coefficient over the water-fill allocation of q_water_fill's
+    synthesis; exact integer sums, two fixed-order double divisions,
+    bit-stable under any partitioning."""
+    from go_htmldate_spark.plans.budget import (
+        allocation_fairness,
+        water_fill_budgets,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    demands = c.groupBy(
+        F.concat(F.lit("h"), (F.col("c_custkey") % 37).cast("string"))
+        .alias("host")
+    ).agg(
+        F.sum(F.lit(1) + F.col("c_custkey") % 211).cast("long").alias("demand")
+    )
+    return allocation_fairness(water_fill_budgets(demands, 20_000))
+
+
 def q_registrable(spark, sf_dir):
     """§2.9 frontier: registrable-domain (eTLD+1) extraction with
     publicsuffix.org semantics (plans/psl.with_registrable) — the
@@ -2998,6 +3041,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parked_flags": q_parked,
         "parked_hosts": q_parked_hosts,
         "registrable_domain": q_registrable,
+        "politeness_audit": q_politeness_audit,
+        "alloc_fairness": q_alloc_fairness,
         "frontier_allgates": q_frontier_allgates,
         "dust_rules": q_dust_rules,
         "dust_apply": q_dust_apply,
@@ -4143,6 +4188,101 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(p) AS BIGINT) AS n_parked,
                    CAST(sum(p) AS DOUBLE) / count(*) AS parked_rate
             FROM f GROUP BY host HAVING count(*) >= 3
+        """,
+        # politeness audit: the lag-window gap law replayed; ts are
+        # unique integers as doubles so every gap/min/count is exact.
+        "politeness_audit": """
+            WITH l AS (
+              SELECT 'h' || (o_custkey % 40) AS host,
+                     CAST(o_orderkey AS DOUBLE) AS ts
+              FROM orders
+            ),
+            d AS (
+              SELECT host,
+                     (CAST(substring(host, 2) AS INT) % 7) * 20.0 AS delay
+              FROM (SELECT DISTINCT host FROM l)
+            ),
+            g AS (
+              SELECT host,
+                     ts - lag(ts) OVER (PARTITION BY host ORDER BY ts)
+                       AS gap
+              FROM l
+            ),
+            a AS (
+              SELECT g.host,
+                     CAST(count(*) AS BIGINT) AS n_fetches,
+                     min(gap) AS min_gap_s,
+                     max(d.delay) AS crawl_delay_s,
+                     CAST(coalesce(sum(CASE WHEN gap IS NOT NULL
+                                             AND gap < d.delay
+                                        THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS n_violations
+              FROM g LEFT JOIN d USING (host)
+              GROUP BY g.host
+            )
+            SELECT host, n_fetches, min_gap_s, crawl_delay_s,
+                   n_violations,
+                   CASE WHEN n_fetches > 1
+                        THEN 1.0 - n_violations
+                             / CAST(n_fetches - 1 AS DOUBLE)
+                        ELSE 1.0 END AS compliance_rate
+            FROM a
+        """,
+        # fairness: water_fill's closed form (see the water_fill
+        # oracle) then Jain + Gini with the same operation order.
+        "alloc_fairness": """
+            WITH d AS (
+              SELECT 'h' || (c_custkey % 37) AS host,
+                     CAST(sum(1 + c_custkey % 211) AS BIGINT) AS demand
+              FROM customer GROUP BY 1
+            ),
+            s AS (
+              SELECT host, demand,
+                     row_number() OVER (ORDER BY demand, host) AS i,
+                     sum(demand) OVER (ORDER BY demand, host
+                                       ROWS UNBOUNDED PRECEDING) AS prefix,
+                     count(*) OVER () AS n
+              FROM d
+            ),
+            lvl AS (
+              SELECT greatest(
+                  coalesce(max(CASE
+                    WHEN (20000 - prefix) >= demand * (n - i) THEN
+                      CASE WHEN i < n THEN (20000 - prefix) // (n - i)
+                           ELSE demand END
+                  END), 0),
+                  20000 // (SELECT count(*) FROM d)) AS t
+              FROM s
+            ),
+            base AS (
+              SELECT d.host, d.demand,
+                     least(d.demand, l.t) AS lvl_alloc, l.t AS t
+              FROM d CROSS JOIN lvl l
+            ),
+            rem AS (SELECT 20000 - sum(lvl_alloc) AS r FROM base),
+            above AS (
+              SELECT host, row_number() OVER (ORDER BY host) AS ar
+              FROM base WHERE demand > t
+            ),
+            alloc AS (
+              SELECT b.host,
+                     CAST(b.lvl_alloc
+                          + CASE WHEN a.ar IS NOT NULL
+                                      AND a.ar <= (SELECT r FROM rem)
+                                 THEN 1 ELSE 0 END AS BIGINT) AS x
+              FROM base b LEFT JOIN above a USING (host)
+            ),
+            rk AS (
+              SELECT x, row_number() OVER (ORDER BY x, host) AS i
+              FROM alloc
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_hosts,
+                   CAST(sum(x) AS BIGINT) AS total_alloc,
+                   CAST((sum(x) * sum(x))
+                        / (count(*) * sum(x * x)) AS DOUBLE) AS jain_index,
+                   CAST(2.0 * sum(i * x) / (count(*) * sum(x))
+                        - (count(*) + 1.0) / count(*) AS DOUBLE) AS gini
+            FROM rk
         """,
         # registrable domain: planted truth closed-form per class —
         # cls 4 (www.ck) exercises the exception rule, cls 5 the *.ck

@@ -114,3 +114,65 @@ def adaptive_delay(
     out = agg.withColumn("crawl_delay_ms", delay)
     budget = F.lit(float(round_seconds) * 1000.0) / F.col("crawl_delay_ms")
     return out.withColumn("politeness_budget", budget)
+
+
+def politeness_audit(
+    log: DataFrame,
+    delays: DataFrame,
+    host_col: str = "host",
+    ts_col: str = "fetch_ts",
+    delay_col: str = "crawl_delay",
+) -> DataFrame:
+    """Politeness-compliance audit over the (host, fetch_ts) fetch log
+    against per-host crawl delays (robots crawl_delay, adaptive_delay
+    output — seconds): per host, the number of fetch gaps SHORTER than
+    the host's delay, the minimum observed gap, and the compliance
+    rate.  This is the crawl's own SLA check — a scheduler bug, a
+    mis-merged budget table or a skew-salting error shows up here as
+    violations long before a webmaster complaint does (Heritrix ships
+    the same check as its politeness report).
+
+    Shape: gaps come from ONE lag() window keyed by host and the
+    aggregation groups on the same key, so Catalyst plans a single
+    exchange for the whole audit at any log size; the delay table is
+    host-cardinality and broadcast.  Single-fetch hosts have no gap and
+    report zero violations with NULL min_gap_s.
+    """
+    gaps = (
+        log.select(F.col(host_col).alias("host"),
+                   F.col(ts_col).cast("double").alias("ts"))
+        .withColumn("_gap", F.col("ts") - F.lag("ts").over(
+            Window.partitionBy("host").orderBy("ts", "host")))
+        .drop("ts")
+    )
+    d = F.broadcast(
+        delays.select(F.col(host_col).alias("host"),
+                      F.col(delay_col).cast("double").alias("_delay"))
+    )
+    return (
+        gaps.join(d, "host", "left")
+        .groupBy("host")
+        .agg(
+            F.count("*").cast("long").alias("n_fetches"),
+            F.min("_gap").alias("min_gap_s"),
+            F.max(F.col("_delay")).alias("crawl_delay_s"),
+            F.sum(
+                F.when(
+                    F.col("_gap").isNotNull()
+                    & F.col("_delay").isNotNull()
+                    & (F.col("_gap") < F.col("_delay")),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_violations"),
+        )
+        .select(
+            "host", "n_fetches", "min_gap_s", "crawl_delay_s",
+            "n_violations",
+            F.when(
+                F.col("n_fetches") > 1,
+                F.lit(1.0)
+                - F.col("n_violations")
+                / (F.col("n_fetches") - F.lit(1)).cast("double"),
+            ).otherwise(F.lit(1.0)).alias("compliance_rate"),
+        )
+    )

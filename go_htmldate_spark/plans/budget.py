@@ -195,3 +195,39 @@ def fetch_wave_plan(
             F.expr("((_rank - 1) div _b) + 1").cast("long").alias("wave"),
         )
     )
+
+
+def allocation_fairness(
+    alloc: DataFrame,
+    host_col: str = "host",
+    alloc_col: str = "alloc",
+) -> DataFrame:
+    """One-row fairness report over a budget allocation: Jain's index
+    (Jain/Chiu/Hawe 1984, (Σx)²/(n·Σx²) — 1.0 means equal shares, 1/n
+    means one host has everything) and the Gini coefficient via the
+    sorted-rank identity G = 2·Σ(i·x_i)/(n·Σx) - (n+1)/n.  The report
+    that says whether water_fill/rank_to_budget actually produced the
+    intended spread before a 10^10-URL cycle runs on it.
+
+    All sums are exact integer aggregates; the two divisions happen
+    once at the end in a fixed order, so the doubles are bit-stable
+    under any partitioning.  One sort window over O(hosts) rows."""
+    ranked = alloc.select(
+        F.col(alloc_col).cast("long").alias("x"),
+        F.row_number()
+        .over(Window.orderBy(F.col(alloc_col), F.col(host_col)))
+        .alias("i"),
+    )
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_hosts"),
+        F.sum("x").cast("long").alias("total_alloc"),
+        (
+            (F.sum("x") * F.sum("x"))
+            / (F.count("*") * F.sum(F.col("x") * F.col("x")))
+        ).cast("double").alias("jain_index"),
+        (
+            F.lit(2.0) * F.sum(F.col("i") * F.col("x"))
+            / (F.count("*") * F.sum("x"))
+            - (F.count("*") + F.lit(1.0)) / F.count("*")
+        ).cast("double").alias("gini"),
+    )

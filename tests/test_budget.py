@@ -116,3 +116,74 @@ def test_wave_plan_bounds_and_determinism(spark):
     # ordering law: every wave-1 row outranks every wave-2 row
     assert max(r["host_rank"] for r in waves[1]) < min(
         r["host_rank"] for r in waves[2])
+
+
+def test_allocation_fairness_known_values(spark):
+    from go_htmldate_spark.plans.budget import allocation_fairness
+
+    # equal shares: jain = 1, gini = 0
+    eq = spark.createDataFrame([(f"h{i}", 10) for i in range(8)],
+                               "host string, alloc long")
+    row = allocation_fairness(eq).collect()[0]
+    assert row["jain_index"] == 1.0 and abs(row["gini"]) < 1e-12
+    assert row["total_alloc"] == 80
+
+    # one host has everything: jain = 1/n
+    mono = spark.createDataFrame(
+        [("a", 0), ("b", 0), ("c", 0), ("d", 100)], "host string, alloc long")
+    row = allocation_fairness(mono).collect()[0]
+    assert abs(row["jain_index"] - 0.25) < 1e-12
+    assert abs(row["gini"] - 0.75) < 1e-12  # (n-1)/n for a monopoly
+
+
+def test_allocation_fairness_matches_python(spark):
+    import random
+    rng = random.Random(5)
+    xs = [rng.randint(0, 50) for _ in range(60)]
+    df = spark.createDataFrame(
+        [(f"h{i:02d}", x) for i, x in enumerate(xs)], "host string, alloc long")
+    from go_htmldate_spark.plans.budget import allocation_fairness
+    row = allocation_fairness(df).collect()[0]
+    n, s, s2 = len(xs), sum(xs), sum(x * x for x in xs)
+    assert abs(row["jain_index"] - s * s / (n * s2)) < 1e-12
+    srt = sorted(xs)
+    gini = 2.0 * sum((i + 1) * x for i, x in enumerate(srt)) / (n * s) \
+        - (n + 1.0) / n
+    assert abs(row["gini"] - gini) < 1e-12
+
+
+def test_politeness_audit_semantics(spark):
+    from go_htmldate_spark.plans.backoff import politeness_audit
+
+    log = spark.createDataFrame(
+        [("a", 0.0), ("a", 1.0), ("a", 5.0), ("a", 5.5),  # gaps 1, 4, .5
+         ("b", 10.0),                                     # single fetch
+         ("c", 0.0), ("c", 9.0)],                         # gap 9, no delay
+        "host string, fetch_ts double")
+    delays = spark.createDataFrame(
+        [("a", 2.0), ("b", 2.0)], "host string, crawl_delay double")
+    got = {r["host"]: r for r in politeness_audit(log, delays).collect()}
+    a = got["a"]
+    assert (a["n_fetches"], a["n_violations"]) == (4, 2)  # 1.0 and 0.5 < 2
+    assert a["min_gap_s"] == 0.5
+    assert abs(a["compliance_rate"] - (1 - 2 / 3)) < 1e-12
+    b = got["b"]
+    assert (b["n_fetches"], b["n_violations"], b["min_gap_s"],
+            b["compliance_rate"]) == (1, 0, None, 1.0)
+    c = got["c"]  # no delay on file: gaps exist but nothing can violate
+    assert (c["n_fetches"], c["n_violations"], c["crawl_delay_s"]) == (2, 0, None)
+    assert c["compliance_rate"] == 1.0
+
+
+def test_politeness_audit_single_exchange(spark):
+    from go_htmldate_spark.plans.backoff import politeness_audit
+
+    log = spark.createDataFrame(
+        [("a", float(i)) for i in range(20)], "host string, fetch_ts double")
+    delays = spark.createDataFrame([("a", 2.0)],
+                                   "host string, crawl_delay double")
+    plan = politeness_audit(log, delays)._jdf.queryExecution() \
+        .executedPlan().toString()
+    import re
+    assert len(re.findall(r"hashpartitioning", plan)) <= 1
+    assert "BroadcastHashJoin" in plan

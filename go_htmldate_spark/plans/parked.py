@@ -150,3 +150,18 @@ def parked_demotion(
         host_stats.filter(F.col("parked_rate") >= max_rate).select("host")
     )
     return budgets.join(bad, "host", "left_anti")
+
+
+def parked_budget_demotion(
+    host_stats: DataFrame,
+    threshold: float = 0.8,
+    demoted_budget: float = 0.0,
+) -> DataFrame:
+    """parked_host_stats output → (host, politeness_budget) demotion
+    rows in the crawl job's min-merge currency (the same shape as
+    soft404_demotion / mirror demotion: the cautious source wins)."""
+    return (
+        host_stats.filter(F.col("parked_rate") >= F.lit(float(threshold)))
+        .select("host")
+        .withColumn("politeness_budget", F.lit(float(demoted_budget)))
+    )

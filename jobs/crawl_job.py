@@ -163,6 +163,19 @@ def main() -> None:
         "demoted (default 0.5)",
     )
     ap.add_argument(
+        "--demote-parked",
+        metavar="PAGES_DIR",
+        help="parquet dir of fetched pages (url, html, text); hosts "
+        "whose parked/link-farm page rate (registrar phrases, "
+        "meta-refresh shells, anchor grids) reaches --parked-threshold "
+        "over >= 3 observed pages are demoted to a 0-fetch budget",
+    )
+    ap.add_argument(
+        "--parked-threshold", type=float, default=0.8,
+        help="per-host parked rate at or above which the host is "
+        "demoted (default 0.8)",
+    )
+    ap.add_argument(
         "--backoff-log",
         help="parquet dir of the fetch log (host, fetch_ts, ok); hosts "
         "with trailing failure streaks get exponentially halved "
@@ -356,6 +369,24 @@ def main() -> None:
         obs = spark.read.parquet(args.demote_soft404).select("url", "text")
         budgets = merge_budgets(budgets, soft404_demotion(
             soft404_host_stats(obs), threshold=args.soft404_threshold
+        ))
+
+    if args.demote_parked:
+        from go_htmldate_spark.plans.parked import (
+            parked_budget_demotion,
+            parked_flags,
+            parked_host_stats,
+        )
+
+        obs = spark.read.parquet(args.demote_parked)
+        # tolerate corpora that archive html as binary
+        html_c = (F.decode(F.col("html"), "UTF-8")
+                  if dict(obs.dtypes).get("html") == "binary"
+                  else F.col("html"))
+        obs = obs.select("url", html_c.alias("html"), "text")
+        budgets = merge_budgets(budgets, parked_budget_demotion(
+            parked_host_stats(parked_flags(obs)),
+            threshold=args.parked_threshold,
         ))
 
     if args.backoff_log:

@@ -213,6 +213,16 @@ def test_crawl_job_composed_crawl_waste_flags(
         "url string, text string",
     ).write.parquet(s404_dir)
 
+    # parked plant: hosts[3] serves registrar landers on 4 observed
+    # pages (>= min_pages 3, rate 1.0) -> demoted to 0-fetch
+    parked_dir = str(base / "parkedpages")
+    spark.createDataFrame(
+        [(f"https://{hosts[3]}/x/{i}",
+          "<html><body>This domain is for sale.</body></html>",
+          "This domain is for sale.") for i in range(4)],
+        "url string, html string, text string",
+    ).write.parquet(parked_dir)
+
     monkeypatch.setattr(sess, "get_spark", lambda **kw: spark)
     monkeypatch.setattr(type(spark), "stop", lambda self: None)
     job = _load_job("crawl_job")
@@ -230,6 +240,7 @@ def test_crawl_job_composed_crawl_waste_flags(
         "--ip-budget", "1",
         "--trap-guard",
         "--demote-soft404", s404_dir,
+        "--demote-parked", parked_dir,
         "--expire-keep", "1",
     ])
     job.main()
@@ -241,11 +252,11 @@ def test_crawl_job_composed_crawl_waste_flags(
 
     # round_0's snapshot was expired (keep 1) so its gate effects are
     # read from the manifest counts: recrawl seeded 6 URLs; the demoted
-    # mirror host and the soft-404 farm each lost their slot at the
-    # budget join and the shared-IP pair kept only one of two
-    # -> exactly 3 scheduled and fetched
-    assert manifests[0]["n_scheduled"] == 3
-    assert manifests[0]["n_fetched"] == 3
+    # mirror host, the soft-404 farm and the parked registrar lander
+    # each lost their slot at the budget join and the shared-IP pair
+    # kept only one of two -> exactly 2 scheduled and fetched
+    assert manifests[0]["n_scheduled"] == 2
+    assert manifests[0]["n_fetched"] == 2
 
     # expiry kept exactly the newest round resumable
     exp = [json.loads(l) for l in out.splitlines()

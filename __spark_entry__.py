@@ -2353,6 +2353,29 @@ def q_host_pagerank(spark, sf_dir):
     return host_pagerank(edges, iters=4)
 
 
+def q_seed_distance(spark, sf_dir):
+    """Pipeline: multi-source BFS seed distance over the host graph
+    (plans/hostgraph.host_seed_distance — Najork/Wiener WWW'01
+    breadth-first crawl ordering): exact hop count from the nearest
+    hand-vetted seed host within a 4-hop horizon, frontier-only
+    expansion so total work is O(edges within the horizon). Sparse
+    graph synthesized from every 16th order (~200 hosts, avg degree
+    ~5) so the BFS actually layers; oracle is a depth-capped recursive
+    CTE with UNION dedup."""
+    from go_htmldate_spark.plans.hostgraph import host_seed_distance
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 16 == 0)
+    edges = o.select(
+        F.concat(F.lit("h"), (F.col("o_orderkey") % 200).cast("string"))
+        .alias("src"),
+        F.concat(F.lit("h"),
+                 (F.expr("o_orderkey div 200") % 200).cast("string"))
+        .alias("dst"),
+    )
+    seeds = spark.createDataFrame([("h0",), ("h1",)], "host string")
+    return host_seed_distance(edges, seeds, max_hops=4)
+
+
 def q_anchor_text(spark, sf_dir):
     """Pipeline: per-target anchor-text aggregation
     (plans/hostgraph.anchor_text_agg) — the web-graph quality signal of
@@ -3043,6 +3066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "registrable_domain": q_registrable,
         "politeness_audit": q_politeness_audit,
         "alloc_fairness": q_alloc_fairness,
+        "seed_distance": q_seed_distance,
         "frontier_allgates": q_frontier_allgates,
         "dust_rules": q_dust_rules,
         "dust_apply": q_dust_apply,
@@ -4188,6 +4212,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(p) AS BIGINT) AS n_parked,
                    CAST(sum(p) AS DOUBLE) / count(*) AS parked_rate
             FROM f GROUP BY host HAVING count(*) >= 3
+        """,
+        # seed distance: depth-capped recursive CTE; UNION (distinct)
+        # bounds the recursion at hosts x hops, min() collapses to the
+        # true BFS distance.
+        "seed_distance": """
+            WITH RECURSIVE e AS (
+              SELECT DISTINCT 'h' || (o_orderkey % 200) AS src,
+                     'h' || ((o_orderkey // 200) % 200) AS dst
+              FROM orders
+              WHERE o_orderkey % 16 = 0
+                AND (o_orderkey % 200) <> ((o_orderkey // 200) % 200)
+            ),
+            r(host, d) AS (
+              SELECT 'h0' AS host, 0 AS d
+              UNION
+              SELECT 'h1', 0
+              UNION
+              SELECT e.dst, r.d + 1
+              FROM r JOIN e ON e.src = r.host
+              WHERE r.d < 4
+            )
+            SELECT host, CAST(min(d) AS BIGINT) AS dist
+            FROM r GROUP BY host
         """,
         # politeness audit: the lag-window gap law replayed; ts are
         # unique integers as doubles so every gap/min/count is exact.

@@ -821,3 +821,61 @@ def host_lang_budgets(
         .filter(F.col("_rn") == 1)
         .select("host", "lang", budget.alias("politeness_budget"))
     )
+
+
+def host_seed_distance(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    host_col: str = "host",
+) -> DataFrame:
+    """Multi-source BFS over the host graph: each host's link distance
+    (hop count) from the nearest seed host, up to ``max_hops``.
+
+    The classic focused/fresh-crawl prior (Cho/Garcia-Molina/Page
+    WWW'98 order metrics; Najork/Wiener WWW'01 showed breadth-first
+    order front-loads high-quality pages): hosts near hand-vetted
+    seeds get budget before the long tail, and anything past max_hops
+    simply is not in the result (unreachable within the horizon).
+    Complements TrustRank — same seed set, but an exact integer metric
+    with no damping parameter, usable directly as a priority tier.
+
+    Shape: one frontier⋈edges sort-merge/hash join + a min-aggregation
+    per hop, with FRONTIER-ONLY expansion — hop k joins only the hosts
+    first settled at distance k (never the full settled set), so total
+    work is O(edges within the horizon), the BFS analog of the O(new)
+    seen-filter law. Settled state accumulates via unionByName +
+    min-groupBy on O(hosts) rows. Feed `edges` through
+    prepare_host_edges(key_col="src") and every hop's join scans the
+    edge table in place (no per-hop edge exchange), the same layout
+    law as the PageRank sweeps. Distances are exact integers —
+    reproducible under any partitioning.
+    """
+    e = edges.select(
+        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+    ).filter(F.col("_src") != F.col("_dst"))
+    settled = (
+        seeds.select(F.col(host_col).alias("host")).distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+    )
+    frontier = settled
+    for hop in range(1, max_hops + 1):
+        if frontier.isEmpty():
+            break
+        reached = (
+            frontier.join(e, frontier["host"] == e["_src"], "inner")
+            .select(F.col("_dst").alias("host"))
+            .distinct()
+        )
+        fresh = (
+            reached.join(settled.select("host"), "host", "left_anti")
+            .withColumn("dist", F.lit(hop).cast("long"))
+        )
+        # localCheckpoint both running frames: the lineage would
+        # otherwise double per hop (the iterative-algorithm discipline
+        # of the connected-components operator)
+        frontier = fresh.localCheckpoint(eager=True)
+        settled = settled.unionByName(frontier).localCheckpoint(eager=True)
+    return settled

@@ -2510,3 +2510,58 @@ def test_host_lang_budgets_majority_and_quota(spark):
         "c.example": ("tr", 1.0),
         "d.example": ("unknown", 1.0),
     }
+
+
+def test_host_seed_distance_matches_bfs_reference(spark):
+    """Multi-source BFS (plans/hostgraph.host_seed_distance) against a
+    single-threaded BFS over a random 120-node graph: exact hop
+    counts, horizon cutoff, unreachable hosts absent, self-loops
+    ignored."""
+    import random
+    from collections import deque
+
+    from go_htmldate_spark.plans.hostgraph import host_seed_distance
+
+    rng = random.Random(13)
+    nodes = [f"h{i}" for i in range(120)]
+    edges = {(rng.choice(nodes), rng.choice(nodes)) for _ in range(400)}
+    edges |= {("h0", "h0")}  # self-loop must be ignored
+    seeds = ["h0", "h7"]
+    adj: dict[str, list[str]] = {}
+    for s, d in edges:
+        if s != d:
+            adj.setdefault(s, []).append(d)
+    want, dq = {s: 0 for s in seeds}, deque(seeds)
+    max_hops = 4
+    while dq:
+        u = dq.popleft()
+        if want[u] >= max_hops:
+            continue
+        for v in adj.get(u, ()):
+            if v not in want:
+                want[v] = want[u] + 1
+                dq.append(v)
+
+    edf = spark.createDataFrame(sorted(edges), "src string, dst string")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "host string")
+    got = {r["host"]: r["dist"]
+           for r in host_seed_distance(edf, sdf, max_hops=max_hops).collect()}
+    assert got == want
+
+
+def test_host_seed_distance_horizon_and_empty_frontier(spark):
+    from go_htmldate_spark.plans.hostgraph import host_seed_distance
+
+    # a 5-link chain with horizon 3: h4/h5 are beyond the horizon
+    chain = [(f"h{i}", f"h{i+1}") for i in range(5)]
+    edf = spark.createDataFrame(chain, "src string, dst string")
+    sdf = spark.createDataFrame([("h0",)], "host string")
+    got = {r["host"]: r["dist"]
+           for r in host_seed_distance(edf, sdf, max_hops=3).collect()}
+    assert got == {"h0": 0, "h1": 1, "h2": 2, "h3": 3}
+    # isolated seed: loop exits on the empty frontier, seed still settles
+    lone = spark.createDataFrame([("x", "y")], "src string, dst string")
+    sd = spark.createDataFrame([("z",)], "host string")
+    got = {r["host"]: r["dist"]
+           for r in host_seed_distance(lone, sd, max_hops=3).collect()}
+    assert got == {"z": 0}

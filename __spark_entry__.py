@@ -2376,6 +2376,49 @@ def q_seed_distance(spark, sf_dir):
     return host_seed_distance(edges, seeds, max_hops=4)
 
 
+def q_host_reciprocity(spark, sf_dir):
+    """Pipeline: reciprocal-link ratio per host
+    (plans/hostgraph.host_reciprocity — Fetterly WebDB'04 / Becchetti
+    AIRWeb'06 link-exchange spam statistics): fraction of a host's
+    out-edges whose reverse edge exists. Same sparse ~200-host graph
+    as seed_distance; one swapped self-join over O(edges), host-keyed
+    aggregation."""
+    from go_htmldate_spark.plans.hostgraph import host_reciprocity
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 16 == 0)
+    edges = o.select(
+        F.concat(F.lit("h"), (F.col("o_orderkey") % 200).cast("string"))
+        .alias("src"),
+        F.concat(F.lit("h"),
+                 (F.expr("o_orderkey div 200") % 200).cast("string"))
+        .alias("dst"),
+    )
+    return host_reciprocity(edges)
+
+
+def q_sitemap_coverage(spark, sf_dir):
+    """Pipeline: per-host sitemap-coverage audit
+    (sources/sitemaps.sitemap_coverage — Schonfeld & Shivakumar
+    WWW'09): of the URLs a host advertises, the fraction the crawl has
+    seen, joined through the scheduler's canonical URL law. Planted
+    truth: every 3rd advertised okey is uncrawled, and crawled URLs
+    carry fragments on every 5th okey — they only count because
+    canonicalization strips them, which the closed-form oracle relies
+    on."""
+    from go_htmldate_spark.sources.sitemaps import sitemap_coverage
+
+    o = _t(spark, sf_dir, "orders")
+    okey = F.col("o_orderkey")
+    url = F.concat(F.lit("https://h"), (F.col("o_custkey") % 30).cast("string"),
+                   F.lit(".example/p/"), okey.cast("string"))
+    adv = o.select(url.alias("url"))
+    crawled = o.filter(okey % 3 != 0).select(
+        F.concat(url, F.when(okey % 5 == 0, F.lit("#frag"))
+                 .otherwise(F.lit(""))).alias("url")
+    )
+    return sitemap_coverage(adv, crawled)
+
+
 def q_anchor_text(spark, sf_dir):
     """Pipeline: per-target anchor-text aggregation
     (plans/hostgraph.anchor_text_agg) — the web-graph quality signal of
@@ -3067,6 +3110,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_audit": q_politeness_audit,
         "alloc_fairness": q_alloc_fairness,
         "seed_distance": q_seed_distance,
+        "host_reciprocity": q_host_reciprocity,
+        "sitemap_coverage": q_sitemap_coverage,
         "frontier_allgates": q_frontier_allgates,
         "dust_rules": q_dust_rules,
         "dust_apply": q_dust_apply,
@@ -4235,6 +4280,39 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT host, CAST(min(d) AS BIGINT) AS dist
             FROM r GROUP BY host
+        """,
+        # reciprocity: the swapped self-join replayed on the deduped
+        # edge list; long/long division only at the end.
+        "host_reciprocity": """
+            WITH e AS (
+              SELECT DISTINCT 'h' || (o_orderkey % 200) AS s,
+                     'h' || ((o_orderkey // 200) % 200) AS d
+              FROM orders
+              WHERE o_orderkey % 16 = 0
+                AND (o_orderkey % 200) <> ((o_orderkey // 200) % 200)
+            )
+            SELECT e.s AS host,
+                   CAST(count(*) AS BIGINT) AS n_out,
+                   CAST(sum(CASE WHEN r.s IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_reciprocal,
+                   CAST(sum(CASE WHEN r.s IS NOT NULL THEN 1 ELSE 0 END)
+                        AS DOUBLE) / count(*) AS reciprocity
+            FROM e LEFT JOIN e r ON r.s = e.d AND r.d = e.s
+            GROUP BY e.s
+        """,
+        # sitemap coverage: planted truth closed-form — every 3rd okey
+        # uncrawled; the crawled side's #frag URLs count ONLY because
+        # the operator canonicalizes, so a fragment surviving into the
+        # join key would break this hash.
+        "sitemap_coverage": """
+            SELECT 'h' || (o_custkey % 30) || '.example' AS host,
+                   CAST(count(*) AS BIGINT) AS n_advertised,
+                   CAST(sum(CASE WHEN o_orderkey % 3 <> 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_crawled,
+                   CAST(sum(CASE WHEN o_orderkey % 3 <> 0
+                            THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+                     AS coverage
+            FROM orders GROUP BY 1
         """,
         # politeness audit: the lag-window gap law replayed; ts are
         # unique integers as doubles so every gap/min/count is exact.

@@ -97,7 +97,8 @@ def main() -> None:
         "temporal_rebalance", "adaptive_delay", "linear_quality",
         "host_cap_sample",
         "water_fill", "wave_plan", "parked_flags", "parked_hosts",
-        "registrable_domain",
+        "registrable_domain", "politeness_audit", "alloc_fairness",
+        "seed_distance",
     ]:
         fn = queries[name]
         run(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())

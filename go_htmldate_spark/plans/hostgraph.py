@@ -879,3 +879,47 @@ def host_seed_distance(
         frontier = fresh.localCheckpoint(eager=True)
         settled = settled.unionByName(frontier).localCheckpoint(eager=True)
     return settled
+
+
+def host_reciprocity(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    min_out: int = 1,
+) -> DataFrame:
+    """Per-host reciprocal-link ratio over the host graph — the
+    link-exchange spam signal (Fetterly/Manasse/Najork WebDB'04 spam
+    statistics; Becchetti et al. AIRWeb'06 use degree/reciprocity
+    features): organic linking is largely one-directional, while link
+    farms and paid exchanges produce abnormally high fractions of
+    edges whose reverse edge also exists.  Complements TrustRank (no
+    seed set needed) and feeds the same budget-demotion currency.
+
+    Shape: ONE self-join of the deduped edge list against its swapped
+    projection (both sides partition on the same (src, dst) key pair,
+    so Catalyst plans a single pair of exchanges over O(edges) rows —
+    page payloads never appear), then a host-keyed count aggregation.
+    Output is O(hosts), broadcast-size.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    rev = e.select(F.col("d").alias("s"), F.col("s").alias("d"),
+                   F.lit(1).alias("_rev"))
+    return (
+        e.join(rev, ["s", "d"], "left")
+        .groupBy(F.col("s").alias("host"))
+        .agg(
+            F.count("*").cast("long").alias("n_out"),
+            F.sum(F.coalesce(F.col("_rev"), F.lit(0))).cast("long")
+            .alias("n_reciprocal"),
+        )
+        .filter(F.col("n_out") >= min_out)
+        .select(
+            "host", "n_out", "n_reciprocal",
+            (F.col("n_reciprocal") / F.col("n_out"))
+            .alias("reciprocity"),
+        )
+    )

@@ -2565,3 +2565,54 @@ def test_host_seed_distance_horizon_and_empty_frontier(spark):
     got = {r["host"]: r["dist"]
            for r in host_seed_distance(lone, sd, max_hops=3).collect()}
     assert got == {"z": 0}
+
+
+def test_host_reciprocity_planted_ratios(spark):
+    """Link-exchange signal (plans/hostgraph.host_reciprocity): the
+    farm pair reads 1.0, the organic tail 0.0, a mixed host the exact
+    fraction; self-loops and duplicate edges never count."""
+    from go_htmldate_spark.plans.hostgraph import host_reciprocity
+
+    edges = [
+        ("farm1", "farm2"), ("farm2", "farm1"),          # full exchange
+        ("mix", "farm1"), ("farm1", "mix"),              # mix: 1 recip
+        ("mix", "a"), ("mix", "b"), ("mix", "c"),        # + 3 one-way
+        ("a", "b"),
+        ("a", "a"),                                      # self-loop
+        ("farm1", "farm2"),                              # duplicate
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["host"]: r for r in host_reciprocity(df).collect()}
+    assert got["farm2"]["reciprocity"] == 1.0
+    assert (got["mix"]["n_out"], got["mix"]["n_reciprocal"]) == (4, 1)
+    assert got["mix"]["reciprocity"] == 0.25
+    assert got["a"]["reciprocity"] == 0.0 and got["a"]["n_out"] == 1
+    # farm1: edges to farm2 (recip) and mix (recip) -> 1.0
+    assert got["farm1"]["n_out"] == 2 and got["farm1"]["reciprocity"] == 1.0
+
+
+def test_sitemap_coverage_canonical_join(spark):
+    """Coverage audit (sources/sitemaps.sitemap_coverage): crawled
+    URLs count against advertised ones through the scheduler's
+    canonical law (fragments stripped, query order normalized), and
+    never-crawled hosts read 0.0."""
+    from go_htmldate_spark.sources.sitemaps import sitemap_coverage
+
+    adv = spark.createDataFrame(
+        [("https://a.example/p/1",),
+         ("https://a.example/p/2?x=1&b=2",),
+         ("https://a.example/p/3",),
+         ("https://b.example/q/1",)],
+        "url string")
+    crawled = spark.createDataFrame(
+        [("https://a.example/p/1#frag",),       # fragment stripped
+         ("https://a.example/p/2?b=2&x=1",),    # query reordered
+         ("https://c.example/other",)],
+        "url string")
+    got = {r["host"]: r for r in sitemap_coverage(adv, crawled).collect()}
+    assert got["a.example"]["n_advertised"] == 3
+    assert got["a.example"]["n_crawled"] == 2
+    assert abs(got["a.example"]["coverage"] - 2 / 3) < 1e-12
+    assert got["b.example"]["n_crawled"] == 0
+    assert got["b.example"]["coverage"] == 0.0
+    assert set(got) == {"a.example", "b.example"}

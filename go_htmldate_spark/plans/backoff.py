@@ -145,9 +145,15 @@ def politeness_audit(
             Window.partitionBy("host").orderBy("ts", "host")))
         .drop("ts")
     )
+    # one row per host BEFORE the join: a delay table unioned across
+    # sources/rounds would otherwise fan out every gap row and inflate
+    # n_fetches/n_violations. The strictest (max) delay is the binding
+    # requirement the audit checks against.
     d = F.broadcast(
         delays.select(F.col(host_col).alias("host"),
                       F.col(delay_col).cast("double").alias("_delay"))
+        .groupBy("host")
+        .agg(F.max("_delay").alias("_delay"))
     )
     return (
         gaps.join(d, "host", "left")

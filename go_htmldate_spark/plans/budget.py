@@ -75,10 +75,14 @@ def water_fill_budgets(
     (n-i) * t_i <= B since extra hosts crossing the boundary only
     replace t_i-terms with smaller demands).
     """
+    # cache: the function runs three actions (count + two scalar aggs)
+    # plus the returned frame over this O(hosts) table — without the
+    # cache each would replay the upstream frontier aggregation that
+    # produced the demands
     d = demands.select(
         F.col(host_col).alias("host"),
         F.col(demand_col).cast("long").alias("demand"),
-    ).filter(F.col("demand") > 0)
+    ).filter(F.col("demand") > 0).cache()
 
     w = Window.orderBy("demand", "host")
     rows = d.select(
@@ -222,12 +226,15 @@ def allocation_fairness(
         F.count("*").cast("long").alias("n_hosts"),
         F.sum("x").cast("long").alias("total_alloc"),
         (
-            (F.sum("x") * F.sum("x"))
-            / (F.count("*") * F.sum(F.col("x") * F.col("x")))
+            # cast BEFORE multiplying: sum(x)^2 overflows int64 at the
+            # 10^10-slot cycles this report exists for (ANSI throws)
+            (F.sum("x").cast("double") * F.sum("x").cast("double"))
+            / (F.count("*").cast("double")
+               * F.sum(F.col("x") * F.col("x")).cast("double"))
         ).cast("double").alias("jain_index"),
         (
             F.lit(2.0) * F.sum(F.col("i") * F.col("x"))
-            / (F.count("*") * F.sum("x"))
+            / (F.count("*").cast("double") * F.sum("x").cast("double"))
             - (F.count("*") + F.lit(1.0)) / F.count("*")
         ).cast("double").alias("gini"),
     )

@@ -20,6 +20,7 @@ import argparse
 import json
 import os
 import sys
+from pathlib import Path
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -495,7 +496,7 @@ def main() -> None:
             trap_guard=args.trap_guard, ip_budget=args.ip_budget,
             site_budget=args.site_budget,
             psl_rules=tuple(
-                line for line in open(args.psl, encoding="utf-8")
+                Path(args.psl).read_text(encoding="utf-8").splitlines()
             ) if args.psl else (),
             aging=args.aging,
             opic_lo=opic_range[0], opic_hi=opic_range[1],

@@ -82,13 +82,16 @@ def test_parked_host_stats_and_demotion(spark):
     assert stats["bad.example"]["parked_rate"] == 1.0
     assert stats["good.example"]["parked_rate"] == 0.0
     budgets = spark.createDataFrame(
-        [("bad.example", 5), ("good.example", 5), ("new.example", 5)],
-        "host string, politeness_budget long",
+        [("bad.example", 0.5), ("good.example", 5.0), ("new.example", 5.0)],
+        "host string, politeness_budget double",
     )
-    kept = {r["host"] for r in parked_demotion(
+    got = {r["host"]: r["politeness_budget"] for r in parked_demotion(
         budgets, parked_host_stats(parked_flags(pages), min_pages=3)
     ).collect()}
-    assert kept == {"good.example", "new.example"}
+    # the flagged host's row is OVERWRITTEN to 0 — dropping it would
+    # coalesce back to the scheduler default and RAISE its budget
+    assert got == {"bad.example": 0.0, "good.example": 5.0,
+                   "new.example": 5.0}
 
 
 def test_parked_plan_is_map_only(spark):

@@ -524,3 +524,58 @@ def test_crawl_job_adaptive_delay_budgets(spark, tmp_path_factory,
     # the fast host's 600/round row was filtered out, not merged up:
     # its schedule is unchanged from the plain run
     assert slowed.get(fast, 0) == plain.get(fast, 0)
+
+
+def test_plan_job_water_fill_waves_and_audit(spark, tmp_path_factory,
+                                             monkeypatch, capsys):
+    """plan_job end-to-end: frontier → water-filled budgets → wave
+    plan → fairness line, plus the politeness audit of a prior fetch
+    log. Planted shape: 3 hosts with depths 10/6/2 and budget 9 →
+    water level 3 with remainder to the deepest-demand... (progressive
+    fill: alloc {4,3,2}); horizon 2 plans min(depth, alloc*2) URLs."""
+    import go_htmldate_spark.session as sess
+
+    base = tmp_path_factory.mktemp("plan_cli")
+    rows = []
+    for h, n in (("a", 10), ("b", 6), ("c", 2)):
+        for i in range(n):
+            rows.append((f"https://{h}.example/p/{i}", float(i % 7)))
+    spark.createDataFrame(rows, "url string, priority double") \
+        .write.parquet(str(base / "frontier"))
+    spark.createDataFrame(
+        [("a.example", 0.0), ("a.example", 1.0), ("a.example", 10.0)],
+        "host string, fetch_ts double",
+    ).write.parquet(str(base / "log"))
+    spark.createDataFrame(
+        [("a.example", 2.0)], "host string, crawl_delay double",
+    ).write.parquet(str(base / "delays"))
+
+    monkeypatch.setattr(sess, "get_spark", lambda **kw: spark)
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    job = _load_job("plan_job")
+    monkeypatch.setattr(sys, "argv", [
+        "plan_job.py", "--frontier", str(base / "frontier"),
+        "--output", str(base / "out"), "--total-budget", "9",
+        "--horizon", "2",
+        "--fetch-log", str(base / "log"), "--delays", str(base / "delays"),
+    ])
+    job.main()
+    out = capsys.readouterr().out
+    stages = {json.loads(l)["stage"]: json.loads(l)
+              for l in out.splitlines() if l.startswith("{")}
+    assert stages["budgets"]["total_alloc"] == 9
+    # water fill of 9 over depths {a:10, b:6, c:2}: level 3, remainder
+    # 1 -> first host above the level by host order (a) gets +1
+    budgets = {r["host"]: r["politeness_budget"] for r in
+               spark.read.parquet(str(base / "out" / "budgets")).collect()}
+    assert budgets == {"a.example": 4, "b.example": 3, "c.example": 2}
+    # horizon 2: a plans 8, b plans 6 (depth-limited), c plans 2
+    waves = spark.read.parquet(str(base / "out" / "waves"))
+    per_host = {r["host"]: r["n"] for r in
+                waves.groupBy("host").count().withColumnRenamed(
+                    "count", "n").collect()}
+    assert per_host == {"a.example": 8, "b.example": 6, "c.example": 2}
+    assert stages["waves"]["n_planned"] == 16
+    # audit: gaps 1.0 and 9.0 against delay 2.0 -> one violation
+    assert stages["audit"] == {"stage": "audit", "n_hosts": 1,
+                               "n_violations": 1, "n_hosts_violating": 1}

@@ -2419,6 +2419,45 @@ def q_sitemap_coverage(spark, sf_dir):
     return sitemap_coverage(adv, crawled)
 
 
+_BRANDS = ("google", "wikipedia", "amazon", "facebook", "youtube")
+
+
+def q_typosquat(spark, sf_dir):
+    """Pipeline: typosquat / look-alike host detection
+    (plans/typosquat.typosquat_pairs — Wang NDSS'06 Strider
+    Typo-Patrol, Szurdi USENIX Sec'14): hosts whose registrable core
+    is within 1 edit of a protected brand core, length-band-pruned
+    broadcast join, threshold-capped levenshtein, host table never
+    shuffles. Planted truth per c_custkey % 6: the brand itself and
+    its www subdomain are excluded (same registrable domain), the
+    delete-3rd-char and replace-2nd-char cores flag at dist 1, the
+    .net variant flags as a dist-0 TLD squat, and hostN.com stays
+    clean."""
+    from go_htmldate_spark.plans.typosquat import typosquat_pairs
+
+    c = _t(spark, sf_dir, "customer")
+    brand = F.element_at(
+        F.array(*[F.lit(b) for b in _BRANDS]),
+        (F.col("c_custkey") % 5 + 1).cast("int"),
+    )
+    syn = c.select(F.col("c_custkey").alias("k"), brand.alias("b"))
+    host = F.expr(
+        "CASE CAST(k % 6 AS INT) "
+        "WHEN 0 THEN b || '.com' "
+        "WHEN 1 THEN substring(b, 1, 2) || substring(b, 4) || '.com' "
+        "WHEN 2 THEN b || '.net' "
+        "WHEN 3 THEN 'www.' || b || '.com' "
+        "WHEN 4 THEN substring(b, 1, 1) || 'q' || substring(b, 3) || '.com' "
+        "ELSE 'host' || CAST(k AS STRING) || '.com' END"
+    )
+    hosts = syn.select(host.alias("host"))
+    brands = spark.createDataFrame(
+        [(b + ".com",) for b in _BRANDS], "brand string"
+    )
+    pairs = typosquat_pairs(hosts, brands, max_dist=1)
+    return pairs.withColumn("core_dist", F.col("core_dist").cast("long"))
+
+
 def q_anchor_text(spark, sf_dir):
     """Pipeline: per-target anchor-text aggregation
     (plans/hostgraph.anchor_text_agg) — the web-graph quality signal of
@@ -3112,6 +3151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seed_distance": q_seed_distance,
         "host_reciprocity": q_host_reciprocity,
         "sitemap_coverage": q_sitemap_coverage,
+        "typosquat": q_typosquat,
         "frontier_allgates": q_frontier_allgates,
         "dust_rules": q_dust_rules,
         "dust_apply": q_dust_apply,
@@ -4313,6 +4353,45 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
                      AS coverage
             FROM orders GROUP BY 1
+        """,
+        "typosquat": """
+            WITH syn AS (
+                SELECT c_custkey AS k,
+                       (['google','wikipedia','amazon','facebook',
+                         'youtube'])[CAST(c_custkey % 5 AS INT) + 1] AS b
+                FROM customer
+            ), hosts AS (
+                SELECT CASE CAST(k % 6 AS INT)
+                         WHEN 0 THEN b || '.com'
+                         WHEN 1 THEN substring(b, 1, 2)
+                                     || substring(b, 4) || '.com'
+                         WHEN 2 THEN b || '.net'
+                         WHEN 3 THEN 'www.' || b || '.com'
+                         WHEN 4 THEN substring(b, 1, 1) || 'q'
+                                     || substring(b, 3) || '.com'
+                         ELSE 'host' || CAST(k AS VARCHAR) || '.com'
+                       END AS host
+                FROM syn
+            ), h AS (
+                SELECT host,
+                       regexp_extract(host, '([^.]+[.][^.]+)$', 1) AS host_reg
+                FROM hosts
+            ), hc AS (
+                SELECT host, host_reg,
+                       split_part(host_reg, '.', 1) AS host_core
+                FROM h
+                WHERE length(split_part(host_reg, '.', 1)) >= 4
+            ), brands AS (
+                SELECT b || '.com' AS brand_reg, b AS brand_core
+                FROM (SELECT unnest(['google','wikipedia','amazon',
+                                     'facebook','youtube']) AS b)
+            )
+            SELECT hc.host, hc.host_reg, brands.brand_reg,
+                   CAST(levenshtein(hc.host_core, brands.brand_core)
+                        AS BIGINT) AS core_dist
+            FROM hc, brands
+            WHERE levenshtein(hc.host_core, brands.brand_core) <= 1
+              AND hc.host_reg <> brands.brand_reg
         """,
         # politeness audit: the lag-window gap law replayed; ts are
         # unique integers as doubles so every gap/min/count is exact.

@@ -2419,6 +2419,34 @@ def q_sitemap_coverage(spark, sf_dir):
     return sitemap_coverage(adv, crawled)
 
 
+def q_shard_plan(spark, sf_dir):
+    """Pipeline: token-balanced output-shard planning
+    (operators/shards.shard_plan — Graham LPT'69 serpentine deal on
+    the (n_tok desc, id) total order): every document gets the exact
+    global rank via the bounded three-level offset decomposition (no
+    unpartitioned window ever touches the doc table) and the snake-
+    draft shard; rank_bucket=256 forces the multi-bucket rank path at
+    this sf."""
+    from go_htmldate_spark.operators.shards import shard_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    return shard_plan(docs, n_shards=7, rank_bucket=256)
+
+
+def q_shard_stats(spark, sf_dir):
+    """Pipeline: per-shard balance audit of the token-balanced plan
+    (operators/shards.shard_plan_stats): doc + token totals per output
+    shard — the pre-flight check that the serpentine deal left the
+    training files token-uniform."""
+    from go_htmldate_spark.operators.shards import (
+        shard_plan,
+        shard_plan_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return shard_plan_stats(shard_plan(docs, n_shards=7, rank_bucket=256))
+
+
 _BRANDS = ("google", "wikipedia", "amazon", "facebook", "youtube")
 
 
@@ -3152,6 +3180,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_reciprocity": q_host_reciprocity,
         "sitemap_coverage": q_sitemap_coverage,
         "typosquat": q_typosquat,
+        "shard_plan": q_shard_plan,
+        "shard_stats": q_shard_stats,
         "frontier_allgates": q_frontier_allgates,
         "dust_rules": q_dust_rules,
         "dust_apply": q_dust_apply,
@@ -4392,6 +4422,46 @@ def oracle_sql() -> dict[str, str]:
             FROM hc, brands
             WHERE levenshtein(hc.host_core, brands.brand_core) <= 1
               AND hc.host_reg <> brands.brand_reg
+        """,
+        "shard_plan": """
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(string_split(trim(regexp_replace(text,
+                          '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tok
+              FROM documents
+            ), r AS (
+              SELECT doc_id, n_tok,
+                     CAST(row_number() OVER (ORDER BY n_tok DESC, doc_id)
+                          AS BIGINT) AS rank
+              FROM t
+            )
+            SELECT doc_id, n_tok, rank,
+                   CAST(CASE WHEN CAST(floor((rank - 1) / 7) AS BIGINT) % 2 = 0
+                             THEN (rank - 1) % 7
+                             ELSE 6 - ((rank - 1) % 7) END AS BIGINT) AS shard
+            FROM r
+        """,
+        "shard_stats": """
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(string_split(trim(regexp_replace(text,
+                          '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tok
+              FROM documents
+            ), r AS (
+              SELECT doc_id, n_tok,
+                     CAST(row_number() OVER (ORDER BY n_tok DESC, doc_id)
+                          AS BIGINT) AS rank
+              FROM t
+            ), s AS (
+              SELECT n_tok,
+                     CAST(CASE WHEN CAST(floor((rank - 1) / 7) AS BIGINT) % 2 = 0
+                               THEN (rank - 1) % 7
+                               ELSE 6 - ((rank - 1) % 7) END AS BIGINT) AS shard
+              FROM r
+            )
+            SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS n_tokens
+            FROM s GROUP BY shard
         """,
         # politeness audit: the lag-window gap law replayed; ts are
         # unique integers as doubles so every gap/min/count is exact.

@@ -99,7 +99,7 @@ def main() -> None:
         "water_fill", "wave_plan", "parked_flags", "parked_hosts",
         "registrable_domain", "politeness_audit", "alloc_fairness",
         "seed_distance", "host_reciprocity", "sitemap_coverage",
-        "typosquat",
+        "typosquat", "shard_plan", "shard_stats",
     ]:
         fn = queries[name]
         run(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())

@@ -2447,6 +2447,74 @@ def q_shard_stats(spark, sf_dir):
     return shard_plan_stats(shard_plan(docs, n_shards=7, rank_bucket=256))
 
 
+def _yield_fetch_log(spark, sf_dir):
+    """Synthetic fetch log for the yield-prior pair: five URL shape
+    classes per o_orderkey % 5 with planted per-class date-yield rates
+    (blog 5/7, tag 1/7, root 0, asset 0, news 3/7)."""
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    host = F.concat(F.lit("https://h"), (F.col("o_custkey") % 20).cast("string"),
+                    F.lit(".example"))
+    path = F.expr(
+        "CASE CAST(o_orderkey % 5 AS INT) "
+        "WHEN 0 THEN '/blog/' || CAST(2000 + o_orderkey % 25 AS STRING) "
+        "  || '/post-' || CAST(o_orderkey AS STRING) || '.html' "
+        "WHEN 1 THEN '/tag/t' || CAST(o_orderkey % 50 AS STRING) "
+        "WHEN 2 THEN '/' "
+        "WHEN 3 THEN '/img/i' || CAST(o_orderkey % 10 AS STRING) || '.png' "
+        "ELSE '/news/' || CAST(o_orderkey AS STRING) || '.html' END"
+    )
+    rate = F.element_at(
+        F.array(F.lit(5), F.lit(1), F.lit(0), F.lit(0), F.lit(3)),
+        (k % 5 + 1).cast("int"),
+    )
+    return o.select(
+        F.concat(host, path).alias("url"),
+        (k % 7 < rate).alias("dated"),
+    )
+
+
+def q_pattern_yield(spark, sf_dir):
+    """§2.9 frontier: URL-pattern yield learning
+    (plans/yield_prior.pattern_yield — Cho/Garcia-Molina/Page WWW'98
+    URL ordering): per shape-signature Beta(1,1) posterior mean of the
+    fetch log's date-yield rate; map-only signature, one map-side-
+    combined exchange, O(patterns) output."""
+    from go_htmldate_spark.plans.yield_prior import pattern_yield
+
+    return pattern_yield(_yield_fetch_log(spark, sf_dir), alpha=1.0)
+
+
+def q_yield_prior_apply(spark, sf_dir):
+    """§2.9 frontier: yield-prior re-ranking
+    (plans/yield_prior.apply_yield_prior): frontier priority *=
+    learned pattern yield via a broadcast join on the map-only
+    signature — the frontier never shuffles; unseen shapes (the
+    /about class, absent from the fetch log) fall back to the prior
+    mean 0.5."""
+    from go_htmldate_spark.plans.yield_prior import (
+        apply_yield_prior,
+        pattern_yield,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    host = F.concat(F.lit("https://h"), (F.col("c_custkey") % 20).cast("string"),
+                    F.lit(".example"))
+    path = F.expr(
+        "CASE CAST(c_custkey % 3 AS INT) "
+        "WHEN 0 THEN '/blog/' || CAST(2000 + c_custkey % 25 AS STRING) "
+        "  || '/post-' || CAST(c_custkey AS STRING) || '.html' "
+        "WHEN 1 THEN '/tag/t' || CAST(c_custkey % 50 AS STRING) "
+        "ELSE '/about' END"
+    )
+    frontier = c.select(
+        F.concat(host, path).alias("url"),
+        ((F.col("c_custkey") % 13 + 1) / 13.0).alias("priority"),
+    )
+    y = pattern_yield(_yield_fetch_log(spark, sf_dir), alpha=1.0)
+    return apply_yield_prior(frontier, y)
+
+
 _BRANDS = ("google", "wikipedia", "amazon", "facebook", "youtube")
 
 
@@ -3182,6 +3250,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "typosquat": q_typosquat,
         "shard_plan": q_shard_plan,
         "shard_stats": q_shard_stats,
+        "pattern_yield": q_pattern_yield,
+        "yield_prior_apply": q_yield_prior_apply,
         "frontier_allgates": q_frontier_allgates,
         "dust_rules": q_dust_rules,
         "dust_apply": q_dust_apply,
@@ -4440,6 +4510,160 @@ def oracle_sql() -> dict[str, str]:
                              THEN (rank - 1) % 7
                              ELSE 6 - ((rank - 1) % 7) END AS BIGINT) AS shard
             FROM r
+        """,
+        "pattern_yield": """
+            WITH log AS (
+              SELECT 'https://h' || (o_custkey % 20) || '.example' ||
+                     CASE CAST(o_orderkey % 5 AS INT)
+                       WHEN 0 THEN '/blog/' || CAST(2000 + o_orderkey % 25 AS VARCHAR)
+                                   || '/post-' || CAST(o_orderkey AS VARCHAR) || '.html'
+                       WHEN 1 THEN '/tag/t' || CAST(o_orderkey % 50 AS VARCHAR)
+                       WHEN 2 THEN '/'
+                       WHEN 3 THEN '/img/i' || CAST(o_orderkey % 10 AS VARCHAR) || '.png'
+                       ELSE '/news/' || CAST(o_orderkey AS VARCHAR) || '.html'
+                     END AS url,
+                     (o_orderkey % 7) < ([5,1,0,0,3])[CAST(o_orderkey % 5 AS INT) + 1]
+                       AS dated
+              FROM orders
+            ), p1 AS (
+              SELECT dated,
+                     lower(regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]*)', 1)) AS host,
+                     CASE WHEN regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) = ''
+                       THEN '/' ELSE regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) END AS path
+              FROM log
+            ), p2 AS (
+              SELECT dated, host, path,
+                     regexp_replace(path, '^/+', '') AS trimmed,
+                     lower(regexp_extract(path, '\\.([a-zA-Z0-9]+)$', 1)) AS ext
+              FROM p1
+            ), p3 AS (
+              SELECT dated, host || '|' || split_part(trimmed, '/', 1) || '|' ||
+                     CASE WHEN len(list_filter(string_split(trimmed, '/'),
+                                               x -> x <> '')) >= 3 THEN '3+'
+                          ELSE CAST(len(list_filter(string_split(trimmed, '/'),
+                                                    x -> x <> '')) AS VARCHAR) END
+                     || '|' ||
+                     CASE WHEN regexp_matches(path, '[0-9]{4}') THEN 'd'
+                          ELSE '-' END || '|' ||
+                     CASE WHEN ext IN ('html','htm','php','asp','aspx','jsp',
+                                       'shtml') THEN 'page'
+                          WHEN ext IN ('jpg','jpeg','png','gif','svg','webp',
+                                       'css','js','ico','pdf','zip','xml','mp4',
+                                       'mp3','woff','woff2') THEN 'asset'
+                          ELSE 'none' END AS signature
+              FROM p2
+            ), y AS (
+              SELECT signature, CAST(count(*) AS BIGINT) AS n_fetched,
+                     CAST(coalesce(sum(CAST(dated AS BIGINT)), 0) AS BIGINT)
+                       AS n_dated
+              FROM p3 GROUP BY signature
+            )
+            SELECT signature, n_fetched, n_dated,
+                   (n_dated + 1.0) / (n_fetched + 2.0) AS "yield"
+            FROM y
+        """,
+        "yield_prior_apply": """
+            WITH log AS (
+              SELECT 'https://h' || (o_custkey % 20) || '.example' ||
+                     CASE CAST(o_orderkey % 5 AS INT)
+                       WHEN 0 THEN '/blog/' || CAST(2000 + o_orderkey % 25 AS VARCHAR)
+                                   || '/post-' || CAST(o_orderkey AS VARCHAR) || '.html'
+                       WHEN 1 THEN '/tag/t' || CAST(o_orderkey % 50 AS VARCHAR)
+                       WHEN 2 THEN '/'
+                       WHEN 3 THEN '/img/i' || CAST(o_orderkey % 10 AS VARCHAR) || '.png'
+                       ELSE '/news/' || CAST(o_orderkey AS VARCHAR) || '.html'
+                     END AS url,
+                     (o_orderkey % 7) < ([5,1,0,0,3])[CAST(o_orderkey % 5 AS INT) + 1]
+                       AS dated
+              FROM orders
+            ), lsig AS (
+              SELECT dated,
+                     lower(regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]*)', 1)) || '|' ||
+                     split_part(regexp_replace(
+                       regexp_extract(url,
+                         '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                       '^/+', ''), '/', 1) || '|' ||
+                     CASE WHEN len(list_filter(string_split(regexp_replace(
+                              regexp_extract(url,
+                                '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                              '^/+', ''), '/'), x -> x <> '')) >= 3 THEN '3+'
+                          ELSE CAST(len(list_filter(string_split(regexp_replace(
+                              regexp_extract(url,
+                                '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                              '^/+', ''), '/'), x -> x <> '')) AS VARCHAR) END
+                     || '|' ||
+                     CASE WHEN regexp_matches(
+                            CASE WHEN regexp_extract(url,
+                              '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) = ''
+                              THEN '/' ELSE regexp_extract(url,
+                              '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) END,
+                            '[0-9]{4}') THEN 'd' ELSE '-' END || '|' ||
+                     CASE WHEN lower(regexp_extract(url, '\\.([a-zA-Z0-9]+)$', 1))
+                            IN ('html','htm','php','asp','aspx','jsp','shtml')
+                            THEN 'page'
+                          WHEN lower(regexp_extract(url, '\\.([a-zA-Z0-9]+)$', 1))
+                            IN ('jpg','jpeg','png','gif','svg','webp','css','js',
+                                'ico','pdf','zip','xml','mp4','mp3','woff','woff2')
+                            THEN 'asset'
+                          ELSE 'none' END AS signature
+              FROM log
+            ), yy AS (
+              SELECT signature,
+                     (CAST(coalesce(sum(CAST(dated AS BIGINT)), 0) AS BIGINT) + 1.0)
+                     / (CAST(count(*) AS BIGINT) + 2.0) AS yld
+              FROM lsig GROUP BY signature
+            ), frontier AS (
+              SELECT 'https://h' || (c_custkey % 20) || '.example' ||
+                     CASE CAST(c_custkey % 3 AS INT)
+                       WHEN 0 THEN '/blog/' || CAST(2000 + c_custkey % 25 AS VARCHAR)
+                                   || '/post-' || CAST(c_custkey AS VARCHAR) || '.html'
+                       WHEN 1 THEN '/tag/t' || CAST(c_custkey % 50 AS VARCHAR)
+                       ELSE '/about'
+                     END AS url,
+                     (c_custkey % 13 + 1) / 13.0 AS priority
+              FROM customer
+            ), fs AS (
+              SELECT url, priority AS prior_priority,
+                     lower(regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]*)', 1)) || '|' ||
+                     split_part(regexp_replace(
+                       regexp_extract(url,
+                         '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                       '^/+', ''), '/', 1) || '|' ||
+                     CASE WHEN len(list_filter(string_split(regexp_replace(
+                              regexp_extract(url,
+                                '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                              '^/+', ''), '/'), x -> x <> '')) >= 3 THEN '3+'
+                          ELSE CAST(len(list_filter(string_split(regexp_replace(
+                              regexp_extract(url,
+                                '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                              '^/+', ''), '/'), x -> x <> '')) AS VARCHAR) END
+                     || '|' ||
+                     CASE WHEN regexp_matches(
+                            CASE WHEN regexp_extract(url,
+                              '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) = ''
+                              THEN '/' ELSE regexp_extract(url,
+                              '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) END,
+                            '[0-9]{4}') THEN 'd' ELSE '-' END || '|' ||
+                     CASE WHEN lower(regexp_extract(url, '\\.([a-zA-Z0-9]+)$', 1))
+                            IN ('html','htm','php','asp','aspx','jsp','shtml')
+                            THEN 'page'
+                          WHEN lower(regexp_extract(url, '\\.([a-zA-Z0-9]+)$', 1))
+                            IN ('jpg','jpeg','png','gif','svg','webp','css','js',
+                                'ico','pdf','zip','xml','mp4','mp3','woff','woff2')
+                            THEN 'asset'
+                          ELSE 'none' END AS signature
+              FROM frontier
+            )
+            SELECT fs.signature, fs.url,
+                   fs.prior_priority * coalesce(yy.yld, 0.5) AS priority,
+                   coalesce(yy.yld, 0.5) AS "yield",
+                   fs.prior_priority
+            FROM fs LEFT JOIN yy USING (signature)
         """,
         "shard_stats": """
             WITH t AS (

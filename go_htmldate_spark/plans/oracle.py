@@ -80,6 +80,11 @@ class OracleScheduler:
     # frontier URLs (0 = off); applied before the max-merge with
     # discoveries, mirroring CrawlConfig.aging
     aging: float = 0.0
+    # URL-pattern yield prior (plans/yield_prior.py): when set, each
+    # round's ORDERING uses priority x yields.get(signature(url), 0.5);
+    # the frontier keeps base priorities (the gate is a view, not
+    # state), mirroring CrawlScheduler's yield_table
+    yields: dict[str, float] | None = None
 
     frontier: dict[str, float] = field(default_factory=dict)  # url → priority
     seen: set[str] = field(default_factory=set)
@@ -123,7 +128,16 @@ class OracleScheduler:
             for u, p in candidates.items()
             if robots_allowed_py(path_of(u), self.robots.get(host_of(u)))
         }
-        # 4-5. per-host top-k by (priority desc, url asc)
+        # 4-5. per-host top-k by (priority desc, url asc); with a
+        # yield-prior table the ORDERING priority is base x learned
+        # pattern yield (frontier state stays in base currency)
+        if self.yields is not None:
+            from .yield_prior import url_pattern_signature_py
+
+            candidates = {
+                u: p * self.yields.get(url_pattern_signature_py(u), 0.5)
+                for u, p in candidates.items()
+            }
         by_host: dict[str, list[tuple[float, str]]] = {}
         for u, p in candidates.items():
             by_host.setdefault(host_of(u), []).append((p, u))

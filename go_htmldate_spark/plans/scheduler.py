@@ -225,6 +225,7 @@ class CrawlScheduler:
         dust: DataFrame | None = None,
         host_ip: DataFrame | None = None,
         opic_state: DataFrame | None = None,
+        yield_table: DataFrame | None = None,
     ) -> None:
         self.spark = spark
         self.config = config
@@ -364,6 +365,17 @@ class CrawlScheduler:
                 self._budget_static,
                 opic_budgets(self._opic_state, config.opic_lo, config.opic_hi),
             )
+        # URL-pattern yield prior (plans/yield_prior.py): when given a
+        # learned (signature, yield) table, each round's ORDERING uses
+        # priority x yield(signature(url)) — a per-round broadcast-join
+        # view over the frontier; the frontier STATE keeps base
+        # priorities (the gate is evidence, not state: re-learning the
+        # table between cycles re-ranks everything with no state
+        # migration). Unseen patterns fall back to the Beta(a,a) prior
+        # mean 0.5 — the same default as apply_yield_prior.
+        self._yield_table: DataFrame | None = None
+        if yield_table is not None:
+            self._yield_table = yield_table.select("signature", "yield").cache()
         self._has_delay = (
             self.robots is not None and "crawl_delay" in self.robots.columns
         )
@@ -572,6 +584,27 @@ class CrawlScheduler:
         t0 = time.time()
 
         pending = self.frontier
+        if self._yield_table is not None:
+            # yield-prior gate: ordering priority = base x learned
+            # pattern yield (map-only signature + broadcast join — the
+            # frontier never shuffles); _base_priority rides through to
+            # the leftover path so the frontier state stays in base
+            # currency, mirroring the oracle's law exactly.
+            from .yield_prior import url_pattern_signature
+
+            pending = (
+                pending.withColumn(
+                    "signature", url_pattern_signature(F.col("url"))
+                )
+                .join(F.broadcast(self._yield_table), "signature", "left")
+                .withColumn("_base_priority", F.col("priority"))
+                .withColumn(
+                    "priority",
+                    F.col("priority")
+                    * F.coalesce(F.col("yield"), F.lit(0.5)),
+                )
+                .drop("signature", "yield")
+            )
 
         # 2. URL-seen: bloom/cuckoo pre-filter (once the seen set is big
         # enough to be worth it), exact anti-join backstop either way.
@@ -803,6 +836,12 @@ class CrawlScheduler:
             scheduled_hashes.select("url_hash")
         )
         leftover = pending.join(scheduled_hashes, "url_hash", "left_anti")
+        if self._yield_table is not None:
+            # frontier state stays in base currency: the yield gate is
+            # a per-round ordering view, never persisted priority
+            leftover = leftover.withColumn(
+                "priority", F.col("_base_priority")
+            ).drop("_base_priority")
         if cfg.aging > 0:
             # starvation guard: a URL that lost this round's politeness
             # race re-enters the frontier with an additive boost, so

@@ -66,6 +66,44 @@ def url_pattern_signature(url: Column) -> Column:
     return F.concat_ws("|", url_host(url), seg1, depth_b, digits, ext_c)
 
 
+_RX_HOST = None
+_RX_PATH = None
+_RX_EXT = None
+
+
+def url_pattern_signature_py(url: str) -> str:
+    """Single-URL reference implementation of ``url_pattern_signature``
+    (oracle scheduler + tests) — byte-identical to the column
+    expression on every URL."""
+    global _RX_HOST, _RX_PATH, _RX_EXT
+    import re
+
+    if _RX_HOST is None:
+        _RX_HOST = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]*)")
+        _RX_PATH = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)")
+        _RX_EXT = re.compile(r"\.([a-zA-Z0-9]+)$")
+    m = _RX_HOST.search(url)
+    host = m.group(1).lower() if m else ""
+    m = _RX_PATH.search(url)
+    path = m.group(1) if m else ""
+    if path == "":
+        path = "/"
+    trimmed = re.sub(r"^/+", "", path)
+    seg1 = trimmed.split("/")[0]
+    depth = sum(1 for x in trimmed.split("/") if x != "")
+    depth_b = "3+" if depth >= 3 else str(depth)
+    digits = "d" if re.search(r"[0-9]{4}", path) else "-"
+    m = _RX_EXT.search(path)
+    ext = m.group(1).lower() if m else ""
+    if ext in _PAGE_EXT:
+        ext_c = "page"
+    elif ext in _ASSET_EXT:
+        ext_c = "asset"
+    else:
+        ext_c = "none"
+    return f"{host}|{seg1}|{depth_b}|{digits}|{ext_c}"
+
+
 def pattern_yield(
     fetch_log: DataFrame,
     alpha: float = 1.0,

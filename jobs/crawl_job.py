@@ -238,6 +238,28 @@ def main() -> None:
         "caps, consecutive path-segment repeats, query cross products, "
         "session-id minting) before they enter the frontier",
     )
+    ap.add_argument(
+        "--yield-log",
+        metavar="LOG_DIR",
+        help="parquet dir of a prior cycle's fetch log (url + date or "
+        "dated); per-URL-pattern date-yield rates are learned from it "
+        "(Beta(1,1) posterior mean) and each round's scheduling "
+        "priority is multiplied by the pattern's yield — URL shapes "
+        "that historically produce dated articles outrank nav/tag/"
+        "asset shapes. Frontier state stays in base priority currency",
+    )
+    ap.add_argument(
+        "--demote-typosquat",
+        metavar="BRANDS_FILE",
+        help="newline-delimited list of protected brand hosts; corpus "
+        "hosts whose registrable core is within --typosquat-dist edits "
+        "of a brand core (or the same core on another suffix) are "
+        "demoted to a 0-fetch budget",
+    )
+    ap.add_argument(
+        "--typosquat-dist", type=int, default=1,
+        help="edit-distance radius for --demote-typosquat (default 1)",
+    )
     ap.add_argument("--rounds", type=int, default=5)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument(
@@ -390,6 +412,29 @@ def main() -> None:
             threshold=args.parked_threshold,
         ))
 
+    if args.demote_typosquat:
+        from go_htmldate_spark.plans.canonical import (
+            canonicalize_url,
+            url_host,
+        )
+        from go_htmldate_spark.plans.typosquat import (
+            typosquat_demotion,
+            typosquat_pairs,
+        )
+
+        brands = spark.createDataFrame(
+            [(b.strip(),) for b in
+             Path(args.demote_typosquat).read_text(encoding="utf-8")
+             .splitlines() if b.strip()],
+            "brand string",
+        )
+        hosts = pages.select(
+            url_host(canonicalize_url(F.col("url"))).alias("host")
+        ).distinct()
+        budgets = merge_budgets(budgets, typosquat_demotion(
+            typosquat_pairs(hosts, brands, max_dist=args.typosquat_dist)
+        ))
+
     if args.backoff_log:
         from go_htmldate_spark.plans.backoff import host_backoff
         from go_htmldate_spark.plans.scheduler import CrawlConfig as _CC
@@ -489,6 +534,19 @@ def main() -> None:
         ).filter(F.col("src_url") != F.col("dst_url"))
         redirects = resolve_redirects(edges)
 
+    yield_table = None
+    if args.yield_log:
+        from go_htmldate_spark.plans.yield_prior import pattern_yield
+
+        ylog = spark.read.parquet(args.yield_log)
+        dated_c = (
+            F.col("dated") if "dated" in ylog.columns
+            else (F.col("date").isNotNull() & (F.col("date") != ""))
+        )
+        yield_table = pattern_yield(
+            ylog.select("url", dated_c.alias("dated"))
+        )
+
     sched = CrawlScheduler(
         spark, pages, robots=robots, host_budget=budgets,
         state_dir=args.state,
@@ -506,6 +564,7 @@ def main() -> None:
             spark.read.parquet(args.host_ip) if args.host_ip else None
         ),
         opic_state=opic_state,
+        yield_table=yield_table,
     )
 
     if args.resume:

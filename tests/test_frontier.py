@@ -2616,3 +2616,62 @@ def test_sitemap_coverage_canonical_join(spark):
     assert got["b.example"]["n_crawled"] == 0
     assert got["b.example"]["coverage"] == 0.0
     assert set(got) == {"a.example", "b.example"}
+
+
+def test_scheduler_yield_prior_matches_oracle(
+    spark, corpus, corpus_dates, tmp_path_factory
+):
+    """Yield-prior gate: each round's ordering uses priority x learned
+    pattern yield through a broadcast view (frontier state stays in
+    base currency). The distributed gate must match the oracle's
+    fetch ordering exactly, and the gate must actually change the
+    schedule vs the ungated run (the yields are planted adversarially:
+    alternating 0.05 / 0.95 per signature)."""
+    from go_htmldate_spark.plans.yield_prior import url_pattern_signature_py
+
+    seeds = _seeds(corpus)
+    sigs = sorted({url_pattern_signature_py(u) for u in corpus_dates})
+    yields = {s: (0.05 if i % 2 == 0 else 0.95) for i, s in enumerate(sigs)}
+
+    orc = OracleScheduler(
+        pages=corpus_dates,
+        robots={h: rules for h, rules, _ in ROBOTS},
+        budgets=dict(BUDGETS),
+        delays={h: d for h, rules, d in ROBOTS},
+        yields=yields,
+    )
+    orc.init_from_seeds(seeds)
+    orc.run(N_ROUNDS)
+
+    d = tmp_path_factory.mktemp("yield_gate")
+    sched = CrawlScheduler(
+        spark, corpus, robots=_robots_df(spark),
+        host_budget=_budget_df(spark), state_dir=str(d),
+        config=CrawlConfig(n_bloom_partitions=4, bloom_bits=1 << 16,
+                           n_salts=4),
+        yield_table=spark.createDataFrame(
+            list(yields.items()), "signature string, yield double"
+        ),
+    )
+    sched.init_from_seeds(
+        spark.createDataFrame(seeds, "url string, priority double")
+    )
+    sched.run(N_ROUNDS)
+
+    spark_log = _spark_fetch_log(spark, d, N_ROUNDS)
+    oracle_log = [r for r in orc.fetch_log][: len(spark_log)]
+    assert len(spark_log) == len(oracle_log)
+    for rnd, (s_urls, o_urls) in enumerate(zip(spark_log, oracle_log)):
+        assert s_urls == o_urls, f"round {rnd} diverged under yield gate"
+
+    # the gate changes the crawl: an ungated oracle run orders at least
+    # one round differently
+    base = OracleScheduler(
+        pages=corpus_dates,
+        robots={h: rules for h, rules, _ in ROBOTS},
+        budgets=dict(BUDGETS),
+        delays={h: d for h, rules, d in ROBOTS},
+    )
+    base.init_from_seeds(seeds)
+    base.run(N_ROUNDS)
+    assert base.fetch_log != orc.fetch_log

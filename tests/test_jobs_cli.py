@@ -579,3 +579,75 @@ def test_plan_job_water_fill_waves_and_audit(spark, tmp_path_factory,
     # audit: gaps 1.0 and 9.0 against delay 2.0 -> one violation
     assert stages["audit"] == {"stage": "audit", "n_hosts": 1,
                                "n_violations": 1, "n_hosts_violating": 1}
+
+
+def test_crawl_job_demote_typosquat(spark, tmp_path_factory,
+                                    monkeypatch, capsys):
+    """--demote-typosquat: every synth host registers as example.org,
+    whose core 'example' is one edit from the protected brand core
+    'examples' — the whole corpus demotes to a 0-fetch budget and
+    round 0 schedules nothing, while the plain run schedules freely."""
+    import go_htmldate_spark.session as sess
+
+    base = tmp_path_factory.mktemp("typosquat_cli")
+    bf = base / "brands.txt"
+    bf.write_text("examples.com\n", encoding="utf-8")
+    monkeypatch.setattr(sess, "get_spark", lambda **kw: spark)
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    job = _load_job("crawl_job")
+
+    def run(state, extra):
+        monkeypatch.setattr(sys, "argv", [
+            "crawl_job.py", "--synth", "200",
+            "--state", str(base / state), "--rounds", "1",
+            "--n-seeds", "24",
+        ] + extra)
+        job.main()
+        out = capsys.readouterr().out
+        return [json.loads(l) for l in out.splitlines()
+                if l.startswith("{") and "n_scheduled" in l][0]
+
+    plain = run("plain", [])
+    squat = run("squat", ["--demote-typosquat", str(bf)])
+    assert plain["n_scheduled"] > 0
+    assert squat["n_scheduled"] == 0
+
+
+def test_crawl_job_yield_log_reranks(spark, tmp_path_factory,
+                                     monkeypatch, capsys):
+    """--yield-log: a fetch history where /posts/ URLs never dated and
+    date-path URLs always did re-ranks round 0 — the fetched set
+    changes vs the plain run (same counts: the gate reorders the
+    politeness race, it never filters)."""
+    import go_htmldate_spark.session as sess
+    from pyspark.sql import functions as F
+    from go_htmldate_spark.sources.pages import synth_pages
+
+    base = tmp_path_factory.mktemp("yield_cli")
+    pages = synth_pages(spark, 200, seed=42)
+    log = pages.select(
+        "url", (~F.col("url").contains("/posts/")).alias("dated")
+    )
+    log_dir = base / "fetchlog"
+    log.write.parquet(str(log_dir))
+
+    monkeypatch.setattr(sess, "get_spark", lambda **kw: spark)
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    job = _load_job("crawl_job")
+
+    def run(state, extra):
+        monkeypatch.setattr(sys, "argv", [
+            "crawl_job.py", "--synth", "200",
+            "--state", str(base / state), "--rounds", "1",
+            "--n-seeds", "24",
+        ] + extra)
+        job.main()
+        capsys.readouterr()
+        return [r.url for r in spark.read.parquet(
+            str(base / state / "round_0" / "fetched")
+        ).orderBy(F.desc("priority"), F.asc("url")).collect()]
+
+    plain = run("plain", [])
+    gated = run("gated", ["--yield-log", str(log_dir)])
+    assert plain and gated
+    assert plain != gated

@@ -2419,6 +2419,18 @@ def q_sitemap_coverage(spark, sf_dir):
     return sitemap_coverage(adv, crawled)
 
 
+def q_collocations(spark, sf_dir):
+    """Pipeline: bigram collocation mining by lift
+    (operators/textstats.collocations — Church & Hanks CL'90 PMI, lift
+    form so the score is one IEEE division of exact counts): map-only
+    native-HOF gram generation, two map-side-combined count exchanges,
+    survivor set broadcast into the unigram joins."""
+    from go_htmldate_spark.operators.textstats import collocations
+
+    docs = _t(spark, sf_dir, "documents")
+    return collocations(docs, min_count=25)
+
+
 def q_shard_plan(spark, sf_dir):
     """Pipeline: token-balanced output-shard planning
     (operators/shards.shard_plan — Graham LPT'69 serpentine deal on
@@ -3252,6 +3264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_stats": q_shard_stats,
         "pattern_yield": q_pattern_yield,
         "yield_prior_apply": q_yield_prior_apply,
+        "collocations": q_collocations,
         "frontier_allgates": q_frontier_allgates,
         "dust_rules": q_dust_rules,
         "dust_apply": q_dust_apply,
@@ -4492,6 +4505,35 @@ def oracle_sql() -> dict[str, str]:
             FROM hc, brands
             WHERE levenshtein(hc.host_core, brands.brand_core) <= 1
               AND hc.host_reg <> brands.brand_reg
+        """,
+        "collocations": """
+            WITH t AS (
+              SELECT string_split(lower(trim(regexp_replace(text,
+                     '\\s+', ' ', 'g'))), ' ') AS toks
+              FROM documents
+            ), u AS (
+              SELECT unnest(toks) AS w FROM t
+            ), uc AS (
+              SELECT w, CAST(count(*) AS BIGINT) AS n_w FROM u GROUP BY w
+            ), tot AS (
+              SELECT CAST(count(*) AS BIGINT) AS total FROM u
+            ), bg AS (
+              SELECT toks[i] || ' ' || toks[i + 1] AS b
+              FROM t, unnest(range(1, len(toks))) AS r(i)
+            ), bc AS (
+              SELECT split_part(b, ' ', 1) AS w1,
+                     split_part(b, ' ', 2) AS w2,
+                     CAST(count(*) AS BIGINT) AS n_pair
+              FROM bg GROUP BY b HAVING count(*) >= 25
+            )
+            SELECT bc.w1, bc.w2, bc.n_pair,
+                   u1.n_w AS n_w1, u2.n_w AS n_w2,
+                   (CAST(bc.n_pair AS DOUBLE) * tot.total)
+                   / (CAST(u1.n_w AS DOUBLE) * u2.n_w) AS lift
+            FROM bc
+            JOIN uc u1 ON u1.w = bc.w1
+            JOIN uc u2 ON u2.w = bc.w2
+            CROSS JOIN tot
         """,
         "shard_plan": """
             WITH t AS (

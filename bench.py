@@ -100,7 +100,7 @@ def main() -> None:
         "registrable_domain", "politeness_audit", "alloc_fairness",
         "seed_distance", "host_reciprocity", "sitemap_coverage",
         "typosquat", "shard_plan", "shard_stats",
-        "pattern_yield", "yield_prior_apply",
+        "pattern_yield", "yield_prior_apply", "collocations",
     ]:
         fn = queries[name]
         run(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())

@@ -285,3 +285,61 @@ def gopher_repetition(
         & (F.coalesce(F.col("top_4gram_frac"), F.lit(0.0)) <= thresholds[4])
     )
     return out.withColumn("gopher_ok", ok)
+
+
+def collocations(
+    df: DataFrame,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Bigram collocation mining by lift — the corpus-QA operator that
+    surfaces boilerplate phrases ("all rights reserved", "click here
+    to") and template residue a per-document quality gate can't see.
+
+    Association is Church & Hanks' pointwise mutual information
+    (Computational Linguistics 16(1), 1990) reported as LIFT
+    (n_pair * N) / (n_w1 * n_w2) — PMI's argument before the log — so
+    the value is one IEEE double division of exact integer counts,
+    bit-identical in any engine (no libm log in the contract).
+
+    Scale shape: gram generation is MAP-ONLY (word_ngrams' native
+    transform/slice HOFs — no window, no doc-id exchange); the plan
+    pays exactly two hash exchanges, one per count table (unigrams,
+    bigrams), both map-side combined. The min_count gate runs on the
+    bigram AGGREGATE, so the surviving collocation set is kilobytes and
+    BROADCASTS into the two unigram-count joins — the O(vocab) unigram
+    table streams map-only through both, never reshuffled.
+
+    Returns (w1, w2, n_pair, n_w1, n_w2, lift); tokens lowercased on
+    the engine's whitespace law. Reference: no analog in go-htmldate;
+    complements gopher_repetition (per-doc repetition) with the
+    corpus-level phrase statistic.
+    """
+    uni = df.select(F.explode(word_ngrams(text_col, 1)).alias("w"))
+    uc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
+    tot = uni.agg(F.count(F.lit(1)).alias("_total"))
+
+    bc = (
+        df.select(F.explode(word_ngrams(text_col, 2)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= F.lit(int(min_count)))
+        .select(
+            F.substring_index(F.col("bg"), " ", 1).alias("w1"),
+            F.substring_index(F.col("bg"), " ", -1).alias("w2"),
+            "n_pair",
+        )
+    )
+    with_w1 = uc.join(
+        F.broadcast(bc), uc["w"] == bc["w1"]
+    ).select("w1", "w2", "n_pair", F.col("n_w").alias("n_w1"))
+    with_w2 = uc.join(
+        F.broadcast(with_w1), uc["w"] == with_w1["w2"]
+    ).select("w1", "w2", "n_pair", "n_w1", F.col("n_w").alias("n_w2"))
+    return with_w2.crossJoin(F.broadcast(tot)).select(
+        "w1", "w2", "n_pair", "n_w1", "n_w2",
+        (
+            (F.col("n_pair").cast("double") * F.col("_total"))
+            / (F.col("n_w1").cast("double") * F.col("n_w2"))
+        ).alias("lift"),
+    )

@@ -1765,3 +1765,38 @@ def test_host_cap_sample(spark):
     tiny = spark.createDataFrame([(1, "t.example"), (2, "t.example")],
                                  ["doc_id", "host"])
     assert host_cap_sample(tiny, "host", "doc_id", cap=5).count() == 2
+
+
+def test_collocations_lift_and_plan(spark):
+    """Bigram collocation mining (textstats.collocations): known-count
+    corpus — 'all rights reserved' repeated vs free text — yields exact
+    pair/unigram counts and the one-division lift; gram generation is
+    map-only (exchanges only on the two count keys + broadcasts)."""
+    from go_htmldate_spark.operators.textstats import collocations
+
+    docs = spark.createDataFrame(
+        [(0, "All rights reserved. " * 4 + "the cat sat"),
+         (1, "the dog sat on the mat all alone"),
+         (2, "rights and duties of the estate")],
+        "doc_id long, text string",
+    )
+    got = {(r["w1"], r["w2"]): r for r in
+           collocations(docs, min_count=3).collect()}
+    assert set(got) == {("all", "rights"), ("rights", "reserved."),
+                        ("reserved.", "all")}
+    r = got[("all", "rights")]
+    # corpus: doc0 has 4x 'all rights', 'all' appears 4+1+0, 'rights' 4+0+1
+    assert (r["n_pair"], r["n_w1"], r["n_w2"]) == (4, 5, 5)
+    n_total = sum(len(t.split()) for _, t in
+                  [(0, "All rights reserved. " * 4 + "the cat sat"),
+                   (1, "the dog sat on the mat all alone"),
+                   (2, "rights and duties of the estate")])
+    assert abs(r["lift"] - (4.0 * n_total) / (5.0 * 5.0)) < 1e-12
+
+    plan = (collocations(docs, min_count=3)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert ("w#" in line or "w1" in line or "bg" in line
+                    or "w2" in line), line

@@ -2419,6 +2419,38 @@ def q_sitemap_coverage(spark, sf_dir):
     return sitemap_coverage(adv, crawled)
 
 
+def q_typosquat_skeleton(spark, sf_dir):
+    """Pipeline: homoglyph typosquat detection
+    (plans/typosquat.typosquat_pairs(skeleton=True) — UTS #39
+    confusable folding, Holgers USENIX ATC'06): digit/bigram
+    look-alikes ('g0ogle', 'rn' for 'm') fold onto their ASCII
+    skeleton before the banded levenshtein, so homoglyph squats
+    invisible at d=1 in raw space flag at skeleton distance 0-1.
+    Planted per c_custkey % 4: o→0 homoglyph, m→rn expansion, the
+    brand itself (excluded), and clean hostN.com."""
+    from go_htmldate_spark.plans.typosquat import typosquat_pairs
+
+    c = _t(spark, sf_dir, "customer")
+    brand = F.element_at(
+        F.array(*[F.lit(b) for b in _BRANDS]),
+        (F.col("c_custkey") % 5 + 1).cast("int"),
+    )
+    syn = c.select(F.col("c_custkey").alias("k"), brand.alias("b"))
+    host = F.expr(
+        "CASE CAST(k % 4 AS INT) "
+        "WHEN 0 THEN substring(b, 1, 1) || '0' || substring(b, 3) || '.com' "
+        "WHEN 1 THEN replace(b, 'm', 'rn') || '.com' "
+        "WHEN 2 THEN b || '.com' "
+        "ELSE 'host' || CAST(k AS STRING) || '.com' END"
+    )
+    hosts = syn.select(host.alias("host"))
+    brands = spark.createDataFrame(
+        [(b + ".com",) for b in _BRANDS], "brand string"
+    )
+    pairs = typosquat_pairs(hosts, brands, max_dist=1, skeleton=True)
+    return pairs.withColumn("core_dist", F.col("core_dist").cast("long"))
+
+
 def q_collocations(spark, sf_dir):
     """Pipeline: bigram collocation mining by lift
     (operators/textstats.collocations — Church & Hanks CL'90 PMI, lift
@@ -3260,6 +3292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_reciprocity": q_host_reciprocity,
         "sitemap_coverage": q_sitemap_coverage,
         "typosquat": q_typosquat,
+        "typosquat_skeleton": q_typosquat_skeleton,
         "shard_plan": q_shard_plan,
         "shard_stats": q_shard_stats,
         "pattern_yield": q_pattern_yield,
@@ -4505,6 +4538,49 @@ def oracle_sql() -> dict[str, str]:
             FROM hc, brands
             WHERE levenshtein(hc.host_core, brands.brand_core) <= 1
               AND hc.host_reg <> brands.brand_reg
+        """,
+        "typosquat_skeleton": """
+            WITH syn AS (
+                SELECT c_custkey AS k,
+                       (['google','wikipedia','amazon','facebook',
+                         'youtube'])[CAST(c_custkey % 5 AS INT) + 1] AS b
+                FROM customer
+            ), hosts AS (
+                SELECT CASE CAST(k % 4 AS INT)
+                         WHEN 0 THEN substring(b, 1, 1) || '0'
+                                     || substring(b, 3) || '.com'
+                         WHEN 1 THEN replace(b, 'm', 'rn') || '.com'
+                         WHEN 2 THEN b || '.com'
+                         ELSE 'host' || CAST(k AS VARCHAR) || '.com'
+                       END AS host
+                FROM syn
+            ), h AS (
+                SELECT host,
+                       regexp_extract(host, '([^.]+[.][^.]+)$', 1) AS host_reg
+                FROM hosts
+            ), hc AS (
+                SELECT host, host_reg,
+                       translate(replace(replace(replace(
+                           split_part(host_reg, '.', 1),
+                           'rn', 'm'), 'vv', 'w'), 'cl', 'd'),
+                         '013457', 'oleast') AS host_core
+                FROM h
+            ), hf AS (
+                SELECT * FROM hc WHERE length(host_core) >= 4
+            ), brands AS (
+                SELECT b || '.com' AS brand_reg,
+                       translate(replace(replace(replace(b,
+                           'rn', 'm'), 'vv', 'w'), 'cl', 'd'),
+                         '013457', 'oleast') AS brand_core
+                FROM (SELECT unnest(['google','wikipedia','amazon',
+                                     'facebook','youtube']) AS b)
+            )
+            SELECT hf.host, hf.host_reg, brands.brand_reg,
+                   CAST(levenshtein(hf.host_core, brands.brand_core)
+                        AS BIGINT) AS core_dist
+            FROM hf, brands
+            WHERE levenshtein(hf.host_core, brands.brand_core) <= 1
+              AND hf.host_reg <> brands.brand_reg
         """,
         "collocations": """
             WITH t AS (

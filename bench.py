@@ -99,7 +99,7 @@ def main() -> None:
         "water_fill", "wave_plan", "parked_flags", "parked_hosts",
         "registrable_domain", "politeness_audit", "alloc_fairness",
         "seed_distance", "host_reciprocity", "sitemap_coverage",
-        "typosquat", "shard_plan", "shard_stats",
+        "typosquat", "typosquat_skeleton", "shard_plan", "shard_stats",
         "pattern_yield", "yield_prior_apply", "collocations",
     ]:
         fn = queries[name]

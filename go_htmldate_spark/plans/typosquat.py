@@ -51,6 +51,28 @@ def _core_of(reg):
     return F.substring_index(reg, ".", 1)
 
 
+# ASCII confusable folds (the IDN-free subset of UTS #39 skeletons +
+# the classic bigram look-alikes measured by Holgers et al., USENIX
+# ATC'06): digits that read as letters, and letter PAIRS that render
+# as one glyph in sans-serif ("rn" ~ "m", "vv" ~ "w", "cl" ~ "d").
+# Bigram folds run FIRST (greedy left-to-right, like skeletons), then
+# the single-char translate.
+_CONFUSABLE_PAIRS = (("rn", "m"), ("vv", "w"), ("cl", "d"))
+_CONFUSABLE_FROM = "013457"  # 0→o 1→l 3→e 4→a 5→s 7→t
+_CONFUSABLE_TO = "oleast"
+
+
+def confusable_skeleton(core):
+    """Fold a host core onto its look-alike skeleton so 'g00gle',
+    'paypa1' and 'rnicrosoft' land at edit distance 0-1 of their
+    targets instead of 2+. Pure column algebra (chained replace +
+    translate), map-only."""
+    s = core
+    for a, b in _CONFUSABLE_PAIRS:
+        s = F.replace(s, F.lit(a), F.lit(b))
+    return F.translate(s, _CONFUSABLE_FROM, _CONFUSABLE_TO)
+
+
 def typosquat_pairs(
     hosts: DataFrame,
     brands: DataFrame,
@@ -59,6 +81,7 @@ def typosquat_pairs(
     rules=MINI_PSL,
     host_col: str = "host",
     brand_col: str = "brand",
+    skeleton: bool = False,
 ) -> DataFrame:
     """Flag hosts whose registrable core is within ``max_dist`` edits
     of a brand core, excluding hosts ON the brand's own registrable
@@ -74,19 +97,25 @@ def typosquat_pairs(
     band and broadcast; host side map-only (core + length derivation,
     equi-join on length, threshold-capped levenshtein filter) — the
     host table never shuffles.
+
+    With ``skeleton=True`` both cores fold onto their ASCII confusable
+    skeleton first ('g00gle' → 'google', 'rnicrosoft' → 'microsoft'),
+    so homoglyph squats land inside the distance radius; the length
+    band and the reported core_dist are then in skeleton space.
     """
     d = int(max_dist)
+    fold = confusable_skeleton if skeleton else (lambda c: c)
     h = hosts.select(
         F.col(host_col).alias("host"),
         registrable_or_host(F.col(host_col), rules).alias("host_reg"),
-    ).withColumn("host_core", _core_of(F.col("host_reg")))
+    ).withColumn("host_core", fold(_core_of(F.col("host_reg"))))
     h = h.filter(F.length("host_core") >= F.lit(int(min_core_len)))
     h = h.withColumn("core_len", F.length("host_core"))
 
     b = brands.select(
         registrable_or_host(F.col(brand_col), rules).alias("brand_reg")
     ).distinct()
-    b = b.withColumn("brand_core", _core_of(F.col("brand_reg")))
+    b = b.withColumn("brand_core", fold(_core_of(F.col("brand_reg"))))
     b = b.select(
         "brand_reg",
         "brand_core",

@@ -77,3 +77,32 @@ def test_typosquat_host_side_never_shuffles(spark):
         if "Exchange hashpartitioning" in line:
             assert "brand" in line, line
     assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_typosquat_skeleton_catches_homoglyphs(spark):
+    hosts = spark.createDataFrame(
+        [("g00gle.com",),        # digit homoglyphs -> skeleton dist 0
+         ("rnicrosoft.com",),    # rn ~ m -> skeleton dist 0
+         ("paypa1.com",),        # 1 ~ l -> skeleton dist 0
+         ("paypal.com",),        # the brand itself -> excluded
+         ("zzzzz.com",)],        # unrelated
+        "host string",
+    )
+    brands = spark.createDataFrame(
+        [("google.com",), ("microsoft.com",), ("paypal.com",)],
+        "brand string",
+    )
+    # without skeleton folding the homoglyph squats are invisible at d=1
+    plain = {r["host"] for r in
+             typosquat_pairs(hosts, brands, max_dist=1).collect()}
+    assert "g00gle.com" not in plain and "rnicrosoft.com" not in plain
+    folded = {
+        (r["host"], r["brand_reg"], r["core_dist"])
+        for r in typosquat_pairs(hosts, brands, max_dist=1,
+                                 skeleton=True).collect()
+    }
+    assert ("g00gle.com", "google.com", 0) in folded
+    assert ("rnicrosoft.com", "microsoft.com", 0) in folded
+    assert ("paypa1.com", "paypal.com", 0) in folded
+    assert all(h != "paypal.com" and h != "zzzzz.com"
+               for h, _, _ in folded)

@@ -1977,6 +1977,79 @@ def q_change_rate(spark, sf_dir):
     )
 
 
+def q_cache_ttl(spark, sf_dir):
+    """§2.9 frontier: HTTP cache-semantics recrawl TTL
+    (plans/httpcache, RFC 9111 §4.2) — directive precedence
+    (no-store/no-cache > s-maxage > max-age > Expires >
+    Last-Modified heuristic > default), explicit TTLs capped at
+    1 year, heuristic = 10% of age clamped [60 s, 30 d]. Fetch log
+    synthesized arithmetically (all seven TTL sources exercised,
+    including max-age=0 and stale Expires); the oracle replays the
+    closed-form derivation. Map-only — zero exchanges at any log
+    size."""
+    from go_htmldate_spark.plans.httpcache import parse_cache_headers
+
+    df = spark.range(20000)
+    i = F.col("id")
+    fetch = (F.lit(1_000_000) + i * 7).cast("long")
+    cc = (
+        F.when(i % 7 == 0, F.lit("no-store, max-age=500"))
+        .when(i % 7 == 1, F.lit("public, NO-CACHE"))
+        .when(i % 7 == 2,
+              F.concat(F.lit("max-age="), ((i % 1000) * 10).cast("string")))
+        .when(i % 7 == 3,
+              F.concat(F.lit("max-age=100, s-maxage="),
+                       (i % 500).cast("string")))
+    )
+    expires = F.when(i % 3 == 0, fetch + (i % 2000) - 500).cast("long")
+    lm = F.when(i % 2 == 0, fetch - (i % 100000) * 3).cast("long")
+    etag = F.when(
+        i % 5 == 0, F.concat(F.lit('"e'), i.cast("string"), F.lit('"'))
+    )
+    log = df.select(
+        F.concat(F.lit("https://c"), (i % 40).cast("string"),
+                 F.lit(".example/p/"), i.cast("string")).alias("url"),
+        fetch.alias("fetch_ts"),
+        cc.alias("cache_control"),
+        expires.alias("expires_ts"),
+        lm.alias("last_modified_ts"),
+        etag.alias("etag"),
+    )
+    return parse_cache_headers(log)
+
+
+def q_revalidation(spark, sf_dir):
+    """§2.9 frontier: conditional-GET revalidation planner
+    (plans/httpcache.revalidation_plan) — per-URL 304 hit rate from
+    the fetch history decides conditional-vs-full refetch and its
+    expected byte cost. History synthesized arithmetically (2-9
+    fetches per URL, 304 pattern and body sizes varying by URL); the
+    oracle replays the single groupBy in SQL. One exchange on the url
+    key the log is naturally partitioned by."""
+    from go_htmldate_spark.plans.httpcache import revalidation_plan
+
+    df = spark.range(40000)
+    u = (F.col("id") / 8).cast("long")
+    k = F.col("id") % 8
+    is304 = (k > 0) & ((u + k) % 3 == 0)
+    hist = df.filter(k < (u % 7) + 2).select(
+        F.concat(F.lit("https://r"), u.cast("string"),
+                 F.lit(".example/d")).alias("url"),
+        (F.lit(1000) + k * 100 + u % 13).cast("long").alias("fetch_ts"),
+        F.when(is304, F.lit(304)).otherwise(F.lit(200))
+        .cast("int").alias("status"),
+        F.when(is304, F.lit(0))
+        .otherwise((k + 1) * 1000 + (u % 11) * 7)
+        .cast("long").alias("body_bytes"),
+        F.when(u % 4 != 0,
+               F.concat(F.lit('"e'), u.cast("string"), F.lit('"')))
+        .alias("etag"),
+        F.when(u % 5 == 0, F.lit(500)).cast("long")
+        .alias("last_modified_ts"),
+    )
+    return revalidation_plan(hist, as_of_ts=10_000)
+
+
 def _dust_pages(spark):
     """Arithmetic DUST corpus: 2000 duplicate groups of session-id /
     index.html URL aliases (the /index.html variant only every 3rd
@@ -3278,6 +3351,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_trap_flags": q_url_trap_flags,
         "redirect_resolve": q_redirect_resolve,
         "change_rate": q_change_rate,
+        "cache_ttl": q_cache_ttl,
+        "revalidation_plan": q_revalidation,
         "host_datacard": q_host_datacard,
         "snapshot_diff": q_snapshot_diff,
         "snapshot_diff_stats": q_snapshot_diff_stats,
@@ -6283,5 +6358,97 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tok,
                    md5(text) AS text_md5
             FROM t WHERE u < frac
+        """,
+        # RFC 9111 TTL derivation replayed in closed form from the
+        # same arithmetic that synthesized the fetch log (directive
+        # precedence: no-store/no-cache > s-maxage > max-age >
+        # Expires > heuristic > default; explicit capped at 1 y,
+        # heuristic floor(age/10) clamped [60, 30 d]).
+        "cache_ttl": """
+            WITH g AS (SELECT i FROM range(20000) t(i)),
+            f AS (
+              SELECT i, 1000000 + i * 7 AS fts FROM g
+            ),
+            d AS (
+              SELECT i, fts,
+                CASE
+                  WHEN i % 7 = 0 THEN 0
+                  WHEN i % 7 = 1 THEN 0
+                  WHEN i % 7 = 3 THEN least(i % 500, 31536000)
+                  WHEN i % 7 = 2 THEN least((i % 1000) * 10, 31536000)
+                  WHEN i % 3 = 0 THEN
+                       least(greatest((i % 2000) - 500, 0), 31536000)
+                  WHEN i % 2 = 0 AND 3 * i > 0 THEN
+                       least(greatest(
+                         CAST(floor((3 * i) / 10.0) AS BIGINT), 60),
+                         2592000)
+                  ELSE 86400
+                END AS ttl,
+                CASE
+                  WHEN i % 7 = 0 THEN 'no-store'
+                  WHEN i % 7 = 1 THEN 'no-cache'
+                  WHEN i % 7 = 3 THEN 's-maxage'
+                  WHEN i % 7 = 2 THEN 'max-age'
+                  WHEN i % 3 = 0 THEN 'expires'
+                  WHEN i % 2 = 0 AND 3 * i > 0 THEN 'heuristic'
+                  ELSE 'default'
+                END AS src
+              FROM f
+            )
+            SELECT 'https://c' || (i % 40) || '.example/p/' || i AS url,
+                   CAST(fts AS BIGINT) AS fetch_ts,
+                   CAST(ttl AS BIGINT) AS ttl_s,
+                   CAST(fts + ttl AS BIGINT) AS fresh_until,
+                   (i % 5 = 0 OR i % 2 = 0) AS has_validator,
+                   src AS ttl_source
+            FROM d
+        """,
+        # the revalidation planner's one groupBy replayed directly
+        "revalidation_plan": """
+            WITH g AS (
+              SELECT i, i // 8 AS u, i % 8 AS k FROM range(40000) t(i)
+              WHERE i % 8 < (i // 8) % 7 + 2
+            ),
+            h AS (
+              SELECT 'https://r' || u || '.example/d' AS url,
+                     1000 + k * 100 + u % 13 AS ts,
+                     CASE WHEN k > 0 AND (u + k) % 3 = 0
+                          THEN 304 ELSE 200 END AS status,
+                     CASE WHEN k > 0 AND (u + k) % 3 = 0 THEN 0
+                          ELSE (k + 1) * 1000 + (u % 11) * 7 END AS nbytes,
+                     (u % 4 <> 0 OR u % 5 = 0) AS has_val
+              FROM g
+            ),
+            a AS (
+              SELECT url, COUNT(*) AS n_fetches,
+                     SUM(CASE WHEN status = 304 THEN 1 ELSE 0 END) AS n304,
+                     SUM(CASE WHEN status = 200 THEN nbytes ELSE 0 END)
+                         AS btot,
+                     SUM(CASE WHEN status = 200 THEN 1 ELSE 0 END) AS n200,
+                     MAX(ts) AS last_ts,
+                     bool_or(has_val) AS hv
+              FROM h GROUP BY url
+            ),
+            b AS (
+              SELECT url, n_fetches, n304, last_ts, hv,
+                     CASE WHEN n_fetches > 1 THEN
+                          CAST(n304 AS DOUBLE) / (n_fetches - 1) END AS rate,
+                     CAST(CASE WHEN n200 > 0 THEN
+                          floor(CAST(btot AS DOUBLE) / n200)
+                          ELSE 0 END AS BIGINT) AS avg_body
+              FROM a
+            )
+            SELECT url,
+                   CAST(n_fetches AS INT) AS n_fetches,
+                   CAST(n304 AS INT) AS n_not_modified,
+                   ROUND(rate, 6) + 0.0 AS revalidate_rate,
+                   avg_body AS avg_body_bytes,
+                   CASE WHEN hv THEN 'conditional' ELSE 'full' END AS mode,
+                   CAST(CASE WHEN hv THEN
+                        floor(CAST(avg_body AS DOUBLE)
+                              * (1.0 - coalesce(rate, 0.0)))
+                        ELSE avg_body END AS BIGINT) AS est_fetch_bytes,
+                   CAST(last_ts AS BIGINT) AS last_fetch_ts
+            FROM b
         """,
     }

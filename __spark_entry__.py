@@ -3277,6 +3277,61 @@ def q_url_blocklist(spark, sf_dir):
     return host_blocklist_flag(hosts, bl)
 
 
+def q_hll_host_distinct(spark, sf_dir):
+    """Frontier sizing: per-host distinct-URL cardinality via mergeable
+    HyperLogLog registers (plans/sketches.hll_registers / hll_estimate,
+    p=8, Flajolet et al. AofA'07) — each partition reduces to <=256
+    three-int rows per host BEFORE the exchange, so the shuffle never
+    carries URL strings; register tables from two crawl snapshots merge
+    by union+max without re-reading either. Arithmetic synth: 120k
+    fetch-log rows over 40 hosts with per-host true distincts
+    250/1150/2050/2950, exercising both the linear-counting and the
+    raw-estimate branch; z_num is the exact-integer indicator carrier
+    (sum of 2^(53-rho), partitioning-invariant) so the hash gate pins
+    every register, and est_distinct is the one rounded double."""
+    from go_htmldate_spark.plans.sketches import hll_estimate, hll_registers
+
+    df = spark.range(120000)
+    i = F.col("id")
+    h = i % 40
+    n_dist = F.lit(250).cast("long") + (h % 4) * F.lit(900).cast("long")
+    page = F.floor(i / F.lit(40)).cast("long") % n_dist
+    urls = df.select(
+        F.concat(F.lit("h"), h.cast("string"), F.lit(".example")).alias("host"),
+        F.concat(
+            F.lit("https://h"), h.cast("string"), F.lit(".example/p/"),
+            page.cast("string"),
+        ).alias("url"),
+    )
+    return hll_estimate(hll_registers(urls, "host", "url"))
+
+
+def q_cms_heavy_hosts(spark, sf_dir):
+    """Heavy-host screen via a Count-Min sketch (plans/sketches
+    .cms_build / cms_point_estimate, Cormode & Muthukrishnan 2005,
+    d=4 w=1024): the fetch-log shuffle payload collapses to <=d*w
+    counter rows per partition regardless of input size, the kilobyte
+    sketch is broadcast back over the candidate hosts, and the
+    one-sided estimate (never under-counts) feeds the scheduler's
+    skew-salting trigger without a full host groupBy. Arithmetic
+    synth: 60k fetches, 2/3 concentrated on 5 heavy hosts, 1/3 spread
+    over a 997-host tail; is_heavy applies the phi=1% screen
+    (threshold 600 = ceil(.01 * 60000))."""
+    from go_htmldate_spark.plans.sketches import cms_build, cms_point_estimate
+
+    df = spark.range(60000)
+    i = F.col("id")
+    hid = F.when(i % 3 < 2, i % 5).otherwise(i % 997)
+    logf = df.select(
+        F.concat(F.lit("h"), hid.cast("string"), F.lit(".example")).alias("host")
+    )
+    sketch = cms_build(logf, "host", d=4, w=1024)
+    est = cms_point_estimate(sketch, logf, "host", d=4, w=1024)
+    return est.select(
+        "key", "est_count", (F.col("est_count") >= 600).alias("is_heavy")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "url_date_extract": q_url_date_extract,
@@ -3388,6 +3443,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wat_metadata": q_wat_metadata,
         "wat_roundtrip": q_wat_roundtrip,
         "warc_curate": q_warc_curate,
+        "hll_host_distinct": q_hll_host_distinct,
+        "cms_heavy_hosts": q_cms_heavy_hosts,
     }
 
 
@@ -3501,6 +3558,13 @@ _WAT_ENVELOPE_SQL = """
            CAST(2 AS BIGINT) AS n_links
     FROM documents
 """
+
+
+# HLL p=8 estimate numerator alpha_m * m^2 * 2^53 — the SAME Python
+# double (same operation order as plans/sketches.hll_estimate's
+# F.lit(alpha * m * m * float(scale))) interpolated into the DuckDB
+# oracle, so both engines divide an identical literal.
+_HLL_ALPHA_NUM = (0.7213 / (1.0 + 1.079 / 256)) * 256 * 256 * float(1 << 53)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6450,5 +6514,96 @@ def oracle_sql() -> dict[str, str]:
                         ELSE avg_body END AS BIGINT) AS est_fetch_bytes,
                    CAST(last_ts AS BIGINT) AS last_fetch_ts
             FROM b
+        """,
+        # HLL: replay plans/sketches.py's exact register law — index =
+        # first 2 hex chars of md5 (p=8), rank word = next 13 hex chars
+        # (52 bits), rho = 53 - bit_length — and the exact-integer
+        # indicator numerator; alpha_m*m^2*2^53 is the identical Python
+        # double literal on both engines.
+        "hll_host_distinct": f"""
+            WITH base AS (SELECT i FROM range(120000) t(i)),
+            urls AS (
+              SELECT 'h' || (i % 40) || '.example' AS key,
+                     'https://h' || (i % 40) || '.example/p/' ||
+                       ((i // 40) % (250 + ((i % 40) % 4) * 900)) AS url
+              FROM base
+            ),
+            regs AS (
+              SELECT key,
+                     CAST('0x' || substr(md5(url), 1, 2) AS BIGINT) % 256
+                         AS register,
+                     CASE WHEN CAST('0x' || substr(md5(url), 3, 13)
+                                    AS BIGINT) = 0 THEN 53
+                          ELSE 53 - length(bin(CAST(
+                                 '0x' || substr(md5(url), 3, 13)
+                                 AS BIGINT)))
+                     END AS rho
+              FROM urls
+            ),
+            mx AS (
+              SELECT key, register, MAX(rho) AS rho
+              FROM regs GROUP BY key, register
+            ),
+            agg AS (
+              SELECT key,
+                     CAST(COUNT(*) AS BIGINT) AS n_registers,
+                     CAST(SUM(CAST(1 AS BIGINT) << (53 - rho))
+                          AS BIGINT) AS z_hit
+              FROM mx GROUP BY key
+            ),
+            est AS (
+              SELECT key, n_registers,
+                     z_hit + (256 - n_registers)
+                             * (CAST(1 AS BIGINT) << 53) AS z_num
+              FROM agg
+            )
+            SELECT key, n_registers, z_num,
+                   ROUND(CASE WHEN (256 - n_registers) > 0
+                               AND {_HLL_ALPHA_NUM!r}
+                                   / CAST(z_num AS DOUBLE) <= 640.0
+                              THEN 256.0 * ln(256.0 /
+                                   CAST(256 - n_registers AS DOUBLE))
+                              ELSE {_HLL_ALPHA_NUM!r}
+                                   / CAST(z_num AS DOUBLE)
+                         END, 6) + 0.0 AS est_distinct
+            FROM est
+        """,
+        # CMS: replay the d=4 x w=1024 cell law (first 7 hex chars of
+        # md5('row:host') mod w), the cell-sum sketch, and the min-over-
+        # rows point estimate; is_heavy is the phi=1% screen.
+        "cms_heavy_hosts": """
+            WITH base AS (SELECT i FROM range(60000) t(i)),
+            logf AS (
+              SELECT 'h' || (CASE WHEN i % 3 < 2 THEN i % 5
+                                  ELSE i % 997 END)
+                         || '.example' AS host
+              FROM base
+            ),
+            hrows AS (SELECT r FROM range(4) t(r)),
+            cells AS (
+              SELECT r.r AS hrow,
+                     CAST('0x' || substr(md5(r.r || ':' || l.host), 1, 7)
+                          AS BIGINT) % 1024 AS col
+              FROM logf l CROSS JOIN hrows r
+            ),
+            sketch AS (
+              SELECT hrow, col, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM cells GROUP BY hrow, col
+            ),
+            cand AS (SELECT DISTINCT host FROM logf),
+            probes AS (
+              SELECT c.host AS key, r.r AS hrow,
+                     CAST('0x' || substr(md5(r.r || ':' || c.host), 1, 7)
+                          AS BIGINT) % 1024 AS col
+              FROM cand c CROSS JOIN hrows r
+            ),
+            est AS (
+              SELECT key,
+                     CAST(MIN(COALESCE(s.cnt, 0)) AS BIGINT) AS est_count
+              FROM probes p LEFT JOIN sketch s USING (hrow, col)
+              GROUP BY key
+            )
+            SELECT key, est_count, est_count >= 600 AS is_heavy
+            FROM est
         """,
     }

@@ -2198,6 +2198,235 @@ def q_rel_canonical(spark, sf_dir):
     return rel_canonical_edges(pages)
 
 
+def q_meta_robots(spark, sf_dir):
+    """§2.9 frontier: page-level robots directives (plans/metarobots.
+    meta_robots_flags) — `<meta name="robots">` parsed map-only out of
+    raw html: both attribute orders, any quote style/case, multiple
+    robots metas unioned most-restrictive-wins, `none` ≡
+    noindex+nofollow, token-exact boundaries (name="robots-extra" and
+    content="index, follow" must NOT flag). Eight planted classes from
+    orders; the oracle scores each class closed-form."""
+    from go_htmldate_spark.plans.metarobots import meta_robots_flags
+
+    o = _t(spark, sf_dir, "orders")
+    okey = F.col("o_orderkey")
+    url = F.concat(F.lit("https://mr"), (okey % 25).cast("string"),
+                   F.lit(".example/p/"), okey.cast("string"))
+    cls = okey % 8
+    html = (
+        F.when(cls == 0, F.lit(
+            '<html><head><meta name="robots" content="noindex, nofollow">'
+            "</head><body>x</body></html>"))
+        .when(cls == 1, F.lit(
+            "<head><meta content='nofollow' name='robots'/></head>"))
+        .when(cls == 2, F.lit("<META NAME=ROBOTS CONTENT=NONE>"))
+        .when(cls == 3, F.lit('<meta name="robots" content="NOARCHIVE">'))
+        .when(cls == 4, F.lit(
+            '<meta name="robots" content="noindex"><p>t</p>'
+            '<meta name="robots" content="nofollow">'))
+        .when(cls == 5, F.lit(
+            '<meta name="robots-extra" content="noindex">'
+            '<meta name="description" content="none">'))
+        .when(cls == 6, F.lit('<meta name="robots" content="index, follow">'))
+        .otherwise(F.lit("<html><body>no meta here</body></html>"))
+    )
+    pages = o.select(url.alias("url"), html.alias("html"))
+    return meta_robots_flags(pages)
+
+
+def q_nofollow_links(spark, sf_dir):
+    """§2.3 joins / §2.9 frontier: nofollow-aware link extraction
+    (plans/metarobots.extract_follow_anchors) — the anchor stream with
+    robots semantics: an edge is followed=false when its anchor
+    carries rel=nofollow (token-exact, multi-token rel legal) OR the
+    page's own robots meta says nofollow. Four planted classes from
+    orders (plain, page-level-nofollow, multi-token anchor rel,
+    rel="nofollownot" boundary trap); relative hrefs are dropped. The
+    oracle rebuilds the planted edge tuples closed-form."""
+    from go_htmldate_spark.plans.metarobots import extract_follow_anchors
+
+    o = _t(spark, sf_dir, "orders")
+    okey = F.col("o_orderkey")
+    host = F.concat(F.lit("nf"), (okey % 20).cast("string"),
+                    F.lit(".example"))
+    url = F.concat(F.lit("https://"), host, F.lit("/p/"),
+                   okey.cast("string"))
+    t1 = F.concat(F.lit("https://dst"), (okey % 7).cast("string"),
+                  F.lit(".example/a/"), okey.cast("string"))
+    t2 = F.concat(F.lit("https://dst"), ((okey + 3) % 7).cast("string"),
+                  F.lit(".example/b/"), okey.cast("string"))
+    cls = okey % 4
+    meta = F.when(cls == 1, F.lit(
+        '<meta name="robots" content="nofollow">'
+    )).otherwise(F.lit('<meta charset="utf-8">'))
+    rel2 = (
+        F.when(cls == 0, F.lit(' rel="nofollow"'))
+        .when(cls == 2, F.lit(" rel='nofollow noopener'"))
+        .otherwise(F.lit(' rel="nofollownot"'))
+    )
+    a1 = F.concat(F.lit("Link One "), (okey % 13).cast("string"))
+    html = F.concat(
+        F.lit("<html><head>"), meta,
+        F.lit('</head><body><a href="'), t1, F.lit('">'), a1,
+        F.lit('</a><a'), rel2, F.lit(' href="'), t2,
+        F.lit('">  Second   LINK  </a>'),
+        F.lit('<a href="/rel/skip">rel</a></body></html>'),
+    )
+    pages = o.select(url.alias("url"), html.alias("html"))
+    return extract_follow_anchors(pages)
+
+
+def q_pagination_chains(spark, sf_dir):
+    """§2.9 frontier: rel=next pagination-chain assembly (plans/
+    pagination) END-TO-END — edge discovery via the map-only
+    `<link rel="next">` scan (three quote/attr-order spelling classes)
+    then pointer-doubling chain assembly with per-member 1-based page
+    index and chain length; one planted class (c%17==0) declares a
+    cycle (last page's next points back to page 0) whose members must
+    all flag resolved=false with NULL root/index/len. The oracle
+    derives the chain geometry analytically."""
+    from go_htmldate_spark.plans.pagination import (
+        pagination_chains, rel_next_edges,
+    )
+
+    df = spark.range(18000)
+    i = F.col("id")
+    c = (i / 6).cast("long")
+    j = i % 6
+    length = (c % 5) + 2
+    members = df.select(
+        c.alias("c"), j.alias("j"), length.alias("len")
+    ).filter(F.col("j") < F.col("len"))
+
+    def page_url(cc, jj):
+        return F.concat(
+            F.lit("https://pg"), (cc % 40).cast("string"),
+            F.lit(".example/s/"), cc.cast("string"),
+            F.lit("/p"), jj.cast("string"),
+        )
+
+    cc, jj, ll = F.col("c"), F.col("j"), F.col("len")
+    nxt_j = F.when(jj < ll - 1, jj + 1).otherwise(
+        F.when(cc % 17 == 0, F.lit(0))
+    )
+    nxt = page_url(cc, nxt_j)
+    style = cc % 3
+    link_tag = (
+        F.when(style == 0, F.concat(
+            F.lit('<link rel="next" href="'), nxt, F.lit('">')))
+        .when(style == 1, F.concat(
+            F.lit("<link href='"), nxt, F.lit("' rel='next'>")))
+        .otherwise(F.concat(F.lit("<LINK REL=next HREF="), nxt,
+                            F.lit(">")))
+    )
+    html = F.concat(
+        F.lit('<html><head><link rel="stylesheet" href="/css">'),
+        F.when(nxt_j.isNotNull(), link_tag).otherwise(F.lit("")),
+        F.lit("</head><body>page</body></html>"),
+    )
+    pages = members.select(page_url(cc, jj).alias("url"),
+                           html.alias("html"))
+    return pagination_chains(rel_next_edges(pages), max_pages=16)
+
+
+def _hreflang_pages(spark):
+    """Shared synth corpus for the hreflang queries: cluster c has
+    k=(c%4)+1 language variants (k=1 → no annotations, a singleton);
+    every member of a k>=2 cluster declares the FULL set (self
+    included, three quote/attr spelling classes) plus, on c%3==0
+    clusters, an x-default pointing at the 'en' variant; every page
+    also carries rel="alternate-print" and rel="stylesheet" boundary
+    distractors the scan must skip."""
+    df = spark.range(12000)
+    i = F.col("id")
+    c = (i / 4).cast("long")
+    v = i % 4
+    k = (c % 4) + 1
+    members = df.select(c.alias("c"), v.alias("v"), k.alias("k")).filter(
+        F.col("v") < F.col("k")
+    )
+    langs = ["de", "en", "fr", "pt"]
+    cc = F.col("c")
+
+    def variant_url(cc, w):
+        return F.concat(
+            F.lit(f"https://{langs[w]}.hx"), (cc % 30).cast("string"),
+            F.lit(".example/d/"), cc.cast("string"),
+        )
+
+    def alt_tag(cc, w):
+        href = variant_url(cc, w)
+        lang = langs[w]
+        style = (cc + w) % 3
+        return (
+            F.when(style == 0, F.concat(
+                F.lit(f'<link rel="alternate" hreflang="{lang}" href="'),
+                href, F.lit('">')))
+            .when(style == 1, F.concat(
+                F.lit(f"<link href='"), href,
+                F.lit(f"' hreflang='{lang}' rel='alternate'>")))
+            .otherwise(F.concat(
+                F.lit(f"<LINK REL=alternate HREFLANG={lang} HREF="),
+                href, F.lit(">")))
+        )
+
+    kk = F.col("k")
+    tags = F.concat(
+        F.when(kk >= 2, F.concat(alt_tag(cc, 0), alt_tag(cc, 1)))
+        .otherwise(F.lit("")),
+        F.when(kk >= 3, alt_tag(cc, 2)).otherwise(F.lit("")),
+        F.when(kk >= 4, alt_tag(cc, 3)).otherwise(F.lit("")),
+        F.when((kk >= 2) & (cc % 3 == 0), F.concat(
+            F.lit('<link rel="alternate" hreflang="x-default" href="'),
+            variant_url(cc, 1), F.lit('">'),
+        )).otherwise(F.lit("")),
+    )
+    html = F.concat(
+        F.lit("<html><head>"), tags,
+        F.lit('<link rel="alternate-print" hreflang="xx" '
+              'href="https://bad.example/">'),
+        F.lit('<link rel="stylesheet" href="/css">'
+              "</head><body>x</body></html>"),
+    )
+    lang_col = (
+        F.when(F.col("v") == 0, F.lit("de"))
+        .when(F.col("v") == 1, F.lit("en"))
+        .when(F.col("v") == 2, F.lit("fr"))
+        .otherwise(F.lit("pt"))
+    )
+    url = F.concat(
+        F.lit("https://"), lang_col, F.lit(".hx"),
+        (cc % 30).cast("string"), F.lit(".example/d/"), cc.cast("string"),
+    )
+    return members.select(url.alias("url"), html.alias("html"))
+
+
+def q_hreflang_clusters(spark, sf_dir):
+    """§2.6 set ops / §2.9 frontier: hreflang translation-cluster
+    assignment (plans/hreflang.hreflang_clusters) — join-free,
+    exchange-free cluster keying exploiting the spec's
+    every-member-declares-everyone contract: cluster_key = min(declared
+    hrefs ∪ self) computed per-row; representative honors the site's
+    x-default when declared. The oracle derives every member's
+    assignment closed-form from the planted cluster geometry."""
+    from go_htmldate_spark.plans.hreflang import hreflang_clusters
+
+    return hreflang_clusters(_hreflang_pages(spark))
+
+
+def q_hreflang_stats(spark, sf_dir):
+    """§2.4 aggregation: hreflang cluster roll-up (plans/hreflang.
+    hreflang_cluster_stats) — members per cluster, max declared-set
+    size, x-default counts: the bidirectional-consistency audit. One
+    exchange on cluster_key over the same synth corpus as
+    hreflang_clusters."""
+    from go_htmldate_spark.plans.hreflang import (
+        hreflang_cluster_stats, hreflang_clusters,
+    )
+
+    return hreflang_cluster_stats(hreflang_clusters(_hreflang_pages(spark)))
+
+
 def q_frontier_allgates(spark, sf_dir):
     """§2.9 frontier, COMPOSED: a 2-round crawl with EVERY waste gate
     on at once — dust rewrite, redirect collapse, UT1 blocklist (InSet
@@ -3415,6 +3644,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revisit_stats": q_revisit_stats,
         "revisit_roundtrip": q_revisit_roundtrip,
         "rel_canonical": q_rel_canonical,
+        "meta_robots": q_meta_robots,
+        "nofollow_links": q_nofollow_links,
+        "pagination_chains": q_pagination_chains,
+        "hreflang_clusters": q_hreflang_clusters,
+        "hreflang_stats": q_hreflang_stats,
         "host_backoff": q_host_backoff,
         "adaptive_delay": q_adaptive_delay,
         "water_fill": q_water_fill,
@@ -5920,6 +6154,128 @@ def oracle_sql() -> dict[str, str]:
                                  || '.example/c/' || grp
                    END AS dst_url
             FROM g WHERE cls IN (0, 1, 2)
+        """,
+        # Page-level robots directives: each planted class's flags in
+        # closed form (see q_meta_robots for the class table).
+        "meta_robots": """
+            WITH g AS (
+              SELECT o_orderkey AS k, o_orderkey % 8 AS cls FROM orders
+            )
+            SELECT 'https://mr' || (k % 25) || '.example/p/' || k AS url,
+                   cls IN (0, 2, 4) AS noindex,
+                   cls IN (0, 1, 2, 4) AS nofollow,
+                   cls = 3 AS noarchive
+            FROM g
+        """,
+        # Nofollow-aware anchors: two planted absolute-target anchors
+        # per page (the /rel/skip anchor is dropped); anchor 1 is
+        # followed unless the page-level meta says nofollow (cls 1),
+        # anchor 2 only when its rel is the nofollownot boundary trap
+        # on a page without the meta (cls 3).
+        "nofollow_links": """
+            WITH g AS (
+              SELECT o_orderkey AS k, o_orderkey % 4 AS cls FROM orders
+            )
+            SELECT 'nf' || (k % 20) || '.example' AS src_host,
+                   'https://dst' || (k % 7) || '.example/a/' || k
+                     AS target_url,
+                   'link one ' || (k % 13) AS anchor,
+                   cls <> 1 AS followed
+            FROM g
+            UNION ALL
+            SELECT 'nf' || (k % 20) || '.example',
+                   'https://dst' || ((k + 3) % 7) || '.example/b/' || k,
+                   'second link',
+                   cls = 3
+            FROM g
+        """,
+        # Pagination chains: chain c has len=(c%5)+2 members p0..;
+        # member j's index is j+1 off root p0, except the planted
+        # cycle class c%17==0 (last page declares next back to p0)
+        # whose members all resolve to NULL/false.
+        "pagination_chains": """
+            WITH m AS (
+              SELECT i // 6 AS c, i % 6 AS j, (i // 6) % 5 + 2 AS len
+              FROM range(18000) t(i)
+            ),
+            mm AS (SELECT * FROM m WHERE j < len)
+            SELECT 'https://pg' || (c % 40) || '.example/s/' || c
+                     || '/p' || j AS url,
+                   CASE WHEN c % 17 <> 0
+                        THEN 'https://pg' || (c % 40) || '.example/s/'
+                             || c || '/p0' END AS root_url,
+                   CAST(CASE WHEN c % 17 <> 0 THEN j + 1 END
+                        AS BIGINT) AS page_idx,
+                   CAST(CASE WHEN c % 17 <> 0 THEN len END
+                        AS BIGINT) AS chain_len,
+                   c % 17 <> 0 AS resolved
+            FROM mm
+        """,
+        # hreflang clusters: cluster c has k=(c%4)+1 variants in lang
+        # order de<en<fr<pt, so the cluster key is always the de
+        # variant; c%3==0 clusters (k>=2) declare x-default at the en
+        # variant, which becomes the representative there.
+        "hreflang_clusters": """
+            WITH m AS (
+              SELECT i // 4 AS c, i % 4 AS v, (i // 4) % 4 + 1 AS k
+              FROM range(12000) t(i)
+            ),
+            mm AS (
+              SELECT c, v, k,
+                     CASE v WHEN 0 THEN 'de' WHEN 1 THEN 'en'
+                            WHEN 2 THEN 'fr' ELSE 'pt' END AS lang,
+                     k >= 2 AND c % 3 = 0 AS xd
+              FROM m WHERE v < k
+            )
+            SELECT 'https://' || lang || '.hx' || (c % 30)
+                     || '.example/d/' || c AS url,
+                   'https://' || CASE WHEN k = 1 THEN lang ELSE 'de' END
+                     || '.hx' || (c % 30) || '.example/d/' || c
+                     AS cluster_key,
+                   'https://' || CASE WHEN k = 1 THEN lang
+                                      WHEN xd THEN 'en' ELSE 'de' END
+                     || '.hx' || (c % 30) || '.example/d/' || c
+                     AS representative,
+                   CAST(CASE WHEN k = 1 THEN 0
+                             ELSE k + CASE WHEN xd THEN 1 ELSE 0 END END
+                        AS BIGINT) AS n_alternates,
+                   xd AS has_xdefault,
+                   (xd AND v = 1) OR (NOT xd AND (k = 1 OR v = 0))
+                     AS is_representative
+            FROM mm
+        """,
+        # hreflang cluster roll-up over the same planted geometry:
+        # singletons (k=1) key on their own url with zero declared;
+        # k>=2 clusters have k members each declaring the full set
+        # (+1 when the cluster carries x-default).
+        "hreflang_stats": """
+            WITH m AS (
+              SELECT i // 4 AS c, i % 4 AS v, (i // 4) % 4 + 1 AS k
+              FROM range(12000) t(i)
+            ),
+            mm AS (
+              SELECT c, v, k,
+                     CASE v WHEN 0 THEN 'de' WHEN 1 THEN 'en'
+                            WHEN 2 THEN 'fr' ELSE 'pt' END AS lang,
+                     k >= 2 AND c % 3 = 0 AS xd
+              FROM m WHERE v < k
+            ),
+            keyed AS (
+              SELECT 'https://' || CASE WHEN k = 1 THEN lang ELSE 'de' END
+                       || '.hx' || (c % 30) || '.example/d/' || c
+                       AS cluster_key,
+                     CASE WHEN k = 1 THEN 0
+                          ELSE k + CASE WHEN xd THEN 1 ELSE 0 END END
+                       AS declared,
+                     xd
+              FROM mm
+            )
+            SELECT cluster_key,
+                   CAST(COUNT(*) AS BIGINT) AS n_members,
+                   CAST(MAX(declared) AS BIGINT) AS max_declared,
+                   CAST(SUM(CASE WHEN xd THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_with_xdefault
+            FROM keyed GROUP BY cluster_key
         """,
         # Composed 2-round all-gates crawl: the expected fetch log in
         # closed form (see q_frontier_allgates for the derivation).

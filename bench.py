@@ -91,6 +91,10 @@ def main() -> None:
         "change_rate", "dust_rules", "dust_apply", "mirror_hosts",
         "ip_topk", "host_backoff", "rel_canonical", "soft404",
         "soft404_demotion",
+        "meta_robots", "nofollow_links", "pagination_chains",
+        "hreflang_clusters", "hreflang_stats",
+        "cache_ttl", "revalidation_plan", "revisit_stats",
+        "hll_host_distinct", "cms_heavy_hosts",
         "ccnet_buckets", "snapshot_diff", "snapshot_diff_stats",
         "host_datacard", "wet_roundtrip", "feed_parse",
         "warc_revisit", "wat_metadata", "revisit_roundtrip",

@@ -1,0 +1,178 @@
+"""Page-level robots directives: `<meta name="robots">` flags and
+nofollow-aware link extraction.
+
+robots.txt (sources/robots.py) is the HOST-level exclusion protocol;
+pages carry their own layer: `<meta name="robots"
+content="noindex, nofollow">` (and the per-anchor `rel="nofollow"`
+microformat). A compliant pipeline must honor both — noindex pages
+are fetchable but must not enter the index/training corpus, nofollow
+pages contribute no outlinks to discovery, and nofollow ANCHORS must
+not feed the link graph (they are the paid/UGC links PageRank-family
+signals are required to ignore; every major engine discounts them,
+which is exactly why plans/hostgraph.py's rank tables want the
+filtered edge stream).
+
+Reference analog: none — go-htmldate has no crawl layer; the meta
+scan reuses the same tag-soup regexp discipline its kernel applies to
+date metas (core.go examineMeta family), here as native Catalyst
+expressions.
+
+Spark-first shape: everything is MAP-ONLY — a tag-level
+regexp_extract_all scan plus array HOFs inside one projection chain,
+zero exchanges, zero Python, no DOM build (the rel_canonical.py
+contract: discovery passes over 100 TB must be scan-speed). Directive
+semantics follow the Robots Meta Tag spec: values are comma-separated
+case-insensitive tokens, `none` ≡ noindex+nofollow, multiple robots
+metas union their restrictions (most-restrictive-wins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_META_TAG_RX = r"(?i)<meta\s[^>]*>"
+# name value must terminate right after 'robots' (quote/space/'>') so
+# name="robots-extra" never matches — rel_canonical.py's boundary
+# discipline.
+_NAME_ROBOTS_RX = r"(?i)\bname\s*=\s*['\"]?robots(?:['\"]|[\s>])"
+# quoted content: backreference-delimited (commas and spaces legal
+# inside); unquoted content: one token, commas legal, stops at
+# quote/space/'>'
+_CONTENT_Q_RX = r"""(?i)\bcontent\s*=\s*(["'])((?:(?!\1)[^>])*)\1"""
+_CONTENT_U_RX = r"""(?i)\bcontent\s*=\s*([^'" >]+)"""
+
+# directive token inside the comma-joined union of all robots metas:
+# token boundaries are start/end/comma/whitespace
+def _has_token(joined: Column, token: str) -> Column:
+    return joined.rlike(r"(?i)(?:^|[,\s])" + token + r"(?:[,\s]|$)")
+
+
+def robots_directives(html: Column) -> Column:
+    """The page's robots-meta directives as one comma-joined lowered
+    string (empty when no robots meta): the shared scan every
+    flag/gate in this module keys on. Pure column algebra — stays in
+    whole-stage codegen wherever it's placed."""
+    tags = F.regexp_extract_all(
+        html.cast("string"), F.lit(_META_TAG_RX), F.lit(0)
+    )
+    robots = F.filter(tags, lambda t: t.rlike(_NAME_ROBOTS_RX))
+    contents = F.transform(
+        robots,
+        lambda t: F.lower(
+            F.coalesce(
+                F.nullif(F.regexp_extract(t, _CONTENT_Q_RX, 2), F.lit("")),
+                F.regexp_extract(t, _CONTENT_U_RX, 1),
+            )
+        ),
+    )
+    return F.concat_ws(",", contents)
+
+
+def page_nofollow(html: Column) -> Column:
+    """True when the page's own robots meta says its links must not
+    be followed (nofollow or none) — the discovery-side gate the
+    scheduler applies under CrawlConfig.respect_nofollow."""
+    joined = robots_directives(html)
+    return _has_token(joined, "nofollow") | _has_token(joined, "none")
+
+
+def page_noindex(html: Column) -> Column:
+    """True when the page's own robots meta says it must not be
+    indexed (noindex or none)."""
+    joined = robots_directives(html)
+    return _has_token(joined, "noindex") | _has_token(joined, "none")
+
+
+def meta_robots_flags(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """pages → (url, noindex, nofollow, noarchive): the page's own
+    robots directives. Both attribute orders, any quote style/case,
+    multiple robots metas union (most restrictive wins), `none`
+    implies noindex+nofollow; pages with no robots meta (or an
+    explicit index,follow) report all-false. Map-only."""
+    casted = pages.select(
+        F.col(url_col).alias("url"),
+        F.col(html_col).cast("string").alias("_h"),
+    )
+    staged = casted.select(
+        "url", robots_directives(F.col("_h")).alias("_directives")
+    )
+    d = F.col("_directives")
+    none_ = _has_token(d, "none")
+    return staged.select(
+        "url",
+        (_has_token(d, "noindex") | none_).alias("noindex"),
+        (_has_token(d, "nofollow") | none_).alias("nofollow"),
+        _has_token(d, "noarchive").alias("noarchive"),
+    )
+
+
+def _anchor_rel_nofollow(tag: Column) -> Column:
+    """True when one <a ...> tag carries rel=nofollow (token-exact:
+    rel="nofollownot" and rel="not-nofollow" don't count; multi-token
+    rel="nofollow noopener" does)."""
+    rel = F.coalesce(
+        F.nullif(
+            F.regexp_extract(
+                tag, r"""(?i)\brel\s*=\s*(["'])((?:(?!\1)[^>])*)\1""", 2
+            ),
+            F.lit(""),
+        ),
+        F.regexp_extract(tag, r"""(?i)\brel\s*=\s*([^'" >]+)""", 1),
+    )
+    return rel.rlike(r"(?i)(?:^|\s)nofollow(?:\s|$)")
+
+
+def extract_follow_anchors(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """hostgraph.extract_anchors with robots semantics: (src_host,
+    target_url, anchor, followed) — followed=false when the anchor
+    carries rel=nofollow OR the page's robots meta says nofollow.
+    Feed `.filter("followed")` to the rank/anchor-text layers; keeping
+    the flag (rather than dropping rows) lets the same pass audit how
+    much of a host's linking is discounted. Map-only: the anchor scan
+    (three zipped regexp_extract_all passes over one read of the page
+    bytes) and the meta scan run in the same projection."""
+    from .canonical import url_host
+    from .hostgraph import ANCHOR_RX
+
+    casted = pages.select(
+        F.col(url_col).alias("_url"),
+        F.col(html_col).cast("string").alias("_h"),
+    )
+    h = F.col("_h")
+    full = F.regexp_extract_all(h, F.lit(ANCHOR_RX), F.lit(0))
+    hrefs = F.regexp_extract_all(h, F.lit(ANCHOR_RX), F.lit(2))
+    texts = F.regexp_extract_all(h, F.lit(ANCHOR_RX), F.lit(3))
+    pairs = casted.select(
+        url_host(F.col("_url")).alias("src_host"),
+        page_nofollow(h).alias("_page_nf"),
+        F.explode(
+            F.arrays_zip(full.alias("g"), hrefs.alias("t"), texts.alias("a"))
+        ).alias("z"),
+    )
+    return pairs.select(
+        "src_host",
+        F.col("z.t").alias("target_url"),
+        F.lower(
+            F.trim(F.regexp_replace(F.col("z.a"), r"\s+", " "))
+        ).alias("anchor"),
+        (
+            ~F.col("_page_nf") & ~_anchor_rel_nofollow(F.col("z.g"))
+        ).alias("followed"),
+    ).filter(F.col("target_url").rlike(r"^https?://"))
+
+
+def noindex_corpus_gate(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Corpus-side compliance filter: drop noindex pages before
+    curation/training export (the page said 'do not index me'; a
+    training corpus is an index). Broadcast-free: the flags compute in
+    the page's own row, so this is a map-only filter that preserves
+    whatever partitioning the corpus has."""
+    casted = pages.withColumn("_h", F.col(html_col).cast("string"))
+    return casted.filter(~page_noindex(F.col("_h"))).drop("_h")

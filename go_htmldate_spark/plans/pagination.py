@@ -1,0 +1,224 @@
+"""rel=next/prev pagination-chain assembly: series detection as a
+frontier plan.
+
+Paginated series (article pages 1..N, calendar archives, forum
+threads) declare their order with `<link rel="next" href>` /
+`rel="prev"` (the pre-2011 Google crawl hint, still emitted by every
+major CMS). A crawler that knows the chain can (a) collapse a series
+to its root for dedup/budget purposes, (b) demote deep tail pages —
+page 47 of a tag archive is classic crawl waste (the same waste class
+as plans/traps.py's calendar traps, but declared by the site itself
+rather than inferred from the URL shape) — and (c) detect *cyclic*
+declarations (A next B, B next A), which would otherwise chase a
+2-page loop forever.
+
+Reference analog: none — go-htmldate is per-document; this is the
+crawl-side layer the north rule adds. Edge DISCOVERY is the same
+map-only native-regexp fast path as plans/rel_canonical.py (zero
+exchanges, zero Python, no DOM build); chain ASSEMBLY is the same
+pointer-doubling discipline as plans/redirects.py — O(log max_pages)
+self-join sweeps with checkpoint-truncated lineage, except the
+pointer here walks *prev* edges and accumulates the hop COUNT so
+every member learns its 1-based page index, not just its root.
+
+100 TB shape: each sweep is one shuffle keyed on the pointer; the
+page table itself never moves (edges are O(paginated pages), a small
+fraction of the corpus), and the final stats join moves O(chains)
+rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Same boundary discipline as plans/rel_canonical.py (HTML5-tokenizer
+# classes, differential-fuzz-pinned there): the rel value must
+# TERMINATE right after the keyword so rel="next-up" never matches,
+# '>' is not consumed by the rel-first scan, '/' stays part of an
+# unquoted value. Java regex, Spark-side only — oracles are
+# closed-form.
+_REL_FIRST_T = (
+    r"(?i)<link[^>]*\brel\s*=\s*['\"]?{kw}(?:['\"]|\s)[^>]*"
+    r"\bhref\s*=\s*['\"]?([^'\" >]+)"
+)
+_HREF_FIRST_T = (
+    r"(?i)<link[^>]*\bhref\s*=\s*['\"]?([^'\" >]+)['\"]?[^>]*"
+    r"\brel\s*=\s*['\"]?{kw}(?:['\"]|[\s>]|$)"
+)
+
+
+def link_rel_href(html: Column, keyword: str) -> Column:
+    """First `<link rel="<keyword>" href>` value in the raw html (both
+    attribute orders, any quote style/case), else NULL."""
+    h = html.cast("string")
+    rel_first = _REL_FIRST_T.format(kw=keyword)
+    href_first = _HREF_FIRST_T.format(kw=keyword)
+    return F.nullif(
+        F.coalesce(
+            F.nullif(F.regexp_extract(h, rel_first, 1), F.lit("")),
+            F.nullif(F.regexp_extract(h, href_first, 1), F.lit("")),
+        ),
+        F.lit(""),
+    )
+
+
+def link_rel_edges(
+    pages: DataFrame,
+    keyword: str,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """pages → (src_url, dst_url) edges from `<link rel=<keyword>>`
+    declarations, href resolved like plans/rel_canonical.py: absolute
+    http(s) as-is, protocol-relative completed with the page's scheme,
+    root-relative with scheme://host; dotted-relative skipped;
+    self-edges dropped. Same staged-projection + optimizer-fence
+    layout as rel_canonical_edges so every generated method stays
+    under Janino's 64 KB limit and the regex work is paid once."""
+    u = F.col(url_col)
+    casted = pages.select(
+        u.alias("src_url"),
+        F.col(html_col).cast("string").alias("_h"),
+    )
+    staged = casted.select(
+        F.col("src_url"),
+        link_rel_href(F.col("_h"), keyword).alias("_href"),
+        F.regexp_extract(
+            F.col("src_url"), r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1
+        ).alias("_scheme"),
+        F.regexp_extract(
+            F.col("src_url"), r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1
+        ).alias("_host"),
+        F.monotonically_increasing_id().alias("_mid"),
+    )
+    href, scheme, host = F.col("_href"), F.col("_scheme"), F.col("_host")
+    dst = (
+        F.when(href.rlike(r"^(?i)https?://"), href)
+        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+        .when(
+            href.startswith("/"),
+            F.concat(scheme, F.lit("://"), host, href),
+        )
+    )
+    return (
+        staged.select(F.col("src_url"), dst.alias("dst_url"), F.col("_mid"))
+        .filter(
+            F.col("dst_url").isNotNull()
+            & (F.col("dst_url") != F.col("src_url"))
+            & (F.col("_mid") >= 0)
+        )
+        .select("src_url", "dst_url")
+    )
+
+
+def rel_next_edges(pages: DataFrame, url_col: str = "url",
+                   html_col: str = "html") -> DataFrame:
+    """`<link rel="next">` forward edges (src_url, dst_url)."""
+    return link_rel_edges(pages, "next", url_col, html_col)
+
+
+def rel_prev_edges(pages: DataFrame, url_col: str = "url",
+                   html_col: str = "html") -> DataFrame:
+    """`<link rel="prev">` backward edges (src_url, dst_url)."""
+    return link_rel_edges(pages, "prev", url_col, html_col)
+
+
+def pagination_chains(
+    next_edges: DataFrame,
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+    max_pages: int = 64,
+) -> DataFrame:
+    """(src → next) pagination edges → one row per chain member:
+    (url, root_url, page_idx, chain_len, resolved).
+
+    root_url is the chain's FIRST page (the member with no incoming
+    next-edge), page_idx its 1-based position, chain_len the number of
+    members sharing the root. Cyclic declarations — any member whose
+    walk never escapes within max_pages hops — flag resolved=false
+    with NULL root/index/len (the redirects.py masking convention:
+    scheduling decisions must not consume a bogus root).
+
+    Pointer doubling with distance accumulation: seed each member with
+    its one-hop PREV pointer (parent = the page declaring it as next;
+    conflicting parents collapse to the lexicographic min,
+    deterministic under any partitioning), then k = ceil(log2
+    max_pages) sweeps of ptr ← ptr's ptr / dist ← dist + ptr's dist.
+    A root's pointer is itself with dist 0, so converged members stop
+    accumulating automatically. One shuffle per sweep on the pointer
+    key; lineage checkpoint-truncated every sweep."""
+    sc = next_edges.sparkSession.sparkContext
+
+    def ckpt(df: DataFrame) -> DataFrame:
+        if sc.getCheckpointDir() is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    # prev map: parent(dst) = min(src); nodes = every url on either side
+    parent = next_edges.groupBy(F.col(dst_col).alias("url")).agg(
+        F.min(src_col).alias("parent")
+    )
+    nodes = (
+        next_edges.select(F.col(src_col).alias("url"))
+        .unionByName(next_edges.select(F.col(dst_col).alias("url")))
+        .distinct()
+    )
+    ptr = ckpt(
+        nodes.join(parent, "url", "left").select(
+            "url",
+            F.coalesce("parent", F.col("url")).alias("root"),
+            F.when(F.col("parent").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0)).cast("long").alias("dist"),
+        )
+    )
+    sweeps = max(1, (max_pages - 1).bit_length())  # 2^sweeps >= max_pages
+    for _ in range(sweeps):
+        hop = ptr.select(
+            F.col("url").alias("t_url"),
+            F.col("root").alias("t_root"),
+            F.col("dist").alias("t_dist"),
+        )
+        ptr = ckpt(
+            ptr.join(hop, ptr["root"] == hop["t_url"], "left").select(
+                "url",
+                F.coalesce("t_root", "root").alias("root"),
+                (F.col("dist") + F.coalesce("t_dist", F.lit(0)))
+                .cast("long").alias("dist"),
+            )
+        )
+    # a true root has no parent; a walk still ending on a parented node
+    # after 2^sweeps hop-skips is cyclic (or beyond the page budget)
+    proot = parent.select(F.col("url").alias("p_url"))
+    flagged = ptr.join(proot, ptr["root"] == proot["p_url"], "left").select(
+        "url", "root", "dist", F.col("p_url").isNull().alias("resolved")
+    )
+    sizes = (
+        flagged.filter("resolved")
+        .groupBy(F.col("root").alias("s_root"))
+        .agg(F.count(F.lit(1)).cast("long").alias("s_len"))
+    )
+    return flagged.join(
+        sizes, flagged["root"] == sizes["s_root"], "left"
+    ).select(
+        "url",
+        F.when(F.col("resolved"), F.col("root")).alias("root_url"),
+        F.when(F.col("resolved"), F.col("dist") + 1)
+        .cast("long").alias("page_idx"),
+        F.when(F.col("resolved"), F.col("s_len"))
+        .cast("long").alias("chain_len"),
+        "resolved",
+    )
+
+
+def deep_page_demotion(
+    chains: DataFrame, max_page_idx: int = 3
+) -> DataFrame:
+    """Chain members past max_page_idx (plus every cyclic member) in
+    the scheduler's demotion currency: (url, budget 0.0) — min-merged
+    into the host budget table like soft-404 / mirror / parked
+    demotion, so tag-archive page 47 stops consuming politeness slots
+    that page 1 of a fresh series needs."""
+    return chains.filter(
+        (~F.col("resolved")) | (F.col("page_idx") > max_page_idx)
+    ).select("url", F.lit(0.0).alias("budget"))

@@ -88,6 +88,13 @@ class CrawlConfig:
     trap_max_depth: int = 16
     trap_max_params: int = 8
     trap_min_repeat: int = 3
+    # page-level robots compliance (plans/metarobots.py): when on, a
+    # fetched page whose own `<meta name="robots">` says nofollow (or
+    # none) contributes NO outlinks to discovery — the page-side layer
+    # of the exclusion protocol robots.txt can't express. Map-only
+    # predicate on rows the fetch stage already holds in memory; the
+    # discovery stream's shape is unchanged.
+    respect_nofollow: bool = False
     # per-IP politeness (Heritrix "queue by IP"): virtual hosts that
     # resolve to one server share a fetch cap. 0 = off. Applied AFTER
     # the per-host top-k, so the IP window's input is already bounded
@@ -226,6 +233,7 @@ class CrawlScheduler:
         host_ip: DataFrame | None = None,
         opic_state: DataFrame | None = None,
         yield_table: DataFrame | None = None,
+        url_suppress: DataFrame | None = None,
     ) -> None:
         self.spark = spark
         self.config = config
@@ -331,6 +339,31 @@ class CrawlScheduler:
             rdir = os.path.join(self.state_dir, "redirect_map")
             self.redirects.write.mode("overwrite").parquet(rdir)
             self.redirects = spark.read.parquet(rdir)
+        # URL-level suppress list (a 'url' column in CANONICAL form):
+        # discovered outlinks on it never enter the frontier. The
+        # currency for page-granular waste the host/domain tables
+        # can't express — deep pagination tails, cyclic rel=next
+        # members (plans/pagination.deep_page_demotion). One left-anti
+        # join on the discovery stream per round; Catalyst/AQE
+        # broadcasts it while it's small (the redirects convention).
+        # Seeds are exempt, like every discovery-side gate.
+        self.url_suppress = (
+            url_suppress.select(
+                canonicalize_url(F.col("url")).alias("url")
+            ).distinct()
+            if url_suppress is not None
+            else None
+        )
+        if self.url_suppress is not None and self._dust_rules:
+            # same composition rule as the redirect map: the discovery
+            # stream is dust-rewritten before this gate, so the
+            # suppress keys must live in dust-canonical spelling
+            from go_htmldate_spark.plans.dust import dust_rewrite_exprs
+
+            s_url, _ = dust_rewrite_exprs(F.col("url"), self._dust_rules)
+            self.url_suppress = self.url_suppress.select(
+                s_url.alias("url")
+            ).distinct()
         # (host, ip) DNS-cache table for per-IP politeness
         # (config.ip_budget). A real DNS cache holds several A records
         # per host; the left join in step 5.5 would then DUPLICATE
@@ -748,7 +781,16 @@ class CrawlScheduler:
         ).cache()
 
         # 7. discovery
-        discovered = extracted.select(
+        link_source = extracted
+        if cfg.respect_nofollow:
+            from go_htmldate_spark.plans.metarobots import page_nofollow
+
+            # the page said its links are not endorsements: it yields
+            # no outlinks (its own fetch/extract result still counts)
+            link_source = extracted.filter(
+                ~page_nofollow(F.col("html"))
+            )
+        discovered = link_source.select(
             F.col("date").alias("parent_date"),
             F.explode("outlinks").alias("out_url"),
         ).select(
@@ -770,6 +812,13 @@ class CrawlScheduler:
             # target once instead of walking the chain a round per hop;
             # cycle members drop (plans/redirects.py)
             discovered = apply_redirects(discovered, self.redirects)
+        if self.url_suppress is not None:
+            # page-granular waste gate (deep pagination tails, cycle
+            # members): suppressed URLs never enter the frontier.
+            # Left-anti on the url key; AQE broadcasts the small side.
+            discovered = discovered.join(
+                self.url_suppress, "url", "left_anti"
+            )
         discovered = discovered.select(
             "url",
             url_hash(F.col("url")).alias("url_hash"),

@@ -239,6 +239,26 @@ def main() -> None:
         "session-id minting) before they enter the frontier",
     )
     ap.add_argument(
+        "--respect-nofollow", action="store_true",
+        help="honor page-level robots metas: a fetched page whose own "
+        "<meta name=robots> says nofollow (or none) contributes no "
+        "outlinks to discovery",
+    )
+    ap.add_argument(
+        "--demote-deep-pages",
+        metavar="PAGES_DIR",
+        help="parquet dir of fetched pages (url, html); rel=next "
+        "pagination chains are assembled from their declarations and "
+        "members past --max-page-idx (plus every cyclic member) are "
+        "suppressed from discovery — tag-archive page 47 stops "
+        "consuming politeness slots",
+    )
+    ap.add_argument(
+        "--max-page-idx", type=int, default=3,
+        help="deepest pagination index still crawled by "
+        "--demote-deep-pages (default 3)",
+    )
+    ap.add_argument(
         "--yield-log",
         metavar="LOG_DIR",
         help="parquet dir of a prior cycle's fetch log (url + date or "
@@ -435,6 +455,24 @@ def main() -> None:
             typosquat_pairs(hosts, brands, max_dist=args.typosquat_dist)
         ))
 
+    url_suppress = None
+    if args.demote_deep_pages:
+        from go_htmldate_spark.plans.pagination import (
+            deep_page_demotion,
+            pagination_chains,
+            rel_next_edges,
+        )
+
+        obs = spark.read.parquet(args.demote_deep_pages)
+        html_c = (F.decode(F.col("html"), "UTF-8")
+                  if dict(obs.dtypes).get("html") == "binary"
+                  else F.col("html"))
+        obs = obs.select("url", html_c.alias("html"))
+        url_suppress = deep_page_demotion(
+            pagination_chains(rel_next_edges(obs)),
+            max_page_idx=args.max_page_idx,
+        ).select("url")
+
     if args.backoff_log:
         from go_htmldate_spark.plans.backoff import host_backoff
         from go_htmldate_spark.plans.scheduler import CrawlConfig as _CC
@@ -552,6 +590,7 @@ def main() -> None:
         state_dir=args.state,
         config=CrawlConfig(
             trap_guard=args.trap_guard, ip_budget=args.ip_budget,
+            respect_nofollow=args.respect_nofollow,
             site_budget=args.site_budget,
             psl_rules=tuple(
                 Path(args.psl).read_text(encoding="utf-8").splitlines()
@@ -565,6 +604,7 @@ def main() -> None:
         ),
         opic_state=opic_state,
         yield_table=yield_table,
+        url_suppress=url_suppress,
     )
 
     if args.resume:

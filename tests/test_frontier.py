@@ -2675,3 +2675,86 @@ def test_scheduler_yield_prior_matches_oracle(
     base.init_from_seeds(seeds)
     base.run(N_ROUNDS)
     assert base.fetch_log != orc.fetch_log
+
+
+def test_scheduler_respect_nofollow_gates_outlinks(spark, tmp_path_factory):
+    """With CrawlConfig.respect_nofollow, a fetched page whose own
+    robots meta says nofollow contributes no outlinks to discovery —
+    but the page itself still schedules/extracts; with the flag off
+    its links flow. Pages without the meta are untouched either way."""
+    from go_htmldate_spark.plans.scheduler import CrawlConfig, CrawlScheduler
+
+    date_meta = ("<meta property='article:published_time' "
+                 "content='2024-01-02'/>")
+    nf_html = (f"<html><head>{date_meta}"
+               "<meta name='robots' content='nofollow'>"
+               "</head><body>x</body></html>")
+    ok_html = f"<html><head>{date_meta}</head><body>x</body></html>"
+    gated = "https://n.example.org/from-nofollow"
+    free = "https://n.example.org/from-clean"
+    corpus = spark.createDataFrame(
+        [
+            ("https://n.example.org/nf", nf_html, [gated]),
+            ("https://n.example.org/ok", ok_html, [free]),
+        ],
+        "url string, html string, outlinks array<string>",
+    )
+    seeds = spark.createDataFrame(
+        [("https://n.example.org/nf", 1.0),
+         ("https://n.example.org/ok", 0.9)],
+        "url string, priority double",
+    )
+
+    def frontier_urls(respect):
+        d = tmp_path_factory.mktemp(f"nf{respect}")
+        sched = CrawlScheduler(
+            spark, corpus, robots=None, host_budget=None, state_dir=str(d),
+            config=CrawlConfig(n_bloom_partitions=2, bloom_bits=1 << 12,
+                               respect_nofollow=respect),
+        )
+        sched.init_from_seeds(seeds)
+        sched.run(1)
+        return {r["url"] for r in sched.frontier.select("url").collect()}
+
+    respected = frontier_urls(True)
+    assert free in respected
+    assert gated not in respected
+    plain = frontier_urls(False)
+    assert {gated, free} <= plain
+
+
+def test_scheduler_url_suppress_blocks_discovery(spark, tmp_path_factory):
+    """A url_suppress table (the deep-pagination demotion currency)
+    keeps its URLs out of the frontier at discovery time: suppressed
+    outlinks never enter, clean ones do, and seeds are exempt like
+    every discovery-side gate. Suppress keys pass through the same
+    canonicalization as discovered URLs (fragments strip)."""
+    from go_htmldate_spark.plans.scheduler import CrawlConfig, CrawlScheduler
+
+    html = ("<html><head><meta property='article:published_time' "
+            "content='2024-01-02'/></head><body>x</body></html>")
+    deep = "https://s.example.org/tag/archive?page=47"
+    clean = "https://s.example.org/article/1"
+    corpus = spark.createDataFrame(
+        [("https://s.example.org/start", html, [deep, clean])],
+        "url string, html string, outlinks array<string>",
+    )
+    seeds = spark.createDataFrame(
+        [("https://s.example.org/start", 1.0)],
+        "url string, priority double",
+    )
+    suppress = spark.createDataFrame(
+        # fragment must not defeat the match: canonicalization strips it
+        [(deep + "#frag",)], "url string",
+    )
+    d = tmp_path_factory.mktemp("sup")
+    sched = CrawlScheduler(
+        spark, corpus, robots=None, host_budget=None, state_dir=str(d),
+        config=CrawlConfig(n_bloom_partitions=2, bloom_bits=1 << 12),
+        url_suppress=suppress,
+    )
+    sched.init_from_seeds(seeds)
+    sched.run(1)
+    frontier = {r["url"] for r in sched.frontier.select("url").collect()}
+    assert clean in frontier
+    assert all("page=47" not in u for u in frontier)

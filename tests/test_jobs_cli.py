@@ -651,3 +651,68 @@ def test_crawl_job_yield_log_reranks(spark, tmp_path_factory,
     gated = run("gated", ["--yield-log", str(log_dir)])
     assert plain and gated
     assert plain != gated
+
+
+def test_crawl_job_deep_pages_and_nofollow(spark, tmp_path_factory,
+                                           monkeypatch, capsys):
+    """--demote-deep-pages + --respect-nofollow: rel=next chains
+    assembled from an observed-pages dir suppress members past
+    --max-page-idx from discovery, and a nofollow page's outlinks
+    never enter the frontier — the plain run discovers all seven
+    outlinks, the gated run exactly four."""
+    import go_htmldate_spark.session as sess
+
+    base = tmp_path_factory.mktemp("deep_cli")
+    date_meta = ("<meta property='article:published_time' "
+                 "content='2024-01-02'/>")
+    ok = f"<html><head>{date_meta}</head><body>x</body></html>"
+    nf = (f"<html><head>{date_meta}"
+          "<meta name='robots' content='nofollow'>"
+          "</head><body>x</body></html>")
+    chain = [f"https://d.example.org/list?page={i}" for i in range(1, 6)]
+    clean = "https://d.example.org/article"
+    gated = "https://d.example.org/hidden"
+    corpus = spark.createDataFrame(
+        [
+            ("https://d.example.org/start", ok, chain + [clean]),
+            ("https://d.example.org/nfpage", nf, [gated]),
+        ],
+        "url string, html string, outlinks array<string>",
+    )
+    pages_dir = base / "pages"
+    corpus.write.parquet(str(pages_dir))
+    # observed pages declaring the chain: page i rel=next page i+1
+    obs = spark.createDataFrame(
+        [(chain[i],
+          f'<html><head><link rel="next" href="{chain[i + 1]}">'
+          "</head></html>")
+         for i in range(len(chain) - 1)]
+        + [(chain[-1], "<html><head></head></html>")],
+        "url string, html string",
+    )
+    obs_dir = base / "obs"
+    obs.write.parquet(str(obs_dir))
+
+    monkeypatch.setattr(sess, "get_spark", lambda **kw: spark)
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    job = _load_job("crawl_job")
+
+    def run(state, extra):
+        monkeypatch.setattr(sys, "argv", [
+            "crawl_job.py", "--pages", str(pages_dir),
+            "--state", str(base / state), "--rounds", "1",
+            "--n-seeds", "4",
+        ] + extra)
+        job.main()
+        out = capsys.readouterr().out
+        return [json.loads(l) for l in out.splitlines()
+                if l.startswith("{") and "n_frontier" in l][0]
+
+    plain = run("plain", [])
+    assert plain["n_frontier"] == 7
+    gated_run = run("gated", [
+        "--demote-deep-pages", str(obs_dir), "--max-page-idx", "3",
+        "--respect-nofollow",
+    ])
+    # chain pages 4 and 5 suppressed, the nofollow page's link gone
+    assert gated_run["n_frontier"] == 4

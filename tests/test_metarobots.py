@@ -1,0 +1,142 @@
+"""Page-level robots directives (plans/metarobots): meta flag parsing,
+nofollow-aware anchor extraction, and the noindex corpus gate.
+
+Reference analog: none — go-htmldate has no crawl layer; the tag-soup
+regexp discipline mirrors its meta scan (core.go examineMeta family).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from go_htmldate_spark.plans.metarobots import (
+    extract_follow_anchors,
+    meta_robots_flags,
+    noindex_corpus_gate,
+)
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(rows, "url string, html string")
+
+
+def _flags(spark, html):
+    row = meta_robots_flags(
+        _pages(spark, [("https://a.example/p", html)])
+    ).head()
+    return (row["noindex"], row["nofollow"], row["noarchive"])
+
+
+def test_flag_parsing_variants(spark):
+    # plain double-quoted, comma-separated
+    assert _flags(
+        spark, '<meta name="robots" content="noindex, nofollow">'
+    ) == (True, True, False)
+    # reversed attribute order, single quotes, self-closing
+    assert _flags(
+        spark, "<meta content='noarchive' name='robots'/>"
+    ) == (False, False, True)
+    # unquoted + uppercase; none == noindex+nofollow
+    assert _flags(spark, "<META NAME=ROBOTS CONTENT=NONE>") == (
+        True, True, False,
+    )
+    # explicit index,follow is not a restriction
+    assert _flags(
+        spark, '<meta name="robots" content="index, follow">'
+    ) == (False, False, False)
+    # no meta at all
+    assert _flags(spark, "<html><body>x</body></html>") == (
+        False, False, False,
+    )
+
+
+def test_multiple_metas_union_most_restrictive(spark):
+    html = (
+        '<meta name="robots" content="noindex"><p>body</p>'
+        "<meta name='robots' content='nofollow'>"
+    )
+    assert _flags(spark, html) == (True, True, False)
+
+
+def test_token_and_name_boundaries(spark):
+    # name="robots-extra" is a different meta; noindexing substring
+    # tokens must not match either
+    assert _flags(
+        spark, '<meta name="robots-extra" content="noindex">'
+    ) == (False, False, False)
+    assert _flags(
+        spark, '<meta name="robots" content="noindexing">'
+    ) == (False, False, False)
+    # description metas whose content happens to say none don't count
+    assert _flags(
+        spark, '<meta name="description" content="none">'
+    ) == (False, False, False)
+
+
+def test_follow_anchors_page_and_anchor_level(spark):
+    pages = _pages(spark, [
+        # anchor-level nofollow on the second link only
+        ("https://s.example/a",
+         '<a href="https://t.example/1">One</a>'
+         '<a rel="nofollow" href="https://t.example/2">Two</a>'),
+        # page-level meta nofollow discounts every anchor
+        ("https://s.example/b",
+         '<meta name="robots" content="nofollow">'
+         '<a href="https://t.example/3">Three</a>'),
+        # multi-token rel counts; nofollownot does not; relative dropped
+        ("https://s.example/c",
+         "<a rel='nofollow noopener' href='https://t.example/4'>Four</a>"
+         '<a rel="nofollownot" href="https://t.example/5">Five</a>'
+         '<a href="/relative">skip</a>'),
+    ])
+    rows = {
+        r["target_url"]: (r["src_host"], r["anchor"], r["followed"])
+        for r in extract_follow_anchors(pages).collect()
+    }
+    assert rows == {
+        "https://t.example/1": ("s.example", "one", True),
+        "https://t.example/2": ("s.example", "two", False),
+        "https://t.example/3": ("s.example", "three", False),
+        "https://t.example/4": ("s.example", "four", False),
+        "https://t.example/5": ("s.example", "five", True),
+    }
+
+
+def test_anchor_text_normalized(spark):
+    pages = _pages(spark, [
+        ("https://s.example/a",
+         '<a href="https://t.example/1">  Read   MORE\n here </a>'),
+    ])
+    row = extract_follow_anchors(pages).head()
+    assert row["anchor"] == "read more here"
+    assert row["followed"]
+
+
+def test_noindex_corpus_gate(spark):
+    pages = _pages(spark, [
+        ("https://a.example/keep", "<html><body>fine</body></html>"),
+        ("https://a.example/drop1",
+         '<meta name="robots" content="noindex">x'),
+        ("https://a.example/drop2", "<META NAME=ROBOTS CONTENT=none>x"),
+        ("https://a.example/keep2",
+         '<meta name="robots" content="nofollow">x'),
+    ]).withColumn("extra", F.length("html"))
+    out = noindex_corpus_gate(pages)
+    kept = sorted(r["url"] for r in out.collect())
+    assert kept == ["https://a.example/keep", "https://a.example/keep2"]
+    # original columns survive the gate
+    assert set(out.columns) == {"url", "html", "extra"}
+
+
+def test_meta_flags_plan_is_map_only(spark):
+    """The 100 TB contract: the flags compute in the page's own row —
+    no exchange, no Python eval anywhere in the plan."""
+    pages = _pages(
+        spark, [("https://a.example/p", '<meta name="robots" content="x">')]
+    )
+    plan = (
+        meta_robots_flags(pages)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan

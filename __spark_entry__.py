@@ -2543,6 +2543,86 @@ def q_frontier_allgates(spark, sf_dir):
     )
 
 
+def q_frontier_pagegates(spark, sf_dir):
+    """§2.9 frontier, COMPOSED: a 2-round crawl with the page-level
+    compliance gates on — respect_nofollow (a fetched page whose own
+    robots meta says nofollow contributes no outlinks) and
+    url_suppress (deep-pagination demotion currency; suppressed URLs
+    never enter via discovery but remain fetchable as SEEDS) —
+    replayed through the real CrawlScheduler and emitting the fetch
+    log (round, rank, url, priority, date). The oracle derives the
+    log closed-form:
+
+    - 6 hosts h0..h5, one dated seed /s each (2023-06-02, recency
+      exactly 0.5), outlinks [/a, /deep] everywhere.
+    - EVEN seeds carry <meta name="robots" content="nofollow">: their
+      outlinks never reach discovery.
+    - the suppress list holds every /deep URL AND h0's own seed — the
+      seed still fetches in round 0 (discovery-side gates exempt
+      seeds), proving the exemption in the log.
+    - round 0 = the 6 seeds at 1.0; round 1 = /a of the ODD hosts
+      only, at default-budget x recency = 2.0 x 0.5 = 1.0 priority.
+    """
+    import shutil
+    import tempfile
+
+    from go_htmldate_spark.plans.scheduler import CrawlConfig, CrawlScheduler
+
+    hosts = [f"h{i}.example" for i in range(6)]
+    nf_meta = "<meta name='robots' content='nofollow'>"
+    rows = []
+    for i, h in enumerate(hosts):
+        base = f"https://{h}"
+        extra = nf_meta if i % 2 == 0 else ""
+        rows.append((
+            f"{base}/s",
+            "<html><head><meta property='article:published_time' "
+            f"content='2023-06-02'/>{extra}</head><body>x</body></html>",
+            [f"{base}/a", f"{base}/deep"],
+        ))
+        rows.append((f"{base}/a", "<html><body>x</body></html>", []))
+        rows.append((f"{base}/deep", "<html><body>x</body></html>", []))
+    corpus = spark.createDataFrame(
+        rows, "url string, html string, outlinks array<string>"
+    )
+    suppress = spark.createDataFrame(
+        [(f"https://{h}/deep",) for h in hosts]
+        + [("https://h0.example/s",)],
+        "url string",
+    )
+
+    state_dir = tempfile.mkdtemp(prefix="pagegates_gate_")
+    try:
+        sched = CrawlScheduler(
+            spark, corpus, robots=None, host_budget=None,
+            state_dir=state_dir,
+            config=CrawlConfig(
+                n_bloom_partitions=2, bloom_bits=1 << 12,
+                respect_nofollow=True,
+            ),
+            url_suppress=suppress,
+        )
+        sched.init_from_seeds(spark.createDataFrame(
+            [(f"https://{h}/s", 1.0) for h in hosts],
+            "url string, priority double",
+        ))
+        sched.run_round()
+        sched.run_round()
+        out = []
+        for rnd in (0, 1):
+            fetched = spark.read.parquet(
+                f"{state_dir}/round_{rnd}/fetched"
+            ).collect()
+            fetched.sort(key=lambda r: (-r["priority"], r["url"]))
+            for rank, r in enumerate(fetched, 1):
+                out.append((rnd, rank, r["url"], r["priority"], r["date"]))
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        out, "round int, rank int, url string, priority double, date string"
+    )
+
+
 def q_host_backoff(spark, sf_dir):
     """§2.9 frontier: failure-aware politeness (plans/backoff) —
     trailing consecutive-failure streak per host from the fetch log,
@@ -3669,6 +3749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "yield_prior_apply": q_yield_prior_apply,
         "collocations": q_collocations,
         "frontier_allgates": q_frontier_allgates,
+        "frontier_pagegates": q_frontier_pagegates,
         "dust_rules": q_dust_rules,
         "dust_apply": q_dust_apply,
         "mirror_hosts": q_mirror_hosts,
@@ -6305,6 +6386,33 @@ def oracle_sql() -> dict[str, str]:
                      CAST(1.0 AS DOUBLE), ''
               FROM hosts, (VALUES ('a'), ('b')) p(s)
               WHERE i IN (2, 4, 5, 6, 7)
+            ),
+            logd AS (SELECT * FROM r0 UNION ALL SELECT * FROM r1)
+            SELECT round,
+                   CAST(row_number() OVER (
+                     PARTITION BY round ORDER BY priority DESC, url ASC
+                   ) AS INT) AS rank,
+                   url, priority, date
+            FROM logd
+        """,
+        # Composed page-gates crawl: round 0 = the six seeds (h0's
+        # seed is on the suppress list but seeds are exempt), round 1
+        # = /a of the odd hosts only (even seeds are nofollow so their
+        # links never discover; every /deep is suppressed) at
+        # default-budget x recency = 2.0 x 0.5 = 1.0 priority.
+        "frontier_pagegates": """
+            WITH hosts AS (SELECT CAST(range AS INT) AS i FROM range(0, 6)),
+            r0 AS (
+              SELECT 0 AS round,
+                     'https://h' || i || '.example/s' AS url,
+                     CAST(1.0 AS DOUBLE) AS priority,
+                     '2023-06-02' AS date
+              FROM hosts
+            ),
+            r1 AS (
+              SELECT 1, 'https://h' || i || '.example/a',
+                     CAST(1.0 AS DOUBLE), ''
+              FROM hosts WHERE i % 2 = 1
             ),
             logd AS (SELECT * FROM r0 UNION ALL SELECT * FROM r1)
             SELECT round,

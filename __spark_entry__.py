@@ -2427,6 +2427,74 @@ def q_hreflang_stats(spark, sf_dir):
     return hreflang_cluster_stats(hreflang_clusters(_hreflang_pages(spark)))
 
 
+def q_meta_refresh(spark, sf_dir):
+    """§2.9 frontier: client-side redirect mining (plans/aliases.
+    meta_refresh_edges) — `<meta http-equiv="refresh">` parsed
+    map-only: both attribute orders, any quote style/case, delay from
+    the content's leading integer, target from its url= clause (the
+    URL itself may be quoted inside a quoted content), rel_canonical
+    href resolution, no-url self-reloads / self-targets / boundary
+    traps dropped. Six planted classes from orders; the oracle derives
+    the surviving edges closed-form."""
+    from go_htmldate_spark.plans.aliases import meta_refresh_edges
+
+    o = _t(spark, sf_dir, "orders")
+    okey = F.col("o_orderkey")
+    url = F.concat(F.lit("https://rf"), (okey % 30).cast("string"),
+                   F.lit(".example/p/"), okey.cast("string"))
+    cls = okey % 6
+    html = (
+        F.when(cls == 0, F.concat(
+            F.lit('<meta http-equiv="refresh" content="0;url=https://mv'),
+            (okey % 9).cast("string"), F.lit(".example/n/"),
+            okey.cast("string"), F.lit('">')))
+        .when(cls == 1, F.concat(
+            F.lit("<meta content='5; URL = /moved/"), okey.cast("string"),
+            F.lit("' http-equiv='refresh'>")))
+        .when(cls == 2, F.concat(
+            F.lit('<META HTTP-EQUIV=REFRESH CONTENT="2;url=\'//cdn'),
+            (okey % 4).cast("string"), F.lit(".example/c/"),
+            okey.cast("string"), F.lit("'\">")))
+        .when(cls == 3, F.lit(
+            '<meta http-equiv="refresh" content="30">'))
+        .when(cls == 4, F.lit(
+            '<meta http-equiv="refresh-x" content="0;url=/no">'))
+        .otherwise(F.lit("<html><body>no refresh</body></html>"))
+    )
+    pages = o.select(url.alias("url"), html.alias("html"))
+    return meta_refresh_edges(pages)
+
+
+def q_page_aliases(spark, sf_dir):
+    """§2.9 frontier: the unioned client-side alias stream (plans/
+    aliases.page_alias_edges) — AMP variant links and og:url
+    self-declared canonicals alongside meta-refresh, each tagged with
+    its kind. Four planted classes from orders (amp declaration,
+    og:url differing from the fetched spelling, og:url self-match
+    that must drop, bare page); the oracle rebuilds the edge tuples
+    closed-form."""
+    from go_htmldate_spark.plans.aliases import page_alias_edges
+
+    o = _t(spark, sf_dir, "orders")
+    okey = F.col("o_orderkey")
+    base = F.concat(F.lit("https://al"), (okey % 20).cast("string"),
+                    F.lit(".example/a/"), okey.cast("string"))
+    cls = okey % 4
+    url = F.when(cls == 1, F.concat(base, F.lit("?utm_source=x"))) \
+        .otherwise(base)
+    html = (
+        F.when(cls == 0, F.concat(
+            F.lit('<link rel="amphtml" href="'), base, F.lit('/amp">')))
+        .when(cls == 1, F.concat(
+            F.lit('<meta property="og:url" content="'), base, F.lit('">')))
+        .when(cls == 2, F.concat(
+            F.lit("<meta name='og:url' content='"), base, F.lit("'>")))
+        .otherwise(F.lit("<html><body>plain</body></html>"))
+    )
+    pages = o.select(url.alias("url"), html.alias("html"))
+    return page_alias_edges(pages)
+
+
 def q_frontier_allgates(spark, sf_dir):
     """§2.9 frontier, COMPOSED: a 2-round crawl with EVERY waste gate
     on at once — dust rewrite, redirect collapse, UT1 blocklist (InSet
@@ -3729,6 +3797,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagination_chains": q_pagination_chains,
         "hreflang_clusters": q_hreflang_clusters,
         "hreflang_stats": q_hreflang_stats,
+        "meta_refresh": q_meta_refresh,
+        "page_aliases": q_page_aliases,
         "host_backoff": q_host_backoff,
         "adaptive_delay": q_adaptive_delay,
         "water_fill": q_water_fill,
@@ -6357,6 +6427,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN xd THEN 1 ELSE 0 END) AS BIGINT)
                      AS n_with_xdefault
             FROM keyed GROUP BY cluster_key
+        """,
+        # Client-side redirects: surviving classes 0/1/2 with their
+        # analytically-known targets and delays (3 = no url, 4 =
+        # boundary trap, 5 = no meta — all dropped).
+        "meta_refresh": """
+            WITH g AS (
+              SELECT o_orderkey AS k, o_orderkey % 6 AS cls FROM orders
+            )
+            SELECT 'https://rf' || (k % 30) || '.example/p/' || k
+                     AS src_url,
+                   CASE cls
+                     WHEN 0 THEN 'https://mv' || (k % 9)
+                                 || '.example/n/' || k
+                     WHEN 1 THEN 'https://rf' || (k % 30)
+                                 || '.example/moved/' || k
+                     WHEN 2 THEN 'https://cdn' || (k % 4)
+                                 || '.example/c/' || k
+                   END AS dst_url,
+                   CAST(CASE cls WHEN 0 THEN 0 WHEN 1 THEN 5
+                                 WHEN 2 THEN 2 END AS BIGINT) AS delay_s
+            FROM g WHERE cls IN (0, 1, 2)
+        """,
+        # Alias union: class 0 → amp edge, class 1 → og edge off the
+        # tracking-param spelling; class 2's self-declaring og drops,
+        # class 3 declares nothing.
+        "page_aliases": """
+            WITH g AS (
+              SELECT o_orderkey AS k, o_orderkey % 4 AS cls FROM orders
+            ),
+            b AS (
+              SELECT k, cls,
+                     'https://al' || (k % 20) || '.example/a/' || k AS base
+              FROM g
+            )
+            SELECT CASE WHEN cls = 1 THEN base || '?utm_source=x'
+                        ELSE base END AS src_url,
+                   CASE WHEN cls = 0 THEN base || '/amp'
+                        ELSE base END AS dst_url,
+                   CASE WHEN cls = 0 THEN 'amp' ELSE 'og' END AS kind
+            FROM b WHERE cls IN (0, 1)
         """,
         # Composed 2-round all-gates crawl: the expected fetch log in
         # closed form (see q_frontier_allgates for the derivation).

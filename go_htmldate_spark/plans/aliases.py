@@ -1,0 +1,173 @@
+"""Client-side alias edges: meta-refresh redirects, AMP variants, and
+og:url self-declarations.
+
+HTTP 3xx chains (plans/redirects.py) are only one alias channel; pages
+mint aliases client-side too:
+
+- `<meta http-equiv="refresh" content="N;url=...">` — the HTML-level
+  redirect (soft moves, domain parking, interstitials). For a crawler
+  it IS a redirect edge: the refresh target should own the frontier
+  slot, and immediate refreshes (delay 0-1 s) are the classic parked/
+  moved signal.
+- `<link rel="amphtml">` — the page's declared AMP variant: a
+  near-duplicate alias the dedup/budget layers should collapse onto
+  the canonical page, exactly like a mirror.
+- `<meta property="og:url">` — the page's own statement of its
+  canonical URL (the social-graph dedup key). When it differs from
+  the fetched URL it is a rel=canonical-grade alias edge; when it
+  matches (the common case) it carries no information and is dropped.
+
+Reference analog: none — go-htmldate has no crawl layer; the tag-soup
+regexp discipline mirrors its meta scan (core.go examineMeta family).
+
+Spark-first shape: all three miners are MAP-ONLY — one tag-level
+regexp_extract_all pass plus projection algebra, zero exchanges, zero
+Python, no DOM build (the rel_canonical.py contract: discovery passes
+over 100 TB must run at scan speed). Meta-refresh edges feed
+plans/redirects.resolve_redirects unchanged (pointer-doubling chain
+collapse, cycle drop); amp/og edges feed the alias/demotion layers in
+the same (src_url, dst_url) currency as rel_canonical_edges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .metarobots import _CONTENT_Q_RX, _CONTENT_U_RX, _META_TAG_RX
+
+# http-equiv value must terminate right after 'refresh' (quote / space
+# / '>') so http-equiv="refresh-x" never matches — the boundary
+# discipline of plans/rel_canonical.py.
+_EQUIV_REFRESH_RX = r"(?i)\bhttp-equiv\s*=\s*['\"]?refresh(?:['\"]|[\s>])"
+# inside the content value: leading delay seconds, then url=... — the
+# URL may itself be single/double-quoted within a quoted content
+_DELAY_RX = r"^\s*([0-9]+)"
+_URL_IN_CONTENT_RX = r"(?i)\burl\s*=\s*['\"]?\s*([^'\" >]+)"
+# og:url carried under property= (the OpenGraph spelling) or name=
+# (the tolerated one)
+_OG_URL_RX = r"(?i)\b(?:property|name)\s*=\s*['\"]?og:url(?:['\"]|[\s>])"
+
+
+def _content_of(tag: Column) -> Column:
+    """content attribute of one <meta> tag (quoted wins, unquoted
+    fallback), NULL when absent."""
+    return F.coalesce(
+        F.nullif(F.regexp_extract(tag, _CONTENT_Q_RX, 2), F.lit("")),
+        F.nullif(F.regexp_extract(tag, _CONTENT_U_RX, 1), F.lit("")),
+    )
+
+
+def _resolve(href: Column, scheme: Column, host: Column) -> Column:
+    """Absolute http(s) as-is, protocol-relative completed with the
+    page's scheme, root-relative with scheme://host; anything else
+    (dotted-relative, javascript:, empty) → NULL. The rel_canonical.py
+    resolution law."""
+    return (
+        F.when(href.rlike(r"^(?i)https?://"), href)
+        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+        .when(href.startswith("/"),
+              F.concat(scheme, F.lit("://"), host, href))
+    )
+
+
+def _with_origin(pages: DataFrame, url_col: str, html_col: str) -> DataFrame:
+    return pages.select(
+        F.col(url_col).alias("src_url"),
+        F.col(html_col).cast("string").alias("_h"),
+        F.regexp_extract(
+            F.col(url_col), r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1
+        ).alias("_scheme"),
+        F.regexp_extract(
+            F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1
+        ).alias("_host"),
+    )
+
+
+def meta_refresh_edges(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """pages → (src_url, dst_url, delay_s) client-side redirect edges
+    from `<meta http-equiv="refresh">`: both attribute orders, any
+    quote style/case, the delay parsed from the content's leading
+    integer, the target from its url= clause resolved like
+    rel_canonical hrefs. Refreshes with no url= (self-reload tickers)
+    and self-targets drop. Rename to (src_url, dst_url) and feed
+    plans/redirects.resolve_redirects to collapse chains."""
+    staged = _with_origin(pages, url_col, html_col)
+    tags = F.regexp_extract_all(F.col("_h"), F.lit(_META_TAG_RX), F.lit(0))
+    refresh = F.filter(tags, lambda t: t.rlike(_EQUIV_REFRESH_RX))
+    content = F.get(F.transform(refresh, _content_of), 0)
+    parsed = staged.select(
+        "src_url", "_scheme", "_host",
+        content.alias("_content"),
+    ).select(
+        "src_url", "_scheme", "_host",
+        F.nullif(
+            F.regexp_extract(F.col("_content"), _URL_IN_CONTENT_RX, 1),
+            F.lit(""),
+        ).alias("_target"),
+        F.regexp_extract(F.col("_content"), _DELAY_RX, 1)
+        .cast("long").alias("delay_s"),
+    )
+    dst = _resolve(F.col("_target"), F.col("_scheme"), F.col("_host"))
+    return (
+        parsed.select(
+            "src_url", dst.alias("dst_url"), "delay_s"
+        )
+        .filter(
+            F.col("dst_url").isNotNull()
+            & (F.col("dst_url") != F.col("src_url"))
+        )
+    )
+
+
+def amphtml_edges(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """pages → (src_url, dst_url) edges to the page's declared AMP
+    variant (`<link rel="amphtml" href>`) — alias edges in the
+    rel_canonical currency, pointing canonical → variant."""
+    from .pagination import link_rel_edges
+
+    return link_rel_edges(pages, "amphtml", url_col, html_col)
+
+
+def og_url_edges(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """pages → (src_url, dst_url) edges where the page's og:url
+    differs from the fetched URL — the OpenGraph self-declared
+    canonical as an alias signal; self-matches (the normal case)
+    carry no information and drop."""
+    staged = _with_origin(pages, url_col, html_col)
+    tags = F.regexp_extract_all(F.col("_h"), F.lit(_META_TAG_RX), F.lit(0))
+    og = F.filter(tags, lambda t: t.rlike(_OG_URL_RX))
+    content = F.get(F.transform(og, _content_of), 0)
+    dst = _resolve(content, F.col("_scheme"), F.col("_host"))
+    return (
+        staged.select("src_url", dst.alias("dst_url"))
+        .filter(
+            F.col("dst_url").isNotNull()
+            & (F.col("dst_url") != F.col("src_url"))
+        )
+    )
+
+
+def page_alias_edges(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Union of the client-side alias channels with their kind
+    ('refresh' | 'amp' | 'og') — one page scan per channel, all
+    map-only, for the dedup/budget layers that want every alias
+    signal in one stream."""
+    r = meta_refresh_edges(pages, url_col, html_col).select(
+        "src_url", "dst_url", F.lit("refresh").alias("kind")
+    )
+    a = amphtml_edges(pages, url_col, html_col).select(
+        "src_url", "dst_url", F.lit("amp").alias("kind")
+    )
+    o = og_url_edges(pages, url_col, html_col).select(
+        "src_url", "dst_url", F.lit("og").alias("kind")
+    )
+    return r.unionByName(a).unionByName(o)

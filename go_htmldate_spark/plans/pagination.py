@@ -155,13 +155,23 @@ def pagination_chains(
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
+    # Materialize the edge list ONCE before anything consumes it: the
+    # edges usually arrive as a map-only regexp scan over the page
+    # corpus (rel_next_edges), and this function reads them four times
+    # (parent map, both node sides, the final root check) — without a
+    # cut, the 100 TB corpus scan replays four times. O(paginated
+    # pages) rows, tiny next to the corpus.
+    edges = ckpt(next_edges.select(
+        F.col(src_col).alias(src_col), F.col(dst_col).alias(dst_col)
+    ))
+
     # prev map: parent(dst) = min(src); nodes = every url on either side
-    parent = next_edges.groupBy(F.col(dst_col).alias("url")).agg(
+    parent = edges.groupBy(F.col(dst_col).alias("url")).agg(
         F.min(src_col).alias("parent")
     )
     nodes = (
-        next_edges.select(F.col(src_col).alias("url"))
-        .unionByName(next_edges.select(F.col(dst_col).alias("url")))
+        edges.select(F.col(src_col).alias("url"))
+        .unionByName(edges.select(F.col(dst_col).alias("url")))
         .distinct()
     )
     ptr = ckpt(

@@ -116,6 +116,14 @@ def main() -> None:
         "page-declared canonical target",
     )
     ap.add_argument(
+        "--refresh-redirects", action="store_true",
+        help="mine <meta http-equiv=refresh> client-side redirect "
+        "edges from the page corpus (map-only regexp scan) and "
+        "resolve them together with --redirects/--canonical-links "
+        "edges — chains crossing channels (a 301 landing on a refresh "
+        "shell) still collapse to one terminal",
+    )
+    ap.add_argument(
         "--recrawl-history",
         help="parquet dir of fetch history (url, fetch_ts, content_sig); "
         "seeds become Cho-Garcia-Molina recrawl priorities "
@@ -543,7 +551,7 @@ def main() -> None:
 
     os.makedirs(args.state, exist_ok=True)
     redirects = None
-    if args.redirects or args.canonical_links:
+    if args.redirects or args.canonical_links or args.refresh_redirects:
         from go_htmldate_spark.plans.canonical import canonicalize_url
         from go_htmldate_spark.plans.redirects import resolve_redirects
 
@@ -559,6 +567,11 @@ def main() -> None:
 
             canon = rel_canonical_edges(pages)
             edges = canon if edges is None else edges.unionByName(canon)
+        if args.refresh_redirects:
+            from go_htmldate_spark.plans.aliases import meta_refresh_edges
+
+            refresh = meta_refresh_edges(pages).select("src_url", "dst_url")
+            edges = refresh if edges is None else edges.unionByName(refresh)
         # the scheduler applies resolved edges to CANONICALIZED
         # discovered URLs, so both endpoints must be canonicalized too
         # (raw-spelling src keys would never match; raw dst targets

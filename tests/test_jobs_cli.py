@@ -716,3 +716,51 @@ def test_crawl_job_deep_pages_and_nofollow(spark, tmp_path_factory,
     ])
     # chain pages 4 and 5 suppressed, the nofollow page's link gone
     assert gated_run["n_frontier"] == 4
+
+
+def test_crawl_job_refresh_redirects(spark, tmp_path_factory,
+                                     monkeypatch, capsys):
+    """--refresh-redirects: a discovered outlink whose page declares a
+    meta-refresh collapses to the refresh target before entering the
+    frontier; without the flag the shell URL enters as-is."""
+    import go_htmldate_spark.session as sess
+
+    base = tmp_path_factory.mktemp("refresh_cli")
+    date_meta = ("<meta property='article:published_time' "
+                 "content='2024-01-02'/>")
+    ok = f"<html><head>{date_meta}</head><body>x</body></html>"
+    shell = ("<html><head><meta http-equiv='refresh' "
+             "content=\"0;url=https://r.example.org/target\">"
+             "</head><body>moved</body></html>")
+    corpus = spark.createDataFrame(
+        [
+            ("https://r.example.org/start", ok,
+             ["https://r.example.org/shell"]),
+            ("https://r.example.org/shell", shell, []),
+            ("https://r.example.org/target", ok, []),
+        ],
+        "url string, html string, outlinks array<string>",
+    )
+    pages_dir = base / "pages"
+    corpus.write.parquet(str(pages_dir))
+    monkeypatch.setattr(sess, "get_spark", lambda **kw: spark)
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    job = _load_job("crawl_job")
+
+    def frontier(state, extra):
+        monkeypatch.setattr(sys, "argv", [
+            "crawl_job.py", "--pages", str(pages_dir),
+            "--state", str(base / state), "--rounds", "1",
+            "--n-seeds", "1",
+        ] + extra)
+        job.main()
+        capsys.readouterr()
+        import pyspark.sql.functions as F  # noqa: F401
+        snap = spark.read.parquet(str(base / state / "round_0" / "frontier"))
+        return {r["url"] for r in snap.select("url").collect()}
+
+    plain = frontier("plain", [])
+    assert "https://r.example.org/shell" in plain
+    mined = frontier("mined", ["--refresh-redirects"])
+    assert "https://r.example.org/target" in mined
+    assert "https://r.example.org/shell" not in mined

@@ -148,3 +148,38 @@ def hreflang_cluster_stats(clusters: DataFrame) -> DataFrame:
         F.sum(F.when(F.col("has_xdefault"), 1).otherwise(0))
         .cast("long").alias("n_with_xdefault"),
     )
+
+
+def hreflang_representative_filter(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Keep ONE page per translation cluster: the declared
+    representative (x-default target when present, else the cluster
+    key) if it is in the corpus, else the first member by
+    (representative-flag desc, url asc) — so a cluster whose
+    representative was never fetched still contributes exactly one
+    variant. Pages declaring nothing are singleton clusters and always
+    survive.
+
+    Shuffle shape: the decision runs over the PROJECTED
+    (url, cluster_key, is_representative) columns — one exchange on
+    cluster_key carrying ~3 small strings per page — then a url-keyed
+    semi join brings the verdict back to the full rows (the
+    line_dedup/remove_dup_spans join-back convention in
+    jobs/curate_job.py); page bytes cross one exchange at most."""
+    from pyspark.sql import Window
+
+    cl = hreflang_clusters(pages, url_col, html_col).select(
+        "url", "cluster_key", "is_representative"
+    )
+    w = Window.partitionBy("cluster_key").orderBy(
+        F.col("is_representative").desc(), F.col("url").asc()
+    )
+    keep = (
+        cl.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("url").alias("_keep_url"))
+    )
+    return pages.join(
+        keep, pages[url_col] == keep["_keep_url"], "left_semi"
+    )

@@ -86,6 +86,18 @@ def main() -> None:
         "date; undated docs drop under a mix)",
     )
     ap.add_argument(
+        "--respect-noindex", action="store_true",
+        help="honor page-level robots metas: pages whose own "
+        "<meta name=robots> says noindex (or none) never enter the "
+        "curated corpus (a training corpus is an index)",
+    )
+    ap.add_argument(
+        "--hreflang-dedup", action="store_true",
+        help="collapse declared hreflang translation clusters to one "
+        "page each (the x-default/cluster-key representative when "
+        "fetched, else the first member) before extraction",
+    )
+    ap.add_argument(
         "--wet-output", metavar="DIR",
         help="also export the curated text as WET shards (WARC "
         "conversion records, the Common Crawl text artifact) into DIR",
@@ -131,6 +143,19 @@ def main() -> None:
         pages = host_blocklist_flag(pages, bl, host_col="host").filter(
             ~F.col("blocked")
         ).drop("blocked")
+    # 1b. page-level compliance + declared-duplicate gates, still on
+    #     raw pages — map-only / projected-exchange work that drops
+    #     rows before the byte-heavy extraction stage
+    if args.respect_noindex:
+        from go_htmldate_spark.plans.metarobots import noindex_corpus_gate
+
+        pages = noindex_corpus_gate(pages)
+    if args.hreflang_dedup:
+        from go_htmldate_spark.plans.hreflang import (
+            hreflang_representative_filter,
+        )
+
+        pages = hreflang_representative_filter(pages)
 
     # 2. extraction (C-kernel pandas UDF; staged native URL fast path)
     html_str = F.col("html").cast("string")

@@ -123,3 +123,33 @@ def test_cluster_plan_is_map_only(spark):
     )
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_representative_filter(spark):
+    """One survivor per cluster: the declared representative when
+    fetched; the first member by (rep-flag, url) when the
+    representative is missing from the corpus; singletons always
+    survive."""
+    from go_htmldate_spark.plans.hreflang import (
+        hreflang_representative_filter,
+    )
+
+    de, en, fr = (
+        "https://de.example/a", "https://en.example/a",
+        "https://fr.example/a",
+    )
+    full = _alt("de", de) + _alt("en", en) + _alt("x-default", en)
+    # cluster B's members declare a representative (bb) that was never
+    # fetched: the min fetched member must survive instead
+    b1, b2, bb = (
+        "https://b1.example/x", "https://b2.example/x",
+        "https://a0.example/x",
+    )
+    declb = _alt("de", b1) + _alt("en", b2) + _alt("fr", bb)
+    out = hreflang_representative_filter(_pages(spark, [
+        (de, full), (en, full), (fr, full),   # en is x-default rep
+        (b1, declb), (b2, declb),             # bb (cluster key) absent
+        ("https://solo.example/s", "<html></html>"),
+    ]))
+    kept = {r["url"] for r in out.collect()}
+    assert kept == {en, b1, "https://solo.example/s"}

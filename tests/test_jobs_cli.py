@@ -764,3 +764,53 @@ def test_crawl_job_refresh_redirects(spark, tmp_path_factory,
     mined = frontier("mined", ["--refresh-redirects"])
     assert "https://r.example.org/target" in mined
     assert "https://r.example.org/shell" not in mined
+
+
+def test_curate_job_noindex_and_hreflang(spark, tmp_path_factory,
+                                         monkeypatch, capsys):
+    """--respect-noindex + --hreflang-dedup: noindex pages never reach
+    the curated corpus and declared translation clusters collapse to
+    their representative before extraction."""
+    import go_htmldate_spark.session as sess
+
+    from pyspark.sql import functions as F
+
+    base = tmp_path_factory.mktemp("curate_nih")
+    monkeypatch.setattr(sess, "get_spark", lambda **kw: spark)
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    body = ("<p>the quick brown fox jumps over the lazy dog and the "
+            "weather is nice today in the small town square.</p>")
+    date_meta = ('<meta property="article:published_time" '
+                 'content="2023-06-02">')
+    de, en = "https://de.example/a", "https://en.example/a"
+    alts = (f'<link rel="alternate" hreflang="de" href="{de}">'
+            f'<link rel="alternate" hreflang="en" href="{en}">'
+            f'<link rel="alternate" hreflang="x-default" href="{en}">')
+    rows = [
+        ("https://plain.example/keep", ""),
+        ("https://noidx.example/drop",
+         '<meta name="robots" content="noindex">'),
+        (de, alts), (en, alts),
+    ]
+    pages_dir = str(base / "pages")
+    spark.createDataFrame(
+        [(u, "2024-01-01T00:00:00",
+          f"<html><head>{date_meta}{extra}</head><body>{body}</body>"
+          "</html>".encode())
+         for u, extra in rows],
+        "url string, warc_ts string, html binary",
+    ).withColumn(
+        "warc_ts", F.to_timestamp("warc_ts", "yyyy-MM-dd'T'HH:mm:ss")
+    ).write.parquet(pages_dir)
+
+    job = _load_job("curate_job")
+    out_dir = str(base / "out")
+    monkeypatch.setattr(sys, "argv", [
+        "curate_job.py", "--pages", pages_dir, "--output", out_dir,
+        "--respect-noindex", "--hreflang-dedup",
+    ])
+    job.main()
+    capsys.readouterr()
+    kept = {r["url"] for r in
+            spark.read.parquet(out_dir).select("url").collect()}
+    assert kept == {"https://plain.example/keep", en}

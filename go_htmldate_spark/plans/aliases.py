@@ -107,8 +107,16 @@ def meta_refresh_edges(
             F.regexp_extract(F.col("_content"), _URL_IN_CONTENT_RX, 1),
             F.lit(""),
         ).alias("_target"),
-        F.regexp_extract(F.col("_content"), _DELAY_RX, 1)
-        .cast("long").alias("delay_s"),
+        # a content with no leading integer ("url=/x") is an immediate
+        # refresh in every browser: default 0 (nullif also keeps the
+        # ANSI cast from throwing on the empty extract)
+        F.coalesce(
+            F.nullif(
+                F.regexp_extract(F.col("_content"), _DELAY_RX, 1),
+                F.lit(""),
+            ),
+            F.lit("0"),
+        ).cast("long").alias("delay_s"),
     )
     dst = _resolve(F.col("_target"), F.col("_scheme"), F.col("_host"))
     return (

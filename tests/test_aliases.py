@@ -45,6 +45,9 @@ def test_meta_refresh_variants(spark):
          '<meta http-equiv="refresh-x" content="0;url=/no">'),
         # no meta at all
         ("https://a.example/p8", "<html><body>x</body></html>"),
+        # content with no leading delay: browsers refresh immediately
+        ("https://a.example/p9",
+         '<meta http-equiv="refresh" content="url=/n9">'),
     ])
     got = {r["src_url"]: (r["dst_url"], r["delay_s"])
            for r in meta_refresh_edges(pages).collect()}
@@ -52,6 +55,7 @@ def test_meta_refresh_variants(spark):
         "https://a.example/p1": ("https://b.example/n1", 0),
         "https://a.example/p2": ("https://a.example/n2", 5),
         "https://a.example/p3": ("https://cdn.example/n3", 2),
+        "https://a.example/p9": ("https://a.example/n9", 0),
     }
 
 

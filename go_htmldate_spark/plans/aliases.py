@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .canonical import resolve_href as _resolve
 from .metarobots import _CONTENT_Q_RX, _CONTENT_U_RX, _META_TAG_RX
 
 # http-equiv value must terminate right after 'refresh' (quote / space
@@ -58,29 +59,14 @@ def _content_of(tag: Column) -> Column:
     )
 
 
-def _resolve(href: Column, scheme: Column, host: Column) -> Column:
-    """Absolute http(s) as-is, protocol-relative completed with the
-    page's scheme, root-relative with scheme://host; anything else
-    (dotted-relative, javascript:, empty) → NULL. The rel_canonical.py
-    resolution law."""
-    return (
-        F.when(href.rlike(r"^(?i)https?://"), href)
-        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
-        .when(href.startswith("/"),
-              F.concat(scheme, F.lit("://"), host, href))
-    )
-
-
 def _with_origin(pages: DataFrame, url_col: str, html_col: str) -> DataFrame:
+    from .canonical import url_authority_of, url_scheme_of
+
     return pages.select(
         F.col(url_col).alias("src_url"),
         F.col(html_col).cast("string").alias("_h"),
-        F.regexp_extract(
-            F.col(url_col), r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1
-        ).alias("_scheme"),
-        F.regexp_extract(
-            F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1
-        ).alias("_host"),
+        url_scheme_of(F.col(url_col)).alias("_scheme"),
+        url_authority_of(F.col(url_col)).alias("_host"),
     )
 
 
@@ -166,16 +152,50 @@ def page_alias_edges(
     pages: DataFrame, url_col: str = "url", html_col: str = "html"
 ) -> DataFrame:
     """Union of the client-side alias channels with their kind
-    ('refresh' | 'amp' | 'og') — one page scan per channel, all
-    map-only, for the dedup/budget layers that want every alias
-    signal in one stream."""
-    r = meta_refresh_edges(pages, url_col, html_col).select(
-        "src_url", "dst_url", F.lit("refresh").alias("kind")
+    ('refresh' | 'amp' | 'og'), mined in ONE pass: a single projection
+    computes all three targets per row (the meta-tag scan is shared by
+    the refresh and og channels) and explodes — the page bytes are
+    read once, not once per channel. Map-only, for the dedup/budget
+    layers that want every alias signal in one stream."""
+    from .pagination import link_rel_href
+
+    staged = _with_origin(pages, url_col, html_col)
+    tags = F.regexp_extract_all(F.col("_h"), F.lit(_META_TAG_RX), F.lit(0))
+    refresh_content = F.get(F.transform(
+        F.filter(tags, lambda t: t.rlike(_EQUIV_REFRESH_RX)), _content_of
+    ), 0)
+    refresh_target = F.nullif(
+        F.regexp_extract(refresh_content, _URL_IN_CONTENT_RX, 1), F.lit("")
     )
-    a = amphtml_edges(pages, url_col, html_col).select(
-        "src_url", "dst_url", F.lit("amp").alias("kind")
+    og_content = F.get(F.transform(
+        F.filter(tags, lambda t: t.rlike(_OG_URL_RX)), _content_of
+    ), 0)
+    scheme, host = F.col("_scheme"), F.col("_host")
+    channels = staged.select(
+        "src_url",
+        F.array(
+            F.struct(
+                F.lit("refresh").alias("kind"),
+                _resolve(refresh_target, scheme, host).alias("dst_url"),
+            ),
+            F.struct(
+                F.lit("amp").alias("kind"),
+                _resolve(
+                    link_rel_href(F.col("_h"), "amphtml"), scheme, host
+                ).alias("dst_url"),
+            ),
+            F.struct(
+                F.lit("og").alias("kind"),
+                _resolve(og_content, scheme, host).alias("dst_url"),
+            ),
+        ).alias("_ch"),
     )
-    o = og_url_edges(pages, url_col, html_col).select(
-        "src_url", "dst_url", F.lit("og").alias("kind")
+    return (
+        channels.select("src_url", F.explode("_ch").alias("c"))
+        .select("src_url", F.col("c.dst_url").alias("dst_url"),
+                F.col("c.kind").alias("kind"))
+        .filter(
+            F.col("dst_url").isNotNull()
+            & (F.col("dst_url") != F.col("src_url"))
+        )
     )
-    return r.unionByName(a).unionByName(o)

@@ -115,3 +115,30 @@ def surt_key(url: Column) -> Column:
         F.when(query != "", F.concat(F.lit("?"), sorted_query))
         .otherwise(F.lit("")),
     )
+
+
+def url_scheme_of(url: Column) -> Column:
+    """Scheme of an absolute URL ('' when none)."""
+    return F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)
+
+
+def url_authority_of(url: Column) -> Column:
+    """Authority (host[:port]) of an absolute URL ('' when none)."""
+    return F.regexp_extract(
+        url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1
+    )
+
+
+def resolve_href(href: Column, scheme: Column, host: Column) -> Column:
+    """The shared href-resolution law of the page-plan miners
+    (rel_canonical semantics): absolute http(s) as-is,
+    protocol-relative completed with the page's scheme, root-relative
+    with scheme://host; anything else (dotted-relative, mailto,
+    javascript:, empty, NULL) → NULL. One definition so a resolution
+    fix lands everywhere at once (pagination, hreflang, aliases)."""
+    return (
+        F.when(href.rlike(r"^(?i)https?://"), href)
+        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+        .when(href.startswith("/"),
+              F.concat(scheme, F.lit("://"), host, href))
+    )

@@ -49,18 +49,15 @@ _HREF_U_RX = r"""(?i)\bhref\s*=\s*([^'" >]+)"""
 
 def _resolved_href(tag: Column, scheme: Column, host: Column) -> Column:
     """href attribute of one <link> tag, resolved against the page's
-    scheme/host: absolute http(s) as-is, protocol-relative completed
-    with the scheme, root-relative with scheme://host; anything else
-    (dotted-relative, mailto, empty) → NULL."""
+    scheme/host via the shared plans/canonical.resolve_href law
+    (dotted-relative, mailto, empty → NULL)."""
+    from .canonical import resolve_href
+
     href = F.coalesce(
         F.nullif(F.regexp_extract(tag, _HREF_Q_RX, 2), F.lit("")),
         F.nullif(F.regexp_extract(tag, _HREF_U_RX, 1), F.lit("")),
     )
-    return (
-        F.when(href.rlike(r"^(?i)https?://"), href)
-        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
-        .when(href.startswith("/"), F.concat(scheme, F.lit("://"), host, href))
-    )
+    return resolve_href(href, scheme, host)
 
 
 def hreflang_clusters(
@@ -78,22 +75,27 @@ def hreflang_clusters(
 
     Map-only: tag scan → per-tag (lang, href) structs → array algebra,
     all in one projection chain; no exchange anywhere."""
+    from .canonical import url_authority_of, url_scheme_of
+
     u = F.col(url_col)
     casted = pages.select(
         u.alias("url"),
-        F.col(html_col).cast("string").alias("_h"),
+        # NULL html (failed/empty fetches) must behave like a page
+        # declaring nothing — a SINGLETON cluster keyed on its own url.
+        # Without the coalesce, NULL propagates through the array
+        # algebra into cluster_key, and every null-html page lands in
+        # ONE shared NULL cluster (a skew hotspot that
+        # hreflang_representative_filter would collapse to one row).
+        F.coalesce(F.col(html_col).cast("string"), F.lit(""))
+        .alias("_h"),
     )
     staged = casted.select(
         "url",
         F.regexp_extract_all(
             F.col("_h"), F.lit(_LINK_TAG_RX), F.lit(0)
         ).alias("_tags"),
-        F.regexp_extract(
-            F.col("url"), r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1
-        ).alias("_scheme"),
-        F.regexp_extract(
-            F.col("url"), r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1
-        ).alias("_host"),
+        url_scheme_of(F.col("url")).alias("_scheme"),
+        url_authority_of(F.col("url")).alias("_host"),
     )
     scheme, host = F.col("_scheme"), F.col("_host")
     alt_tags = F.filter(

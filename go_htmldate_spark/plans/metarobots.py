@@ -112,17 +112,33 @@ def meta_robots_flags(
 def _anchor_rel_nofollow(tag: Column) -> Column:
     """True when one <a ...> tag carries rel=nofollow (token-exact:
     rel="nofollownot" and rel="not-nofollow" don't count; multi-token
-    rel="nofollow noopener" does)."""
-    rel = F.coalesce(
-        F.nullif(
-            F.regexp_extract(
-                tag, r"""(?i)\brel\s*=\s*(["'])((?:(?!\1)[^>])*)\1""", 2
-            ),
-            F.lit(""),
-        ),
-        F.regexp_extract(tag, r"""(?i)\brel\s*=\s*([^'" >]+)""", 1),
+    rel="nofollow noopener" does). The input is ANCHOR_RX group 0 —
+    the whole `<a ...>text</a>` — so two containment traps apply:
+    anchor TEXT like 'how to use rel=nofollow' and OTHER attributes'
+    quoted values like title="rel=nofollow explained" must never flag
+    the link. The opening tag is cut with ANCHOR_RX's own quote-aware
+    attr salad (a bare '>' split would truncate at a quoted '>'),
+    then its attributes are TOKENIZED left-to-right — a quoted value
+    is consumed whole by its own name=value pair, so 'rel=' text
+    inside one can never start a match — and only a pair actually
+    NAMED rel is inspected."""
+    open_tag = F.regexp_extract(
+        tag, r"""(?is)^<a\s((?:[^>"']|"[^"]*"|'[^']*')*)""", 1
     )
-    return rel.rlike(r"(?i)(?:^|\s)nofollow(?:\s|$)")
+    attr_rx = r"""(?i)\b([a-zA-Z_-]+)\s*=\s*("[^"]*"|'[^']*'|[^'"\s>]+)"""
+    names = F.regexp_extract_all(open_tag, F.lit(attr_rx), F.lit(1))
+    vals = F.regexp_extract_all(open_tag, F.lit(attr_rx), F.lit(2))
+    rel_val = F.get(
+        F.filter(
+            F.arrays_zip(names.alias("n"), vals.alias("v")),
+            lambda s: F.lower(s["n"]) == "rel",
+        ),
+        0,
+    )["v"]
+    unquoted = F.regexp_replace(rel_val, r"""^["']|["']$""", "")
+    return F.coalesce(
+        unquoted.rlike(r"(?i)(?:^|\s)nofollow(?:\s|$)"), F.lit(False)
+    )
 
 
 def extract_follow_anchors(

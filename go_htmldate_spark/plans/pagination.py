@@ -76,6 +76,8 @@ def link_rel_edges(
     self-edges dropped. Same staged-projection + optimizer-fence
     layout as rel_canonical_edges so every generated method stays
     under Janino's 64 KB limit and the regex work is paid once."""
+    from .canonical import resolve_href, url_authority_of, url_scheme_of
+
     u = F.col(url_col)
     casted = pages.select(
         u.alias("src_url"),
@@ -84,22 +86,12 @@ def link_rel_edges(
     staged = casted.select(
         F.col("src_url"),
         link_rel_href(F.col("_h"), keyword).alias("_href"),
-        F.regexp_extract(
-            F.col("src_url"), r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1
-        ).alias("_scheme"),
-        F.regexp_extract(
-            F.col("src_url"), r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1
-        ).alias("_host"),
+        url_scheme_of(F.col("src_url")).alias("_scheme"),
+        url_authority_of(F.col("src_url")).alias("_host"),
         F.monotonically_increasing_id().alias("_mid"),
     )
-    href, scheme, host = F.col("_href"), F.col("_scheme"), F.col("_host")
-    dst = (
-        F.when(href.rlike(r"^(?i)https?://"), href)
-        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
-        .when(
-            href.startswith("/"),
-            F.concat(scheme, F.lit("://"), host, href),
-        )
+    dst = resolve_href(
+        F.col("_href"), F.col("_scheme"), F.col("_host")
     )
     return (
         staged.select(F.col("src_url"), dst.alias("dst_url"), F.col("_mid"))
@@ -183,20 +175,26 @@ def pagination_chains(
         )
     )
     sweeps = max(1, (max_pages - 1).bit_length())  # 2^sweeps >= max_pages
-    for _ in range(sweeps):
+    for s in range(sweeps):
         hop = ptr.select(
             F.col("url").alias("t_url"),
             F.col("root").alias("t_root"),
             F.col("dist").alias("t_dist"),
         )
-        ptr = ckpt(
-            ptr.join(hop, ptr["root"] == hop["t_url"], "left").select(
-                "url",
-                F.coalesce("t_root", "root").alias("root"),
-                (F.col("dist") + F.coalesce("t_dist", F.lit(0)))
-                .cast("long").alias("dist"),
-            )
+        ptr = ptr.join(hop, ptr["root"] == hop["t_url"], "left").select(
+            "url",
+            F.coalesce("t_root", "root").alias("root"),
+            (F.col("dist") + F.coalesce("t_dist", F.lit(0)))
+            .cast("long").alias("dist"),
         )
+        # cut lineage every OTHER sweep (and at the end): each sweep
+        # self-joins ptr, doubling the plan tree, so unbounded sweeps
+        # need truncation — but a cut per sweep pays an eager
+        # materialization barrier each time. Every-other bounds the
+        # tree at two self-join levels (4 base references) while
+        # halving the barriers.
+        if s % 2 == 1 or s == sweeps - 1:
+            ptr = ckpt(ptr)
     # a true root has no parent; a walk still ending on a parented node
     # after 2^sweeps hop-skips is cyclic (or beyond the page budget)
     proot = parent.select(F.col("url").alias("p_url"))

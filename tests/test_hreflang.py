@@ -153,3 +153,23 @@ def test_representative_filter(spark):
     ]))
     kept = {r["url"] for r in out.collect()}
     assert kept == {en, b1, "https://solo.example/s"}
+
+
+def test_null_html_is_singleton_not_shared_cluster(spark):
+    """NULL html (failed/empty fetches) must behave like a page
+    declaring nothing: singleton cluster keyed on its own url — NOT a
+    shared NULL cluster the representative filter would collapse."""
+    from go_htmldate_spark.plans.hreflang import (
+        hreflang_representative_filter,
+    )
+
+    pages = spark.createDataFrame(
+        [("https://n1.example/a", None), ("https://n2.example/a", None)],
+        "url string, html string",
+    )
+    rows = {r["url"]: r for r in hreflang_clusters(pages).collect()}
+    assert rows["https://n1.example/a"]["cluster_key"] == "https://n1.example/a"
+    assert rows["https://n1.example/a"]["n_alternates"] == 0
+    kept = {r["url"] for r in
+            hreflang_representative_filter(pages).collect()}
+    assert kept == {"https://n1.example/a", "https://n2.example/a"}

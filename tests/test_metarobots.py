@@ -140,3 +140,21 @@ def test_meta_flags_plan_is_map_only(spark):
     )
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_rel_scan_ignores_anchor_text_and_title(spark):
+    """The rel= scan must cover the OPENING TAG only: 'rel=nofollow'
+    appearing in the anchor's text (an SEO article) or inside another
+    quoted attribute never flags the link."""
+    pages = _pages(spark, [
+        ("https://s.example/a",
+         '<a href="https://t.example/1">how to use rel=nofollow</a>'
+         '<a title="rel=nofollow explained" href="https://t.example/2">two</a>'
+         '<a title="a>b" rel="nofollow" href="https://t.example/3">three</a>'),
+    ])
+    rows = {r["target_url"]: r["followed"]
+            for r in extract_follow_anchors(pages).collect()}
+    assert rows["https://t.example/1"] is True
+    assert rows["https://t.example/2"] is True
+    # quoted '>' inside an attr must not truncate the rel scan
+    assert rows["https://t.example/3"] is False

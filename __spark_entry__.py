@@ -2495,6 +2495,44 @@ def q_page_aliases(spark, sf_dir):
     return page_alias_edges(pages)
 
 
+def q_visible_text(spark, sf_dir):
+    """§2.11 curation: visible-text extraction (operators/textextract.
+    pages_to_text) — script/style/head subtrees and comments drop
+    whole, block tags become line boundaries, entities decode,
+    whitespace normalizes; the curation chain's text carrier
+    (curate_job --text-extractor visible). Five planted classes from
+    orders; the oracle constructs each class's expected visible text
+    closed-form (no second regex engine involved)."""
+    from go_htmldate_spark.operators.textextract import pages_to_text
+
+    o = _t(spark, sf_dir, "orders")
+    okey = F.col("o_orderkey")
+    url = F.concat(F.lit("https://vt"), (okey % 15).cast("string"),
+                   F.lit(".example/d/"), okey.cast("string"))
+    cls = okey % 5
+    k = okey.cast("string")
+    html = (
+        F.when(cls == 0, F.concat(
+            F.lit("<html><body><script>var x = 1;</script>"
+                  "<style>p { color: red }</style><p>Real content "),
+            k, F.lit(".</p><!-- hidden words --></body></html>")))
+        .when(cls == 1, F.concat(
+            F.lit("<h1>Post "), (okey % 7).cast("string"),
+            F.lit("</h1><p>Body <b>text</b> "), k, F.lit(".</p>")))
+        .when(cls == 2, F.concat(
+            F.lit("<p>Fish &amp; Chips "), k,
+            F.lit(" &lt;3&nbsp;&quot;q&quot;</p>")))
+        .when(cls == 3, F.concat(
+            F.lit("<div>  a   b "), k,
+            F.lit("  </div><div></div><div>c</div>")))
+        .otherwise(F.concat(
+            F.lit("<head><title>never shown</title></head><body>Tail "),
+            k, F.lit("</body>")))
+    )
+    pages = o.select(url.alias("url"), html.alias("html"))
+    return pages_to_text(pages)
+
+
 def q_frontier_allgates(spark, sf_dir):
     """§2.9 frontier, COMPOSED: a 2-round crawl with EVERY waste gate
     on at once — dust rewrite, redirect collapse, UT1 blocklist (InSet
@@ -3799,6 +3837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hreflang_stats": q_hreflang_stats,
         "meta_refresh": q_meta_refresh,
         "page_aliases": q_page_aliases,
+        "visible_text": q_visible_text,
         "host_backoff": q_host_backoff,
         "adaptive_delay": q_adaptive_delay,
         "water_fill": q_water_fill,
@@ -6504,6 +6543,31 @@ def oracle_sql() -> dict[str, str]:
                    ) AS INT) AS rank,
                    url, priority, date
             FROM logd
+        """,
+        # Visible text: each class's expected output constructed in
+        # closed form ('\n' via chr(10)); n_lines = 1 + newline count.
+        "visible_text": """
+            WITH g AS (
+              SELECT o_orderkey AS k, o_orderkey % 5 AS cls FROM orders
+            ),
+            t AS (
+              SELECT k, cls,
+                     'https://vt' || (k % 15) || '.example/d/' || k AS url,
+                     CASE cls
+                       WHEN 0 THEN 'Real content ' || k || '.'
+                       WHEN 1 THEN 'Post ' || (k % 7) || chr(10)
+                                   || 'Body text ' || k || '.'
+                       WHEN 2 THEN 'Fish & Chips ' || k || ' <3 "q"'
+                       WHEN 3 THEN 'a b ' || k || chr(10) || 'c'
+                       ELSE 'Tail ' || k
+                     END AS text
+              FROM g
+            )
+            SELECT url, text,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(CASE WHEN cls IN (1, 3) THEN 2 ELSE 1 END
+                        AS BIGINT) AS n_lines
+            FROM t
         """,
         # Composed page-gates crawl: round 0 = the six seeds (h0's
         # seed is on the suppress list but seeds are exempt), round 1

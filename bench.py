@@ -93,7 +93,7 @@ def main() -> None:
         "soft404_demotion",
         "meta_robots", "nofollow_links", "pagination_chains",
         "hreflang_clusters", "hreflang_stats",
-        "meta_refresh", "page_aliases",
+        "meta_refresh", "page_aliases", "visible_text",
         "cache_ttl", "revalidation_plan", "revisit_stats",
         "hll_host_distinct", "cms_heavy_hosts",
         "ccnet_buckets", "snapshot_diff", "snapshot_diff_stats",

@@ -86,6 +86,13 @@ def main() -> None:
         "date; undated docs drop under a mix)",
     )
     ap.add_argument(
+        "--text-extractor", choices=["strip", "visible"], default="strip",
+        help="text carrier for the curation chain: 'strip' (bare tag "
+        "removal, the historical default) or 'visible' (drop "
+        "script/style/head subtrees and comments, block tags to "
+        "newlines, entities decoded — operators/textextract)",
+    )
+    ap.add_argument(
         "--respect-noindex", action="store_true",
         help="honor page-level robots metas: pages whose own "
         "<meta name=robots> says noindex (or none) never enter the "
@@ -167,10 +174,17 @@ def main() -> None:
     )
     # text = visible body text; here the html body itself is the text
     # carrier (a real deployment plugs a text extractor UDF in between)
-    docs = docs.withColumn(
-        "text",
-        F.regexp_replace("text_html", r"<[^>]+>", " "),
-    ).drop("text_html")
+    if args.text_extractor == "visible":
+        from go_htmldate_spark.operators.textextract import visible_text
+
+        docs = docs.withColumn(
+            "text", visible_text(F.col("text_html"))
+        ).drop("text_html")
+    else:
+        docs = docs.withColumn(
+            "text",
+            F.regexp_replace("text_html", r"<[^>]+>", " "),
+        ).drop("text_html")
 
     # 3. quality + language gates (all native, map-only)
     # doc_id must be UNIQUE PER ROW: Common-Crawl inputs carry the same

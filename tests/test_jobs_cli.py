@@ -814,3 +814,48 @@ def test_curate_job_noindex_and_hreflang(spark, tmp_path_factory,
     kept = {r["url"] for r in
             spark.read.parquet(out_dir).select("url").collect()}
     assert kept == {"https://plain.example/keep", en}
+
+
+def test_curate_job_visible_text_extractor(spark, tmp_path_factory,
+                                           monkeypatch, capsys):
+    """--text-extractor visible: inline script/style bodies never
+    reach the curated text (the bare strip leaks them as words)."""
+    import go_htmldate_spark.session as sess
+
+    from pyspark.sql import functions as F
+
+    base = tmp_path_factory.mktemp("curate_vt")
+    monkeypatch.setattr(sess, "get_spark", lambda **kw: spark)
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    date_meta = ('<meta property="article:published_time" '
+                 'content="2023-06-02">')
+    body = ("<p>the quick brown fox jumps over the lazy dog and the "
+            "weather is nice today in the small town square.</p>")
+    script = "<script>var leakedWordSentinel = 1;</script>"
+    pages_dir = str(base / "pages")
+    spark.createDataFrame(
+        [(f"https://v{i}.example/a", "2024-01-01T00:00:00",
+          f"<html><head>{date_meta}</head><body>{script}{body}</body>"
+          "</html>".encode())
+         for i in range(8)],
+        "url string, warc_ts string, html binary",
+    ).withColumn(
+        "warc_ts", F.to_timestamp("warc_ts", "yyyy-MM-dd'T'HH:mm:ss")
+    ).write.parquet(pages_dir)
+
+    job = _load_job("curate_job")
+
+    def run(name, extractor):
+        out_dir = str(base / name)
+        monkeypatch.setattr(sys, "argv", [
+            "curate_job.py", "--pages", pages_dir, "--output", out_dir,
+            "--text-extractor", extractor,
+        ])
+        job.main()
+        capsys.readouterr()
+        return " ".join(r["text"] for r in
+                        spark.read.parquet(out_dir).select("text").collect())
+
+    assert "leakedWordSentinel" in run("strip", "strip")
+    visible = run("visible", "visible")
+    assert visible and "leakedWordSentinel" not in visible

@@ -48,15 +48,31 @@ def _has_token(joined: Column, token: str) -> Column:
     return joined.rlike(r"(?i)(?:^|[,\s])" + token + r"(?:[,\s]|$)")
 
 
-def robots_directives(html: Column) -> Column:
+def _name_rx(agent: str | None) -> str:
+    """Meta-name matcher: the generic robots meta, plus the crawler's
+    own named meta when an agent is configured (the Robots Meta Tag
+    spec's per-bot channel — <meta name="googlebot"> restricts that
+    bot in UNION with the generic meta; most-restrictive-wins falls
+    out of the same concat)."""
+    if agent is None:
+        return _NAME_ROBOTS_RX
+    import re as _re
+
+    return (r"(?i)\bname\s*=\s*['\"]?(?:robots|"
+            + _re.escape(agent.lower()) + r")(?:['\"]|[\s>])")
+
+
+def robots_directives(html: Column, agent: str | None = None) -> Column:
     """The page's robots-meta directives as one comma-joined lowered
     string (empty when no robots meta): the shared scan every
-    flag/gate in this module keys on. Pure column algebra — stays in
-    whole-stage codegen wherever it's placed."""
+    flag/gate in this module keys on. With `agent`, directives from
+    <meta name="<agent>"> union in alongside the generic robots meta.
+    Pure column algebra — stays in whole-stage codegen wherever it's
+    placed."""
     tags = F.regexp_extract_all(
         html.cast("string"), F.lit(_META_TAG_RX), F.lit(0)
     )
-    robots = F.filter(tags, lambda t: t.rlike(_NAME_ROBOTS_RX))
+    robots = F.filter(tags, lambda t: t.rlike(_name_rx(agent)))
     contents = F.transform(
         robots,
         lambda t: F.lower(
@@ -69,23 +85,26 @@ def robots_directives(html: Column) -> Column:
     return F.concat_ws(",", contents)
 
 
-def page_nofollow(html: Column) -> Column:
-    """True when the page's own robots meta says its links must not
-    be followed (nofollow or none) — the discovery-side gate the
+def page_nofollow(html: Column, agent: str | None = None) -> Column:
+    """True when the page's own robots meta (generic, plus the
+    agent-named meta when configured) says its links must not be
+    followed (nofollow or none) — the discovery-side gate the
     scheduler applies under CrawlConfig.respect_nofollow."""
-    joined = robots_directives(html)
+    joined = robots_directives(html, agent)
     return _has_token(joined, "nofollow") | _has_token(joined, "none")
 
 
-def page_noindex(html: Column) -> Column:
-    """True when the page's own robots meta says it must not be
-    indexed (noindex or none)."""
-    joined = robots_directives(html)
+def page_noindex(html: Column, agent: str | None = None) -> Column:
+    """True when the page's own robots meta (generic, plus the
+    agent-named meta when configured) says it must not be indexed
+    (noindex or none)."""
+    joined = robots_directives(html, agent)
     return _has_token(joined, "noindex") | _has_token(joined, "none")
 
 
 def meta_robots_flags(
-    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+    pages: DataFrame, url_col: str = "url", html_col: str = "html",
+    agent: str | None = None,
 ) -> DataFrame:
     """pages → (url, noindex, nofollow, noarchive): the page's own
     robots directives. Both attribute orders, any quote style/case,
@@ -97,7 +116,7 @@ def meta_robots_flags(
         F.col(html_col).cast("string").alias("_h"),
     )
     staged = casted.select(
-        "url", robots_directives(F.col("_h")).alias("_directives")
+        "url", robots_directives(F.col("_h"), agent).alias("_directives")
     )
     d = F.col("_directives")
     none_ = _has_token(d, "none")
@@ -183,7 +202,8 @@ def extract_follow_anchors(
 
 
 def noindex_corpus_gate(
-    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+    pages: DataFrame, url_col: str = "url", html_col: str = "html",
+    agent: str | None = None,
 ) -> DataFrame:
     """Corpus-side compliance filter: drop noindex pages before
     curation/training export (the page said 'do not index me'; a
@@ -191,4 +211,4 @@ def noindex_corpus_gate(
     the page's own row, so this is a map-only filter that preserves
     whatever partitioning the corpus has."""
     casted = pages.withColumn("_h", F.col(html_col).cast("string"))
-    return casted.filter(~page_noindex(F.col("_h"))).drop("_h")
+    return casted.filter(~page_noindex(F.col("_h"), agent)).drop("_h")

@@ -93,8 +93,11 @@ class CrawlConfig:
     # none) contributes NO outlinks to discovery — the page-side layer
     # of the exclusion protocol robots.txt can't express. Map-only
     # predicate on rows the fetch stage already holds in memory; the
-    # discovery stream's shape is unchanged.
+    # discovery stream's shape is unchanged. robots_agent additionally
+    # honors the crawler's own named meta (<meta name="<agent>">), the
+    # spec's per-bot channel, in union with the generic robots meta.
     respect_nofollow: bool = False
+    robots_agent: str | None = None
     # per-IP politeness (Heritrix "queue by IP"): virtual hosts that
     # resolve to one server share a fetch cap. 0 = off. Applied AFTER
     # the per-host top-k, so the IP window's input is already bounded
@@ -788,7 +791,7 @@ class CrawlScheduler:
             # the page said its links are not endorsements: it yields
             # no outlinks (its own fetch/extract result still counts)
             link_source = extracted.filter(
-                ~page_nofollow(F.col("html"))
+                ~page_nofollow(F.col("html"), cfg.robots_agent)
             )
         discovered = link_source.select(
             F.col("date").alias("parent_date"),

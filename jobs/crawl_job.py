@@ -253,6 +253,12 @@ def main() -> None:
         "outlinks to discovery",
     )
     ap.add_argument(
+        "--robots-agent", metavar="NAME",
+        help="with --respect-nofollow: also honor the crawler's own "
+        "named meta (<meta name=NAME>), the Robots Meta Tag spec's "
+        "per-bot channel, in union with the generic robots meta",
+    )
+    ap.add_argument(
         "--demote-deep-pages",
         metavar="PAGES_DIR",
         help="parquet dir of fetched pages (url, html); rel=next "
@@ -604,6 +610,7 @@ def main() -> None:
         config=CrawlConfig(
             trap_guard=args.trap_guard, ip_budget=args.ip_budget,
             respect_nofollow=args.respect_nofollow,
+            robots_agent=args.robots_agent,
             site_budget=args.site_budget,
             psl_rules=tuple(
                 Path(args.psl).read_text(encoding="utf-8").splitlines()

@@ -99,6 +99,12 @@ def main() -> None:
         "curated corpus (a training corpus is an index)",
     )
     ap.add_argument(
+        "--robots-agent", metavar="NAME",
+        help="with --respect-noindex: also honor the crawler's own "
+        "named meta (<meta name=NAME>) in union with the generic "
+        "robots meta",
+    )
+    ap.add_argument(
         "--hreflang-dedup", action="store_true",
         help="collapse declared hreflang translation clusters to one "
         "page each (the x-default/cluster-key representative when "
@@ -156,7 +162,7 @@ def main() -> None:
     if args.respect_noindex:
         from go_htmldate_spark.plans.metarobots import noindex_corpus_gate
 
-        pages = noindex_corpus_gate(pages)
+        pages = noindex_corpus_gate(pages, agent=args.robots_agent)
     if args.hreflang_dedup:
         from go_htmldate_spark.plans.hreflang import (
             hreflang_representative_filter,

@@ -158,3 +158,64 @@ def test_rel_scan_ignores_anchor_text_and_title(spark):
     assert rows["https://t.example/2"] is True
     # quoted '>' inside an attr must not truncate the rel scan
     assert rows["https://t.example/3"] is False
+
+
+def test_agent_named_meta_unions_with_generic(spark):
+    """The Robots Meta Tag per-bot channel: with an agent configured,
+    <meta name="<agent>"> directives union with the generic robots
+    meta; other bots' metas never apply; without an agent only the
+    generic meta counts."""
+    from go_htmldate_spark.plans.metarobots import (
+        page_nofollow,
+        page_noindex,
+    )
+
+    rows = [
+        # generic says nothing, our bot's meta says noindex
+        ("https://a.example/1",
+         '<meta name="mybot" content="noindex">'),
+        # another bot's meta must not apply to us
+        ("https://a.example/2",
+         '<meta name="otherbot" content="noindex, nofollow">'),
+        # union: generic noarchive + agent nofollow
+        ("https://a.example/3",
+         '<meta name="robots" content="noarchive">'
+         "<meta name='MyBot' content='nofollow'>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    got = {
+        r["url"]: (r["ni"], r["nf"])
+        for r in df.select(
+            "url",
+            page_noindex(F.col("html"), "mybot").alias("ni"),
+            page_nofollow(F.col("html"), "mybot").alias("nf"),
+        ).collect()
+    }
+    assert got == {
+        "https://a.example/1": (True, False),
+        "https://a.example/2": (False, False),
+        "https://a.example/3": (False, True),
+    }
+    # no agent configured: only the generic meta counts
+    base = {
+        r["url"]: r["ni"]
+        for r in df.select(
+            "url", page_noindex(F.col("html")).alias("ni")
+        ).collect()
+    }
+    assert base == {
+        "https://a.example/1": False,
+        "https://a.example/2": False,
+        "https://a.example/3": False,
+    }
+
+
+def test_noindex_gate_with_agent(spark):
+    pages = _pages(spark, [
+        ("https://a.example/drop", '<meta name="mybot" content="none">x'),
+        ("https://a.example/keep", '<meta name="other" content="none">x'),
+    ])
+    kept = [r["url"] for r in noindex_corpus_gate(
+        pages, agent="mybot"
+    ).collect()]
+    assert kept == ["https://a.example/keep"]

@@ -2495,6 +2495,46 @@ def q_page_aliases(spark, sf_dir):
     return page_alias_edges(pages)
 
 
+def q_outlink_discovery(spark, sf_dir):
+    """§2.9 frontier: anchor-derived outlinks (plans/metarobots.
+    derive_outlinks) — the discovery edges for WARC-shaped corpora
+    that carry no outlinks column: relative hrefs resolved against
+    the page origin, in-page duplicates collapsed order-preserving,
+    nofollow anchors and page-nofollow pages contribute nothing
+    (respect_nofollow on). Four planted classes from orders; emitted
+    as posexplode_outer so empty-outlink pages still hash (NULL pos).
+    The oracle rebuilds the per-class edge lists closed-form."""
+    from go_htmldate_spark.plans.metarobots import derive_outlinks
+
+    o = _t(spark, sf_dir, "orders")
+    okey = F.col("o_orderkey")
+    k = okey.cast("string")
+    base = F.concat(F.lit("https://ol"), (okey % 20).cast("string"),
+                    F.lit(".example"))
+    url = F.concat(base, F.lit("/p/"), k)
+    cls = okey % 4
+    html = (
+        F.when(cls == 0, F.concat(
+            F.lit('<a href="https://ext'), (okey % 5).cast("string"),
+            F.lit(".example/t/"), k, F.lit('">x</a><a href=\'/rel/'),
+            k, F.lit("'>y</a><a href=\"/rel/"), k,
+            F.lit('">dup</a><a href="../skip">z</a>')))
+        .when(cls == 1, F.concat(
+            F.lit('<a rel="nofollow" href="/paid/'), k,
+            F.lit('">n</a><a href="/ok/'), k, F.lit('">o</a>')))
+        .when(cls == 2, F.concat(
+            F.lit('<meta name="robots" content="nofollow">'
+                  '<a href="/x/'), k, F.lit('">x</a>')))
+        .otherwise(F.concat(F.lit("<p>no links "), k, F.lit("</p>")))
+    )
+    pages = o.select(url.alias("url"), html.alias("html"))
+    derived = derive_outlinks(pages, max_links=8, respect_nofollow=True)
+    return derived.select(
+        "url",
+        F.posexplode_outer("outlinks").alias("pos", "outlink"),
+    ).select("url", F.col("pos").cast("long").alias("pos"), "outlink")
+
+
 def q_visible_text(spark, sf_dir):
     """§2.11 curation: visible-text extraction (operators/textextract.
     pages_to_text) — script/style/head subtrees and comments drop
@@ -3838,6 +3878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_refresh": q_meta_refresh,
         "page_aliases": q_page_aliases,
         "visible_text": q_visible_text,
+        "outlink_discovery": q_outlink_discovery,
         "host_backoff": q_host_backoff,
         "adaptive_delay": q_adaptive_delay,
         "water_fill": q_water_fill,
@@ -6543,6 +6584,36 @@ def oracle_sql() -> dict[str, str]:
                    ) AS INT) AS rank,
                    url, priority, date
             FROM logd
+        """,
+        # Anchor-derived outlinks under respect_nofollow: class 0 has
+        # two resolved targets (dup + dotted dropped), class 1 keeps
+        # only the clean anchor, classes 2/3 emit a NULL outer row.
+        "outlink_discovery": """
+            WITH g AS (
+              SELECT o_orderkey AS k, o_orderkey % 4 AS cls FROM orders
+            ),
+            b AS (
+              SELECT k, cls, 'https://ol' || (k % 20) || '.example' AS base
+              FROM g
+            ),
+            e AS (
+              SELECT base || '/p/' || k AS url, CAST(0 AS BIGINT) AS pos,
+                     'https://ext' || (k % 5) || '.example/t/' || k
+                       AS outlink
+              FROM b WHERE cls = 0
+              UNION ALL
+              SELECT base || '/p/' || k, CAST(1 AS BIGINT),
+                     base || '/rel/' || k
+              FROM b WHERE cls = 0
+              UNION ALL
+              SELECT base || '/p/' || k, CAST(0 AS BIGINT),
+                     base || '/ok/' || k
+              FROM b WHERE cls = 1
+              UNION ALL
+              SELECT base || '/p/' || k, CAST(NULL AS BIGINT), NULL
+              FROM b WHERE cls IN (2, 3)
+            )
+            SELECT url, pos, outlink FROM e
         """,
         # Visible text: each class's expected output constructed in
         # closed form ('\n' via chr(10)); n_lines = 1 + newline count.

@@ -212,3 +212,48 @@ def noindex_corpus_gate(
     whatever partitioning the corpus has."""
     casted = pages.withColumn("_h", F.col(html_col).cast("string"))
     return casted.filter(~page_noindex(F.col("_h"), agent)).drop("_h")
+
+
+def derive_outlinks(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    max_links: int = 256,
+    respect_nofollow: bool = False,
+    agent: str | None = None,
+) -> DataFrame:
+    """Add the scheduler's `outlinks` column to a corpus that lacks
+    one (WARC-derived pages carry only url/warc_ts/html): per page,
+    the distinct resolved anchor targets — absolute http(s) kept,
+    protocol-relative and root-relative completed against the page's
+    own origin (real-web links are mostly relative; dropping them
+    would blind discovery) — capped at max_links so a link-farm page
+    can't flood the frontier. With respect_nofollow, anchors carrying
+    rel=nofollow (and every anchor of a page whose robots meta says
+    nofollow) contribute nothing.
+
+    Map-only: one ANCHOR_RX pass over the page bytes plus array HOFs
+    in the page's own row — no explode, no exchange, the corpus
+    partitioning rides untouched."""
+    from .canonical import resolve_href, url_authority_of, url_scheme_of
+    from .hostgraph import ANCHOR_RX
+
+    h = F.coalesce(F.col(html_col).cast("string"), F.lit(""))
+    u = F.col(url_col)
+    scheme, host = url_scheme_of(u), url_authority_of(u)
+    if respect_nofollow:
+        full = F.regexp_extract_all(h, F.lit(ANCHOR_RX), F.lit(0))
+        kept_tags = F.filter(full, lambda t: ~_anchor_rel_nofollow(t))
+        hrefs = F.transform(
+            kept_tags,
+            lambda t: F.regexp_extract(t, ANCHOR_RX, 2),
+        )
+        hrefs = F.when(page_nofollow(h, agent), F.array()).otherwise(hrefs)
+    else:
+        hrefs = F.regexp_extract_all(h, F.lit(ANCHOR_RX), F.lit(2))
+    resolved = F.transform(hrefs, lambda x: resolve_href(x, scheme, host))
+    out = F.slice(
+        F.array_distinct(F.filter(resolved, lambda x: x.isNotNull())),
+        1, max_links,
+    )
+    return pages.withColumn("outlinks", out)

@@ -259,6 +259,12 @@ def main() -> None:
         "per-bot channel, in union with the generic robots meta",
     )
     ap.add_argument(
+        "--max-outlinks", type=int, default=256,
+        help="per-page cap when outlinks must be derived from anchors "
+        "(corpora without an outlinks column, e.g. WARC-sourced); a "
+        "link-farm page cannot flood the frontier (default 256)",
+    )
+    ap.add_argument(
         "--demote-deep-pages",
         metavar="PAGES_DIR",
         help="parquet dir of fetched pages (url, html); rel=next "
@@ -318,6 +324,20 @@ def main() -> None:
         pages = spark.read.parquet(args.pages)
     else:
         ap.error("need --pages or --synth")
+
+    if "outlinks" not in pages.columns:
+        # WARC-derived corpora carry only (url, warc_ts, html):
+        # discovery edges come from the pages' own anchors — resolved
+        # against each page's origin, capped per page, optionally
+        # nofollow-filtered. Map-only; rides the corpus partitioning.
+        from go_htmldate_spark.plans.metarobots import derive_outlinks
+
+        pages = derive_outlinks(
+            pages, max_links=args.max_outlinks,
+            respect_nofollow=args.respect_nofollow,
+            agent=args.robots_agent,
+        )
+        print(f"derived outlinks from anchors (cap {args.max_outlinks})")
 
     robots = spark.read.parquet(args.robots) if args.robots else None
     budgets = spark.read.parquet(args.budgets) if args.budgets else None

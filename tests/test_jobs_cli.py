@@ -859,3 +859,48 @@ def test_curate_job_visible_text_extractor(spark, tmp_path_factory,
     assert "leakedWordSentinel" in run("strip", "strip")
     visible = run("visible", "visible")
     assert visible and "leakedWordSentinel" not in visible
+
+
+def test_crawl_job_derives_outlinks_for_warc_shaped_corpus(
+        spark, tmp_path_factory, monkeypatch, capsys):
+    """A corpus WITHOUT an outlinks column (the WARC shape:
+    url/warc_ts/html) still drives discovery — the job derives edges
+    from the pages' own anchors, relative hrefs resolved against each
+    page's origin."""
+    import go_htmldate_spark.session as sess
+
+    base = tmp_path_factory.mktemp("derive_cli")
+    date_meta = ("<meta property='article:published_time' "
+                 "content='2024-01-02'/>")
+    corpus = spark.createDataFrame(
+        [
+            ("https://w.example.org/start",
+             f"<html><head>{date_meta}</head><body>"
+             '<a href="/found">go</a></body></html>'.encode()),
+            ("https://w.example.org/found",
+             f"<html><head>{date_meta}</head><body>x</body>"
+             "</html>".encode()),
+        ],
+        "url string, html binary",
+    )
+    pages_dir = base / "pages"
+    corpus.write.parquet(str(pages_dir))
+    seeds_dir = base / "seeds"
+    spark.createDataFrame(
+        [("https://w.example.org/start", 1.0)],
+        "url string, priority double",
+    ).write.parquet(str(seeds_dir))
+    monkeypatch.setattr(sess, "get_spark", lambda **kw: spark)
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    job = _load_job("crawl_job")
+    monkeypatch.setattr(sys, "argv", [
+        "crawl_job.py", "--pages", str(pages_dir),
+        "--seeds", str(seeds_dir),
+        "--state", str(base / "state"), "--rounds", "1",
+    ])
+    job.main()
+    capsys.readouterr()
+    snap = spark.read.parquet(str(base / "state" / "round_0" / "frontier"))
+    assert "https://w.example.org/found" in {
+        r["url"] for r in snap.select("url").collect()
+    }

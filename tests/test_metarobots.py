@@ -219,3 +219,46 @@ def test_noindex_gate_with_agent(spark):
         pages, agent="mybot"
     ).collect()]
     assert kept == ["https://a.example/keep"]
+
+
+def test_derive_outlinks(spark):
+    """Corpora without an outlinks column get one from their own
+    anchors: relative hrefs resolve against the page origin, in-page
+    duplicates collapse, the per-page cap holds, and respect_nofollow
+    drops flagged anchors (and everything on page-nofollow pages)."""
+    from go_htmldate_spark.plans.metarobots import derive_outlinks
+
+    many = "".join(f'<a href="/p/{i}">l</a>' for i in range(10))
+    pages = _pages(spark, [
+        ("https://d.example/a",
+         '<a href="https://x.example/abs">a</a>'
+         "<a href='/rel'>r</a>"
+         '<a href="//cdn.example/pr">p</a>'
+         '<a href="/rel">dup</a>'
+         '<a href="../dotted">skip</a>'
+         '<a rel="nofollow" href="/paid">n</a>'),
+        ("https://d.example/cap", many),
+        ("https://d.example/nf",
+         '<meta name="robots" content="nofollow">'
+         '<a href="/gone">x</a>'),
+    ])
+    plain = {r["url"]: r["outlinks"]
+             for r in derive_outlinks(pages, max_links=4).collect()}
+    assert plain["https://d.example/a"] == [
+        "https://x.example/abs", "https://d.example/rel",
+        "https://cdn.example/pr", "https://d.example/paid",
+    ]
+    assert len(plain["https://d.example/cap"]) == 4
+    assert plain["https://d.example/nf"] == ["https://d.example/gone"]
+    strict = {r["url"]: r["outlinks"] for r in derive_outlinks(
+        pages, max_links=4, respect_nofollow=True
+    ).collect()}
+    assert strict["https://d.example/a"] == [
+        "https://x.example/abs", "https://d.example/rel",
+        "https://cdn.example/pr",
+    ]
+    assert strict["https://d.example/nf"] == []
+    # map-only plan
+    plan = (derive_outlinks(pages)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan

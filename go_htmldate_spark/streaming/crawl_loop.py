@@ -87,12 +87,18 @@ def run_stream_crawl(
     window: str = "10 minutes",
     watermark: str = "20 minutes",
     max_files_per_trigger: int | None = 1,
+    max_outlinks: int = 256,
+    respect_nofollow: bool = False,
 ):
-    """Start both halves of the streaming crawl loop over `input_dir`
-    and drain everything available (availableNow), then return
-    (fetch_set_dir, rates_dir, freshness_dir). maxFilesPerTrigger=1
-    makes each landed file its own micro-batch — the streaming analog
-    of one run_round."""
+    """Start every channel of the streaming crawl loop over
+    `input_dir` and drain everything available (availableNow), then
+    return (fetch_set_dir, rates_dir, freshness_dir, discovery_dir).
+    maxFilesPerTrigger=1 makes each landed file its own micro-batch —
+    the streaming analog of one run_round. The discovery channel
+    closes the loop: landed pages' own anchors (relative hrefs
+    resolved against the page origin, per-page cap, optional nofollow
+    compliance) stream through the bounded-state URL dedup and emerge
+    as the first-occurrence seed stream for the next fetch cycle."""
     fetch_dir = f"{work_dir}/fetch_set"
     rates_dir = f"{work_dir}/host_rates"
 
@@ -150,7 +156,32 @@ def run_stream_crawl(
         .trigger(availableNow=True)
         .start()
     )
+    # discovery channel: anchors → canonical first-occurrence seeds
+    from ..plans.metarobots import derive_outlinks
+    from .frontier import stream_dedup_urls_bloom
+
+    discovery_dir = f"{work_dir}/discovery"
+    reader4 = spark.readStream.schema(PAGES_SCHEMA).format("parquet")
+    if max_files_per_trigger is not None:
+        reader4 = reader4.option("maxFilesPerTrigger", max_files_per_trigger)
+    outlinks = derive_outlinks(
+        reader4.load(input_dir), max_links=max_outlinks,
+        respect_nofollow=respect_nofollow,
+    ).select(F.explode("outlinks").alias("url"))
+    q4 = (
+        stream_dedup_urls_bloom(
+            outlinks, n_partitions=n_partitions, m_bits=m_bits,
+            exact_cap=exact_cap,
+        )
+        .writeStream.format("parquet")
+        .option("path", discovery_dir)
+        .option("checkpointLocation", f"{work_dir}/ckpt_discovery")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
     q1.awaitTermination()
     q2.awaitTermination()
     q3.awaitTermination()
-    return fetch_dir, rates_dir, freshness_dir
+    q4.awaitTermination()
+    return fetch_dir, rates_dir, freshness_dir, discovery_dir

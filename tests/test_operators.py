@@ -677,7 +677,9 @@ def test_stream_crawl_loop_composes(spark, tmp_path_factory):
     def page(i, minute):
         # planted meta date -> deterministic extraction result
         d = f"2021-03-{(i % 27) + 1:02d}"
-        html = f'<html><head><meta property="article:published_time" content="{d}"/></head><body>x</body></html>'
+        html = (f'<html><head><meta property="article:published_time" '
+                f'content="{d}"/></head><body><a href="/next/{i}">n</a>'
+                f"</body></html>")
         return (
             f"https://h{i % 5}.example.org/p/{i}",
             t0 + datetime.timedelta(minutes=minute),
@@ -706,7 +708,9 @@ def test_stream_crawl_loop_composes(spark, tmp_path_factory):
         shutil.move(part, f"{in_dir}/batch_{bi}.parquet")
         shutil.rmtree(f"{in_dir}/b{bi}")
 
-    fetch_dir, rates_dir, freshness_dir = run_stream_crawl(spark, in_dir, work)
+    fetch_dir, rates_dir, freshness_dir, discovery_dir = run_stream_crawl(
+        spark, in_dir, work
+    )
 
     got = spark.read.parquet(fetch_dir)
     # exactly the 80 distinct canonical URLs, first occurrence only
@@ -718,6 +722,13 @@ def test_stream_crawl_loop_composes(spark, tmp_path_factory):
         for i in range(80)
     }
     assert {(r["url"], r["date"]) for r in got.collect()} == expected
+    # discovery channel: each page's /next/i anchor, resolved against
+    # the page origin, first occurrence only across the dup batches
+    seeds = spark.read.parquet(discovery_dir)
+    assert seeds.count() == 80
+    assert {r["url"] for r in seeds.collect()} == {
+        f"https://h{i % 5}.example.org/next/{i}" for i in range(80)
+    }
     # freshness half: revisited pages carry running CGM estimates —
     # page 20 was fetched in all three batches with identical html, so
     # its FINAL estimate is 2 intervals, 0 changes, rate 0; a

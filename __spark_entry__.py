@@ -2469,17 +2469,17 @@ def q_page_aliases(spark, sf_dir):
     """§2.9 frontier: the unioned client-side alias stream (plans/
     aliases.page_alias_edges) — AMP variant links and og:url
     self-declared canonicals alongside meta-refresh, each tagged with
-    its kind. Four planted classes from orders (amp declaration,
+    its kind. Five planted classes from orders (amp declaration,
     og:url differing from the fetched spelling, og:url self-match
-    that must drop, bare page); the oracle rebuilds the edge tuples
-    closed-form."""
+    that must drop, bare page, m-dot mobile alternate); the oracle
+    rebuilds the edge tuples closed-form."""
     from go_htmldate_spark.plans.aliases import page_alias_edges
 
     o = _t(spark, sf_dir, "orders")
     okey = F.col("o_orderkey")
     base = F.concat(F.lit("https://al"), (okey % 20).cast("string"),
                     F.lit(".example/a/"), okey.cast("string"))
-    cls = okey % 4
+    cls = okey % 5
     url = F.when(cls == 1, F.concat(base, F.lit("?utm_source=x"))) \
         .otherwise(base)
     html = (
@@ -2489,6 +2489,9 @@ def q_page_aliases(spark, sf_dir):
             F.lit('<meta property="og:url" content="'), base, F.lit('">')))
         .when(cls == 2, F.concat(
             F.lit("<meta name='og:url' content='"), base, F.lit("'>")))
+        .when(cls == 4, F.concat(
+            F.lit('<link rel="alternate" media="(max-width: 640px)" '
+                  'href="'), base, F.lit('/m">')))
         .otherwise(F.lit("<html><body>plain</body></html>"))
     )
     pages = o.select(url.alias("url"), html.alias("html"))
@@ -6530,11 +6533,11 @@ def oracle_sql() -> dict[str, str]:
             FROM g WHERE cls IN (0, 1, 2)
         """,
         # Alias union: class 0 → amp edge, class 1 → og edge off the
-        # tracking-param spelling; class 2's self-declaring og drops,
-        # class 3 declares nothing.
+        # tracking-param spelling, class 4 → m-dot mobile edge;
+        # class 2's self-declaring og drops, class 3 declares nothing.
         "page_aliases": """
             WITH g AS (
-              SELECT o_orderkey AS k, o_orderkey % 4 AS cls FROM orders
+              SELECT o_orderkey AS k, o_orderkey % 5 AS cls FROM orders
             ),
             b AS (
               SELECT k, cls,
@@ -6544,9 +6547,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT CASE WHEN cls = 1 THEN base || '?utm_source=x'
                         ELSE base END AS src_url,
                    CASE WHEN cls = 0 THEN base || '/amp'
+                        WHEN cls = 4 THEN base || '/m'
                         ELSE base END AS dst_url,
-                   CASE WHEN cls = 0 THEN 'amp' ELSE 'og' END AS kind
-            FROM b WHERE cls IN (0, 1)
+                   CASE WHEN cls = 0 THEN 'amp'
+                        WHEN cls = 4 THEN 'mobile'
+                        ELSE 'og' END AS kind
+            FROM b WHERE cls IN (0, 1, 4)
         """,
         # Composed 2-round all-gates crawl: the expected fetch log in
         # closed form (see q_frontier_allgates for the derivation).

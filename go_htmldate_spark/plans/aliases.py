@@ -152,11 +152,12 @@ def page_alias_edges(
     pages: DataFrame, url_col: str = "url", html_col: str = "html"
 ) -> DataFrame:
     """Union of the client-side alias channels with their kind
-    ('refresh' | 'amp' | 'og'), mined in ONE pass: a single projection
-    computes all three targets per row (the meta-tag scan is shared by
-    the refresh and og channels) and explodes — the page bytes are
-    read once, not once per channel. Map-only, for the dedup/budget
-    layers that want every alias signal in one stream."""
+    ('refresh' | 'amp' | 'og' | 'mobile'), mined in ONE pass: a single
+    projection computes all four targets per row (the meta-tag scan is
+    shared by the refresh and og channels, the link-tag scan serves
+    the mobile channel) and explodes — the page bytes are read once,
+    not once per channel. Map-only, for the dedup/budget layers that
+    want every alias signal in one stream."""
     from .pagination import link_rel_href
 
     staged = _with_origin(pages, url_col, html_col)
@@ -169,6 +170,20 @@ def page_alias_edges(
     )
     og_content = F.get(F.transform(
         F.filter(tags, lambda t: t.rlike(_OG_URL_RX)), _content_of
+    ), 0)
+    link_tags = F.regexp_extract_all(
+        F.col("_h"), F.lit(_LINK_TAG_RX), F.lit(0)
+    )
+    mob_href = F.get(F.transform(
+        F.filter(
+            link_tags,
+            lambda t: t.rlike(_REL_ALT_RX) & t.rlike(_MEDIA_RX)
+            & ~t.rlike(r"(?i)\bhreflang\s*="),
+        ),
+        lambda t: F.coalesce(
+            F.nullif(F.regexp_extract(t, _HREF_Q_RX, 2), F.lit("")),
+            F.nullif(F.regexp_extract(t, _HREF_U_RX, 1), F.lit("")),
+        ),
     ), 0)
     scheme, host = F.col("_scheme"), F.col("_host")
     channels = staged.select(
@@ -188,12 +203,56 @@ def page_alias_edges(
                 F.lit("og").alias("kind"),
                 _resolve(og_content, scheme, host).alias("dst_url"),
             ),
+            F.struct(
+                F.lit("mobile").alias("kind"),
+                _resolve(mob_href, scheme, host).alias("dst_url"),
+            ),
         ).alias("_ch"),
     )
     return (
         channels.select("src_url", F.explode("_ch").alias("c"))
         .select("src_url", F.col("c.dst_url").alias("dst_url"),
                 F.col("c.kind").alias("kind"))
+        .filter(
+            F.col("dst_url").isNotNull()
+            & (F.col("dst_url") != F.col("src_url"))
+        )
+    )
+
+
+# rel value must terminate right after 'alternate' and a media attr
+# must be present — the m-dot mobile-variant declaration
+_REL_ALT_RX = r"(?i)\brel\s*=\s*['\"]?alternate(?:['\"]|[\s>])"
+_MEDIA_RX = r"(?i)\bmedia\s*=\s*['\"]?[^>]*max-width"
+_LINK_TAG_RX = r"(?i)<link\s[^>]*>"
+_HREF_Q_RX = r"""(?i)\bhref\s*=\s*(["'])((?:(?!\1)[^>])*)\1"""
+_HREF_U_RX = r"""(?i)\bhref\s*=\s*([^'" >]+)"""
+
+
+def mobile_alternate_edges(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """pages → (src_url, dst_url) edges to the page's declared MOBILE
+    variant (`<link rel="alternate" media="...max-width..." href>`,
+    the m-dot pattern): a near-duplicate alias exactly like AMP — the
+    m.example.com copy should not cost a second frontier slot or a
+    second training document. Map-only tag scan; hreflang-carrying
+    alternates are translation variants, not mobile aliases, and are
+    excluded (plans/hreflang.py owns them)."""
+    staged = _with_origin(pages, url_col, html_col)
+    tags = F.regexp_extract_all(F.col("_h"), F.lit(_LINK_TAG_RX), F.lit(0))
+    mob = F.filter(
+        tags,
+        lambda t: t.rlike(_REL_ALT_RX) & t.rlike(_MEDIA_RX)
+        & ~t.rlike(r"(?i)\bhreflang\s*="),
+    )
+    href = F.get(F.transform(mob, lambda t: F.coalesce(
+        F.nullif(F.regexp_extract(t, _HREF_Q_RX, 2), F.lit("")),
+        F.nullif(F.regexp_extract(t, _HREF_U_RX, 1), F.lit("")),
+    )), 0)
+    dst = _resolve(href, F.col("_scheme"), F.col("_host"))
+    return (
+        staged.select("src_url", dst.alias("dst_url"))
         .filter(
             F.col("dst_url").isNotNull()
             & (F.col("dst_url") != F.col("src_url"))

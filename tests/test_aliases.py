@@ -112,7 +112,8 @@ def test_page_alias_union_kinds(spark):
         ("https://e.example/p",
          '<meta http-equiv="refresh" content="0;url=/moved">'
          '<link rel="amphtml" href="/amp">'
-         '<meta property="og:url" content="/canon">'),
+         '<meta property="og:url" content="/canon">'
+         '<link rel="alternate" media="(max-width: 600px)" href="/m">'),
     ])
     got = {(r["kind"], r["dst_url"])
            for r in page_alias_edges(pages).collect()}
@@ -120,6 +121,7 @@ def test_page_alias_union_kinds(spark):
         ("refresh", "https://e.example/moved"),
         ("amp", "https://e.example/amp"),
         ("og", "https://e.example/canon"),
+        ("mobile", "https://e.example/m"),
     }
 
 
@@ -134,3 +136,26 @@ def test_alias_miners_plan_is_map_only(spark):
         plan = fn(pages)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
         assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_mobile_alternate_edges(spark):
+    from go_htmldate_spark.plans.aliases import mobile_alternate_edges
+
+    pages = _pages(spark, [
+        # the m-dot declaration
+        ("https://www.example.com/art",
+         '<link rel="alternate" media="only screen and (max-width: 640px)"'
+         ' href="https://m.example.com/art">'),
+        # hreflang alternates are translation variants, not mobile
+        ("https://www.example.com/de",
+         '<link rel="alternate" hreflang="de" media="(max-width: 640px)"'
+         ' href="https://de.example.com/x">'),
+        # alternate without media is not a mobile declaration
+        ("https://www.example.com/rss",
+         '<link rel="alternate" type="application/rss+xml" href="/feed">'),
+    ])
+    got = {(r["src_url"], r["dst_url"])
+           for r in mobile_alternate_edges(pages).collect()}
+    assert got == {
+        ("https://www.example.com/art", "https://m.example.com/art"),
+    }

@@ -258,3 +258,30 @@ def mobile_alternate_edges(
             & (F.col("dst_url") != F.col("src_url"))
         )
     )
+
+
+def alias_redirect_edges(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Every client-side alias channel in the REDIRECT-MAP orientation
+    (src = the alias spelling, dst = where the frontier slot belongs),
+    ready for plans/redirects.resolve_redirects:
+
+    - refresh: the page itself is the alias (it forwards) → as-is;
+    - og: the fetched spelling is the alias of its declared canonical
+      → as-is;
+    - amp / mobile: the page DECLARES its variant, so the edge points
+      canonical → variant and the VARIANT is the alias → reversed.
+
+    One page scan (page_alias_edges); output feeds the same
+    canonicalize + resolve + cycle-drop chain as HTTP redirect logs,
+    so chains crossing channels still collapse to one terminal."""
+    edges = page_alias_edges(pages, url_col, html_col)
+    fwd = edges.filter(F.col("kind").isin("refresh", "og")).select(
+        "src_url", "dst_url"
+    )
+    rev = edges.filter(F.col("kind").isin("amp", "mobile")).select(
+        F.col("dst_url").alias("src_url"),
+        F.col("src_url").alias("dst_url"),
+    )
+    return fwd.unionByName(rev)

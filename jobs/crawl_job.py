@@ -116,6 +116,14 @@ def main() -> None:
         "page-declared canonical target",
     )
     ap.add_argument(
+        "--collapse-aliases", action="store_true",
+        help="mine EVERY client-side alias channel (meta-refresh, "
+        "og:url, AMP and m-dot mobile variants) from the page corpus "
+        "and resolve them with the other redirect edges — a "
+        "discovered variant URL collapses into the page that owns the "
+        "frontier slot",
+    )
+    ap.add_argument(
         "--refresh-redirects", action="store_true",
         help="mine <meta http-equiv=refresh> client-side redirect "
         "edges from the page corpus (map-only regexp scan) and "
@@ -577,7 +585,8 @@ def main() -> None:
 
     os.makedirs(args.state, exist_ok=True)
     redirects = None
-    if args.redirects or args.canonical_links or args.refresh_redirects:
+    if (args.redirects or args.canonical_links or args.refresh_redirects
+            or args.collapse_aliases):
         from go_htmldate_spark.plans.canonical import canonicalize_url
         from go_htmldate_spark.plans.redirects import resolve_redirects
 
@@ -593,7 +602,12 @@ def main() -> None:
 
             canon = rel_canonical_edges(pages)
             edges = canon if edges is None else edges.unionByName(canon)
-        if args.refresh_redirects:
+        if args.collapse_aliases:
+            from go_htmldate_spark.plans.aliases import alias_redirect_edges
+
+            alias = alias_redirect_edges(pages)
+            edges = alias if edges is None else edges.unionByName(alias)
+        elif args.refresh_redirects:
             from go_htmldate_spark.plans.aliases import meta_refresh_edges
 
             refresh = meta_refresh_edges(pages).select("src_url", "dst_url")

@@ -159,3 +159,28 @@ def test_mobile_alternate_edges(spark):
     assert got == {
         ("https://www.example.com/art", "https://m.example.com/art"),
     }
+
+
+def test_alias_redirect_orientation(spark):
+    """alias_redirect_edges puts every channel in redirect-map
+    orientation: refresh/og as-is (the page/fetched spelling IS the
+    alias), amp/mobile reversed (the declared VARIANT is the alias)."""
+    from go_htmldate_spark.plans.aliases import alias_redirect_edges
+
+    pages = _pages(spark, [
+        ("https://f.example/p",
+         '<meta http-equiv="refresh" content="0;url=/new">'),
+        ("https://f.example/art",
+         '<link rel="amphtml" href="/art/amp">'
+         '<link rel="alternate" media="(max-width: 600px)" href="/m/art">'),
+        ("https://f.example/x?utm=1",
+         '<meta property="og:url" content="https://f.example/x">'),
+    ])
+    got = {(r["src_url"], r["dst_url"])
+           for r in alias_redirect_edges(pages).collect()}
+    assert got == {
+        ("https://f.example/p", "https://f.example/new"),
+        ("https://f.example/art/amp", "https://f.example/art"),
+        ("https://f.example/m/art", "https://f.example/art"),
+        ("https://f.example/x?utm=1", "https://f.example/x"),
+    }

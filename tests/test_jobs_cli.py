@@ -904,3 +904,58 @@ def test_crawl_job_derives_outlinks_for_warc_shaped_corpus(
     assert "https://w.example.org/found" in {
         r["url"] for r in snap.select("url").collect()
     }
+
+
+def test_crawl_job_collapse_aliases(spark, tmp_path_factory,
+                                    monkeypatch, capsys):
+    """--collapse-aliases: a discovered AMP-variant URL collapses into
+    the canonical page that declared it — the variant never enters the
+    frontier; without the flag it does."""
+    import go_htmldate_spark.session as sess
+
+    base = tmp_path_factory.mktemp("alias_cli")
+    date_meta = ("<meta property='article:published_time' "
+                 "content='2024-01-02'/>")
+    amp = "https://c.example.org/art/amp"
+    canon = "https://c.example.org/art"
+    corpus = spark.createDataFrame(
+        [
+            ("https://c.example.org/start",
+             f"<html><head>{date_meta}</head><body>x</body></html>",
+             [amp]),
+            (canon,
+             f"<html><head>{date_meta}"
+             f'<link rel="amphtml" href="{amp}">'
+             "</head><body>x</body></html>", []),
+            (amp,
+             f"<html><head>{date_meta}</head><body>x</body></html>", []),
+        ],
+        "url string, html string, outlinks array<string>",
+    )
+    pages_dir = base / "pages"
+    corpus.write.parquet(str(pages_dir))
+    seeds_dir = base / "seeds"
+    spark.createDataFrame(
+        [("https://c.example.org/start", 1.0)],
+        "url string, priority double",
+    ).write.parquet(str(seeds_dir))
+    monkeypatch.setattr(sess, "get_spark", lambda **kw: spark)
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    job = _load_job("crawl_job")
+
+    def frontier(state, extra):
+        monkeypatch.setattr(sys, "argv", [
+            "crawl_job.py", "--pages", str(pages_dir),
+            "--seeds", str(seeds_dir),
+            "--state", str(base / state), "--rounds", "1",
+        ] + extra)
+        job.main()
+        capsys.readouterr()
+        snap = spark.read.parquet(str(base / state / "round_0" / "frontier"))
+        return {r["url"] for r in snap.select("url").collect()}
+
+    plain = frontier("plain", [])
+    assert amp in plain
+    collapsed = frontier("collapsed", ["--collapse-aliases"])
+    assert amp not in collapsed
+    assert canon in collapsed

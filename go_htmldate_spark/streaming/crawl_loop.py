@@ -89,6 +89,7 @@ def run_stream_crawl(
     max_files_per_trigger: int | None = 1,
     max_outlinks: int = 256,
     respect_nofollow: bool = False,
+    robots_agent: str | None = None,
 ):
     """Start every channel of the streaming crawl loop over
     `input_dir` and drain everything available (availableNow), then
@@ -102,10 +103,13 @@ def run_stream_crawl(
     fetch_dir = f"{work_dir}/fetch_set"
     rates_dir = f"{work_dir}/host_rates"
 
-    reader = spark.readStream.schema(PAGES_SCHEMA).format("parquet")
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    pages = reader.load(input_dir)
+    def _reader():
+        r = spark.readStream.schema(PAGES_SCHEMA).format("parquet")
+        if max_files_per_trigger is not None:
+            r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+        return r.load(input_dir)
+
+    pages = _reader()
 
     deduped = dedup_pages_stream(
         pages, n_partitions=n_partitions, m_bits=m_bits, exact_cap=exact_cap
@@ -122,11 +126,8 @@ def run_stream_crawl(
         .start()
     )
 
-    reader2 = spark.readStream.schema(PAGES_SCHEMA).format("parquet")
-    if max_files_per_trigger is not None:
-        reader2 = reader2.option("maxFilesPerTrigger", max_files_per_trigger)
     rates = host_fetch_rates(
-        reader2.load(input_dir), window=window, watermark=watermark
+        _reader(), window=window, watermark=watermark, opts=opts,
     )
     q2 = (
         rates.writeStream.format("parquet")
@@ -139,10 +140,7 @@ def run_stream_crawl(
     from .recrawl import stream_change_rate
 
     freshness_dir = f"{work_dir}/freshness"
-    reader3 = spark.readStream.schema(PAGES_SCHEMA).format("parquet")
-    if max_files_per_trigger is not None:
-        reader3 = reader3.option("maxFilesPerTrigger", max_files_per_trigger)
-    hist = reader3.load(input_dir).select(
+    hist = _reader().select(
         F.col("url"),
         F.col("warc_ts").cast("double").alias("fetch_ts"),
         F.xxhash64(F.col("html")).cast("string").alias("content_sig"),
@@ -161,12 +159,9 @@ def run_stream_crawl(
     from .frontier import stream_dedup_urls_bloom
 
     discovery_dir = f"{work_dir}/discovery"
-    reader4 = spark.readStream.schema(PAGES_SCHEMA).format("parquet")
-    if max_files_per_trigger is not None:
-        reader4 = reader4.option("maxFilesPerTrigger", max_files_per_trigger)
     outlinks = derive_outlinks(
-        reader4.load(input_dir), max_links=max_outlinks,
-        respect_nofollow=respect_nofollow,
+        _reader(), max_links=max_outlinks,
+        respect_nofollow=respect_nofollow, agent=robots_agent,
     ).select(F.explode("outlinks").alias("url"))
     q4 = (
         stream_dedup_urls_bloom(

@@ -70,7 +70,8 @@ def stream_extract(
 
 
 def host_fetch_rates(pages: DataFrame, window: str = "10 minutes",
-                     watermark: str = "20 minutes") -> DataFrame:
+                     watermark: str = "20 minutes",
+                     opts: Options | None = None) -> DataFrame:
     """Event-time windowed per-host fetch/extraction rates with a
     watermark for late WARC records (crawl telemetry the politeness
     budget consumes). Works identically on a batch or streaming
@@ -86,7 +87,7 @@ def host_fetch_rates(pages: DataFrame, window: str = "10 minutes",
 
     from ..plans.canonical import url_host
 
-    dated = extract_dates(pages, Options()).select(
+    dated = extract_dates(pages, opts or Options()).select(
         "url", "warc_ts", (F.col("date") != "").alias("dated")
     )
     return (

@@ -353,23 +353,33 @@ def main() -> None:
     # (demotion, backoff) always wins — the scheduler's own merge law
     from go_htmldate_spark.plans.scheduler import min_budgets as merge_budgets
 
+    def _lohi(flag):
+        lo, _, hi = flag.partition(",")
+        return float(lo), float(hi or lo)
+
+    edges = None
+
+    def _host_edges():
+        # ONE outlink host-edge frame shared by every rank source AND
+        # the OPIC cold start — the pages explode + url_host scan is
+        # paid once, not per flag — checkpointed so each consumer
+        # reads the materialized edges
+        nonlocal edges
+        if edges is None:
+            from go_htmldate_spark.plans.canonical import url_host
+
+            edges = pages.select(
+                url_host(F.col("url")).alias("src"),
+                F.explode("outlinks").alias("out_url"),
+            ).select(
+                "src", url_host(F.col("out_url")).alias("dst")
+            ).localCheckpoint(eager=True)
+        return edges
+
     if args.pagerank_budgets or args.hits_budgets or args.trustrank_budgets:
-        # ONE outlink host-edge frame shared by every rank source — the
-        # pages explode + url_host scan is paid once, not per flag —
-        # checkpointed so each rank job reads the materialized edges
-        from go_htmldate_spark.plans.canonical import url_host
         from go_htmldate_spark.plans.hostgraph import rank_to_budget
 
-        edges = pages.select(
-            url_host(F.col("url")).alias("src"),
-            F.explode("outlinks").alias("out_url"),
-        ).select(
-            "src", url_host(F.col("out_url")).alias("dst")
-        ).localCheckpoint(eager=True)
-
-        def _lohi(flag):
-            lo, _, hi = flag.partition(",")
-            return float(lo), float(hi or lo)
+        edges = _host_edges()
 
     if args.pagerank_budgets:
         # link analysis → politeness: host-graph PageRank over the corpus
@@ -550,19 +560,14 @@ def main() -> None:
     opic_state = None
     opic_range = (1.0, 8.0)
     if args.opic_budgets:
-        lo, _, hi = args.opic_budgets.partition(",")
-        opic_range = (float(lo), float(hi or lo))
+        opic_range = _lohi(args.opic_budgets)
     if args.opic_budgets and not args.resume:
         # cold start only on a fresh crawl: resume() reloads the round
         # snapshot's swept state (or opic_init), so running the 3-sweep
         # batch here would be discarded work on every resume
-        from go_htmldate_spark.plans.canonical import url_host
         from go_htmldate_spark.plans.opic import opic_run
 
-        o_edges = pages.select(
-            url_host(F.col("url")).alias("src"),
-            F.explode("outlinks").alias("out_url"),
-        ).select("src", url_host(F.col("out_url")).alias("dst"))
+        o_edges = _host_edges()
         o_hosts = o_edges.select(F.col("src").alias("host")).unionByName(
             o_edges.select(F.col("dst").alias("host"))
         )
@@ -576,7 +581,15 @@ def main() -> None:
 
     blocklist = None
     if args.blocklist:
-        if args.blocklist.endswith(".csv") or args.blocklist.endswith(".txt"):
+        if args.blocklist.endswith(".csv"):
+            # a real CSV (header, possibly extra columns): take the
+            # domain column — raw read.text would turn
+            # 'badsite.example,adult' lines into garbage domains that
+            # silently never block
+            blocklist = spark.read.csv(
+                args.blocklist, header=True
+            ).select("domain")
+        elif args.blocklist.endswith(".txt"):
             blocklist = spark.read.text(args.blocklist).select(
                 F.col("value").alias("domain")
             )

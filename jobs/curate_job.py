@@ -75,6 +75,13 @@ def main() -> None:
         help="hash bucket count for --quality-threshold",
     )
     ap.add_argument(
+        "--quality-seed", type=int, default=0,
+        help="feature-hash seed for --quality-threshold; part of the "
+        "trained model's identity (weights trained under one seed "
+        "score noise under another), so it is deliberately decoupled "
+        "from the sampling --seed",
+    )
+    ap.add_argument(
         "--host-cap", type=int, default=0, metavar="CAP",
         help="keep at most CAP docs per host (domain-fairness guard, "
         "salted two-phase exact rank); 0 disables",
@@ -242,13 +249,16 @@ def main() -> None:
             hashed_weights, linear_quality_score,
         )
 
+        # the feature-hash seed is the MODEL's seed, not the sampling
+        # seed: varying --seed to draw a different sample must not
+        # remap every token bucket under trained --quality-weights
         w = (spark.read.parquet(args.quality_weights)
              if args.quality_weights
              else hashed_weights(spark, dim=args.quality_dim,
-                                 seed=args.seed))
+                                 seed=args.quality_seed))
         kept = linear_quality_score(
             docs.select("doc_id", "text"), w, dim=args.quality_dim,
-            seed=args.seed,
+            seed=args.quality_seed,
         ).filter(F.col("logit") > args.quality_threshold).select("doc_id")
         docs = docs.join(kept, "doc_id")
     docs = exact_dedup(docs, text_col="text", id_col="doc_id")

@@ -2538,6 +2538,30 @@ def q_outlink_discovery(spark, sf_dir):
     ).select("url", F.col("pos").cast("long").alias("pos"), "outlink")
 
 
+def q_blockwords(spark, sf_dir):
+    """§2.11 curation: C4's word-level exclusion gate (operators/
+    curation.blockword_filter) — documents containing any token from a
+    caller-supplied blocklist drop; the probe is a map-only InSet
+    inside an array HOF, token-exact (substrings never match) and
+    case-insensitive. Planted classes from documents use neutral
+    sentinel words; the oracle replays the token-set intersection
+    relationally in DuckDB."""
+    from go_htmldate_spark.operators.curation import blockword_filter
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    k = F.col("doc_id")
+    cls = k % 4
+    text = (
+        F.when(cls == 0, F.concat(F.col("text"), F.lit(" zzqx")))
+        .when(cls == 1, F.concat(F.lit("ZZQX leading and QQZZV also "),
+                                 F.col("text")))
+        .when(cls == 2, F.concat(F.col("text"), F.lit(" zzqxy")))
+        .otherwise(F.col("text"))
+    )
+    docs = d.select("doc_id", text.alias("text"))
+    return blockword_filter(docs, ["zzqx", "qqzzv"])
+
+
 def q_visible_text(spark, sf_dir):
     """§2.11 curation: visible-text extraction (operators/textextract.
     pages_to_text) — script/style/head subtrees and comments drop
@@ -3882,6 +3906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_aliases": q_page_aliases,
         "visible_text": q_visible_text,
         "outlink_discovery": q_outlink_discovery,
+        "blockwords": q_blockwords,
         "host_backoff": q_host_backoff,
         "adaptive_delay": q_adaptive_delay,
         "water_fill": q_water_fill,
@@ -6620,6 +6645,36 @@ def oracle_sql() -> dict[str, str]:
               FROM b WHERE cls IN (2, 3)
             )
             SELECT url, pos, outlink FROM e
+        """,
+        # Blockword gate: the oracle tokenizes the planted text the
+        # same way (whitespace after run-normalization, lowered) and
+        # counts list members; class 2's 'zzqxy' is a non-match.
+        "blockwords": """
+            WITH d AS (
+              SELECT doc_id, doc_id % 4 AS cls,
+                     CASE doc_id % 4
+                       WHEN 0 THEN text || ' zzqx'
+                       WHEN 1 THEN 'ZZQX leading and QQZZV also ' || text
+                       WHEN 2 THEN text || ' zzqxy'
+                       ELSE text
+                     END AS t
+              FROM documents
+            ),
+            toks AS (
+              SELECT doc_id,
+                     unnest(string_split(trim(regexp_replace(
+                       lower(t), '\s+', ' ', 'g')), ' ')) AS tok
+              FROM d
+            ),
+            hits AS (
+              SELECT doc_id,
+                     CAST(SUM(CASE WHEN tok IN ('zzqx', 'qqzzv')
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_blocked
+              FROM toks GROUP BY doc_id
+            )
+            SELECT doc_id, n_blocked, n_blocked = 0 AS blockword_ok
+            FROM hits
         """,
         # Visible text: each class's expected output constructed in
         # closed form ('\n' via chr(10)); n_lines = 1 + newline count.

@@ -1274,3 +1274,35 @@ def host_cap_sample(
         .filter(F.col("_r2") <= cap)
         .drop("_u", "_salt", "_r1", "_r2")
     )
+
+
+def blockword_filter(
+    df: DataFrame,
+    words: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4's word-level exclusion gate (Raffel et al. 2020 drop any
+    page containing a word from a blocklist — the widely used
+    LDNOOBW-style lists): (id, n_blocked, blockword_ok) where
+    n_blocked counts the document's tokens found in `words`
+    (case-insensitive, token-exact: 'assess' never matches a 3-letter
+    entry) and blockword_ok is n_blocked == 0.
+
+    The LIST is the caller's policy input (a file in deployment);
+    this operator is the mechanism. Scale shape: the list compiles to
+    a map-only InSet probe inside an array HOF over the same
+    whitespace tokens every other curation gate uses — no join, no
+    broadcast build per batch, zero exchanges."""
+    from .textstats import tokens
+
+    wordset = [w.strip().lower() for w in words if w.strip()]
+    toks = tokens(F.lower(F.col(text_col)))
+    n_blocked = F.size(
+        F.filter(toks, lambda t: t.isin(wordset))
+    ).cast("long")
+    return df.select(
+        F.col(id_col),
+        n_blocked.alias("n_blocked"),
+        (n_blocked == 0).alias("blockword_ok"),
+    )

@@ -23,6 +23,7 @@ import argparse
 import json
 import os
 import sys
+from pathlib import Path
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -91,6 +92,11 @@ def main() -> None:
         help="temporal rebalance to a publication-year mix, e.g. "
         "'2020=0.5,2021=0.3,2022=0.2' (years come from the extracted "
         "date; undated docs drop under a mix)",
+    )
+    ap.add_argument(
+        "--blockwords", metavar="FILE",
+        help="newline-delimited word blocklist (C4's word-level "
+        "exclusion gate); documents containing any listed token drop",
     )
     ap.add_argument(
         "--text-extractor", choices=["strip", "visible"], default="strip",
@@ -220,6 +226,16 @@ def main() -> None:
         .filter(F.col("c4_ok") & F.col("gopher_ok"))
         .drop("c4_ok", "gopher_ok")
     )
+    if args.blockwords:
+        from go_htmldate_spark.operators.curation import blockword_filter
+
+        words = Path(args.blockwords).read_text(
+            encoding="utf-8"
+        ).splitlines()
+        bw = blockword_filter(docs.select("doc_id", "text"), words)
+        docs = docs.join(
+            bw.filter("blockword_ok").select("doc_id"), "doc_id"
+        )
 
     # 4. dedup + sample + token stats
     if args.line_dedup:

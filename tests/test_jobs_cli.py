@@ -959,3 +959,48 @@ def test_crawl_job_collapse_aliases(spark, tmp_path_factory,
     collapsed = frontier("collapsed", ["--collapse-aliases"])
     assert amp not in collapsed
     assert canon in collapsed
+
+
+def test_curate_job_blockwords(spark, tmp_path_factory, monkeypatch,
+                               capsys):
+    """--blockwords: documents containing a listed token never reach
+    the curated output."""
+    import go_htmldate_spark.session as sess
+
+    from pyspark.sql import functions as F
+
+    base = tmp_path_factory.mktemp("curate_bw")
+    monkeypatch.setattr(sess, "get_spark", lambda **kw: spark)
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    date_meta = ('<meta property="article:published_time" '
+                 'content="2023-06-02">')
+    body = ("the quick brown fox jumps over the lazy dog and the "
+            "weather is nice today in the small town square.")
+    rows = [
+        ("https://bw.example/keep", body),
+        ("https://bw.example/drop", body + " zzqx tail words here."),
+    ]
+    pages_dir = str(base / "pages")
+    spark.createDataFrame(
+        [(u, "2024-01-01T00:00:00",
+          f"<html><head>{date_meta}</head><body><p>{t}</p></body>"
+          "</html>".encode())
+         for u, t in rows],
+        "url string, warc_ts string, html binary",
+    ).withColumn(
+        "warc_ts", F.to_timestamp("warc_ts", "yyyy-MM-dd'T'HH:mm:ss")
+    ).write.parquet(pages_dir)
+    bw = base / "words.txt"
+    bw.write_text("zzqx\nqqzzv\n", encoding="utf-8")
+
+    job = _load_job("curate_job")
+    out_dir = str(base / "out")
+    monkeypatch.setattr(sys, "argv", [
+        "curate_job.py", "--pages", pages_dir, "--output", out_dir,
+        "--blockwords", str(bw),
+    ])
+    job.main()
+    capsys.readouterr()
+    kept = {r["url"] for r in
+            spark.read.parquet(out_dir).select("url").collect()}
+    assert kept == {"https://bw.example/keep"}

@@ -1811,3 +1811,25 @@ def test_collocations_lift_and_plan(spark):
         if "Exchange hashpartitioning" in line:
             assert ("w#" in line or "w1" in line or "bg" in line
                     or "w2" in line), line
+
+
+def test_blockword_filter(spark):
+    """C4's word-level gate: token-exact (substrings never match),
+    case-insensitive, count reported; empty/None-free mechanics."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from go_htmldate_spark.operators.curation import blockword_filter
+
+    docs = spark.createDataFrame([
+        (1, "a clean document here"),
+        (2, "contains ZZQX twice zzqx end"),
+        (3, "zzqxy is not a match nor prefixzzqx"),
+        (4, "qqzzv appears once"),
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_blocked"], r["blockword_ok"])
+           for r in blockword_filter(docs, ["zzqx", "qqzzv"]).collect()}
+    assert out == {1: (0, True), 2: (2, False), 3: (0, True),
+                   4: (1, False)}
+    plan = (blockword_filter(docs, ["zzqx"])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan

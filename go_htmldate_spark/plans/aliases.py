@@ -153,15 +153,14 @@ def page_alias_edges(
 ) -> DataFrame:
     """Union of the client-side alias channels with their kind
     ('refresh' | 'amp' | 'og' | 'mobile'), mined in ONE pass: a single
-    projection computes all four targets per row (the meta-tag scan is
-    shared by the refresh and og channels, the link-tag scan serves
-    the mobile channel) and explodes — the page bytes are read once,
-    not once per channel. Map-only, for the dedup/budget layers that
-    want every alias signal in one stream."""
-    from .pagination import link_rel_href
-
+    projection computes all four targets per row off ONE combined
+    <meta|link> tag scan — the page bytes and the tag tokenization are
+    paid once, not once per channel — and explodes. Map-only, for the
+    dedup/budget layers that want every alias signal in one stream."""
     staged = _with_origin(pages, url_col, html_col)
-    tags = F.regexp_extract_all(F.col("_h"), F.lit(_META_TAG_RX), F.lit(0))
+    tags = F.regexp_extract_all(
+        F.col("_h"), F.lit(r"(?i)<(?:meta|link)\s[^>]*>"), F.lit(0)
+    )
     refresh_content = F.get(F.transform(
         F.filter(tags, lambda t: t.rlike(_EQUIV_REFRESH_RX)), _content_of
     ), 0)
@@ -171,20 +170,25 @@ def page_alias_edges(
     og_content = F.get(F.transform(
         F.filter(tags, lambda t: t.rlike(_OG_URL_RX)), _content_of
     ), 0)
-    link_tags = F.regexp_extract_all(
-        F.col("_h"), F.lit(_LINK_TAG_RX), F.lit(0)
+
+    def _first_href(cond):
+        return F.get(F.transform(
+            F.filter(tags, cond),
+            lambda t: F.coalesce(
+                F.nullif(F.regexp_extract(t, _HREF_Q_RX, 2), F.lit("")),
+                F.nullif(F.regexp_extract(t, _HREF_U_RX, 1), F.lit("")),
+            ),
+        ), 0)
+
+    amp_href = _first_href(
+        lambda t: t.rlike(
+            r"(?i)\brel\s*=\s*['\"]?amphtml(?:['\"]|[\s>])"
+        )
     )
-    mob_href = F.get(F.transform(
-        F.filter(
-            link_tags,
-            lambda t: t.rlike(_REL_ALT_RX) & t.rlike(_MEDIA_RX)
-            & ~t.rlike(r"(?i)\bhreflang\s*="),
-        ),
-        lambda t: F.coalesce(
-            F.nullif(F.regexp_extract(t, _HREF_Q_RX, 2), F.lit("")),
-            F.nullif(F.regexp_extract(t, _HREF_U_RX, 1), F.lit("")),
-        ),
-    ), 0)
+    mob_href = _first_href(
+        lambda t: t.rlike(_REL_ALT_RX) & t.rlike(_MEDIA_RX)
+        & ~t.rlike(r"(?i)\bhreflang\s*=")
+    )
     scheme, host = F.col("_scheme"), F.col("_host")
     channels = staged.select(
         "src_url",
@@ -195,9 +199,7 @@ def page_alias_edges(
             ),
             F.struct(
                 F.lit("amp").alias("kind"),
-                _resolve(
-                    link_rel_href(F.col("_h"), "amphtml"), scheme, host
-                ).alias("dst_url"),
+                _resolve(amp_href, scheme, host).alias("dst_url"),
             ),
             F.struct(
                 F.lit("og").alias("kind"),

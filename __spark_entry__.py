@@ -2538,6 +2538,35 @@ def q_outlink_discovery(spark, sf_dir):
     ).select("url", F.col("pos").cast("long").alias("pos"), "outlink")
 
 
+def q_link_density(spark, sf_dir):
+    """§2.11 curation: link-density quality signal (operators/
+    textextract.link_density) — share of visible text living inside
+    anchors, the nav-shell/link-farm indicator (page-level
+    Kohlschütter WSDM'10). Three planted classes from orders (pure nav
+    shell ~0.9, article with one Read More link, empty body); the
+    oracle constructs each class's visible text and anchor chars
+    closed-form."""
+    from go_htmldate_spark.operators.textextract import link_density
+
+    o = _t(spark, sf_dir, "orders")
+    okey = F.col("o_orderkey")
+    k = okey.cast("string")
+    url = F.concat(F.lit("https://ld"), (okey % 12).cast("string"),
+                   F.lit(".example/p/"), k)
+    cls = okey % 3
+    html = (
+        F.when(cls == 0, F.lit(
+            '<a href="/h">Home</a> <a href="/a">About</a> '
+            '<a href="/c">Contact Us</a>'))
+        .when(cls == 1, F.concat(
+            F.lit("<p>Article number "), k,
+            F.lit(' prose.</p><a href="/m">Read More</a>')))
+        .otherwise(F.lit("<html><body></body></html>"))
+    )
+    pages = o.select(url.alias("url"), html.alias("html"))
+    return link_density(pages)
+
+
 def q_blockwords(spark, sf_dir):
     """§2.11 curation: C4's word-level exclusion gate (operators/
     curation.blockword_filter) — documents containing any token from a
@@ -3907,6 +3936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "visible_text": q_visible_text,
         "outlink_discovery": q_outlink_discovery,
         "blockwords": q_blockwords,
+        "link_density": q_link_density,
         "host_backoff": q_host_backoff,
         "adaptive_delay": q_adaptive_delay,
         "water_fill": q_water_fill,
@@ -6645,6 +6675,34 @@ def oracle_sql() -> dict[str, str]:
               FROM b WHERE cls IN (2, 3)
             )
             SELECT url, pos, outlink FROM e
+        """,
+        # Link density: expected visible text and anchor chars per
+        # class in closed form (class 0 nav shell: anchors 19 of 21
+        # visible chars; class 1: one 9-char anchor).
+        "link_density": """
+            WITH g AS (
+              SELECT o_orderkey AS k, o_orderkey % 3 AS cls FROM orders
+            ),
+            t AS (
+              SELECT 'https://ld' || (k % 12) || '.example/p/' || k AS url,
+                     CASE cls
+                       WHEN 0 THEN CAST(19 AS BIGINT)
+                       WHEN 1 THEN CAST(9 AS BIGINT)
+                       ELSE CAST(0 AS BIGINT) END AS n_anchor_chars,
+                     CASE cls
+                       WHEN 0 THEN CAST(21 AS BIGINT)
+                       WHEN 1 THEN CAST(length(
+                         'Article number ' || k || ' prose.') + 10
+                         AS BIGINT)
+                       ELSE CAST(0 AS BIGINT) END AS n_text_chars
+              FROM g
+            )
+            SELECT url, n_anchor_chars, n_text_chars,
+                   CASE WHEN n_text_chars > 0
+                        THEN ROUND(CAST(n_anchor_chars AS DOUBLE)
+                                   / n_text_chars, 6) + 0.0
+                        ELSE 0.0 END AS link_density
+            FROM t
         """,
         # Blockword gate: the oracle tokenizes the planted text the
         # same way (whitespace after run-normalization, lowered) and

@@ -106,3 +106,40 @@ def pages_to_text(
         .otherwise(F.size(F.split(F.col("text"), "\n")))
         .cast("long").alias("n_lines"),
     )
+
+
+def link_density(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, n_anchor_chars, n_text_chars, link_density): the share of
+    a page's visible text living inside anchors — the classic
+    boilerplate/navigation/spam signal (link farms and nav shells run
+    near 1.0, articles near 0.0; the block-level version underlies
+    Kohlschütter et al. WSDM'10 boilerplate detection, here at page
+    granularity for the host-demotion layers). Anchor text is measured
+    on the SAME whitespace-collapse law as visible_text so the ratio
+    is a true subset share; density is 0.0 on empty pages. Map-only:
+    the anchor scan and the visible-text chain run in one projection."""
+    from ..plans.hostgraph import ANCHOR_RX
+
+    h = F.coalesce(F.col(html_col).cast("string"), F.lit(""))
+    texts = F.regexp_extract_all(h, F.lit(ANCHOR_RX), F.lit(3))
+    anchor_chars = F.aggregate(
+        F.transform(
+            texts,
+            lambda t: F.length(
+                F.trim(F.regexp_replace(t, r"\s+", " "))
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    text_chars = F.length(visible_text(h)).cast("long")
+    return pages.select(
+        F.col(url_col).alias("url"),
+        anchor_chars.alias("n_anchor_chars"),
+        text_chars.alias("n_text_chars"),
+        F.when(text_chars > 0,
+               F.round(anchor_chars / text_chars, 6) + F.lit(0.0))
+        .otherwise(F.lit(0.0)).alias("link_density"),
+    )

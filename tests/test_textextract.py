@@ -75,3 +75,25 @@ def test_plan_is_map_only(spark):
     plan = pages_to_text(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_link_density(spark):
+    from go_htmldate_spark.operators.textextract import link_density
+
+    pages = spark.createDataFrame([
+        ("nav", '<a href="/h">Home</a> <a href="/a">About</a>'),
+        ("art", '<p>A longer article body sits here.</p>'
+                '<a href="/m">More</a>'),
+        ("empty", "<html><body></body></html>"),
+        ("none", None),
+    ], "url string, html string")
+    rows = {r["url"]: r for r in link_density(pages).collect()}
+    assert rows["nav"]["n_anchor_chars"] == 9
+    assert rows["nav"]["n_text_chars"] == 10
+    assert rows["nav"]["link_density"] == 0.9
+    assert rows["art"]["n_anchor_chars"] == 4
+    assert rows["art"]["link_density"] < 0.15
+    assert rows["empty"]["link_density"] == 0.0
+    assert rows["none"]["link_density"] == 0.0
+    plan = link_density(pages)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan

@@ -74,10 +74,20 @@ def materialize(spark, base_dir: str) -> None:
 
     hreflang = F.concat(variant(0, "de"), variant(1, "en"),
                         variant(2, "fr"), variant(3, "pt"))
+    og = F.when(i % 4 == 0, F.concat(
+        F.lit('<meta property="og:url" content="https://canon'),
+        (i % 9).cast("string"), F.lit(".example/c/"), i.cast("string"),
+        F.lit('">'),
+    )).otherwise(F.lit(""))
+    refresh = F.when(i % 100 == 0, F.concat(
+        F.lit('<meta http-equiv="refresh" content="0;url=https://mv'),
+        (i % 7).cast("string"), F.lit(".example/r/"), i.cast("string"),
+        F.lit('">'),
+    )).otherwise(F.lit(""))
     page_url = F.concat(F.lit("https://"), lang, F.lit(".c"),
                         cluster.cast("string"), F.lit(".example/d"))
     html = F.concat(
-        F.lit("<html><head>"), meta, nxt, hreflang,
+        F.lit("<html><head>"), meta, og, refresh, nxt, hreflang,
         F.lit('<link rel="stylesheet" href="/css"></head><body>'),
         a1, F.lit(" filler text between the anchors "), a2,
         F.lit("</body></html>"),
@@ -153,6 +163,30 @@ def run_ops(spark, base_dir: str) -> dict:
     out["hreflang_clusters"] = int(srow["n"])
     out["hreflang_members"] = int(srow["m"])
     out["hreflang_checksum"] = int(srow["ck"])
+
+    # closing ops composed: visible-text carrier + single-scan alias
+    # union + anchor-derived outlinks, all map-only over the corpus
+    from go_htmldate_spark.operators.textextract import pages_to_text
+    from go_htmldate_spark.plans.aliases import page_alias_edges
+    from go_htmldate_spark.plans.metarobots import derive_outlinks
+
+    t0 = time.time()
+    vt = pages_to_text(pages).agg(
+        F.sum("n_chars").alias("c"), F.sum("n_lines").alias("l"),
+    ).head()
+    al = page_alias_edges(pages).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.crc32(F.col("dst_url"))).alias("ck"),
+    ).head()
+    ol = derive_outlinks(pages).agg(
+        F.sum(F.size("outlinks")).alias("n"),
+    ).head()
+    out["closing_wall_s"] = round(time.time() - t0, 2)
+    out["text_chars"] = int(vt["c"])
+    out["text_lines"] = int(vt["l"])
+    out["alias_edges"] = int(al["n"])
+    out["alias_checksum"] = int(al["ck"])
+    out["outlinks_total"] = int(ol["n"])
     return out
 
 

@@ -2538,6 +2538,34 @@ def q_outlink_discovery(spark, sf_dir):
     ).select("url", F.col("pos").cast("long").alias("pos"), "outlink")
 
 
+def q_gopher_rules(spark, sf_dir):
+    """§2.11 curation: the Gopher/MassiveText structural quality rules
+    (operators/curation.gopher_quality_rules, Rae et al. 2021 A1.1) —
+    symbol-to-word ratio, bullet-started and ellipsis-ended line
+    fractions, alphabetic-word share, stop-word presence. Six planted
+    classes (clean + one per tripped rule) with every measured
+    quantity derived closed-form in the oracle."""
+    from go_htmldate_spark.operators.curation import gopher_quality_rules
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    cls = F.col("doc_id") % 6
+    good = ("The weather report says that we have sunshine to share "
+            "with all of the town and be glad.")
+    bullets = "\n".join("- the item of note" for _ in range(5))
+    ells = "\n".join("the story continues..." for _ in range(5))
+    text = (
+        F.when(cls == 0, F.lit(good))
+        .when(cls == 1, F.lit("the of # # # # to be"))
+        .when(cls == 2, F.lit(bullets))
+        .when(cls == 3, F.lit(ells))
+        .when(cls == 4, F.lit(
+            "the 111 222 333 444 555 666 777 888 999 000 to"))
+        .otherwise(F.lit("zebra quartz wobble nimbus vortex"))
+    )
+    docs = d.select("doc_id", text.alias("text"))
+    return gopher_quality_rules(docs)
+
+
 def q_link_density(spark, sf_dir):
     """§2.11 curation: link-density quality signal (operators/
     textextract.link_density) — share of visible text living inside
@@ -3937,6 +3965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlink_discovery": q_outlink_discovery,
         "blockwords": q_blockwords,
         "link_density": q_link_density,
+        "gopher_rules": q_gopher_rules,
         "host_backoff": q_host_backoff,
         "adaptive_delay": q_adaptive_delay,
         "water_fill": q_water_fill,
@@ -6675,6 +6704,33 @@ def oracle_sql() -> dict[str, str]:
               FROM b WHERE cls IN (2, 3)
             )
             SELECT url, pos, outlink FROM e
+        """,
+        # Gopher structural rules: every measured quantity per class
+        # in closed form (class 1 trips symbol AND alpha, class 3
+        # trips ellipsis AND symbol AND stop-words — the AND reports
+        # false either way; only class 0 passes).
+        "gopher_rules": """
+            WITH g AS (
+              SELECT doc_id, doc_id % 6 AS cls FROM documents
+            )
+            SELECT doc_id,
+                   CAST(CASE cls WHEN 0 THEN 18 WHEN 1 THEN 8
+                        WHEN 2 THEN 25 WHEN 3 THEN 15
+                        WHEN 4 THEN 12 ELSE 5 END AS BIGINT) AS n_words,
+                   CASE cls WHEN 1 THEN 0.5
+                        WHEN 3 THEN ROUND(5.0/15, 6) + 0.0
+                        ELSE 0.0 END AS symbol_ratio,
+                   CASE cls WHEN 2 THEN 1.0 ELSE 0.0 END AS bullet_frac,
+                   CASE cls WHEN 3 THEN 1.0 ELSE 0.0 END
+                     AS ellipsis_frac,
+                   CASE cls WHEN 1 THEN 0.5 WHEN 2 THEN 0.8
+                        WHEN 4 THEN ROUND(2.0/12, 6) + 0.0
+                        ELSE 1.0 END AS alpha_word_frac,
+                   CAST(CASE cls WHEN 0 THEN 8 WHEN 1 THEN 4
+                        WHEN 2 THEN 2 WHEN 3 THEN 1 WHEN 4 THEN 2
+                        ELSE 0 END AS BIGINT) AS n_stopwords,
+                   cls = 0 AS gopher_rules_ok
+            FROM g
         """,
         # Link density: expected visible text and anchor chars per
         # class in closed form (class 0 nav shell: anchors 19 of 21

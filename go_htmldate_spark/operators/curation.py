@@ -1306,3 +1306,79 @@ def blockword_filter(
         n_blocked.alias("n_blocked"),
         (n_blocked == 0).alias("blockword_ok"),
     )
+
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_rules(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The Gopher/MassiveText STRUCTURAL quality rules (Rae et al.
+    2021 A1.1) complementing c4_heuristics' word-count/length gates
+    and gopher_repetition's duplication signals:
+
+    - symbol-to-word ratio ('#' and ellipsis) <= 0.1,
+    - < 90% of lines bullet-started ('•', '-', '*'),
+    - < 30% of lines ellipsis-ended,
+    - >= 80% of words contain an alphabetic character,
+    - >= 2 distinct members of the canonical stop-word octet present.
+
+    Emits every measured quantity plus gopher_rules_ok (the AND) so
+    thresholds are auditable. All native column algebra — tokens via
+    the repo's whitespace law, lines via newline split, set probes as
+    array_intersect against the tiny constant list — map-only, zero
+    exchanges, DuckDB-replicable. Alphabetic means [A-Za-z] (the
+    synthetic corpora are ASCII; swap the class for \\p{L} when
+    feeding non-Latin text)."""
+    from .textstats import tokens
+
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_words = F.size(toks)
+    n_hash = (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+              ).cast("long")
+    n_ell = (F.regexp_count(t, F.lit(r"\.\.\.")) +
+             F.regexp_count(t, F.lit("…"))).cast("long")
+    symbol_ratio = F.when(
+        n_words > 0,
+        F.round((n_hash + n_ell) / n_words, 6) + F.lit(0.0)
+    ).otherwise(F.lit(0.0))
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(
+        lines, lambda x: F.trim(x).rlike(r"^[•\-\*]")
+    ))
+    n_ell_end = F.size(F.filter(
+        lines, lambda x: F.trim(x).rlike(r"(?:\.\.\.|…)$")
+    ))
+    bullet_frac = F.when(
+        n_lines > 0, F.round(n_bullet / n_lines, 6) + F.lit(0.0)
+    ).otherwise(F.lit(0.0))
+    ellipsis_frac = F.when(
+        n_lines > 0, F.round(n_ell_end / n_lines, 6) + F.lit(0.0)
+    ).otherwise(F.lit(0.0))
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike(r"[A-Za-z]")))
+    alpha_frac = F.when(
+        n_words > 0, F.round(n_alpha / n_words, 6) + F.lit(0.0)
+    ).otherwise(F.lit(0.0))
+    n_stop = F.size(F.array_intersect(
+        F.array_distinct(F.transform(
+            toks, lambda x: F.regexp_replace(F.lower(x), r"[^a-z]", "")
+        )),
+        F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+    )).cast("long")
+    ok = (
+        (symbol_ratio <= 0.1) & (bullet_frac < 0.9)
+        & (ellipsis_frac < 0.3) & (alpha_frac >= 0.8) & (n_stop >= 2)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_frac"),
+        ellipsis_frac.alias("ellipsis_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        n_stop.alias("n_stopwords"),
+        ok.alias("gopher_rules_ok"),
+    )

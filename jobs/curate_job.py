@@ -94,6 +94,12 @@ def main() -> None:
         "date; undated docs drop under a mix)",
     )
     ap.add_argument(
+        "--gopher-rules", action="store_true",
+        help="also gate on the Gopher structural rules (symbol ratio, "
+        "bullet/ellipsis line fractions, alphabetic-word share, "
+        "stop-word presence)",
+    )
+    ap.add_argument(
         "--blockwords", metavar="FILE",
         help="newline-delimited word blocklist (C4's word-level "
         "exclusion gate); documents containing any listed token drop",
@@ -226,6 +232,15 @@ def main() -> None:
         .filter(F.col("c4_ok") & F.col("gopher_ok"))
         .drop("c4_ok", "gopher_ok")
     )
+    if args.gopher_rules:
+        from go_htmldate_spark.operators.curation import (
+            gopher_quality_rules,
+        )
+
+        gq = gopher_quality_rules(docs.select("doc_id", "text"))
+        docs = docs.join(
+            gq.filter("gopher_rules_ok").select("doc_id"), "doc_id"
+        )
     if args.blockwords:
         from go_htmldate_spark.operators.curation import blockword_filter
 

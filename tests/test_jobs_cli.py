@@ -1004,3 +1004,44 @@ def test_curate_job_blockwords(spark, tmp_path_factory, monkeypatch,
     kept = {r["url"] for r in
             spark.read.parquet(out_dir).select("url").collect()}
     assert kept == {"https://bw.example/keep"}
+
+
+def test_curate_job_gopher_rules(spark, tmp_path_factory, monkeypatch,
+                                 capsys):
+    """--gopher-rules: a bullet-list shell drops, prose survives."""
+    import go_htmldate_spark.session as sess
+
+    from pyspark.sql import functions as F
+
+    base = tmp_path_factory.mktemp("curate_gr")
+    monkeypatch.setattr(sess, "get_spark", lambda **kw: spark)
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    date_meta = ('<meta property="article:published_time" '
+                 'content="2023-06-02">')
+    prose = ("the quick brown fox jumps over the lazy dog and we have "
+             "plenty of fine weather to share with the town today.")
+    bullets = "<br>".join("- the item of note here now" for _ in range(9))
+    pages_dir = str(base / "pages")
+    spark.createDataFrame(
+        [("https://gr.example/keep", "2024-01-01T00:00:00",
+          f"<html><head>{date_meta}</head><body><p>{prose}</p></body>"
+          "</html>".encode()),
+         ("https://gr.example/drop", "2024-01-01T00:00:00",
+          f"<html><head>{date_meta}</head><body><p>{bullets}</p></body>"
+          "</html>".encode())],
+        "url string, warc_ts string, html binary",
+    ).withColumn(
+        "warc_ts", F.to_timestamp("warc_ts", "yyyy-MM-dd'T'HH:mm:ss")
+    ).write.parquet(pages_dir)
+
+    job = _load_job("curate_job")
+    out_dir = str(base / "out")
+    monkeypatch.setattr(sys, "argv", [
+        "curate_job.py", "--pages", pages_dir, "--output", out_dir,
+        "--gopher-rules", "--text-extractor", "visible",
+    ])
+    job.main()
+    capsys.readouterr()
+    kept = {r["url"] for r in
+            spark.read.parquet(out_dir).select("url").collect()}
+    assert kept == {"https://gr.example/keep"}

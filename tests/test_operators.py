@@ -1833,3 +1833,31 @@ def test_blockword_filter(spark):
     plan = (blockword_filter(docs, ["zzqx"])
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_gopher_quality_rules(spark):
+    """Each Gopher structural rule trips on its planted class and the
+    clean document passes all five."""
+    from go_htmldate_spark.operators.curation import gopher_quality_rules
+
+    good = ("The weather report says that we have sunshine to share "
+            "with all of the town and be glad.")
+    docs = spark.createDataFrame([
+        (1, good),
+        (2, "the of # # # # # # # # # # to be"),          # symbol ratio
+        (3, "\n".join("- the item of note" for _ in range(10))),  # bullets
+        (4, "\n".join("the story continues..." for _ in range(10))),
+        (5, "the 111 222 333 444 555 666 777 888 999 000 to"),  # alpha
+        (6, "zebra quartz wobble nimbus vortex"),          # stopwords
+    ], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in gopher_quality_rules(docs).collect()}
+    assert rows[1]["gopher_rules_ok"]
+    assert rows[1]["n_stopwords"] >= 4
+    assert not rows[2]["gopher_rules_ok"] and rows[2]["symbol_ratio"] > 0.1
+    assert not rows[3]["gopher_rules_ok"] and rows[3]["bullet_frac"] == 1.0
+    assert not rows[4]["gopher_rules_ok"] and rows[4]["ellipsis_frac"] == 1.0
+    assert not rows[5]["gopher_rules_ok"] and rows[5]["alpha_word_frac"] < 0.8
+    assert not rows[6]["gopher_rules_ok"] and rows[6]["n_stopwords"] == 0
+    plan = (gopher_quality_rules(docs)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan

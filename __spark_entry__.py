@@ -2538,6 +2538,35 @@ def q_outlink_discovery(spark, sf_dir):
     ).select("url", F.col("pos").cast("long").alias("pos"), "outlink")
 
 
+def q_robots_compliance(spark, sf_dir):
+    """§2.4 aggregation / §2.9 frontier: per-host robots-meta
+    compliance roll-up (plans/metarobots.meta_robots_host_stats) — a
+    host marking most of its corpus noindex is wasted politeness.
+    Hosts h=0..24 serve noindex on okey%10 < h%11 of their pages and
+    nofollow on okey%7==0, so rates span 0..1; the oracle replays the
+    flag law relationally over the same orders keys."""
+    from go_htmldate_spark.plans.metarobots import meta_robots_host_stats
+
+    o = _t(spark, sf_dir, "orders")
+    okey = F.col("o_orderkey")
+    h = okey % 25
+    url = F.concat(F.lit("https://rc"), h.cast("string"),
+                   F.lit(".example/p/"), okey.cast("string"))
+    ni = okey % 10 < h % 11
+    nf = okey % 7 == 0
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(ni & nf,
+               F.lit('<meta name="robots" content="noindex, nofollow">'))
+        .when(ni, F.lit('<meta name="robots" content="noindex">'))
+        .when(nf, F.lit("<meta content='nofollow' name='robots'>"))
+        .otherwise(F.lit('<meta charset="utf-8">')),
+        F.lit("</head><body>x</body></html>"),
+    )
+    pages = o.select(url.alias("url"), html.alias("html"))
+    return meta_robots_host_stats(pages)
+
+
 def q_gopher_rules(spark, sf_dir):
     """§2.11 curation: the Gopher/MassiveText structural quality rules
     (operators/curation.gopher_quality_rules, Rae et al. 2021 A1.1) —
@@ -3966,6 +3995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blockwords": q_blockwords,
         "link_density": q_link_density,
         "gopher_rules": q_gopher_rules,
+        "robots_compliance": q_robots_compliance,
         "host_backoff": q_host_backoff,
         "adaptive_delay": q_adaptive_delay,
         "water_fill": q_water_fill,
@@ -6704,6 +6734,29 @@ def oracle_sql() -> dict[str, str]:
               FROM b WHERE cls IN (2, 3)
             )
             SELECT url, pos, outlink FROM e
+        """,
+        # Robots-compliance roll-up: the planted flag law replayed
+        # relationally over the same orders keys.
+        "robots_compliance": """
+            WITH g AS (
+              SELECT o_orderkey AS k, o_orderkey % 25 AS h,
+                     (o_orderkey % 10) < (o_orderkey % 25 % 11) AS ni,
+                     o_orderkey % 7 = 0 AS nf
+              FROM orders
+            ),
+            a AS (
+              SELECT 'rc' || h || '.example' AS host,
+                     COUNT(*) AS n_pages,
+                     SUM(CASE WHEN ni THEN 1 ELSE 0 END) AS n_noindex,
+                     SUM(CASE WHEN nf THEN 1 ELSE 0 END) AS n_nofollow
+              FROM g GROUP BY h
+            )
+            SELECT host, CAST(n_pages AS BIGINT) AS n_pages,
+                   CAST(n_noindex AS BIGINT) AS n_noindex,
+                   CAST(n_nofollow AS BIGINT) AS n_nofollow,
+                   ROUND(CAST(n_noindex AS DOUBLE) / n_pages, 6) + 0.0
+                     AS noindex_rate
+            FROM a
         """,
         # Gopher structural rules: every measured quantity per class
         # in closed form (class 1 trips symbol AND alpha, class 3

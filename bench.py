@@ -94,7 +94,7 @@ def main() -> None:
         "meta_robots", "nofollow_links", "pagination_chains",
         "hreflang_clusters", "hreflang_stats",
         "meta_refresh", "page_aliases", "visible_text",
-        "outlink_discovery", "blockwords", "link_density", "gopher_rules",
+        "outlink_discovery", "blockwords", "link_density", "gopher_rules", "robots_compliance",
         "cache_ttl", "revalidation_plan", "revisit_stats",
         "hll_host_distinct", "cms_heavy_hosts",
         "ccnet_buckets", "snapshot_diff", "snapshot_diff_stats",

@@ -257,3 +257,48 @@ def derive_outlinks(
         1, max_links,
     )
     return pages.withColumn("outlinks", out)
+
+
+def meta_robots_host_stats(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html",
+    agent: str | None = None,
+) -> DataFrame:
+    """Per-host robots-meta compliance roll-up: (host, n_pages,
+    n_noindex, n_nofollow, noindex_rate) — the audit view of the
+    page-level layer. A host marking most of its corpus noindex is
+    wasted politeness: every fetch lands a page the index must drop.
+    Map-only flags then ONE host-keyed exchange of counter columns;
+    page bytes never shuffle."""
+    from .canonical import url_host
+
+    flags = pages.select(
+        url_host(F.col(url_col)).alias("host"),
+        page_noindex(F.col(html_col).cast("string"), agent)
+        .alias("_ni"),
+        page_nofollow(F.col(html_col).cast("string"), agent)
+        .alias("_nf"),
+    )
+    return flags.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pages"),
+        F.sum(F.when(F.col("_ni"), 1).otherwise(0)).cast("long")
+        .alias("n_noindex"),
+        F.sum(F.when(F.col("_nf"), 1).otherwise(0)).cast("long")
+        .alias("n_nofollow"),
+    ).select(
+        "host", "n_pages", "n_noindex", "n_nofollow",
+        (F.round(F.col("n_noindex") / F.col("n_pages"), 6) + F.lit(0.0))
+        .alias("noindex_rate"),
+    )
+
+
+def noindex_host_demotion(
+    stats: DataFrame, threshold: float = 0.8, min_pages: int = 5
+) -> DataFrame:
+    """Hosts whose noindex rate reaches `threshold` over at least
+    `min_pages` observed pages, in the scheduler's demotion currency
+    (host, politeness_budget 0.0) — min-merged with the other budget
+    sources like soft-404 / parked / mirror demotion."""
+    return stats.filter(
+        (F.col("n_pages") >= min_pages)
+        & (F.col("noindex_rate") >= threshold)
+    ).select("host", F.lit(0.0).alias("politeness_budget"))

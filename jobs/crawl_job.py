@@ -267,6 +267,19 @@ def main() -> None:
         "per-bot channel, in union with the generic robots meta",
     )
     ap.add_argument(
+        "--demote-noindex",
+        metavar="PAGES_DIR",
+        help="parquet dir of fetched pages (url, html); hosts whose "
+        "noindex-page rate reaches --noindex-threshold over >= 5 "
+        "observed pages are demoted to a 0-fetch budget — fetching "
+        "pages the index must drop is wasted politeness",
+    )
+    ap.add_argument(
+        "--noindex-threshold", type=float, default=0.8,
+        help="per-host noindex rate at or above which the host is "
+        "demoted (default 0.8)",
+    )
+    ap.add_argument(
         "--max-outlinks", type=int, default=256,
         help="per-page cap when outlinks must be derived from anchors "
         "(corpora without an outlinks column, e.g. WARC-sourced); a "
@@ -505,6 +518,22 @@ def main() -> None:
         ).distinct()
         budgets = merge_budgets(budgets, typosquat_demotion(
             typosquat_pairs(hosts, brands, max_dist=args.typosquat_dist)
+        ))
+
+    if args.demote_noindex:
+        from go_htmldate_spark.plans.metarobots import (
+            meta_robots_host_stats,
+            noindex_host_demotion,
+        )
+
+        obs = spark.read.parquet(args.demote_noindex)
+        html_c = (F.decode(F.col("html"), "UTF-8")
+                  if dict(obs.dtypes).get("html") == "binary"
+                  else F.col("html"))
+        obs = obs.select("url", html_c.alias("html"))
+        budgets = merge_budgets(budgets, noindex_host_demotion(
+            meta_robots_host_stats(obs, agent=args.robots_agent),
+            threshold=args.noindex_threshold,
         ))
 
     url_suppress = None

@@ -1045,3 +1045,51 @@ def test_curate_job_gopher_rules(spark, tmp_path_factory, monkeypatch,
     kept = {r["url"] for r in
             spark.read.parquet(out_dir).select("url").collect()}
     assert kept == {"https://gr.example/keep"}
+
+
+def test_crawl_job_demote_noindex(spark, tmp_path_factory, monkeypatch,
+                                  capsys):
+    """--demote-noindex: a host serving mostly noindex pages loses its
+    fetch budget; the compliant host schedules normally."""
+    import go_htmldate_spark.session as sess
+
+    from pyspark.sql import functions as F
+
+    base = tmp_path_factory.mktemp("noidx_cli")
+    date_meta = ("<meta property='article:published_time' "
+                 "content='2024-01-02'/>")
+    ni = "<meta name='robots' content='noindex'>"
+
+    def page(host, i, noindex):
+        extra = ni if noindex else ""
+        return (f"https://{host}/p/{i}",
+                f"<html><head>{date_meta}{extra}</head><body>x</body>"
+                "</html>", [])
+
+    corpus = spark.createDataFrame(
+        [page("w.example.org", i, True) for i in range(6)]
+        + [page("c.example.org", i, False) for i in range(6)],
+        "url string, html string, outlinks array<string>",
+    )
+    pages_dir = base / "pages"
+    corpus.write.parquet(str(pages_dir))
+    monkeypatch.setattr(sess, "get_spark", lambda **kw: spark)
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    job = _load_job("crawl_job")
+
+    def fetched(state, extra):
+        monkeypatch.setattr(sys, "argv", [
+            "crawl_job.py", "--pages", str(pages_dir),
+            "--state", str(base / state), "--rounds", "1",
+            "--n-seeds", "12",
+        ] + extra)
+        job.main()
+        capsys.readouterr()
+        snap = spark.read.parquet(str(base / state / "round_0" / "fetched"))
+        return {r["url"] for r in snap.select("url").collect()}
+
+    plain = fetched("plain", [])
+    assert any("w.example.org" in u for u in plain)
+    gated = fetched("gated", ["--demote-noindex", str(pages_dir)])
+    assert not any("w.example.org" in u for u in gated)
+    assert any("c.example.org" in u for u in gated)

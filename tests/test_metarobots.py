@@ -262,3 +262,30 @@ def test_derive_outlinks(spark):
     plan = (derive_outlinks(pages)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_host_stats_and_noindex_demotion(spark):
+    from go_htmldate_spark.plans.metarobots import (
+        meta_robots_host_stats,
+        noindex_host_demotion,
+    )
+
+    ni = '<meta name="robots" content="noindex">'
+    rows = []
+    # bad.example: 5/6 noindex; ok.example: 1/6; tiny.example: 2/2 but
+    # under min_pages
+    for i in range(6):
+        rows.append((f"https://bad.example/{i}",
+                     ni if i < 5 else "<html></html>"))
+        rows.append((f"https://ok.example/{i}",
+                     ni if i == 0 else "<html></html>"))
+    rows += [(f"https://tiny.example/{i}", ni) for i in range(2)]
+    stats = meta_robots_host_stats(_pages(spark, rows))
+    by = {r["host"]: r for r in stats.collect()}
+    assert by["bad.example"]["n_noindex"] == 5
+    assert abs(by["bad.example"]["noindex_rate"] - 5 / 6) < 1e-6
+    assert by["ok.example"]["n_noindex"] == 1
+    demoted = {r["host"] for r in noindex_host_demotion(
+        stats, threshold=0.8, min_pages=5
+    ).collect()}
+    assert demoted == {"bad.example"}

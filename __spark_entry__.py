@@ -42,6 +42,27 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _ts(spark: SparkSession, sf_dir: str, name: str,
+        key: str | None = None) -> DataFrame:
+    """_t + scale-adaptive spread for expression-heavy queries.
+
+    The sf tables are ONE parquet file each with 1-6 row groups, and a
+    scan task cannot split below a row group — so every query rooted at
+    them runs its whole projection chain on 1-2 cores no matter how
+    many the session has. Queries whose dominant cost is per-row
+    expression work (synthesized HTML + regex parsing, hashing,
+    tokenization) hash-repartition the pruned base columns across
+    defaultParallelism first: the exchange moves a few MB once and the
+    heavy projection runs on every core (optimization guide §2.5,
+    input skew: repartition right after the read). Hash on the table
+    key keeps the row→partition map deterministic under task retries
+    (guide §2.5 on rand-derived keys); cheap scan→aggregate queries
+    stay on _t — an exchange of raw rows would cost more than it buys."""
+    n = spark.sparkContext.defaultParallelism
+    df = _t(spark, sf_dir, name)
+    return df.repartition(n, F.col(key)) if key else df.repartition(n)
+
+
 def _synth_urls(orders: DataFrame) -> DataFrame:
     """Deterministic URL column: every 3rd order carries its date in the
     URL path (unpadded, like real CMS URLs)."""
@@ -134,18 +155,39 @@ _SQL_ANN_CTES = """
 """
 
 
-def _url_date_col():
+def _with_url_date(urls: DataFrame, out_col: str) -> DataFrame:
+    """§2.7 extractUrlDate as STAGED projections: regex year/month/day
+    extraction, y-M-d parse, [MIN_D, MAX_D] gate, yyyy-MM-dd format
+    (empty string when no valid date). Inlined as one expression, the
+    CASE/BETWEEN branches re-evaluate regexp_extract 9x and the date
+    parse 3x per row (r06 before-plan); staging each non-cheap alias in
+    its own projection makes Catalyst keep them apart (CollapseProject
+    refuses to duplicate non-cheap aliases), so each row pays exactly
+    3 regex matches and 1 date parse."""
     from go_htmldate_spark.functions.native import RX_COMPLETE_URL_JAVA
 
-    y = F.regexp_extract("url", RX_COMPLETE_URL_JAVA, 1)
-    m = F.regexp_extract("url", RX_COMPLETE_URL_JAVA, 2)
-    d = F.regexp_extract("url", RX_COMPLETE_URL_JAVA, 3)
-    dt = F.try_to_date(F.concat_ws("-", y, m, d), "y-M-d")
-    dt = F.when(
-        (y != "") & dt.between(F.lit(MIN_D).cast("date"), F.lit(MAX_D).cast("date")),
-        dt,
+    staged = urls.select(
+        "*",
+        F.regexp_extract("url", RX_COMPLETE_URL_JAVA, 1).alias("_y"),
+        F.regexp_extract("url", RX_COMPLETE_URL_JAVA, 2).alias("_m"),
+        F.regexp_extract("url", RX_COMPLETE_URL_JAVA, 3).alias("_d"),
     )
-    return F.coalesce(F.date_format(dt, "yyyy-MM-dd"), F.lit(""))
+    dt = F.try_to_date(
+        F.concat_ws("-", F.col("_y"), F.col("_m"), F.col("_d")), "y-M-d"
+    )
+    staged = staged.select("*", dt.alias("_dt"))
+    gated = F.when(
+        (F.col("_y") != "")
+        & F.col("_dt").between(
+            F.lit(MIN_D).cast("date"), F.lit(MAX_D).cast("date")
+        ),
+        F.col("_dt"),
+    )
+    return staged.select(
+        "*",
+        F.coalesce(F.date_format(gated, "yyyy-MM-dd"), F.lit(""))
+        .alias(out_col),
+    ).drop("_y", "_m", "_d", "_dt")
 
 
 # ---------------------------------------------------------------------------
@@ -154,8 +196,8 @@ def _url_date_col():
 
 def q_url_date_extract(spark, sf_dir):
     """§2.7 extractUrlDate as a pure Catalyst expression."""
-    urls = _synth_urls(_t(spark, sf_dir, "orders"))
-    return urls.select("o_orderkey", _url_date_col().alias("url_date"))
+    urls = _synth_urls(_ts(spark, sf_dir, "orders", "o_orderkey"))
+    return _with_url_date(urls, "url_date").select("o_orderkey", "url_date")
 
 
 def q_plausible_year_count(spark, sf_dir):
@@ -242,9 +284,9 @@ def q_eval_scoring(spark, sf_dir):
     predictions vs golden order dates."""
     from go_htmldate_spark.operators.relational import eval_scores
 
-    urls = _synth_urls(_t(spark, sf_dir, "orders"))
-    joined = urls.select(
-        _url_date_col().alias("pred"),
+    urls = _synth_urls(_ts(spark, sf_dir, "orders", "o_orderkey"))
+    joined = _with_url_date(urls, "pred").select(
+        "pred",
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("golden"),
     )
     return eval_scores(joined, "pred", "golden")
@@ -273,7 +315,7 @@ def q_quality_score(spark, sf_dir):
     stats fold behind a Generate barrier)."""
     from go_htmldate_spark.operators.textstats import with_text_stats
 
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir, "documents", "doc_id")
     return with_text_stats(d).select(
         "doc_id", "punct_ratio", "stopword_ratio", "quality"
     )
@@ -283,7 +325,7 @@ def q_lang_id(spark, sf_dir):
     """Pipeline: marker-word language ID."""
     from go_htmldate_spark.operators.textstats import lang_id
 
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir, "documents", "doc_id")
     return d.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
 
 
@@ -825,7 +867,7 @@ def q_gopher_repetition(spark, sf_dir):
     (id, n, gram) exchange."""
     from go_htmldate_spark.operators.textstats import gopher_repetition
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _ts(spark, sf_dir, "documents", "doc_id").select("doc_id", "text")
     return gopher_repetition(docs)
 
 
@@ -942,7 +984,7 @@ def _parked_pages(spark, sf_dir):
     anchor farm, article mentioning parking past the lead window (must
     NOT flag), meta-refresh with a real article body (must NOT flag),
     normal article."""
-    o = _t(spark, sf_dir, "orders")
+    o = _ts(spark, sf_dir, "orders", "o_orderkey")
     okey = F.col("o_orderkey")
     ks = okey.cast("string")
     url = F.concat(F.lit("https://h"), (F.col("o_custkey") % 30).cast("string"),
@@ -1108,7 +1150,7 @@ def q_linear_quality(spark, sf_dir):
         hashed_weights, linear_quality_score,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _ts(spark, sf_dir, "documents", "doc_id").select("doc_id", "text")
     w = hashed_weights(spark, dim=4096, seed=13)
     return linear_quality_score(docs, w, dim=4096, seed=13)
 
@@ -1120,7 +1162,7 @@ def q_ngram_contamination(spark, sf_dir):
     (operators/curation.ngram_contamination)."""
     from go_htmldate_spark.operators.curation import ngram_contamination
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _ts(spark, sf_dir, "documents", "doc_id").select("doc_id", "text")
     bench = docs.filter(F.col("doc_id") % 17 == 0).select("text")
     return ngram_contamination(docs, bench, n=8)
 
@@ -1134,7 +1176,7 @@ def q_dup_span_stats(spark, sf_dir):
     fraction of tokens covered (operators/curation.dup_span_stats)."""
     from go_htmldate_spark.operators.curation import dup_span_stats
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _ts(spark, sf_dir, "documents", "doc_id").select("doc_id", "text")
     return dup_span_stats(docs, n=8)
 
 
@@ -1146,7 +1188,7 @@ def q_dup_span_removal(spark, sf_dir):
     (operators/curation.remove_dup_spans)."""
     from go_htmldate_spark.operators.curation import remove_dup_spans
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _ts(spark, sf_dir, "documents", "doc_id").select("doc_id", "text")
     return remove_dup_spans(docs, n=8)
 
 
@@ -1180,7 +1222,8 @@ def q_pipeline_curate(spark, sf_dir):
         token_count,
     )
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    d = _ts(spark, sf_dir, "documents", "doc_id").select(
+        "doc_id", "text", "lang")
     dup = d.filter(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang"
     )
@@ -1215,7 +1258,7 @@ def q_pii_scrub(spark, sf_dir):
     oracle replays the same injection and the same RE2-subset regexes."""
     from go_htmldate_spark.operators.curation import pii_scrub
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _ts(spark, sf_dir, "documents", "doc_id").select("doc_id", "text")
     did = F.col("doc_id")
     injected = d.select(
         "doc_id",
@@ -1256,7 +1299,7 @@ def q_c4_heuristics(spark, sf_dir):
     rounded mean-word-length threshold."""
     from go_htmldate_spark.operators.curation import c4_heuristics
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _ts(spark, sf_dir, "documents", "doc_id").select("doc_id", "text")
     return c4_heuristics(d)
 
 
@@ -1268,7 +1311,8 @@ def q_lm_score(spark, sf_dir):
     reproduces it bit-for-bit."""
     from go_htmldate_spark.operators.curation import lm_score
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    d = _ts(spark, sf_dir, "documents", "doc_id").select(
+        "doc_id", "text", "lang")
     ref = d.filter(F.col("lang") == "en").select("text")
     return lm_score(d.select("doc_id", "text"), ref)
 
@@ -1282,7 +1326,8 @@ def q_ccnet_buckets(spark, sf_dir):
     exact path is the oracle gate."""
     from go_htmldate_spark.operators.curation import ccnet_buckets
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    d = _ts(spark, sf_dir, "documents", "doc_id").select(
+        "doc_id", "text", "lang")
     ref = d.filter(F.col("lang") == "en").select("text")
     return ccnet_buckets(d, ref)
 
@@ -1412,7 +1457,7 @@ def q_wet_roundtrip(spark, sf_dir):
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     d = os.path.join(tempfile.gettempdir(), f"spark_graft_wet_{tag}")
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents", "doc_id")
     pages = docs.select(
         F.concat(F.lit("https://wet.example/"), F.col("lang"),
                  F.lit("/doc-"), F.col("doc_id").cast("string")).alias("url"),
@@ -1422,7 +1467,13 @@ def q_wet_roundtrip(spark, sf_dir):
         ).alias("warc_ts"),
         "text",
     )
-    write_wet_shards(pages, d, n_shards=4)
+    # shard count = core count (was 4): WET read parallelism is
+    # file-granular (one gzip member stream per task), so 4 shards
+    # pinned both the export and the re-ingest to 4 of the session's
+    # cores; per-record bytes are shard-independent, so the output (and
+    # its oracle) is unchanged
+    write_wet_shards(pages, d,
+                     n_shards=spark.sparkContext.defaultParallelism)
     recs = read_warc(spark, os.path.join(d, "*.warc.wet.gz"),
                      warc_types=("conversion",))
     out = wet_to_docs(recs)
@@ -1443,7 +1494,7 @@ def _wat_records(spark, sf_dir):
     both quote styles, and no-href / inner-markup distractors — every
     value a closed-form function of doc_id so the oracle rebuilds the
     envelope without parsing HTML."""
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir, "documents", "doc_id")
     did = F.col("doc_id").cast("string")
     html = F.concat(
         F.lit("<html><head><title> Doc  "), did,
@@ -1528,7 +1579,10 @@ def q_wat_roundtrip(spark, sf_dir):
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     d = os.path.join(tempfile.gettempdir(), f"spark_graft_wat_{tag}")
-    write_wat_shards(wat_metadata(_wat_records(spark, sf_dir)), d, n_shards=4)
+    # shard count = core count (was 4; same parallelism rationale as
+    # q_wet_roundtrip — per-record bytes are shard-independent)
+    write_wat_shards(wat_metadata(_wat_records(spark, sf_dir)), d,
+                     n_shards=spark.sparkContext.defaultParallelism)
     recs = read_warc(spark, os.path.join(d, "*.warc.wat.gz"),
                      warc_types=("metadata",))
     return _wat_projection(wat_to_metadata(recs))
@@ -1585,7 +1639,7 @@ def q_line_dedup(spark, sf_dir):
     and the same trim-nonempty eligibility rule."""
     from go_htmldate_spark.operators.curation import line_dedup
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _ts(spark, sf_dir, "documents", "doc_id").select("doc_id", "text")
     did = F.col("doc_id")
     synth = d.select(
         "doc_id",
@@ -1619,7 +1673,7 @@ def q_host_boilerplate(spark, sf_dir):
     construction and rule on raw (host, line) pairs."""
     from go_htmldate_spark.operators.curation import host_boilerplate
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _ts(spark, sf_dir, "documents", "doc_id").select("doc_id", "text")
     did = F.col("doc_id")
     host = F.concat(F.lit("h"), (did % 37).cast("string"))
     synth = d.select(
@@ -1650,7 +1704,7 @@ def q_sitemap_parse(spark, sf_dir):
     the oracle replays the same regexes in DuckDB."""
     from go_htmldate_spark.sources.sitemaps import parse_sitemaps
 
-    o = _t(spark, sf_dir, "orders")
+    o = _ts(spark, sf_dir, "orders", "o_orderkey")
     okey = F.col("o_orderkey").cast("string")
     site = F.concat(F.lit("https://s"), (F.col("o_custkey") % 20).cast("string"),
                     F.lit(".example"))
@@ -1701,7 +1755,7 @@ def q_feed_parse(spark, sf_dir):
     RE2-safe regexes in DuckDB."""
     from go_htmldate_spark.sources.feeds import parse_feeds
 
-    o = _t(spark, sf_dir, "orders")
+    o = _ts(spark, sf_dir, "orders", "o_orderkey")
     okey = F.col("o_orderkey").cast("string")
     site = F.concat(F.lit("https://s"), (F.col("o_custkey") % 20).cast("string"),
                     F.lit(".example"))
@@ -2208,7 +2262,7 @@ def q_meta_robots(spark, sf_dir):
     orders; the oracle scores each class closed-form."""
     from go_htmldate_spark.plans.metarobots import meta_robots_flags
 
-    o = _t(spark, sf_dir, "orders")
+    o = _ts(spark, sf_dir, "orders", "o_orderkey")
     okey = F.col("o_orderkey")
     url = F.concat(F.lit("https://mr"), (okey % 25).cast("string"),
                    F.lit(".example/p/"), okey.cast("string"))
@@ -2245,7 +2299,7 @@ def q_nofollow_links(spark, sf_dir):
     oracle rebuilds the planted edge tuples closed-form."""
     from go_htmldate_spark.plans.metarobots import extract_follow_anchors
 
-    o = _t(spark, sf_dir, "orders")
+    o = _ts(spark, sf_dir, "orders", "o_orderkey")
     okey = F.col("o_orderkey")
     host = F.concat(F.lit("nf"), (okey % 20).cast("string"),
                     F.lit(".example"))
@@ -2438,7 +2492,7 @@ def q_meta_refresh(spark, sf_dir):
     the surviving edges closed-form."""
     from go_htmldate_spark.plans.aliases import meta_refresh_edges
 
-    o = _t(spark, sf_dir, "orders")
+    o = _ts(spark, sf_dir, "orders", "o_orderkey")
     okey = F.col("o_orderkey")
     url = F.concat(F.lit("https://rf"), (okey % 30).cast("string"),
                    F.lit(".example/p/"), okey.cast("string"))
@@ -2475,7 +2529,7 @@ def q_page_aliases(spark, sf_dir):
     rebuilds the edge tuples closed-form."""
     from go_htmldate_spark.plans.aliases import page_alias_edges
 
-    o = _t(spark, sf_dir, "orders")
+    o = _ts(spark, sf_dir, "orders", "o_orderkey")
     okey = F.col("o_orderkey")
     base = F.concat(F.lit("https://al"), (okey % 20).cast("string"),
                     F.lit(".example/a/"), okey.cast("string"))
@@ -2509,7 +2563,7 @@ def q_outlink_discovery(spark, sf_dir):
     The oracle rebuilds the per-class edge lists closed-form."""
     from go_htmldate_spark.plans.metarobots import derive_outlinks
 
-    o = _t(spark, sf_dir, "orders")
+    o = _ts(spark, sf_dir, "orders", "o_orderkey")
     okey = F.col("o_orderkey")
     k = okey.cast("string")
     base = F.concat(F.lit("https://ol"), (okey % 20).cast("string"),
@@ -2547,7 +2601,7 @@ def q_robots_compliance(spark, sf_dir):
     flag law relationally over the same orders keys."""
     from go_htmldate_spark.plans.metarobots import meta_robots_host_stats
 
-    o = _t(spark, sf_dir, "orders")
+    o = _ts(spark, sf_dir, "orders", "o_orderkey")
     okey = F.col("o_orderkey")
     h = okey % 25
     url = F.concat(F.lit("https://rc"), h.cast("string"),
@@ -2605,7 +2659,7 @@ def q_link_density(spark, sf_dir):
     closed-form."""
     from go_htmldate_spark.operators.textextract import link_density
 
-    o = _t(spark, sf_dir, "orders")
+    o = _ts(spark, sf_dir, "orders", "o_orderkey")
     okey = F.col("o_orderkey")
     k = okey.cast("string")
     url = F.concat(F.lit("https://ld"), (okey % 12).cast("string"),
@@ -2658,7 +2712,7 @@ def q_visible_text(spark, sf_dir):
     closed-form (no second regex engine involved)."""
     from go_htmldate_spark.operators.textextract import pages_to_text
 
-    o = _t(spark, sf_dir, "orders")
+    o = _ts(spark, sf_dir, "orders", "o_orderkey")
     okey = F.col("o_orderkey")
     url = F.concat(F.lit("https://vt"), (okey % 15).cast("string"),
                    F.lit(".example/d/"), okey.cast("string"))
@@ -3048,7 +3102,7 @@ def q_sitemap_coverage(spark, sf_dir):
     on."""
     from go_htmldate_spark.sources.sitemaps import sitemap_coverage
 
-    o = _t(spark, sf_dir, "orders")
+    o = _ts(spark, sf_dir, "orders", "o_orderkey")
     okey = F.col("o_orderkey")
     url = F.concat(F.lit("https://h"), (F.col("o_custkey") % 30).cast("string"),
                    F.lit(".example/p/"), okey.cast("string"))
@@ -3103,7 +3157,7 @@ def q_collocations(spark, sf_dir):
     survivor set broadcast into the unigram joins."""
     from go_htmldate_spark.operators.textstats import collocations
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents", "doc_id")
     return collocations(docs, min_count=25)
 
 
@@ -3257,7 +3311,7 @@ def q_anchor_text(spark, sf_dir):
     link tuples closed-form and aggregates relationally."""
     from go_htmldate_spark.plans.hostgraph import anchor_text_agg
 
-    o = _t(spark, sf_dir, "orders")
+    o = _ts(spark, sf_dir, "orders", "o_orderkey")
     okey = F.col("o_orderkey")
     site = F.concat(F.lit("https://s"), (F.col("o_custkey") % 20).cast("string"),
                     F.lit(".example/post/"), okey.cast("string"))
@@ -3292,7 +3346,7 @@ def q_soft404(spark, sf_dir):
     normal articles. The oracle scores every class closed-form."""
     from go_htmldate_spark.plans.soft404 import soft404_flags
 
-    o = _t(spark, sf_dir, "orders")
+    o = _ts(spark, sf_dir, "orders", "o_orderkey")
     okey = F.col("o_orderkey")
     host = F.concat(F.lit("h"), (F.col("o_custkey") % 30).cast("string"),
                     F.lit(".example"))
@@ -3312,7 +3366,14 @@ def q_soft404(spark, sf_dir):
         .otherwise(F.concat(F.lit("Article body. "), filler,
                             okey.cast("string")))
     )
-    pages = o.select(url.alias("url"), text.alias("text"))
+    # materialize the synthesized corpus (a real deployment reads pages
+    # from storage): soft404_flags consumes its input TWICE (per-page
+    # flags + the template aggregation), and without the barrier both
+    # branches re-run the synth CASE — worse, the template branch's
+    # tiny-body filter pushes below the spread exchange onto the 1-2
+    # scan tasks (r06 before-plan)
+    pages = o.select(url.alias("url"), text.alias("text")) \
+        .localCheckpoint(eager=False)
     return soft404_flags(pages).select(
         "url", "err_phrase", "tiny_body", "template_err", "soft404"
     )
@@ -3333,7 +3394,7 @@ def q_soft404_demotion(spark, sf_dir):
         soft404_host_stats,
     )
 
-    o = _t(spark, sf_dir, "orders")
+    o = _ts(spark, sf_dir, "orders", "o_orderkey")
     okey = F.col("o_orderkey")
     h = F.col("o_custkey") % 30
     host = F.concat(F.lit("h"), h.cast("string"), F.lit(".example"))
@@ -3345,8 +3406,13 @@ def q_soft404_demotion(spark, sf_dir):
         F.lit("Error 404 - Page Not Found. The page you requested was not "
               "found on this server."),
     ).otherwise(F.concat(F.lit("Article body. "), filler, okey.cast("string")))
-    pages = o.select(url.alias("url"), text.alias("text"))
-    stats = soft404_host_stats(pages)
+    # two materialization barriers (same rationale as q_soft404): pages
+    # feeds soft404_flags' two branches; stats (an O(hosts) aggregate)
+    # feeds both the report and the demotion join — without the second
+    # barrier the whole flags+rollup chain runs twice
+    pages = o.select(url.alias("url"), text.alias("text")) \
+        .localCheckpoint(eager=False)
+    stats = soft404_host_stats(pages).localCheckpoint(eager=False)
     dem = soft404_demotion(stats, threshold=0.5, min_pages=20)
     return stats.join(dem, "host", "left").select(
         "host", "n_pages", "n_soft404", "soft404_frac",
@@ -3476,7 +3542,7 @@ def q_bm25_topk(spark, sf_dir):
         bm25_topk, build_postings, corpus_stats,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir, "documents", "doc_id")
     postings = build_postings(d.select("doc_id", "text"))
     return bm25_topk(
         postings, corpus_stats(postings), ["merge", "spark", "window"],
@@ -3686,7 +3752,7 @@ def q_focused_relevance(spark, sf_dir):
     by variant index."""
     from go_htmldate_spark.plans.hostgraph import focused_host_relevance
 
-    o = _t(spark, sf_dir, "orders")
+    o = _ts(spark, sf_dir, "orders", "o_orderkey")
     okey = F.col("o_orderkey")
     site = F.concat(F.lit("https://s"), (F.col("o_custkey") % 20).cast("string"),
                     F.lit(".example/post/"), okey.cast("string"))
@@ -3830,7 +3896,7 @@ def q_url_blocklist(spark, sf_dir):
     entries match exact hosts, one matches nothing."""
     from go_htmldate_spark.operators.curation import host_blocklist_flag
 
-    o = _t(spark, sf_dir, "orders")
+    o = _ts(spark, sf_dir, "orders", "o_orderkey")
     part = F.element_at(
         F.array(*[F.lit(p) for p in
                   ("ads.example", "news.example", "blog.example", "shop.example")]),

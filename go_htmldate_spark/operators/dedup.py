@@ -32,6 +32,29 @@ def md5_h1(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def _spread_input(df: DataFrame) -> DataFrame:
+    """Scale-adaptive input spread for the per-row hashing stages.
+
+    A corpus read from a single parquet file (1 row group = 1
+    unsplittable scan task) serializes the whole shingle/token hashing
+    onto one core no matter how many the session has. When the input
+    arrives with fewer partitions than cores, round-robin it across
+    defaultParallelism before the map-side work (optimization guide
+    §2.5, input skew: repartition right after the read). Round-robin —
+    not hash — so the operators' single-hash-exchange plan contract
+    (test_plan_shape) is preserved; the per-row signatures are
+    partitioning-invariant, so results are identical. Inputs already
+    partitioned at or above core count (the real-deployment shape) pass
+    through untouched."""
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - planning quirk, stay safe
+        return df
+    return df.repartition(n) if cur < n else df
+
+
 def md5_seeded(seed: int, col: Column) -> Column:
     return md5_h1(F.concat(F.lit(f"{seed}:"), col))
 
@@ -83,7 +106,7 @@ def minhash_signatures(
     seed-prefixed md5 prefixes, bit-reproducible in DuckDB for the
     correctness oracle. Same banding algebra either way."""
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
-    out = df.withColumn(f"_norm_{text_col}", norm)
+    out = _spread_input(df).withColumn(f"_norm_{text_col}", norm)
     # Shingles come from exploding the POSITION sequence and slicing
     # with a plain substring(col, p, k) — all codegen'd. The previous
     # transform-lambda array build evaluated interpreted per shingle
@@ -349,7 +372,7 @@ def simhash(
     test-pinned)."""
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     tok_hash = md5_h1 if hash_family == "md5_seeded" else F.xxhash64
-    with_hashes = df.select(
+    with_hashes = _spread_input(df).select(
         F.col(id_col),
         F.transform(F.split(norm, " "), lambda t: tok_hash(t)).alias("_hashes"),
     )

@@ -130,7 +130,14 @@ def make_extract_udf(opts: Options):
                     rows.append(_result_row(res))
                 yield pd.DataFrame(rows, columns=cols)
 
-    return extract
+    # The extractor IS deterministic, but letting the optimizer treat it
+    # as such makes any filter on its output duplicate the whole kernel
+    # below the pushed-down predicate (guide §4.4): measured plan for
+    # `extract_dates(...).filter("date = ...")` carried TWO
+    # ArrowEvalPython nodes — every page paid the C-kernel cascade
+    # twice. asNondeterministic forbids the copy; one evaluation, same
+    # rows out.
+    return extract.asNondeterministic()
 
 
 # Java-regex translations of the findTime trigger patterns

@@ -148,8 +148,12 @@ def ann_selfjoin_pairs(
     bucket groupBy is the only shuffle of the full table, and candidates
     are exactly reranked by cosine. hash_family 'md5' derives planes from
     md5 so the DuckDB oracle reproduces bucketing bit-for-bit."""
-    from .dedup import bucket_candidate_pairs
+    from .dedup import _spread_input, bucket_candidate_pairs
 
+    # single-file corpora arrive as 1 scan task; spread the rows across
+    # cores before the n_tables·n_planes·dim signature arithmetic
+    # (guide §2.5) — per-row results are partitioning-invariant
+    embeddings = _spread_input(embeddings)
     vec = F.col(vec_col).cast("array<double>")
 
     if hash_family == "md5":

@@ -135,11 +135,18 @@ def link_density(
         lambda acc, x: acc + x,
     )
     text_chars = F.length(visible_text(h)).cast("long")
-    return pages.select(
+    # stage the two counters in their own projection: inlined, the
+    # density column re-evaluates the visible_text regexp chain (and
+    # the anchor fold) two more times per row — CollapseProject keeps
+    # non-cheap aliases staged, so each chain runs exactly once
+    staged = pages.select(
         F.col(url_col).alias("url"),
         anchor_chars.alias("n_anchor_chars"),
         text_chars.alias("n_text_chars"),
-        F.when(text_chars > 0,
-               F.round(anchor_chars / text_chars, 6) + F.lit(0.0))
+    )
+    ac, tc = F.col("n_anchor_chars"), F.col("n_text_chars")
+    return staged.select(
+        "url", "n_anchor_chars", "n_text_chars",
+        F.when(tc > 0, F.round(ac / tc, 6) + F.lit(0.0))
         .otherwise(F.lit(0.0)).alias("link_density"),
     )

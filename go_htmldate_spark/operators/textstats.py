@@ -186,7 +186,16 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def word_ngrams(text_col: str, n: int) -> Column:
     """Word n-grams over whitespace tokens (normalized, lowercased) as
-    an array of space-joined strings — native HOFs, no Python."""
+    an array of space-joined strings — native HOFs, no Python.
+
+    The token array is BOUND ONCE through a single-element transform
+    lambda (`transform(array(toks), t -> …)[first]`): spelling the
+    split chain inline put it inside the per-gram lambda, where it
+    re-tokenized the whole document for EVERY emitted gram — O(len²)
+    per doc (the r06 collocations plan showed the full
+    split(lower(trim(regexp_replace(…)))) under the inner lambda).
+    A lambda variable is a bound value, so each row now tokenizes
+    exactly once. Same grams out."""
     toks = (
         f"split(lower(trim(regexp_replace({text_col}, '\\\\s+', ' '))), ' ')"
     )
@@ -194,10 +203,11 @@ def word_ngrams(text_col: str, n: int) -> Column:
         return F.expr(toks)
     return F.expr(
         f"""
-        CASE WHEN size({toks}) >= {n}
-        THEN transform(sequence(1, size({toks}) - {n - 1}),
-                       i -> concat_ws(' ', slice({toks}, i, {n})))
-        ELSE array() END
+        element_at(transform(array({toks}), t ->
+            CASE WHEN size(t) >= {n}
+            THEN transform(sequence(1, size(t) - {n - 1}),
+                           i -> concat_ws(' ', slice(t, i, {n})))
+            ELSE array() END), 1)
         """
     )
 

@@ -105,10 +105,21 @@ def meta_refresh_edges(
         ).cast("long").alias("delay_s"),
     )
     dst = _resolve(F.col("_target"), F.col("_scheme"), F.col("_host"))
+    resolved = parsed.select(
+        "src_url", dst.alias("_dst"), "delay_s"
+    )
+    # stack(1, …) is a no-fanout Generate that PINS the drop-filter
+    # here: Catalyst pushes a filter on computed columns through every
+    # Project with alias substitution (no cost model) — measured, the
+    # dst filter re-expanded the tag scan 26x at the FileScan, BELOW
+    # the spread exchange on the 1-2 scan tasks. Generate is a pushdown
+    # barrier; rows out are identical.
     return (
-        parsed.select(
-            "src_url", dst.alias("dst_url"), "delay_s"
+        resolved.select(
+            "src_url",
+            F.expr("stack(1, _dst, delay_s) as (dst_url, delay_s)"),
         )
+        .select("src_url", "dst_url", "delay_s")
         .filter(
             F.col("dst_url").isNotNull()
             & (F.col("dst_url") != F.col("src_url"))
@@ -138,7 +149,13 @@ def og_url_edges(
     tags = F.regexp_extract_all(F.col("_h"), F.lit(_META_TAG_RX), F.lit(0))
     og = F.filter(tags, lambda t: t.rlike(_OG_URL_RX))
     content = F.get(F.transform(og, _content_of), 0)
-    dst = _resolve(content, F.col("_scheme"), F.col("_host"))
+    # stage the extracted content before _resolve: resolve references
+    # its href argument several times, and inlined each reference
+    # re-evaluates the whole tag-scan chain
+    staged = staged.select(
+        "src_url", "_scheme", "_host", content.alias("_c")
+    )
+    dst = _resolve(F.col("_c"), F.col("_scheme"), F.col("_host"))
     return (
         staged.select("src_url", dst.alias("dst_url"))
         .filter(
@@ -158,9 +175,20 @@ def page_alias_edges(
     paid once, not once per channel — and explodes. Map-only, for the
     dedup/budget layers that want every alias signal in one stream."""
     staged = _with_origin(pages, url_col, html_col)
-    tags = F.regexp_extract_all(
-        F.col("_h"), F.lit(r"(?i)<(?:meta|link)\s[^>]*>"), F.lit(0)
+    # STAGED evaluation (r06): the channel targets and the tag array
+    # each land in their own projection. Inlined, _resolve's multiple
+    # references to its href argument re-expanded the whole
+    # regexp_extract_all + filter + transform chain per reference —
+    # the measured plan evaluated the tag scan ~12x per row.
+    # CollapseProject keeps non-cheap aliases staged, so now: one tag
+    # scan per row, one extraction per channel, then cheap column refs.
+    tagged = staged.select(
+        "src_url", "_scheme", "_host",
+        F.regexp_extract_all(
+            F.col("_h"), F.lit(r"(?i)<(?:meta|link)\s[^>]*>"), F.lit(0)
+        ).alias("_tags"),
     )
+    tags = F.col("_tags")
     refresh_content = F.get(F.transform(
         F.filter(tags, lambda t: t.rlike(_EQUIV_REFRESH_RX)), _content_of
     ), 0)
@@ -189,32 +217,34 @@ def page_alias_edges(
         lambda t: t.rlike(_REL_ALT_RX) & t.rlike(_MEDIA_RX)
         & ~t.rlike(r"(?i)\bhreflang\s*=")
     )
-    scheme, host = F.col("_scheme"), F.col("_host")
-    channels = staged.select(
-        "src_url",
-        F.array(
-            F.struct(
-                F.lit("refresh").alias("kind"),
-                _resolve(refresh_target, scheme, host).alias("dst_url"),
-            ),
-            F.struct(
-                F.lit("amp").alias("kind"),
-                _resolve(amp_href, scheme, host).alias("dst_url"),
-            ),
-            F.struct(
-                F.lit("og").alias("kind"),
-                _resolve(og_content, scheme, host).alias("dst_url"),
-            ),
-            F.struct(
-                F.lit("mobile").alias("kind"),
-                _resolve(mob_href, scheme, host).alias("dst_url"),
-            ),
-        ).alias("_ch"),
+    targets = tagged.select(
+        "src_url", "_scheme", "_host",
+        refresh_target.alias("_t_refresh"),
+        amp_href.alias("_t_amp"),
+        og_content.alias("_t_og"),
+        mob_href.alias("_t_mob"),
     )
+    scheme, host = F.col("_scheme"), F.col("_host")
+    resolved = targets.select(
+        "src_url",
+        _resolve(F.col("_t_refresh"), scheme, host).alias("_d_refresh"),
+        _resolve(F.col("_t_amp"), scheme, host).alias("_d_amp"),
+        _resolve(F.col("_t_og"), scheme, host).alias("_d_og"),
+        _resolve(F.col("_t_mob"), scheme, host).alias("_d_mob"),
+    )
+    # stack (unpivot generator), not explode(array(struct(...))):
+    # building + exploding per-row struct arrays measured 3.4x slower
+    # than stacking four plain columns — same (src_url, dst_url, kind)
+    # rows out
     return (
-        channels.select("src_url", F.explode("_ch").alias("c"))
-        .select("src_url", F.col("c.dst_url").alias("dst_url"),
-                F.col("c.kind").alias("kind"))
+        resolved.select(
+            "src_url",
+            F.expr(
+                "stack(4, 'refresh', _d_refresh, 'amp', _d_amp, "
+                "'og', _d_og, 'mobile', _d_mob) as (kind, dst_url)"
+            ),
+        )
+        .select("src_url", "dst_url", "kind")
         .filter(
             F.col("dst_url").isNotNull()
             & (F.col("dst_url") != F.col("src_url"))
@@ -252,7 +282,11 @@ def mobile_alternate_edges(
         F.nullif(F.regexp_extract(t, _HREF_Q_RX, 2), F.lit("")),
         F.nullif(F.regexp_extract(t, _HREF_U_RX, 1), F.lit("")),
     )), 0)
-    dst = _resolve(href, F.col("_scheme"), F.col("_host"))
+    # stage before _resolve (multi-reference — see og_url_edges)
+    staged = staged.select(
+        "src_url", "_scheme", "_host", href.alias("_href")
+    )
+    dst = _resolve(F.col("_href"), F.col("_scheme"), F.col("_host"))
     return (
         staged.select("src_url", dst.alias("dst_url"))
         .filter(

@@ -43,6 +43,27 @@ def canonicalize_url(url: Column) -> Column:
     )
 
 
+def pushdown_barrier(df):
+    """No-fanout Generate (stack(1, …)) over all columns: a plan-level
+    barrier that stops Catalyst pushing predicates below this point.
+
+    PushPredicateThroughNonJoin substitutes projection aliases into a
+    pushed predicate with NO cost model, so a filter (or a join's
+    inferred isnotnull constraint) on a computed column re-evaluates
+    the column's entire expression chain down at the FileScan — below
+    any spread repartition, on however few tasks the scan has
+    (measured r06: meta_refresh's drop-filter expanded the meta-tag
+    scan 26x at the scan; sitemap_coverage's join constraint re-ran
+    canonicalize_url per input row pre-spread). Generate is a pushdown
+    barrier in Catalyst; stack with one argument group emits exactly
+    the input row, so rows, types and values are identical."""
+    cols = df.columns
+    quoted = ", ".join(f"`{c}`" for c in cols)
+    return df.select(F.expr(
+        f"stack(1, {quoted}) as ({', '.join(cols)})"
+    ))
+
+
 def url_hash(url_canon: Column) -> Column:
     """64-bit dedup key (north rule: xxhash64)."""
     return F.xxhash64(url_canon)

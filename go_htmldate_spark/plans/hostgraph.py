@@ -309,22 +309,27 @@ def extract_anchors(
     targets survive (relative links already reach the frontier through
     the scheduler's outlink discovery).
 
-    Map-only: two regexp_extract_all passes over the html column inside
-    one projection, zipped positionally and exploded — page bytes are
-    read once and never shuffled."""
+    Map-only: ONE regexp_extract_all pass (group 0) over the html
+    column — the document is scanned once, href/text re-extract per tag
+    from the short matched span — then exploded; page bytes are read
+    once and never shuffled."""
     from .canonical import url_host
 
-    hrefs = F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_RX), F.lit(2))
-    texts = F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_RX), F.lit(3))
+    full = F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_RX), F.lit(0))
     pairs = df.select(
         url_host(F.col(url_col)).alias("src_host"),
-        F.explode(F.arrays_zip(hrefs.alias("t"), texts.alias("a"))).alias("z"),
+        F.explode(full).alias("g"),
     )
+    g = F.col("g")
     return pairs.select(
         "src_host",
-        F.col("z.t").alias("target_url"),
+        F.regexp_extract(g, ANCHOR_RX, 2).alias("target_url"),
         F.lower(
-            F.trim(F.regexp_replace(F.col("z.a"), r"\s+", " "))
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_extract(g, ANCHOR_RX, 3), r"\s+", " "
+                )
+            )
         ).alias("anchor"),
     ).filter(F.col("target_url").rlike(r"^https?://"))
 

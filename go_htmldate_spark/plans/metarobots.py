@@ -69,9 +69,8 @@ def robots_directives(html: Column, agent: str | None = None) -> Column:
     <meta name="<agent>"> union in alongside the generic robots meta.
     Pure column algebra — stays in whole-stage codegen wherever it's
     placed."""
-    tags = F.regexp_extract_all(
-        html.cast("string"), F.lit(_META_TAG_RX), F.lit(0)
-    )
+    h = html.cast("string")
+    tags = F.regexp_extract_all(h, F.lit(_META_TAG_RX), F.lit(0))
     robots = F.filter(tags, lambda t: t.rlike(_name_rx(agent)))
     contents = F.transform(
         robots,
@@ -82,7 +81,16 @@ def robots_directives(html: Column, agent: str | None = None) -> Column:
             )
         ),
     )
-    return F.concat_ws(",", contents)
+    # cheap guard before the tag scan: a page whose bytes never spell
+    # the meta NAME can't carry a robots meta, so the directives are
+    # provably '' — one substring probe replaces the regexp_extract_all
+    # + per-tag rlike chain on the (overwhelmingly common) plain page.
+    # CaseWhen evaluates branches lazily, so the guarded branch truly
+    # skips the scan (guide §4: cut per-row work before config).
+    needles = F.instr(F.lower(h), "robots") > 0
+    if agent is not None:
+        needles = needles | (F.instr(F.lower(h), agent.lower()) > 0)
+    return F.when(needles, F.concat_ws(",", contents)).otherwise(F.lit(""))
 
 
 def page_nofollow(html: Column, agent: str | None = None) -> Column:
@@ -155,9 +163,16 @@ def _anchor_rel_nofollow(tag: Column) -> Column:
         0,
     )["v"]
     unquoted = F.regexp_replace(rel_val, r"""^["']|["']$""", "")
-    return F.coalesce(
+    full = F.coalesce(
         unquoted.rlike(r"(?i)(?:^|\s)nofollow(?:\s|$)"), F.lit(False)
     )
+    # cheap guard: an anchor that never spells 'nofollow' anywhere can't
+    # token-match it — one substring probe short-circuits the quote-aware
+    # attribute tokenization for the overwhelming majority of anchors
+    # (CaseWhen branches evaluate lazily)
+    return F.when(
+        F.instr(F.lower(tag), "nofollow") > 0, full
+    ).otherwise(F.lit(False))
 
 
 def extract_follow_anchors(
@@ -179,24 +194,29 @@ def extract_follow_anchors(
         F.col(html_col).cast("string").alias("_h"),
     )
     h = F.col("_h")
+    # ONE ANCHOR_RX pass over the page bytes (group 0); href and text
+    # re-extract per tag from the short matched span — the document is
+    # scanned once instead of three times, and group extraction runs on
+    # ~60-char tags (guide §2.3: do the heavy scan once)
     full = F.regexp_extract_all(h, F.lit(ANCHOR_RX), F.lit(0))
-    hrefs = F.regexp_extract_all(h, F.lit(ANCHOR_RX), F.lit(2))
-    texts = F.regexp_extract_all(h, F.lit(ANCHOR_RX), F.lit(3))
     pairs = casted.select(
         url_host(F.col("_url")).alias("src_host"),
         page_nofollow(h).alias("_page_nf"),
-        F.explode(
-            F.arrays_zip(full.alias("g"), hrefs.alias("t"), texts.alias("a"))
-        ).alias("z"),
+        F.explode(full).alias("g"),
     )
+    g = F.col("g")
     return pairs.select(
         "src_host",
-        F.col("z.t").alias("target_url"),
+        F.regexp_extract(g, ANCHOR_RX, 2).alias("target_url"),
         F.lower(
-            F.trim(F.regexp_replace(F.col("z.a"), r"\s+", " "))
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_extract(g, ANCHOR_RX, 3), r"\s+", " "
+                )
+            )
         ).alias("anchor"),
         (
-            ~F.col("_page_nf") & ~_anchor_rel_nofollow(F.col("z.g"))
+            ~F.col("_page_nf") & ~_anchor_rel_nofollow(g)
         ).alias("followed"),
     ).filter(F.col("target_url").rlike(r"^https?://"))
 

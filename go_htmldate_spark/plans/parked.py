@@ -88,23 +88,32 @@ def parked_flags(
         > 0
     )
     meta_refresh = F.regexp_count(html, F.lit(_REFRESH_RX)) > 0
-    tiny = n_tok <= max_tokens
-    farm = (n_anchor >= min_anchors) & (
-        n_tok <= n_anchor * F.lit(tokens_per_anchor)
-    )
     thin = (F.length(html) >= min_html_len) & (
         F.length(text) <= F.length(html) * F.lit(thin_ratio)
     )
-    return df.select(
+    # stage the regexp/tokenize counters once, derive the composite
+    # flags from the staged columns: inlined, `parked` re-evaluates the
+    # phrase/refresh regexp_counts and the token split a second time
+    # per row (CollapseProject keeps non-cheap aliases staged)
+    staged = df.select(
         F.col(url_col).alias("url"),
         n_tok.cast("long").alias("n_tokens"),
         n_anchor.cast("long").alias("n_anchors"),
         park_phrase.alias("park_phrase"),
         meta_refresh.alias("meta_refresh"),
-        farm.alias("link_farm"),
         thin.alias("thin_text"),
+    )
+    nt, na = F.col("n_tokens"), F.col("n_anchors")
+    tiny = nt <= max_tokens
+    farm = (na >= min_anchors) & (nt <= na * F.lit(tokens_per_anchor))
+    return staged.select(
+        "url", "n_tokens", "n_anchors", "park_phrase", "meta_refresh",
+        farm.alias("link_farm"),
+        "thin_text",
         (
-            park_phrase | (meta_refresh & tiny) | (farm & thin)
+            F.col("park_phrase")
+            | (F.col("meta_refresh") & tiny)
+            | (farm & F.col("thin_text"))
         ).alias("parked"),
     )
 

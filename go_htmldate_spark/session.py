@@ -21,11 +21,21 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or int(cpus)
+    # Scan split size. The sf inputs are one parquet file per table with
+    # row groups of ~13-25 MB; the 128 MB default packs them into 1-2
+    # scan tasks, serializing every downstream projection (guide §6.1).
+    # 16 MB locally splits each row group into its own task; production
+    # (100 TB, many large files) should RAISE this toward 512m-1g via
+    # the env var — more bytes per task, fewer map tasks feeding each
+    # shuffle (guide §2.2) — which is why it is parameterised rather
+    # than hard-coded.
+    max_part = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m")
 
     return (
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.files.maxPartitionBytes", max_part)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

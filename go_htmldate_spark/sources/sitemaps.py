@@ -219,15 +219,21 @@ def sitemap_coverage(
     the ONE url-keyed left semi-ish join (advertised ⋈ crawled distinct
     keys — page payloads never enter), then a host-keyed aggregation.
     Output is O(hosts)."""
-    from ..plans.canonical import canonicalize_url, url_host
+    from ..plans.canonical import canonicalize_url, pushdown_barrier, url_host
 
-    adv = (
-        advertised.select(
-            canonicalize_url(F.col(url_col)).alias("u")
-        ).distinct()
-    )
+    # pushdown_barrier: the left-outer join infers an isnotnull
+    # constraint on the build-side key and Catalyst re-substitutes the
+    # whole canonicalize_url chain below the scan's repartition
+    # (measured r06: the crawled side re-ran canonicalization per raw
+    # row on the unspread scan tasks) — the barrier pins evaluation to
+    # one pass per side
+    adv = pushdown_barrier(
+        advertised.select(canonicalize_url(F.col(url_col)).alias("u"))
+    ).distinct()
     got = (
-        crawled.select(canonicalize_url(F.col(url_col)).alias("u"))
+        pushdown_barrier(
+            crawled.select(canonicalize_url(F.col(url_col)).alias("u"))
+        )
         .distinct()
         .withColumn("_hit", F.lit(1))
     )

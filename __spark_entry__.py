@@ -3193,7 +3193,7 @@ def _yield_fetch_log(spark, sf_dir):
     """Synthetic fetch log for the yield-prior pair: five URL shape
     classes per o_orderkey % 5 with planted per-class date-yield rates
     (blog 5/7, tag 1/7, root 0, asset 0, news 3/7)."""
-    o = _t(spark, sf_dir, "orders")
+    o = _ts(spark, sf_dir, "orders", "o_orderkey")
     k = F.col("o_orderkey")
     host = F.concat(F.lit("https://h"), (F.col("o_custkey") % 20).cast("string"),
                     F.lit(".example"))
@@ -3239,7 +3239,7 @@ def q_yield_prior_apply(spark, sf_dir):
         pattern_yield,
     )
 
-    c = _t(spark, sf_dir, "customer")
+    c = _ts(spark, sf_dir, "customer", "c_custkey")
     host = F.concat(F.lit("https://h"), (F.col("c_custkey") % 20).cast("string"),
                     F.lit(".example"))
     path = F.expr(
@@ -3967,63 +3967,14 @@ def q_cms_heavy_hosts(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordered so the 68 queries that have never drawn a driver
+    # CORRECTNESS row lead the dict (r05 verdict task 1: the driver
+    # samples 50 per round tracking dict composition; every entry
+    # below passes the local replica gate). Pure reordering - no
+    # query body or oracle changed.
     return {
-        "url_date_extract": q_url_date_extract,
-        "plausible_year_count": q_plausible_year_count,
-        "candidate_topk": q_candidate_topk,
-        "minmax_reference": q_minmax_reference,
-        "anti_join_seen": q_anti_join_seen,
-        "month_lookup": q_month_lookup,
-        "two_digit_year": q_two_digit_year,
-        "eval_scoring": q_eval_scoring,
-        "token_count": q_token_count,
-        "bpe_token_count": q_bpe_token_count,
-        "quality_score": q_quality_score,
-        "lang_id": q_lang_id,
-        "fingerprint": q_fingerprint,
-        "exact_dedup": q_exact_dedup,
-        "jaccard_pairs": q_jaccard_pairs,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_ivf_pruned": q_ann_ivf_pruned,
-        "event_time_windows": q_event_time_windows,
-        "canonicalize_url": q_canonicalize_url,
-        "priority_recency": q_priority_recency,
-        "host_topk": q_host_topk,
-        "ip_topk": q_ip_topk,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "incremental_dedup": q_incremental_dedup,
-        "simhash_groups": q_simhash_groups,
-        "simhash_near_pairs": q_simhash_near_pairs,
-        "ann_selfjoin": q_ann_selfjoin,
-        "semantic_dedup_components": q_semantic_dedup_components,
-        "pipeline_clean": q_pipeline_clean,
-        "media_frames": q_media_frames,
-        "robots_parse": q_robots_parse,
-        "extract_cascade": q_extract_cascade,
-        "extract_time": q_extract_time,
-        "media_features": q_media_features,
-        "media_stats": q_media_stats,
-        "mock_corpus_parity": q_mock_corpus_parity,
-        "gopher_repetition": q_gopher_repetition,
-        "stratified_sample": q_stratified_sample,
-        "temporal_rebalance": q_temporal_rebalance,
-        "linear_quality": q_linear_quality,
-        "host_cap_sample": q_host_cap_sample,
-        "ngram_contamination": q_ngram_contamination,
-        "dup_span_stats": q_dup_span_stats,
-        "dup_span_removal": q_dup_span_removal,
-        "pipeline_curate": q_pipeline_curate,
-        "pii_scrub": q_pii_scrub,
-        "c4_heuristics": q_c4_heuristics,
-        "pack_sequences": q_pack_sequences,
-        "lm_score": q_lm_score,
         "ccnet_buckets": q_ccnet_buckets,
-        "token_budget_sample": q_token_budget_sample,
-        "url_blocklist": q_url_blocklist,
-        "line_dedup": q_line_dedup,
         "host_boilerplate": q_host_boilerplate,
-        "host_pagerank": q_host_pagerank,
         "host_opic": q_host_opic,
         "host_hits": q_host_hits,
         "focused_relevance": q_focused_relevance,
@@ -4034,10 +3985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text": q_anchor_text,
         "soft404": q_soft404,
         "soft404_demotion": q_soft404_demotion,
-        "sitemap_parse": q_sitemap_parse,
         "feed_parse": q_feed_parse,
-        "robots_sitemaps": q_robots_sitemaps,
-        "url_trap_flags": q_url_trap_flags,
         "redirect_resolve": q_redirect_resolve,
         "change_rate": q_change_rate,
         "cache_ttl": q_cache_ttl,
@@ -4093,6 +4041,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_curate": q_warc_curate,
         "hll_host_distinct": q_hll_host_distinct,
         "cms_heavy_hosts": q_cms_heavy_hosts,
+        "url_date_extract": q_url_date_extract,
+        "plausible_year_count": q_plausible_year_count,
+        "candidate_topk": q_candidate_topk,
+        "minmax_reference": q_minmax_reference,
+        "anti_join_seen": q_anti_join_seen,
+        "month_lookup": q_month_lookup,
+        "two_digit_year": q_two_digit_year,
+        "eval_scoring": q_eval_scoring,
+        "token_count": q_token_count,
+        "bpe_token_count": q_bpe_token_count,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "exact_dedup": q_exact_dedup,
+        "jaccard_pairs": q_jaccard_pairs,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_pruned": q_ann_ivf_pruned,
+        "event_time_windows": q_event_time_windows,
+        "canonicalize_url": q_canonicalize_url,
+        "priority_recency": q_priority_recency,
+        "host_topk": q_host_topk,
+        "ip_topk": q_ip_topk,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "incremental_dedup": q_incremental_dedup,
+        "simhash_groups": q_simhash_groups,
+        "simhash_near_pairs": q_simhash_near_pairs,
+        "ann_selfjoin": q_ann_selfjoin,
+        "semantic_dedup_components": q_semantic_dedup_components,
+        "pipeline_clean": q_pipeline_clean,
+        "media_frames": q_media_frames,
+        "robots_parse": q_robots_parse,
+        "extract_cascade": q_extract_cascade,
+        "extract_time": q_extract_time,
+        "media_features": q_media_features,
+        "media_stats": q_media_stats,
+        "mock_corpus_parity": q_mock_corpus_parity,
+        "gopher_repetition": q_gopher_repetition,
+        "stratified_sample": q_stratified_sample,
+        "temporal_rebalance": q_temporal_rebalance,
+        "linear_quality": q_linear_quality,
+        "host_cap_sample": q_host_cap_sample,
+        "ngram_contamination": q_ngram_contamination,
+        "dup_span_stats": q_dup_span_stats,
+        "dup_span_removal": q_dup_span_removal,
+        "pipeline_curate": q_pipeline_curate,
+        "pii_scrub": q_pii_scrub,
+        "c4_heuristics": q_c4_heuristics,
+        "pack_sequences": q_pack_sequences,
+        "lm_score": q_lm_score,
+        "token_budget_sample": q_token_budget_sample,
+        "url_blocklist": q_url_blocklist,
+        "line_dedup": q_line_dedup,
+        "host_pagerank": q_host_pagerank,
+        "sitemap_parse": q_sitemap_parse,
+        "robots_sitemaps": q_robots_sitemaps,
+        "url_trap_flags": q_url_trap_flags,
     }
 
 
@@ -6882,7 +6887,7 @@ def oracle_sql() -> dict[str, str]:
         # Blockword gate: the oracle tokenizes the planted text the
         # same way (whitespace after run-normalization, lowered) and
         # counts list members; class 2's 'zzqxy' is a non-match.
-        "blockwords": """
+        "blockwords": r"""
             WITH d AS (
               SELECT doc_id, doc_id % 4 AS cls,
                      CASE doc_id % 4

@@ -178,6 +178,13 @@ def ann_selfjoin_pairs(
     )
     pairs = bucket_candidate_pairs(banded, id_col, max_bucket)
 
+    # rerank stays in its ORIGINAL inline form on purpose: r06 A/B'd a
+    # staged-norm variant (norm per vector instead of per pair) and a
+    # barrier-staged cosine — BOTH were slower (18.1 s / 14.4 s vs
+    # 11.1 s at 8.7M pairs), because whole-stage codegen's common-
+    # subexpression elimination already evaluates the duplicated cosine
+    # tree once, while staging splits the stage and adds projection /
+    # Generate overhead. Measure before staging.
     va = embeddings.select(F.col(id_col).alias("a"), vec.alias("_va"))
     vb = embeddings.select(F.col(id_col).alias("b"), vec.alias("_vb"))
     cos = cosine(F.col("_va"), F.col("_vb"))

@@ -17,9 +17,11 @@ asked for more than "the next round":
    floats — and reproducible bit-for-bit under any partitioning.
 
    Scale shape: the input is one row per HOST (10^7 rows for a
-   10^10-URL frontier — kilobytes per partition), so the single sort
-   window plus two broadcastable scalar aggregates are noise next to
-   the URL-table scans; URLs themselves never enter this plan.
+   10^10-URL frontier); since r06 the host-table ranks run through
+   `_ranged_rank` (range-partitioned rank + broadcast offsets), so no
+   single task ever sorts the whole host table — the only
+   unpartitioned windows left run over O(distinct demand values) and
+   O(n_partitions) rows. URLs themselves never enter this plan.
 
 2. **Multi-wave fetch planning** (`fetch_wave_plan`): one politeness
    round fetches at most budget_h URLs per host; planning a horizon of
@@ -46,6 +48,53 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..operators.dedup import md5_h1
+
+
+def _ranged_rank(df: DataFrame, order_cols: list[str],
+                 rank_name: str) -> DataFrame:
+    """Exact global 1-based rank over ``order_cols`` (a unique total
+    order) WITHOUT an unpartitioned window (r05 verdict: the budget
+    layer's Window.orderBy forced the whole host table through one
+    task's sort; at web scale that is a multi-GB single-partition
+    sort).
+
+    Range-repartition on the order columns, sort within partitions,
+    read the within-partition position off monotonically_increasing_id
+    (it encodes partition-id « 33 | row-position, and row order after
+    the sort IS the global order within each range), then add
+    broadcast per-partition row-count offsets. Exact for any range
+    boundaries the sampler picks, deterministic under task retries
+    (the sort re-establishes the same row order). The only
+    unpartitioned window runs over the O(n_partitions) stats frame —
+    tens of rows, never host rows."""
+    sc = df.sparkSession.sparkContext
+    n = max(2, sc.defaultParallelism)
+    cols = [F.col(c) for c in order_cols]
+    # materialize the O(hosts) input once: the range partitioner's
+    # sampling pass plus the ranked read would otherwise re-execute the
+    # upstream allocation chain per consumer (budget tables are
+    # broadcast-size by module contract, so the checkpoint is bounded)
+    df = df.localCheckpoint(eager=False)
+    parted = (
+        df.repartitionByRange(n, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.shiftrightunsigned(F.col("_mid"), 33))
+        .withColumn("_pos", F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)))
+    )
+    stats = parted.groupBy("_pid").agg(F.count(F.lit(1)).alias("_pc"))
+    w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    stats = stats.withColumn(
+        "_poff", F.coalesce(F.sum("_pc").over(w), F.lit(0))
+    )
+    return (
+        parted.join(F.broadcast(stats.select("_pid", "_poff")), "_pid")
+        .withColumn(
+            rank_name,
+            (F.col("_poff") + F.col("_pos") + 1).cast("int"),
+        )
+        .drop("_mid", "_pid", "_pos", "_poff")
+    )
 
 
 def water_fill_budgets(
@@ -84,12 +133,29 @@ def water_fill_budgets(
         F.col(demand_col).cast("long").alias("demand"),
     ).filter(F.col("demand") > 0).cache()
 
-    w = Window.orderBy("demand", "host")
-    rows = d.select(
+    # exact (demand, host) rank without an unpartitioned window; the
+    # running demand sum decomposes through per-demand-LEVEL cumulative
+    # tables (demand is constant within a level, so prefix_i =
+    # sum_below(level) + demand * (i - cnt_below(level))) — the only
+    # single-task window left runs over O(distinct demand values) rows,
+    # mirroring operators/shards._global_rank_by_size
+    ranked = _ranged_rank(d, ["demand", "host"], "i")
+    lvl = d.groupBy("demand").agg(F.count(F.lit(1)).alias("_c"))
+    wl = Window.orderBy("demand").rowsBetween(Window.unboundedPreceding, -1)
+    lvl = lvl.select(
+        "demand",
+        F.coalesce(F.sum("_c").over(wl), F.lit(0)).alias("_cnt_below"),
+        F.coalesce(F.sum(F.col("_c") * F.col("demand")).over(wl), F.lit(0))
+        .alias("_sum_below"),
+    )
+    rows = ranked.join(F.broadcast(lvl), "demand").select(
         "host",
         "demand",
-        F.row_number().over(w).alias("i"),
-        F.sum("demand").over(w).alias("prefix"),
+        "i",
+        (
+            F.col("_sum_below")
+            + F.col("demand") * (F.col("i") - F.col("_cnt_below"))
+        ).alias("prefix"),
     )
     n_total = d.count()
     if n_total == 0:
@@ -125,10 +191,8 @@ def water_fill_budgets(
     level = F.least(F.col("demand"), F.lit(t))
     spent = d.agg(F.sum(level).alias("s")).collect()[0]["s"] or 0
     r = max(0, b - int(spent))
-    w_above = Window.orderBy("host")
-    above = (
-        d.filter(F.col("demand") > t)
-        .select("host", F.row_number().over(w_above).alias("_ar"))
+    above = _ranged_rank(
+        d.filter(F.col("demand") > t).select("host"), ["host"], "_ar"
     )
     return (
         d.join(above, "host", "left")
@@ -216,12 +280,16 @@ def allocation_fairness(
     All sums are exact integer aggregates; the two divisions happen
     once at the end in a fixed order, so the doubles are bit-stable
     under any partitioning.  One sort window over O(hosts) rows."""
-    ranked = alloc.select(
-        F.col(alloc_col).cast("long").alias("x"),
-        F.row_number()
-        .over(Window.orderBy(F.col(alloc_col), F.col(host_col)))
-        .alias("i"),
-    )
+    # exact (alloc, host) rank without an unpartitioned window — same
+    # _ranged_rank law as water_fill_budgets (r05 verdict item)
+    ranked = _ranged_rank(
+        alloc.select(
+            F.col(alloc_col).cast("long").alias("x"),
+            F.col(host_col).alias("_h"),
+        ),
+        ["x", "_h"],
+        "i",
+    ).select("x", "i")
     return ranked.agg(
         F.count("*").cast("long").alias("n_hosts"),
         F.sum("x").cast("long").alias("total_alloc"),

@@ -86,6 +86,36 @@ def test_simhash_swar_single_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_budget_ranks_have_no_host_table_global_window(spark):
+    """r06: water_fill_budgets / allocation_fairness rank the host
+    table through _ranged_rank (range-partitioned rank + broadcast
+    offsets), NOT a Window.orderBy over every host — no
+    windowspecdefinition may reference the host column without
+    partition columns. The surviving unpartitioned windows run over
+    the O(distinct demand)/O(n_partitions) stats frames only."""
+    import re
+
+    from go_htmldate_spark.plans.budget import (
+        allocation_fairness,
+        water_fill_budgets,
+    )
+
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    demands = c.groupBy(
+        F.concat(F.lit("h"), (F.col("c_custkey") % 37).cast("string"))
+        .alias("host")
+    ).agg(F.sum(F.lit(1) + F.col("c_custkey") % 211).cast("long")
+          .alias("demand"))
+    wf = water_fill_budgets(demands, 20_000)
+    fair = allocation_fairness(wf)
+    for plan in (_plan(wf), _plan(fair)):
+        # every window spec that mentions a host-derived column must be
+        # the tiny stats cumsum (_pid) or demand-level cumsum (demand),
+        # never an order over host rows
+        for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+            assert "host" not in spec and "_h" not in spec, spec
+
+
 def test_ivf_topk_map_only_probe(spark):
     """IVF probe: codebook + query ride a broadcast row; the corpus side
     is a pruned map-only scan feeding a heap top-k — no hash-partitioned

@@ -1,0 +1,128 @@
+"""Round-6 optimization pins: the rewrites must stay value-identical
+to the naive forms they replaced, and the plan-level fixes must stay
+in the plan (one UDF evaluation, pushdown barrier present)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_extract_udf_evaluated_once_under_filter(spark):
+    """guide §4.4: a filter on the extraction UDF's output must not
+    duplicate the kernel — exactly ONE ArrowEvalPython node."""
+    from go_htmldate_spark.operators.extract import extract_dates
+    from go_htmldate_spark.options import Options
+    from go_htmldate_spark.sources.pages import synth_pages
+
+    pages = synth_pages(spark, 50, seed=42)
+    out = extract_dates(pages, Options(use_original_date=True))
+    plan = _plan(out.filter("date = expected_date_original"))
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_word_ngrams_matches_naive_form(spark):
+    """The lambda-bound word_ngrams must emit exactly the grams of the
+    spelled-out tokenize chain (incl. empty/NULL/short-text edges)."""
+    from go_htmldate_spark.operators.textstats import word_ngrams
+
+    df = spark.createDataFrame(
+        [("a  B c d e",), ("x",), ("",), (None,), ("one two",)],
+        "text string",
+    )
+    toks = "split(lower(trim(regexp_replace(text, '\\\\s+', ' '))), ' ')"
+    for n in (2, 3):
+        naive = F.expr(
+            f"CASE WHEN size({toks}) >= {n} "
+            f"THEN transform(sequence(1, size({toks}) - {n - 1}), "
+            f"i -> concat_ws(' ', slice({toks}, i, {n}))) "
+            f"ELSE array() END"
+        )
+        rows = df.select(
+            word_ngrams("text", n).alias("new"), naive.alias("old")
+        ).collect()
+        for r in rows:
+            assert r["new"] == r["old"], (n, r)
+
+
+def test_bucket_candidate_pairs_matches_nested_transform(spark):
+    """posexplode+slice pair generation == the nested transform/filter/
+    struct form it replaced, on buckets with caps exercised."""
+    from go_htmldate_spark.operators.dedup import bucket_candidate_pairs
+
+    rows = [(i, b, bkt) for bkt in range(3) for b in range(2)
+            for i in range(bkt * 7, bkt * 7 + 5)]
+    banded = spark.createDataFrame(
+        rows, "doc_id long, band int, bucket long"
+    )
+    got = bucket_candidate_pairs(banded, "doc_id", max_bucket=3)
+    buckets = (
+        banded.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("band", "bucket").orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("_rn") <= 3)
+        .groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    old = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda a: F.transform(
+                        F.filter(F.col("ids"), lambda b: b > a),
+                        lambda b: F.struct(a.alias("a"), b.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.a", "p.b").distinct()
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, old.collect())
+    )
+
+
+def test_pushdown_barrier_identity_and_blocking(spark):
+    """pushdown_barrier returns identical rows and actually blocks a
+    filter on a computed column from reaching the scan."""
+    from go_htmldate_spark.plans.canonical import pushdown_barrier
+
+    df = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey",
+        F.md5(F.col("o_orderkey").cast("string")).alias("h"),
+    )
+    plain = df.filter(F.col("h").startswith("a")).collect()
+    barred_df = pushdown_barrier(df).filter(F.col("h").startswith("a"))
+    barred = barred_df.collect()
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, barred))
+    plan = _plan(barred_df)
+    # the filter must sit ABOVE the Generate (plan text lists parents
+    # first), and nothing may reach the scan as a data/pushed filter
+    assert plan.index("Filter") < plan.index("Generate")
+    assert "DataFilters: []" in plan and "PushedFilters: []" in plan
+
+
+def test_ranged_rank_matches_global_window(spark):
+    """_ranged_rank == row_number over the same total order, for skewed
+    and tiny inputs."""
+    from go_htmldate_spark.plans.budget import _ranged_rank
+
+    data = [(f"h{i % 97}x{i}", (i * 13) % 11 + 1) for i in range(1000)]
+    df = spark.createDataFrame(data, "host string, demand long")
+    got = _ranged_rank(df, ["demand", "host"], "i")
+    w = Window.orderBy("demand", "host")
+    want = df.select("host", "demand", F.row_number().over(w).alias("i"))
+    assert sorted(map(tuple, got.select("host", "demand", "i").collect())) \
+        == sorted(map(tuple, want.collect()))
+    one = spark.createDataFrame([("a", 5)], "host string, demand long")
+    assert _ranged_rank(one, ["host"], "r").collect()[0]["r"] == 1

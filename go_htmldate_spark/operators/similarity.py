@@ -319,11 +319,18 @@ def ivf_topk(
     codebook and query ride in a single broadcast row, so the only
     corpus-wide work is the pruned scan — the IVF contract (nprobe/nlist
     of the data) once the table is partitioned by `ivf_assign`'s cluster."""
+    from .dedup import _spread_input
+
     vec = F.col(vec_col).cast("array<double>")
     cents = _ivf_codebook_row(embeddings, n_centroids, id_col, vec_col)
     qrow = embeddings.filter(F.col(id_col) == query_id).select(
         vec.alias("qv")
     )
+    # the corpus-wide assignment pass (n_centroids cosines per row in
+    # array HOFs) is the only heavy stage: spread a single-file corpus
+    # across cores first (round-robin — the map-only/no-hash-exchange
+    # plan pin stays honest); codebook/query paths stay tiny
+    embeddings = _spread_input(embeddings)
     # probe list: centroids sorted by (cosine desc, cid asc) — encoded as
     # default struct ordering on (-cosine, cid) so it stays native
     probe = cents.crossJoin(qrow).select(

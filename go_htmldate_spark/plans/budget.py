@@ -133,43 +133,37 @@ def water_fill_budgets(
         F.col(demand_col).cast("long").alias("demand"),
     ).filter(F.col("demand") > 0).cache()
 
-    # exact (demand, host) rank without an unpartitioned window; the
-    # running demand sum decomposes through per-demand-LEVEL cumulative
-    # tables (demand is constant within a level, so prefix_i =
-    # sum_below(level) + demand * (i - cnt_below(level))) — the only
-    # single-task window left runs over O(distinct demand values) rows,
-    # mirroring operators/shards._global_rank_by_size
-    ranked = _ranged_rank(d, ["demand", "host"], "i")
+    n_total = d.count()
+    if n_total == 0:
+        return d.select("host", "demand", F.lit(0).alias("alloc"))
+    b = max(0, int(total_budget))
+
+    # Candidate levels are evaluated at per-demand-CLASS boundaries
+    # only — no per-host rank at all (r06; replaces both the original
+    # unpartitioned (demand, host) window and its first distributed
+    # port). Within a demand class d the candidate at row i is
+    # t_i = (B - prefix_i) div (n - i) gated on validity t_i >= d;
+    # if any mid-class row is valid, the class's LAST row is also
+    # valid with t at least as large (stepping one row deeper subtracts
+    # d from the numerator and 1 from the denominator, preserving
+    # B - prefix >= d * (n - i) and never decreasing the quotient), so
+    # the max valid candidate always sits on a class boundary:
+    # i = cnt_below + c, prefix = sum_below + d * c. The only window
+    # runs over O(distinct demand values) rows.
     lvl = d.groupBy("demand").agg(F.count(F.lit(1)).alias("_c"))
     wl = Window.orderBy("demand").rowsBetween(Window.unboundedPreceding, -1)
     lvl = lvl.select(
         "demand",
+        "_c",
         F.coalesce(F.sum("_c").over(wl), F.lit(0)).alias("_cnt_below"),
         F.coalesce(F.sum(F.col("_c") * F.col("demand")).over(wl), F.lit(0))
         .alias("_sum_below"),
     )
-    rows = ranked.join(F.broadcast(lvl), "demand").select(
-        "host",
-        "demand",
-        "i",
-        (
-            F.col("_sum_below")
-            + F.col("demand") * (F.col("i") - F.col("_cnt_below"))
-        ).alias("prefix"),
-    )
-    n_total = d.count()
-    if n_total == 0:
-        return rows.select("host", "demand", F.lit(0).alias("alloc"))
-    b = max(0, int(total_budget))
-
-    # candidate level at each boundary: i hosts fully served (the row's
-    # own demand is the last one AT or below the level), n - i above it.
-    # Boundary 0 (nobody below the level) is the row i=1 candidate with
-    # prefix replaced by 0 — folded in via greatest() on the same row.
-    cand = rows.select(
-        F.col("i"),
+    cand = lvl.select(
+        (F.col("_cnt_below") + F.col("_c")).alias("i"),
         F.col("demand").alias("d_i"),
-        F.col("prefix"),
+        (F.col("_sum_below") + F.col("demand") * F.col("_c"))
+        .alias("prefix"),
     ).withColumn(
         "t_i",
         F.when(
@@ -279,30 +273,44 @@ def allocation_fairness(
 
     All sums are exact integer aggregates; the two divisions happen
     once at the end in a fixed order, so the doubles are bit-stable
-    under any partitioning.  One sort window over O(hosts) rows."""
-    # exact (alloc, host) rank without an unpartitioned window — same
-    # _ranged_rank law as water_fill_budgets (r05 verdict item)
-    ranked = _ranged_rank(
-        alloc.select(
-            F.col(alloc_col).cast("long").alias("x"),
-            F.col(host_col).alias("_h"),
-        ),
-        ["x", "_h"],
-        "i",
-    ).select("x", "i")
-    return ranked.agg(
-        F.count("*").cast("long").alias("n_hosts"),
-        F.sum("x").cast("long").alias("total_alloc"),
+    under any partitioning.
+
+    r06: the rank sum collapses CLASSWISE — for the tied block of
+    value v (count c, cnt_below rows of smaller values), the ranks are
+    cnt_below+1 .. cnt_below+c in SOME order, and Σ(i·x) over the
+    block is v·(c·cnt_below + c·(c+1)/2) regardless of which host got
+    which rank (equal x), so no per-host rank exists in the plan at
+    all: one partial-aggregated exchange over O(distinct alloc values)
+    classes, a tiny cumsum window over those classes, and the same
+    final scalar arithmetic — integer-identical to the sorted-rank
+    form, hence bit-identical doubles."""
+    classes = (
+        alloc.select(F.col(alloc_col).cast("long").alias("x"))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    classes = classes.withColumn(
+        "_below", F.coalesce(F.sum("_c").over(w), F.lit(0))
+    )
+    c, x, below = F.col("_c"), F.col("x"), F.col("_below")
+    rank_sum = F.sum(
+        x * (c * below + F.expr("(_c * (_c + 1)) div 2"))
+    )
+    n = F.sum("_c")
+    total = F.sum(x * c)
+    return classes.agg(
+        n.cast("long").alias("n_hosts"),
+        total.cast("long").alias("total_alloc"),
         (
             # cast BEFORE multiplying: sum(x)^2 overflows int64 at the
             # 10^10-slot cycles this report exists for (ANSI throws)
-            (F.sum("x").cast("double") * F.sum("x").cast("double"))
-            / (F.count("*").cast("double")
-               * F.sum(F.col("x") * F.col("x")).cast("double"))
+            (total.cast("double") * total.cast("double"))
+            / (n.cast("double") * F.sum(x * x * c).cast("double"))
         ).cast("double").alias("jain_index"),
         (
-            F.lit(2.0) * F.sum(F.col("i") * F.col("x"))
-            / (F.count("*").cast("double") * F.sum("x").cast("double"))
-            - (F.count("*") + F.lit(1.0)) / F.count("*")
+            F.lit(2.0) * rank_sum
+            / (n.cast("double") * total.cast("double"))
+            - (n + F.lit(1.0)) / n
         ).cast("double").alias("gini"),
     )

@@ -112,6 +112,48 @@ def test_pushdown_barrier_identity_and_blocking(spark):
     assert "DataFilters: []" in plan and "PushedFilters: []" in plan
 
 
+def test_water_fill_boundary_candidates_match_reference(spark):
+    """r06 rewrote the level search to evaluate candidates at
+    per-demand-class boundaries only (no per-host rank); the allocation
+    must still equal the brute-force progressive-filling reference,
+    including the +1-by-host-order remainder."""
+    import random
+
+    from go_htmldate_spark.plans.budget import water_fill_budgets
+
+    def ref(demands, budget):
+        hosts = sorted(demands)
+        t = 0
+        while (
+            sum(min(demands[h], t + 1) for h in hosts) <= budget
+            and any(demands[h] > t for h in hosts)
+        ):
+            t += 1
+        r = max(0, budget - sum(min(demands[h], t) for h in hosts))
+        alloc = {h: min(demands[h], t) for h in hosts}
+        for h in hosts:
+            if r <= 0:
+                break
+            if demands[h] > t:
+                alloc[h] += 1
+                r -= 1
+        return alloc
+
+    random.seed(13)
+    for _ in range(3):
+        n = random.randint(1, 30)
+        demands = {f"h{i:02d}": random.randint(1, 40) for i in range(n)}
+        budget = random.randint(0, sum(demands.values()) + 10)
+        df = spark.createDataFrame(
+            list(demands.items()), "host string, demand long"
+        )
+        got = {
+            r["host"]: r["alloc"]
+            for r in water_fill_budgets(df, budget).collect()
+        }
+        assert got == ref(demands, budget), (budget, demands)
+
+
 def test_ranged_rank_matches_global_window(spark):
     """_ranged_rank == row_number over the same total order, for skewed
     and tiny inputs."""

@@ -30,12 +30,20 @@ def get_spark(
     # shuffle (guide §2.2) — which is why it is parameterised rather
     # than hard-coded.
     max_part = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m")
+    # Floor on scan parallelism (guide §6.1): without it the split
+    # packer bundles small files — e.g. the WARC/WET gzip shards, one
+    # parse task per FILE — into a couple of tasks (each file charged
+    # openCostInBytes=4m against the 16m split). A floor of one split
+    # per core spreads multi-file reads without touching row-group
+    # bound parquet scans.
+    min_parts = os.environ.get("SPARK_GRAFT_MIN_PARTITION_NUM", cpus)
 
     return (
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.files.maxPartitionBytes", max_part)
+        .config("spark.sql.files.minPartitionNum", str(min_parts))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

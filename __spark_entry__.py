@@ -57,9 +57,23 @@ def _ts(spark: SparkSession, sf_dir: str, name: str,
     input skew: repartition right after the read). Hash on the table
     key keeps the row→partition map deterministic under task retries
     (guide §2.5 on rand-derived keys); cheap scan→aggregate queries
-    stay on _t — an exchange of raw rows would cost more than it buys."""
-    n = spark.sparkContext.defaultParallelism
+    stay on _t — an exchange of raw rows would cost more than it buys.
+
+    Size-adaptive: tables under ~2 MB skip the exchange — fanning a
+    few thousand rows across 32 cores costs more in scheduling than
+    the per-row work it parallelizes (measured at sf0.1: the
+    documents-table spread added 0.5-1.1 s per query while buying
+    nothing; at sf1.0 the same spread is worth 5-40x). The threshold
+    is a property of exchange overhead, not of this machine."""
+    import os
+
     df = _t(spark, sf_dir, name)
+    try:
+        if os.path.getsize(f"{sf_dir}/{name}.parquet") < 2 << 20:
+            return df
+    except OSError:
+        pass  # directory-style parquet or exotic path: just spread
+    n = spark.sparkContext.defaultParallelism
     return df.repartition(n, F.col(key)) if key else df.repartition(n)
 
 

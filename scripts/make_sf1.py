@@ -70,7 +70,7 @@ def make_sf1(spark, out_dir: str, scale: float = 1.0) -> None:
         ),
         F.length("text").alias("n_chars"),
     )
-    d.repartition(32).write.mode("overwrite").parquet(
+    d.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(out_dir, "documents.parquet")
     )
 
@@ -86,7 +86,7 @@ def make_sf1(spark, out_dir: str, scale: float = 1.0) -> None:
         ).alias("embedding"),
         (h(6, "id") % 8).cast("int").alias("label"),
     )
-    e.repartition(32).write.mode("overwrite").parquet(
+    e.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(out_dir, "embeddings.parquet")
     )
 
@@ -105,8 +105,83 @@ def make_sf1(spark, out_dir: str, scale: float = 1.0) -> None:
             (h(11, "id") % 5 + 1).cast("string"), F.lit("-PRIORITY")
         ).alias("o_orderpriority"),
     )
-    o.repartition(32).write.mode("overwrite").parquet(
+    o.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(out_dir, "orders.parquet")
+    )
+
+    # events: 10x the sf0.1 driver table — 30-day ts window (window does
+    # NOT scale with sf, verified at sf0.01/sf0.1), user_id over
+    # customers/10, 5 uniform event types, exp(mean~50) value, tiny
+    # JSON props
+    n_events = int(1_000_000 * scale)
+    n_users = int(15_000 * scale)
+    ev = spark.range(n_events).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(
+            F.lit(1704067200)
+            + (h(12, "id") % (30 * 86400)).cast("double")
+            + (h(13, "id") % 1_000_000).cast("double") / 1e6
+        ).alias("ts"),
+        (h(14, "id") % n_users).alias("user_id"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in
+                      ("click", "error", "purchase", "signup", "view")]),
+            (h(15, "id") % 5).cast("int") + 1,
+        ).alias("event_type"),
+        F.round(
+            -50.0 * F.log((h(16, "id") % 99_999 + 1).cast("double") / 1e5), 2
+        ).alias("value"),
+        F.concat(
+            F.lit('{"k": '), (h(17, "id") % 100).cast("string"), F.lit("}")
+        ).alias("props"),
+    )
+    ev.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "events.parquet")
+    )
+
+    # lineitem: 10x — TPC-H-shaped ranges observed on the driver tables
+    n_li = int(6_000_000 * scale)
+    li = spark.range(n_li).select(
+        (h(18, "id") % n_orders).alias("l_orderkey"),
+        (h(19, "id") % int(200_000 * scale)).alias("l_partkey"),
+        (h(20, "id") % int(10_000 * scale)).alias("l_suppkey"),
+        ((h(21, "id") % 7) + 1).cast("int").alias("l_linenumber"),
+        ((h(22, "id") % 50) + 1).cast("double").alias("l_quantity"),
+        ((h(23, "id") % 10_410_000) / 100.0 + 900.0).alias("l_extendedprice"),
+        ((h(24, "id") % 11) / 100.0).alias("l_discount"),
+        ((h(25, "id") % 9) / 100.0).alias("l_tax"),
+        F.element_at(
+            F.array(F.lit("A"), F.lit("N"), F.lit("R")),
+            (h(26, "id") % 3).cast("int") + 1,
+        ).alias("l_returnflag"),
+        F.element_at(
+            F.array(F.lit("F"), F.lit("O")),
+            (h(27, "id") % 2).cast("int") + 1,
+        ).alias("l_linestatus"),
+        F.timestamp_seconds(
+            F.lit(788998400) + (h(28, "id") % 2498) * 86400
+        ).alias("l_shipdate"),
+    )
+    li.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "lineitem.parquet")
+    )
+
+    # customer: 10x — Customer#%09d names, 25 nations, 5 segments
+    n_cust = int(150_000 * scale)
+    cu = spark.range(n_cust).select(
+        F.col("id").alias("c_custkey"),
+        F.format_string("Customer#%09d", F.col("id")).alias("c_name"),
+        (h(29, "id") % 25).cast("int").alias("c_nationkey"),
+        ((h(30, "id") % 1_099_966) / 100.0 - 999.85).alias("c_acctbal"),
+        F.element_at(
+            F.array(*[F.lit(s) for s in
+                      ("AUTOMOBILE", "BUILDING", "FURNITURE",
+                       "HOUSEHOLD", "MACHINERY")]),
+            (h(31, "id") % 5).cast("int") + 1,
+        ).alias("c_mktsegment"),
+    )
+    cu.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "customer.parquet")
     )
 
 

@@ -69,10 +69,23 @@ def _ts(spark: SparkSession, sf_dir: str, name: str,
 
     df = _t(spark, sf_dir, name)
     try:
-        if os.path.getsize(f"{sf_dir}/{name}.parquet") < 2 << 20:
+        p = f"{sf_dir}/{name}.parquet"
+        if os.path.isdir(p):
+            # directory-style table: size the data files, not the dir
+            # inode (getsize(dir) is ~4 KB and silently skipped the
+            # spread for any multi-file table)
+            size = sum(
+                os.path.getsize(os.path.join(r, fn))
+                for r, _dirs, fns in os.walk(p)
+                for fn in fns
+                if not fn.startswith(("_", "."))
+            )
+        else:
+            size = os.path.getsize(p)
+        if size < 2 << 20:
             return df
     except OSError:
-        pass  # directory-style parquet or exotic path: just spread
+        pass  # exotic path: just spread
     n = spark.sparkContext.defaultParallelism
     return df.repartition(n, F.col(key)) if key else df.repartition(n)
 

@@ -59,6 +59,34 @@ def md5_seeded(seed: int, col: Column) -> Column:
     return md5_h1(F.concat(F.lit(f"{seed}:"), col))
 
 
+def _md5_shingle_hash_table(exploded: DataFrame, n_hashes: int):
+    """Hash each DISTINCT shingle once instead of each occurrence.
+
+    The portable md5 family costs n_hashes md5+hex+conv chains per
+    shingle OCCURRENCE — the dominant term of the signature stage
+    (guide §1.2 step 1: don't compute things twice). Shingle text is
+    drawn from a bounded alphabet (≤ |charset|^k distinct k-grams, and
+    in practice a small multiple of the vocabulary), so the distinct
+    table is orders of magnitude smaller than the occurrence stream:
+    hash it once and broadcast the (shingle → n_hashes hashes) row back
+    onto the occurrences. min over joined hashes == min over inline
+    hashes — the VALUES are identical, only where the md5 is evaluated
+    moves. Guarded by an exact capped count (one distinct pass, no
+    md5): above the cap the broadcast would no longer be safe and the
+    caller keeps the inline per-occurrence form, so the 100 TB
+    behavior is unchanged unless the data proves the table small."""
+    if exploded.isStreaming:
+        return None
+    # ~48 MB broadcast budget: n_hashes longs + the shingle bytes per row
+    cap = max(65_536, (48 << 20) // (8 * n_hashes + 24))
+    sh = exploded.select("_sh").distinct()
+    if sh.limit(cap + 1).count() > cap:
+        return None  # pragma: no cover - data-dependent fallback
+    return sh.select(
+        "_sh", *[md5_seeded(j, F.col("_sh")).alias(f"_h{j}") for j in range(n_hashes)]
+    )
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the lowest-id row per exact content hash. groupBy (not a
     window) so the partial agg combines map-side before the shuffle."""
@@ -128,7 +156,17 @@ def minhash_signatures(
         F.expr(f"substring(_norm_{text_col}, _p, {shingle_k})").alias("_sh"),
     )
     if hash_family == "md5_seeded":
-        mins = [
+        htab = _md5_shingle_hash_table(exploded, n_hashes)
+        if htab is not None:
+            # left join: a NULL shingle (null text) keeps its row with
+            # null hashes, matching the inline path's null signature
+            joined = exploded.join(F.broadcast(htab), "_sh", "left")
+            mins = [F.min(F.col(f"_h{j}")).alias(f"_m{j}") for j in range(n_hashes)]
+            return joined.groupBy(id_col).agg(*mins).select(
+                F.col(id_col),
+                F.array(*[F.col(f"_m{j}") for j in range(n_hashes)]).alias("minhash"),
+            )
+        mins = [  # pragma: no cover - data-dependent fallback
             F.min(md5_seeded(j, F.col("_sh"))).alias(f"_m{j}")
             for j in range(n_hashes)
         ]

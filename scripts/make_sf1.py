@@ -185,6 +185,25 @@ def make_sf1(spark, out_dir: str, scale: float = 1.0) -> None:
     )
 
 
+def _flatten(out_dir: str) -> None:
+    """Collapse each single-part directory table to a bare .parquet
+    FILE — the driver ships bare-file tables, and helpers size them
+    with os.path.getsize, so the layout must match for comparable
+    benches."""
+    import shutil
+
+    for name in os.listdir(out_dir):
+        p = os.path.join(out_dir, name)
+        if not os.path.isdir(p):
+            continue
+        parts = [f for f in os.listdir(p) if f.endswith(".parquet")]
+        assert len(parts) == 1, (p, parts)
+        tmp = p + ".file"
+        shutil.move(os.path.join(p, parts[0]), tmp)
+        shutil.rmtree(p)
+        shutil.move(tmp, p)
+
+
 if __name__ == "__main__":
     from go_htmldate_spark.session import get_spark
 
@@ -195,4 +214,5 @@ if __name__ == "__main__":
     spark = get_spark(app_name="make-sf1", master="local[32]",
                       shuffle_partitions=32)
     make_sf1(spark, out)
+    _flatten(out)
     print("wrote", out)

@@ -168,3 +168,35 @@ def test_ranged_rank_matches_global_window(spark):
         == sorted(map(tuple, want.collect()))
     one = spark.createDataFrame([("a", 5)], "host string, demand long")
     assert _ranged_rank(one, ["host"], "r").collect()[0]["r"] == 1
+
+
+def test_md5_minhash_distinct_join_matches_inline(spark, monkeypatch):
+    """The distinct-shingle broadcast path must emit bit-identical
+    signatures to the inline per-occurrence md5 form, including the
+    NULL-text (null signature entries), empty-text, and short-text
+    degenerate shingles."""
+    import go_htmldate_spark.operators.dedup as dd
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, ""),
+        (4, None),
+        (5, "abc"),
+        (6, "the quick brown fox jumps over the lazy dog"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    fast = dd.minhash_signatures(df, n_hashes=8, hash_family="md5_seeded")
+    assert fast._jdf.queryExecution().executedPlan().toString().count(
+        "BroadcastExchange"
+    ) == 1  # the distinct-shingle hash table rides as a broadcast
+
+    # force the inline fallback (the >cap branch) and compare
+    monkeypatch.setattr(dd, "_md5_shingle_hash_table", lambda *a, **k: None)
+    slow = dd.minhash_signatures(df, n_hashes=8, hash_family="md5_seeded")
+    got = {r["doc_id"]: r["minhash"] for r in fast.collect()}
+    want = {r["doc_id"]: r["minhash"] for r in slow.collect()}
+    # null text keeps its row with an all-null signature in BOTH paths
+    # (greatest(length(null)-k+1, 1) still emits one position)
+    assert got == want and len(got) == 6 and got[4] == [None] * 8

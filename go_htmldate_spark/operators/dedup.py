@@ -404,34 +404,23 @@ def simhash(
 
     hash_family "md5_seeded" uses the DuckDB-reproducible 60-bit md5
     stream (cap n_bits ≤ 60 there) so the oracle can recompute
-    signatures with the same per-bit expression; the xxhash64 family
-    runs a SWAR variant — 16 lane-packed counters accumulated with ONE
-    mask+add per (token, lane-phase) instead of 64 per-bit folds, a 4×
-    cut in the interpreted-HOF work (identical sign rule: a bit is set
-    iff 2·count_ones(bit) > n_tokens; equality with the per-bit fold is
-    test-pinned)."""
+    signatures per bit. BOTH families run the SWAR accumulate — 16
+    lane-packed counters with ONE mask+add per (token, lane-phase)
+    instead of n_bits per-bit folds (identical sign rule: a bit is set
+    iff 2·count_ones(bit) > n_tokens ⟺ the per-bit ±1 sum is positive;
+    equality with the per-bit fold is test-pinned per family)."""
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     tok_hash = md5_h1 if hash_family == "md5_seeded" else F.xxhash64
     with_hashes = _spread_input(df).select(
         F.col(id_col),
         F.transform(F.split(norm, " "), lambda t: tok_hash(t)).alias("_hashes"),
     )
-    if hash_family == "md5_seeded":
-        sh = F.expr(
-            f"""
-            aggregate(
-              transform(sequence(0, {n_bits - 1}), b ->
-                CASE WHEN aggregate(_hashes, 0,
-                       (acc, h) -> acc + CASE WHEN shiftright(h, b) & 1 = 1
-                                         THEN 1 ELSE -1 END) > 0
-                     THEN shiftleft(1L, b) ELSE 0L END),
-              0L, (acc, x) -> acc | x)
-            """
-        )
-        return with_hashes.select(F.col(id_col), sh.alias("simhash"))
-
-    # SWAR path: acc_p packs four 16-bit counters (bits p, 16+p, 32+p,
-    # 48+p); lanes hold ≤ 65535 tokens, so cap the token array there
+    # SWAR path — BOTH families (r06: the md5 family previously ran a
+    # per-bit fold, n_bits interpreted aggregate passes per doc vs the
+    # SWAR's 16; the sign rules are algebraically identical —
+    # sum(±1) > 0 ⟺ 2·count_ones > n_tokens — and equality is pinned
+    # per family in tests): acc_p packs four 16-bit counters (bits p,
+    # 16+p, 32+p, 48+p); lanes hold ≤ 65535 tokens, so cap there
     mask16 = 0x0001000100010001
     out = with_hashes.select(
         F.col(id_col),
@@ -500,12 +489,63 @@ def simhash_near_pairs(
     mask = (1 << w) - 1
 
     sigs = simhash(df, text_col, id_col, n_bits=n_bits, hash_family=hash_family)
-    band_vals = F.array(
-        *[F.expr(f"(simhash >> {b * w}) & {mask}") for b in range(bands)]
-    )
+    if not sigs.isStreaming:
+        # sigs is referenced THREE times below (banding + both verify
+        # join sides) and the signature projection is map-only — no
+        # exchange for ReuseExchange to latch onto — so without a
+        # barrier the whole per-token hash/fold chain runs 3x over the
+        # corpus. localCheckpoint materializes the (id, simhash) rows
+        # once; they are 16 bytes/doc, far cheaper than recompute.
+        sigs = sigs.localCheckpoint(eager=False)
+    # Two-level banding (r06): one-level buckets key on w bits only,
+    # and on clustered corpora (correlated signature bits) they explode
+    # — measured at sf1: 72.6M candidate pairs for 160k true pairs.
+    # Pigeonhole applies RECURSIVELY: if two signatures agree exactly
+    # on band b, their ≤ radius errors all lie in the remaining
+    # n_bits - w bits, so splitting THOSE into radius+1 covering
+    # sub-bands guarantees one exact sub-band too. Keying the bucket on
+    # (band bits ‖ sub-band bits) keeps the candidate set COMPLETE
+    # (every true pair still shares ≥ 1 of the (radius+1)² composite
+    # keys) while squaring the selectivity; the final bit_count(xor)
+    # verify is unchanged, so the output is identical.
+    rem_bits = n_bits - w
+    two_level = rem_bits >= bands
+    entries = []
+    if two_level:
+        sub_w = rem_bits // bands
+        for b in range(bands):
+            low_mask = (1 << (b * w)) - 1
+            # remaining bits with band b's slice cut out, as one value;
+            # the high part is masked to its true width — `>>` is an
+            # ARITHMETIC shift (sign-extends 64-bit signatures, and a
+            # shift by 64 is a Java no-op), so without the mask the
+            # sign bit would leak into the key and break pigeonhole
+            # completeness for sign-differing pairs
+            high_mask = (1 << ((bands - 1 - b) * w)) - 1
+            rem_expr = (
+                f"((((simhash >> {(b + 1) * w}) & {high_mask}) << {b * w})"
+                f" | (simhash & {low_mask}))"
+            )
+            for s in range(bands):
+                # last sub-band absorbs the remainder so the sub-bands
+                # COVER every remaining bit (pigeonhole needs coverage)
+                if s < bands - 1:
+                    sub_expr = f"(({rem_expr} >> {s * sub_w}) & {(1 << sub_w) - 1})"
+                else:
+                    sub_expr = f"({rem_expr} >> {s * sub_w})"
+                entries.append(
+                    F.expr(
+                        f"(((simhash >> {b * w}) & {mask}) << {rem_bits})"
+                        f" | {sub_expr}"
+                    )
+                )
+    else:
+        entries = [
+            F.expr(f"(simhash >> {b * w}) & {mask}") for b in range(bands)
+        ]
     banded = sigs.select(
         F.col(id_col),
-        F.posexplode(band_vals).alias("band", "bucket"),
+        F.posexplode(F.array(*entries)).alias("band", "bucket"),
     )
     pairs = bucket_candidate_pairs(banded, id_col, max_bucket)
 

@@ -38,6 +38,51 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+# -- codegen'd unrolled forms ------------------------------------------------
+#
+# The HOF forms above (aggregate over zip_with/transform) are evaluated
+# INTERPRETED per array element — Spark's lambda higher-order functions
+# never enter whole-stage codegen. For a known dim the same left-fold
+# can be unrolled into a literal add chain, which codegen compiles,
+# while every IEEE intermediate stays bit-identical: the seed is the
+# same lit(0.0) and the terms are added in the same index order, so
+# dot_unrolled == dot to the last bit wherever both arrays have exactly
+# `dim` elements (the operators below all know their dim). An array
+# LONGER than dim would differ (zip_with pads the shorter side with
+# nulls and nulls the fold; the unrolled form ignores the tail) — the
+# callers guarantee exact-dim vectors.
+
+def dot_unrolled(a: Column, b, dim: int) -> Column:
+    """Codegen'd dot product; `b` may be a Column or a list of floats
+    (literal query/plane vector)."""
+    lit_b = isinstance(b, (list, tuple))
+    acc = F.lit(0.0)
+    for j in range(dim):
+        bj = F.lit(float(b[j])) if lit_b else b[j]
+        acc = acc + a[j] * bj
+    return acc
+
+
+def norm_unrolled(a: Column, dim: int) -> Column:
+    acc = F.lit(0.0)
+    for j in range(dim):
+        acc = acc + a[j] * a[j]
+    return F.sqrt(acc)
+
+
+def cosine_unrolled(a: Column, b, dim: int) -> Column:
+    if isinstance(b, (list, tuple)):
+        import math
+
+        # norm of a literal vector folds to the same double Catalyst's
+        # constant folding would produce: identical ops, identical order
+        nb = 0.0
+        for x in b:
+            nb = nb + float(x) * float(x)
+        return dot_unrolled(a, b, dim) / (norm_unrolled(a, dim) * F.lit(math.sqrt(nb)))
+    return dot_unrolled(a, b, dim) / (norm_unrolled(a, dim) * norm_unrolled(b, dim))
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -48,9 +93,8 @@ def brute_force_topk(
     """Exact cosine top-k against one query vector. Entirely native; the
     orderBy+limit compiles to TakeOrderedAndProject (per-partition heaps,
     no shuffle of the full table)."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
     vec = F.col(vec_col).cast("array<double>")
-    sim = F.round(cosine(vec, q), 6)
+    sim = F.round(cosine_unrolled(vec, [float(x) for x in query_vec], len(query_vec)), 6)
     return (
         embeddings.select(F.col(id_col), sim.alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc(id_col))
@@ -131,6 +175,62 @@ def _sign_bits(vec: Column, planes: list[Column]) -> Column:
     )
 
 
+_PLANE_MEMO: dict = {}
+
+
+def _plane_literals(spark, plane_ids: list[int], dim: int, family: str):
+    """The deterministic hyperplanes as DRIVER-side float lists.
+
+    The expression forms (_hyperplane_from / _md5_plane) re-derive every
+    plane component per ROW inside interpreted lambdas — n_tables ×
+    n_planes × dim hash+arithmetic evaluations per row. The planes are
+    constants of (plane_id, j), so evaluate them ONCE through Spark
+    itself (one expression over an n_planes-row frame; collected doubles
+    are exactly the values the per-row expressions produced) and inline
+    them as literal arrays. O(planes × dim) doubles — kilobytes — the
+    same bounded-driver-state pattern as ivf_codebook_local. Memoized:
+    the planes are pure functions of (family, plane_id, dim) — algorithm
+    constants, not data — so repeat queries in a session skip the job."""
+    key = (family, dim, tuple(plane_ids))
+    if key in _PLANE_MEMO:
+        return _PLANE_MEMO[key]
+    pid = F.col("pid")
+    if family == "md5":
+        # same bytes _md5_plane hashes: "<p>:<j>"
+        comp = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: (
+                F.pmod(
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    pid.cast("string"), F.lit(":"), j.cast("string")
+                                )
+                            ),
+                            1, 15,
+                        ),
+                        16, 10,
+                    ).cast("long"),
+                    F.lit(20000),
+                ).cast("double")
+                / F.lit(10000.0)
+                - F.lit(1.0)
+            ),
+        )
+    else:
+        comp = _hyperplane_from(pid.cast("int"), dim)
+    rows = (
+        spark.createDataFrame([(int(p),) for p in plane_ids], "pid long")
+        .select(pid, comp.alias("pl"))
+        .collect()
+    )
+    by_id = {int(r["pid"]): [float(x) for x in r["pl"]] for r in rows}
+    planes = [by_id[p] for p in plane_ids]
+    _PLANE_MEMO[key] = planes
+    return planes
+
+
 def ann_selfjoin_pairs(
     embeddings: DataFrame,
     dim: int,
@@ -156,21 +256,40 @@ def ann_selfjoin_pairs(
     embeddings = _spread_input(embeddings)
     vec = F.col(vec_col).cast("array<double>")
 
+    # planes as driver-side LITERAL arrays: the expression forms
+    # re-derived every plane component per row (n_tables·n_planes·dim
+    # hash+pmod+divide chains inside interpreted lambdas); a literal
+    # array is folded once by Catalyst, so the per-row work drops to
+    # the dot itself. The dot stays in HOF form here on purpose: fully
+    # unrolling all n_tables·n_planes dots was A/B'd and the ~4096-op
+    # projection overflowed Janino's 64 KB method limit, dropping the
+    # whole stage to interpreted eval (13 s → 78 s at sf1) — the HOF
+    # tree is small and its loop is the cheap part once the plane
+    # constants stop being recomputed.
+    plane_ids = [t * 1009 + p for t in range(n_tables) for p in range(n_planes)]
+    planes = _plane_literals(
+        embeddings.sparkSession, plane_ids,
+        dim, "md5" if hash_family == "md5" else "xxhash64",
+    )
+    lit_planes = [F.array(*[F.lit(c) for c in pl]) for pl in planes]
+
+    def tplanes(t: int) -> list[Column]:
+        return lit_planes[t * n_planes:(t + 1) * n_planes]
+
     if hash_family == "md5":
-        sigs = F.array(
-            *[
-                _sign_bits(
-                    vec, [_md5_plane(t * 1009 + p, dim) for p in range(n_planes)]
-                )
-                for t in range(n_tables)
-            ]
-        )
+        sigs = F.array(*[_sign_bits(vec, tplanes(t)) for t in range(n_tables)])
     else:
+        def sig_fold(t: int) -> Column:
+            # lsh_signature's exact integer fold: reverse-bit acc*2+bit
+            acc = F.lit(0).cast("long")
+            for pl in reversed(tplanes(t)):
+                acc = acc * 2 + F.when(dot(vec, pl) >= 0, F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            return acc
+
         sigs = F.array(
-            *[
-                lsh_signature(vec, dim, n_planes, table=t).cast("string")
-                for t in range(n_tables)
-            ]
+            *[sig_fold(t).cast("string") for t in range(n_tables)]
         )
 
     banded = embeddings.select(
@@ -178,15 +297,27 @@ def ann_selfjoin_pairs(
     )
     pairs = bucket_candidate_pairs(banded, id_col, max_bucket)
 
-    # rerank stays in its ORIGINAL inline form on purpose: r06 A/B'd a
+    # rerank stays INLINE (not staged) on purpose: r06 A/B'd a
     # staged-norm variant (norm per vector instead of per pair) and a
     # barrier-staged cosine — BOTH were slower (18.1 s / 14.4 s vs
     # 11.1 s at 8.7M pairs), because whole-stage codegen's common-
     # subexpression elimination already evaluates the duplicated cosine
     # tree once, while staging splits the stage and adds projection /
-    # Generate overhead. Measure before staging.
+    # Generate overhead. Unrolling (below) is orthogonal: it keeps the
+    # inline shape but swaps interpreted HOF folds for codegen.
     va = embeddings.select(F.col(id_col).alias("a"), vec.alias("_va"))
     vb = embeddings.select(F.col(id_col).alias("b"), vec.alias("_vb"))
+    # the rerank cosine stays in HOF form DELIBERATELY: r06 A/B'd (a)
+    # staged-norm and barrier-staged variants (18.1 s / 14.4 s vs
+    # 11.1 s — staging splits the stage), and (b) fully UNROLLED
+    # codegen'd chains this round — 33-78 s vs 8-12 s at sf1, because
+    # a ~600-op unrolled cosine referenced from the join's filter and
+    # output either overflows Janino's 64 KB method limit (whole-stage
+    # fallback) or produces generated methods past HotSpot's
+    # ~8 KB-bytecode JIT threshold, which then run in the bytecode
+    # INTERPRETER — slower than Catalyst's interpreted HOF loop over
+    # primitive arrays. Unrolling only pays for SMALL expressions (one
+    # dot against one literal vector, e.g. brute_force_topk).
     cos = cosine(F.col("_va"), F.col("_vb"))
     return (
         pairs.join(va, "a").join(vb, "b")

@@ -200,3 +200,147 @@ def test_md5_minhash_distinct_join_matches_inline(spark, monkeypatch):
     # null text keeps its row with an all-null signature in BOTH paths
     # (greatest(length(null)-k+1, 1) still emits one position)
     assert got == want and len(got) == 6 and got[4] == [None] * 8
+
+
+def test_plane_literals_match_expression_planes(spark):
+    """_plane_literals must reproduce the per-row plane expressions
+    bit-for-bit for both hash families (the signature sign rule hangs
+    on exact doubles)."""
+    import pyspark.sql.functions as F
+
+    from go_htmldate_spark.operators.similarity import (
+        _hyperplane_from, _md5_plane, _plane_literals,
+    )
+
+    ids = [0, 3, 1009, 2 * 1009 + 7]
+    got_x = _plane_literals(spark, ids, 8, "xxhash64")
+    got_m = _plane_literals(spark, ids, 8, "md5")
+    for i, pid in enumerate(ids):
+        row = spark.range(1).select(
+            _hyperplane_from(F.lit(pid), 8).alias("x"),
+            _md5_plane(pid, 8).alias("m"),
+        ).head()
+        assert got_x[i] == [float(v) for v in row["x"]], pid
+        assert got_m[i] == [float(v) for v in row["m"]], pid
+
+
+def test_brute_force_topk_unrolled_matches_hof(spark):
+    """The unrolled literal-query cosine must equal the HOF cosine()
+    form to the last rounded digit."""
+    import pyspark.sql.functions as F
+
+    from go_htmldate_spark.operators.similarity import (
+        brute_force_topk, cosine,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    q = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+    got = brute_force_topk(emb, q, k=10).collect()
+    qarr = F.array(*[F.lit(float(x)) for x in q])
+    vec = F.col("embedding").cast("array<double>")
+    want = (
+        emb.select(
+            "vec_id", F.round(cosine(vec, qarr), 6).alias("cosine")
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_simhash_near_pairs_checkpoint_value_identical(spark, monkeypatch):
+    """The signature localCheckpoint barrier is pure plumbing: results
+    must equal the recompute (no-barrier) path for both families."""
+    from pyspark.sql import DataFrame
+
+    import go_htmldate_spark.operators.dedup as dd
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+
+    def run():
+        a = dd.simhash_near_pairs(docs, radius=3, n_bits=48,
+                                  hash_family="md5_seeded").collect()
+        b = dd.simhash_near_pairs(docs, radius=3).collect()
+        return sorted(map(tuple, a)), sorted(map(tuple, b))
+
+    with_barrier = run()
+    monkeypatch.setattr(
+        DataFrame, "localCheckpoint", lambda self, eager=True: self
+    )
+    assert run() == with_barrier
+
+
+def test_simhash_md5_swar_matches_per_bit_fold(spark):
+    """r06 unified the md5 family onto the SWAR accumulate: signatures
+    must equal the per-bit ±1-sum fold it replaced, incl. empty/null
+    text."""
+    from go_htmldate_spark.operators.dedup import simhash
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(50).unionByName(
+        spark.createDataFrame(
+            [(9001, ""), (9002, None), (9003, "one"), (9004, "a b a b")],
+            "doc_id long, text string",
+        )
+    )
+    n_bits = 48
+    got = simhash(docs, n_bits=n_bits, hash_family="md5_seeded")
+    norm = "lower(trim(regexp_replace(text, '\\\\s+', ' ')))"
+    per_bit = F.expr(
+        f"""
+        aggregate(
+          transform(sequence(0, {n_bits - 1}), b ->
+            CASE WHEN aggregate(
+                   transform(split({norm}, ' '), t ->
+                     cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)),
+                   0,
+                   (acc, h) -> acc + CASE WHEN shiftright(h, b) & 1 = 1
+                                     THEN 1 ELSE -1 END) > 0
+                 THEN shiftleft(1L, b) ELSE 0L END),
+          0L, (acc, x) -> acc | x)
+        """
+    )
+    want = docs.select("doc_id", per_bit.alias("simhash"))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_two_level_banding_complete_vs_brute_force(spark):
+    """r06 two-level sub-banding must return EXACTLY the brute-force
+    all-pairs set within the radius — completeness depends on the
+    sub-bands covering every remaining bit (incl. the sign bit of
+    64-bit signatures)."""
+    from go_htmldate_spark.operators.dedup import simhash, simhash_near_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(120)
+    # plant near-dups: one swapped word, typically within radius
+    near = docs.limit(40).select(
+        (F.col("doc_id") + 5000).alias("doc_id"),
+        F.concat(F.lit("x "), F.col("text")).alias("text"),
+    )
+    corpus = docs.unionByName(near)
+    for fam, nb in (("xxhash64", 64), ("md5_seeded", 48)):
+        got = sorted(
+            map(tuple, simhash_near_pairs(
+                corpus, radius=3, n_bits=nb, hash_family=fam,
+                max_bucket=1_000_000,
+            ).collect())
+        )
+        sigs = {r["doc_id"]: r["simhash"]
+                for r in simhash(corpus, n_bits=nb, hash_family=fam).collect()}
+        ids = sorted(sigs)
+        brute = sorted(
+            (a, b, bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1"))
+            for i, a in enumerate(ids) for b in ids[i + 1:]
+            if bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") <= 3
+        )
+        assert got == brute, fam

@@ -79,12 +79,30 @@ def _md5_shingle_hash_table(exploded: DataFrame, n_hashes: int):
         return None
     # ~48 MB broadcast budget: n_hashes longs + the shingle bytes per row
     cap = max(65_536, (48 << 20) // (8 * n_hashes + 24))
-    sh = exploded.select("_sh").distinct()
-    if sh.limit(cap + 1).count() > cap:
+    rows = exploded.select("_sh").distinct().limit(cap + 1).collect()
+    if len(rows) > cap:
         return None  # pragma: no cover - data-dependent fallback
-    return sh.select(
-        "_sh", *[md5_seeded(j, F.col("_sh")).alias(f"_h{j}") for j in range(n_hashes)]
-    )
+    # hash the collected shingles in PYTHON: hashlib.md5 over the same
+    # UTF-8 bytes == Spark's md5(), and int(hex[:15], 16) == the
+    # conv(substring(md5, 1, 15), 16, 10) cast — bit-identical (pinned
+    # end-to-end against the inline path in tests). This saves a second
+    # full explode pass: the distinct collect is the only corpus scan
+    # the table costs, and the collect is bounded by the cap.
+    import hashlib
+
+    data = []
+    for r in rows:
+        sh = r["_sh"]
+        if sh is None:
+            continue  # null shingles stay null through the left join
+        data.append((sh, *[
+            int(hashlib.md5(f"{j}:{sh}".encode()).hexdigest()[:15], 16)
+            for j in range(n_hashes)
+        ]))
+    if not data:
+        return None  # pragma: no cover - all-null corpus
+    schema = "_sh string, " + ", ".join(f"_h{j} long" for j in range(n_hashes))
+    return exploded.sparkSession.createDataFrame(data, schema)
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

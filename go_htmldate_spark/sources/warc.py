@@ -72,20 +72,37 @@ def _maybe_decompress(data: bytes) -> bytes:
     interleaved garbage must not silently drop its tail records."""
     if data[:2] != b"\x1f\x8b":
         return data
+    # Chunk-fed decompression over a memoryview: the obvious
+    # `rest = d.unused_data` loop copies the ENTIRE remaining tail once
+    # per gzip member — O(members x bytes), ~31 GB of memcpy for a
+    # 50k-member shard (r06 finding; Common Crawl's layout is one
+    # member per record). Feeding bounded chunks keeps the per-member
+    # overhead at one <=256 KB copy, O(bytes) overall, with identical
+    # output and the same loud-failure contract.
     out = []
-    rest = data
-    while rest[:2] == b"\x1f\x8b":
+    mv = memoryview(data)
+    pos = 0
+    n = len(data)
+    chunk_sz = 1 << 18
+    while pos < n:
+        if bytes(mv[pos:pos + 2]) != b"\x1f\x8b":
+            break
+        start = pos
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
-        out.append(d.decompress(rest))
-        if not d.eof:
-            raise ValueError(
-                "truncated gzip member in WARC stream "
-                f"({len(rest)} bytes remaining)"
-            )
-        rest = d.unused_data
-    if rest and rest.strip(b"\x00"):  # allow classic NUL tape padding
+        while not d.eof:
+            if pos >= n:
+                raise ValueError(
+                    "truncated gzip member in WARC stream "
+                    f"({n - start} bytes remaining)"
+                )
+            chunk = mv[pos:pos + chunk_sz]
+            out.append(d.decompress(chunk))
+            pos += len(chunk)
+        out.append(d.flush())
+        pos -= len(d.unused_data)  # member ended inside the last chunk
+    if pos < n and bytes(mv[pos:]).strip(b"\x00"):  # allow NUL tape padding
         raise ValueError(
-            f"{len(rest)} non-gzip bytes after last gzip member in WARC stream"
+            f"{n - pos} non-gzip bytes after last gzip member in WARC stream"
         )
     return b"".join(out)
 

@@ -354,6 +354,12 @@ def anchor_text_agg(
     from pyspark.sql import Window
 
     links = extract_anchors(df, url_col, html_col)
+    if not links.isStreaming:
+        # links feeds TWO aggregations keyed differently (target vs
+        # target+anchor) — no exchange reuse is possible, so without a
+        # barrier the whole per-page ANCHOR_RX extraction runs twice
+        # over the corpus; the link triples are tiny next to the HTML
+        links = links.localCheckpoint(eager=False)
     stats = links.groupBy("target_url").agg(
         F.count(F.lit(1)).cast("long").alias("n_links"),
         F.countDistinct("src_host").cast("long").alias("n_src_hosts"),

@@ -295,7 +295,23 @@ def ann_selfjoin_pairs(
     banded = embeddings.select(
         F.col(id_col), F.posexplode(sigs).alias("band", "bucket")
     )
-    pairs = bucket_candidate_pairs(banded, id_col, max_bucket)
+    # guide §8: decide with small rows. When the vector matrix fits the
+    # broadcast budget, the bucket -> candidate-pair fan-out runs in
+    # numpy per bucket (one gram-matrix per bucket row) and emits ONLY
+    # pairs whose approximate cosine clears the threshold minus a
+    # margin — the 8.7M-row explode+distinct and the per-candidate
+    # cosine disappear together. The survivor set is a strict SUPERSET
+    # of the exact survivors within every bucket (margin + unknown-id
+    # pass-through), so the exact rerank below yields bit-identical
+    # rows (pinned against the inline path in tests). Above the budget
+    # the inline pure-Spark pairing runs unchanged.
+    bc = _collect_vector_broadcast(embeddings, id_col, vec, dim)
+    if bc is not None:
+        pairs = _bucket_pairs_prefiltered(
+            banded, id_col, max_bucket, bc, float(min_cosine)
+        )
+    else:
+        pairs = bucket_candidate_pairs(banded, id_col, max_bucket)
 
     # rerank stays INLINE (not staged) on purpose: r06 A/B'd a
     # staged-norm variant (norm per vector instead of per pair) and a
@@ -324,6 +340,101 @@ def ann_selfjoin_pairs(
         .filter(cos >= F.lit(float(min_cosine)))
         .select("a", "b", F.round(cos, 4).alias("cosine"))
     )
+
+
+# broadcast budget for the prefilter matrix: doubles held driver-side
+# (48 MB — the same bound the minhash distinct-shingle join uses)
+_PREFILTER_BUDGET_DOUBLES = 6_000_000
+
+
+def _collect_vector_broadcast(embeddings, id_col, vec, dim):
+    """(id, vector) matrix as a numpy broadcast, or None above budget.
+    One bounded collect (limit cap+1 probes the size and fetches the
+    rows in the same job); null/ragged vectors are dropped — the exact
+    rerank nulls them out anyway — and missing ids are passed through
+    by the prefilter conservatively."""
+    import numpy as np
+
+    cap = max(1, _PREFILTER_BUDGET_DOUBLES // max(dim, 1))
+    rows = (
+        embeddings.select(F.col(id_col).cast("long"), vec)
+        .limit(cap + 1)
+        .collect()
+    )
+    if len(rows) > cap:
+        return None
+    ids, vecs = [], []
+    for r in rows:
+        v = r[1]
+        if v is not None and len(v) == dim:
+            ids.append(r[0])
+            vecs.append(v)
+    if not ids:
+        return None
+    ids_a = np.asarray(ids, dtype=np.int64)
+    mat = np.asarray(vecs, dtype=np.float64)
+    order = np.argsort(ids_a)
+    sc = embeddings.sparkSession.sparkContext
+    return sc.broadcast((ids_a[order], mat[order]))
+
+
+def _bucket_pairs_prefiltered(
+    banded, id_col, max_bucket: int, bc, min_cosine: float,
+    margin: float = 1e-6,
+):
+    """bucket_candidate_pairs semantics with the pair fan-out fused
+    into a per-bucket numpy gram matrix: each (band, bucket) row's
+    capped, sorted id list looks its vectors up in the broadcast
+    matrix, M @ M.T scores every pair at once, and only pairs whose
+    approximate cosine clears (min_cosine - margin) — plus any pair
+    with an id the matrix lacks, conservatively — are emitted. The
+    output is a subset of bucket_candidate_pairs(...) that is still a
+    superset of the exact-cosine survivors, so an exact rerank over it
+    returns bit-identical rows. The 50-5000x non-surviving candidate
+    mass never materializes as Spark rows."""
+    from pyspark.sql import Window
+
+    thr = float(min_cosine) - float(margin)
+
+    w = Window.partitionBy("band", "bucket").orderBy(F.col(id_col).asc())
+    capped = (
+        banded.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_bucket)
+        .drop("_rn")
+    )
+    buckets = (
+        capped.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids_all, mat = bc.value
+        norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+        empty = np.array([], dtype=np.int64)
+        for pdf in batches:
+            out_a, out_b = [], []
+            for ids in pdf["ids"]:
+                iv = np.asarray(ids, dtype=np.int64)
+                idx = np.searchsorted(ids_all, iv)
+                np.clip(idx, 0, len(ids_all) - 1, out=idx)
+                known = ids_all[idx] == iv
+                M = mat[idx]
+                nn = np.outer(norms[idx], norms[idx])
+                keep = (M @ M.T >= thr * nn) | ~known[None, :] | ~known[:, None]
+                iu, ju = np.triu_indices(len(iv), k=1)
+                sel = keep[iu, ju]
+                out_a.append(iv[iu[sel]])
+                out_b.append(iv[ju[sel]])
+            yield pd.DataFrame({
+                "a": np.concatenate(out_a) if out_a else empty,
+                "b": np.concatenate(out_b) if out_b else empty,
+            })
+
+    return buckets.select("ids").mapInPandas(gen, "a long, b long").distinct()
 
 
 def ann_topk(

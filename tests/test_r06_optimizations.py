@@ -344,3 +344,35 @@ def test_two_level_banding_complete_vs_brute_force(spark):
             if bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") <= 3
         )
         assert got == brute, fam
+
+
+def test_ann_selfjoin_prefiltered_matches_inline_path(spark, monkeypatch):
+    """r06 continuation: the broadcast-matrix numpy pair prefilter must
+    return EXACTLY the rows of the pure-Spark inline path (forced by
+    dropping the broadcast budget to zero — the 100 TB fallback), for
+    both hash families."""
+    from go_htmldate_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    dup = emb.filter(F.col("vec_id") % 9 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(dup)
+    for fam in ("xxhash64", "md5"):
+        fast = sorted(
+            map(tuple, S.ann_selfjoin_pairs(
+                corpus, dim=64, min_cosine=0.9, n_planes=8, n_tables=8,
+                hash_family=fam,
+            ).collect())
+        )
+        monkeypatch.setattr(S, "_PREFILTER_BUDGET_DOUBLES", 0)
+        inline = sorted(
+            map(tuple, S.ann_selfjoin_pairs(
+                corpus, dim=64, min_cosine=0.9, n_planes=8, n_tables=8,
+                hash_family=fam,
+            ).collect())
+        )
+        monkeypatch.undo()
+        assert fast == inline and fast, fam

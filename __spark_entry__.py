@@ -383,8 +383,7 @@ def q_jaccard_pairs(spark, sf_dir):
     synthetic column). Portable md5-seeded family so DuckDB recomputes
     the whole signature→band→pair→verify chain independently."""
     from go_htmldate_spark.operators.dedup import (
-        jaccard_verify_pairs,
-        lsh_candidate_pairs,
+        lsh_jaccard_verified_pairs,
         minhash_signatures,
     )
 
@@ -398,10 +397,13 @@ def q_jaccard_pairs(spark, sf_dir):
         spark.sparkContext.defaultParallelism
     )
     sigs = minhash_signatures(corpus, n_hashes=16, hash_family="md5_seeded")
-    pairs = lsh_candidate_pairs(
-        sigs, bands=4, max_bucket=1_000_000, hashed_buckets=False
+    # band -> pair -> verify fused (value-identical to the
+    # lsh_candidate_pairs + jaccard_verify_pairs compose — the fused
+    # path never materializes the ~100x-larger candidate set)
+    return lsh_jaccard_verified_pairs(
+        corpus, sigs, bands=4, max_bucket=1_000_000,
+        hashed_buckets=False, min_jaccard=0.5,
     )
-    return jaccard_verify_pairs(corpus, pairs, min_jaccard=0.5)
 
 
 def q_ann_cosine_topk(spark, sf_dir):

@@ -296,6 +296,109 @@ def lsh_candidate_pairs(
     return bucket_candidate_pairs(banded, id_col, max_bucket)
 
 
+def lsh_jaccard_verified_pairs(
+    df: DataFrame,
+    signatures: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 16,
+    max_bucket: int = 64,
+    hashed_buckets: bool = True,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """lsh_candidate_pairs + jaccard_verify_pairs FUSED: value-identical
+    rows (pinned in tests) without ever materializing the candidate
+    pairs as Spark rows. The candidate set is typically 100-1000x the
+    verified set, so the explode + distinct exchange over it, and the
+    token-array join behind it, dominate the composed pipeline (guide
+    §8: decide with small rows). When the corpus token sets fit the
+    bounded broadcast budget, each capped bucket's sorted id list walks
+    its own pairs in Python against the broadcast sets, keeps pairs
+    whose integer (|A∩B|, |A∪B|) clear the threshold minus a margin,
+    and only those integers come back; Spark re-derives the exact
+    double division, threshold, and rounding, so boundary behavior is
+    bit-identical to the inline form. Above the budget the inline
+    compose runs unchanged — the 100 TB shape."""
+    toks = df.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.split(
+                F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))),
+                " ",
+            )
+        ).alias("_t"),
+    )
+    bc = _collect_token_sets(
+        toks, id_col, probe_df=df, probe_col=F.col(text_col)
+    )
+    if bc is None:
+        pairs = lsh_candidate_pairs(
+            signatures, id_col, bands, max_bucket, hashed_buckets
+        )
+        return jaccard_verify_pairs(
+            df, pairs, text_col, id_col, min_jaccard
+        )
+
+    from pyspark.sql import Window
+
+    banded = band_signatures(signatures, id_col, bands, hashed_buckets)
+    w = Window.partitionBy("band", "bucket").orderBy(F.col(id_col).asc())
+    buckets = (
+        banded.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_bucket)
+        .groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    # keep-threshold with a 1e-9 cushion: the exact Spark-side filter
+    # below re-decides the boundary from the exact integers, so the
+    # cushion only ever lets a boundary pair THROUGH to the exact test
+    thr = float(min_jaccard) - 1e-9
+
+    def gen(batches):
+        import pandas as pd
+
+        sets = bc.value
+        for pdf in batches:
+            out_a, out_b, out_i, out_u = [], [], [], []
+            for ids in pdf["ids"]:
+                k = len(ids)
+                ss = [sets.get(i) for i in ids]
+                for x in range(k - 1):
+                    sa = ss[x]
+                    if sa is None:
+                        continue
+                    a = ids[x]
+                    la = len(sa)
+                    for y in range(x + 1, k):
+                        sb = ss[y]
+                        if sb is None:
+                            continue
+                        inter = len(sa & sb)
+                        union = la + len(sb) - inter
+                        if inter >= thr * union:
+                            out_a.append(a)
+                            out_b.append(ids[y])
+                            out_i.append(inter)
+                            out_u.append(union)
+            yield pd.DataFrame({
+                "a": pd.Series(out_a, dtype="int64"),
+                "b": pd.Series(out_b, dtype="int64"),
+                "_i": pd.Series(out_i, dtype="int64"),
+                "_u": pd.Series(out_u, dtype="int64"),
+            })
+
+    counts = buckets.select("ids").mapInPandas(
+        gen, "a long, b long, _i long, _u long"
+    ).distinct()
+    jac = F.col("_i").cast("double") / F.col("_u")
+    return (
+        counts.withColumn("jaccard", F.round(jac, 6))
+        .filter(jac >= F.lit(min_jaccard))
+        .select("a", "b", "jaccard")
+    )
+
+
 def incremental_dedup(
     corpus_sigs: DataFrame,
     new_sigs: DataFrame,
@@ -730,6 +833,51 @@ def token_jaccard_pairs(
     ).filter(F.col("jaccard") >= min_jaccard)
 
 
+# broadcast budget for the verify token sets: total corpus TEXT bytes
+# held driver-side (bytes bound the token count; probing bytes needs
+# no tokenize pass). Same bounded-broadcast pattern as the md5
+# distinct-shingle table.
+_TOKEN_SET_BUDGET_BYTES = 64 << 20
+
+
+def _collect_token_sets(toks, id_col, probe_df=None, probe_col=None):
+    """(id, token array) -> broadcast {id: frozenset[int]} under the
+    budget, else None. A bytes-only aggregate (a raw-text scan when
+    probe_df/probe_col point at the source column — no tokenize pass)
+    probes the corpus size first so an over-budget corpus never starts
+    the collect; the fetch rides Arrow (toPandas), tokens are interned
+    to small ints driver-side so the broadcast pickle stays compact,
+    and null token arrays map to None entries (pairs touching them
+    drop, matching the inline join's null-intersect behavior)."""
+    if probe_col is None:
+        probe_col = F.concat_ws(" ", "_t")
+    src = toks.select(F.col(id_col), F.col("_t"))
+    probe = (toks if probe_df is None else probe_df).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.octet_length(probe_col)).alias("_b"),
+    ).head()
+    if probe["_n"] == 0 or (probe["_b"] or 0) > _TOKEN_SET_BUDGET_BYTES:
+        return None
+    pdf = src.toPandas()
+    vocab: dict = {}
+    sets = {}
+    ids = pdf[id_col].to_numpy()
+    for k, t in enumerate(pdf["_t"]):
+        if t is None:
+            sets[ids[k]] = None
+            continue
+        s = set()
+        for w in t:
+            v = vocab.get(w)
+            if v is None:
+                v = len(vocab)
+                vocab[w] = v
+            s.add(v)
+        sets[ids[k]] = frozenset(s)
+    sc = toks.sparkSession.sparkContext
+    return sc.broadcast(sets)
+
+
 def jaccard_verify_pairs(
     df: DataFrame,
     pairs: DataFrame,
@@ -750,15 +898,18 @@ def jaccard_verify_pairs(
             )
         ).alias("_t"),
     )
-    ta = toks.select(F.col(id_col).alias("a"), F.col("_t").alias("_ta"))
-    tb = toks.select(F.col(id_col).alias("b"), F.col("_t").alias("_tb"))
-    joined = pairs.join(ta, "a").join(tb, "b")
+
     # inline on purpose: r06 A/B'd a staged-intersect + barrier variant
     # (array_intersect spelled once) and it was 3x SLOWER (44.7 s vs
     # 13.0 s at sf1) — whole-stage codegen CSE already evaluates the
-    # duplicated intersect once within the stage, and the added
-    # Generate/projection stages only cost. Stage across BRANCHES, not
-    # within one codegen stage.
+    # duplicated intersect once within the stage. A broadcast-token-set
+    # Python pass over the pair stream was also A/B'd this round and
+    # broke even (the collect+broadcast cost what the join saved); the
+    # winning shape is the bucket-fused lsh_jaccard_verified_pairs
+    # below, which never materializes the candidate pairs at all.
+    ta = toks.select(F.col(id_col).alias("a"), F.col("_t").alias("_ta"))
+    tb = toks.select(F.col(id_col).alias("b"), F.col("_t").alias("_tb"))
+    joined = pairs.join(ta, "a").join(tb, "b")
     inter = F.size(F.array_intersect("_ta", "_tb"))
     union = F.size("_ta") + F.size("_tb") - inter
     jac = inter.cast("double") / union

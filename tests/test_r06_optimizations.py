@@ -376,3 +376,37 @@ def test_ann_selfjoin_prefiltered_matches_inline_path(spark, monkeypatch):
         )
         monkeypatch.undo()
         assert fast == inline and fast, fam
+
+
+def test_lsh_jaccard_fused_matches_composed_path(spark, monkeypatch):
+    """r06 continuation: the bucket-fused jaccard verify must return
+    EXACTLY the rows of lsh_candidate_pairs + jaccard_verify_pairs
+    (forced via a zero broadcast budget — the 100 TB fallback inside
+    the same function)."""
+    from go_htmldate_spark.operators import dedup as D
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    dup = d.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = d.unionByName(dup)
+    # null/empty texts exercise the None-set drop path
+    extra = spark.createDataFrame(
+        [(8000001, None), (8000002, ""), (8000003, "one two")],
+        "doc_id long, text string",
+    )
+    corpus = corpus.unionByName(extra)
+    sigs = D.minhash_signatures(corpus, n_hashes=16, hash_family="md5_seeded")
+    fused = sorted(map(tuple, D.lsh_jaccard_verified_pairs(
+        corpus, sigs, bands=4, max_bucket=1_000_000,
+        hashed_buckets=False, min_jaccard=0.5,
+    ).collect()))
+    monkeypatch.setattr(D, "_TOKEN_SET_BUDGET_BYTES", 0)
+    composed = sorted(map(tuple, D.lsh_jaccard_verified_pairs(
+        corpus, sigs, bands=4, max_bucket=1_000_000,
+        hashed_buckets=False, min_jaccard=0.5,
+    ).collect()))
+    monkeypatch.undo()
+    assert fused == composed and fused

@@ -309,27 +309,26 @@ def extract_anchors(
     targets survive (relative links already reach the frontier through
     the scheduler's outlink discovery).
 
-    Map-only: ONE regexp_extract_all pass (group 0) over the html
-    column — the document is scanned once, href/text re-extract per tag
-    from the short matched span — then exploded; page bytes are read
-    once and never shuffled."""
+    Map-only: two regexp_extract_all passes (groups 2 and 3 — the same
+    matches in the same order, so arrays_zip aligns href with text)
+    over the html column, then one explode; page bytes are read once
+    and never shuffled. This replaced the group-0 extract + per-link
+    re-extract form (r06: the per-link short-span regexps cost more
+    than the second document scan — 1.7 s vs 1.3 s at sf1 for
+    identical link tuples)."""
     from .canonical import url_host
 
-    full = F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_RX), F.lit(0))
-    pairs = df.select(
+    hrefs = F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_RX), F.lit(2))
+    texts = F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_RX), F.lit(3))
+    z = df.select(
         url_host(F.col(url_col)).alias("src_host"),
-        F.explode(full).alias("g"),
+        F.explode(F.arrays_zip(hrefs.alias("h"), texts.alias("x"))).alias("z"),
     )
-    g = F.col("g")
-    return pairs.select(
+    return z.select(
         "src_host",
-        F.regexp_extract(g, ANCHOR_RX, 2).alias("target_url"),
+        F.col("z.h").alias("target_url"),
         F.lower(
-            F.trim(
-                F.regexp_replace(
-                    F.regexp_extract(g, ANCHOR_RX, 3), r"\s+", " "
-                )
-            )
+            F.trim(F.regexp_replace(F.col("z.x"), r"\s+", " "))
         ).alias("anchor"),
     ).filter(F.col("target_url").rlike(r"^https?://"))
 
@@ -354,23 +353,35 @@ def anchor_text_agg(
     from pyspark.sql import Window
 
     links = extract_anchors(df, url_col, html_col)
-    if not links.isStreaming:
-        # links feeds TWO aggregations keyed differently (target vs
+    # collapse the raw link stream to (target, src_host, anchor) counts
+    # FIRST: count is map-side partial-aggregable, so the only
+    # link-volume exchange moves pre-collapsed triples (guide §2.3 —
+    # aggregate before you shuffle), and the countDistinct Expand plus
+    # the (target, anchor) aggregation below run over the collapsed
+    # table instead of every link. n_links = sum of counts, distincts
+    # are unchanged by collapsing on a superset key — value-identical
+    # (oracle-pinned).
+    triples = links.groupBy("target_url", "src_host", "anchor").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    if not triples.isStreaming:
+        # triples feed TWO aggregations keyed differently (target vs
         # target+anchor) — no exchange reuse is possible, so without a
         # barrier the whole per-page ANCHOR_RX extraction runs twice
-        # over the corpus; the link triples are tiny next to the HTML
-        links = links.localCheckpoint(eager=False)
-    stats = links.groupBy("target_url").agg(
-        F.count(F.lit(1)).cast("long").alias("n_links"),
+        # over the corpus; the collapsed triples are tiny next to the
+        # HTML (and next to the raw link stream)
+        triples = triples.localCheckpoint(eager=False)
+    stats = triples.groupBy("target_url").agg(
+        F.sum("_c").cast("long").alias("n_links"),
         F.countDistinct("src_host").cast("long").alias("n_src_hosts"),
         F.countDistinct(
             F.when(F.col("anchor") != "", F.col("anchor"))
         ).cast("long").alias("n_unique_anchors"),
     )
     counts = (
-        links.filter(F.col("anchor") != "")
+        triples.filter(F.col("anchor") != "")
         .groupBy("target_url", "anchor")
-        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(F.sum("_c").alias("_c"))
     )
     w = Window.partitionBy("target_url").orderBy(
         F.col("_c").desc(), F.col("anchor").asc()

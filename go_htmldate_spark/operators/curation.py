@@ -946,7 +946,7 @@ def host_boilerplate(
     )
 
 
-def _dup_span_tokens(
+def _dup_span_doc_table(
     df: DataFrame,
     n: int,
     text_col: str,
@@ -954,37 +954,45 @@ def _dup_span_tokens(
     min_count: int,
     hashed: bool,
 ) -> DataFrame:
-    """Token stream annotated with duplicated-span coverage: for each
-    (id, pos, w) token, `dup_start` is 1 when the word n-gram window
-    STARTING at pos occurs >= min_count times anywhere in the corpus
-    (across documents or repeated within one), and `covered` is 1 when
-    the token lies inside ANY such window — i.e. some duplicated
-    window starts in [pos - n + 1, pos].
+    """(id, _t tokens, _dp sorted duplicated-start positions): position
+    p is in _dp when the word n-gram window STARTING at p occurs >=
+    min_count times anywhere in the corpus (across documents or
+    repeated within one); _dp is NULL for docs with no duplicated
+    window (or null text). A token at position q is covered by
+    duplication exactly when some start in _dp lies in [q-n+1, q] —
+    the consumers below derive coverage from _dp with per-doc interval
+    arithmetic instead of a window over the token stream.
 
-    Scale shape: the token stream pays its id-keyed exchange once for
-    the lead() gram windows, and the same dense-position ordering
-    serves the coverage window; window keys (8-byte xxhash64 when
-    hashed=True, gram strings when oracle-exact) shuffle once into the
-    corpus-wide count; only the (id, pos) pairs of DUPLICATED starts —
-    a small fraction by construction — travel back, so AQE turns the
-    flag join into a broadcast at typical dup rates instead of
-    re-shuffling the full token stream by gram key."""
+    Scale shape (r06 rewrite): grams are built on the token array —
+    no posexplode + lead() window, so the id-keyed exchange and both
+    window sorts of the previous form are gone; gram keys (8-byte
+    xxhash64 when hashed=True, gram strings when oracle-exact) shuffle
+    once into the corpus-wide count; only the DUPLICATED (id, pos)
+    pairs — a small fraction by construction — travel back into one
+    per-doc sorted array."""
     if n < 2:
         raise ValueError("dup-span window size n must be >= 2")
-    from pyspark.sql import Window
-
     toks = df.select(
         F.col(id_col),
         F.expr(
             f"split(lower(trim(regexp_replace({text_col}, '\\\\s+', ' '))), ' ')"
         ).alias("_t"),
     )
-    tok = toks.select(F.col(id_col), F.posexplode("_t").alias("pos", "w"))
-    w = Window.partitionBy(id_col).orderBy("pos")
-    leads = [F.lead("w", i).over(w) for i in range(1, n)]
-    gram = F.when(leads[-1].isNotNull(), F.concat_ws(" ", F.col("w"), *leads))
-    starts = tok.select(F.col(id_col), "pos", gram.alias("gram")).filter(
-        F.col("gram").isNotNull()
+    # grams straight off the token ARRAY (r06: the previous form
+    # posexploded the tokens and rebuilt each window with n-1 lead()
+    # calls over an id-keyed sort — an exchange + two window sorts the
+    # array form never pays). concat_ws over the slice produces the
+    # identical gram string; positions 0..len-n match the lead form's
+    # non-null window starts exactly.
+    grams = F.when(
+        F.size("_t") >= n,
+        F.expr(
+            f"transform(sequence(0, size(_t) - {n}),"
+            f" i -> concat_ws(' ', slice(_t, i + 1, {n})))"
+        ),
+    )
+    starts = toks.select(
+        F.col(id_col), F.posexplode(grams).alias("pos", "gram")
     )
     gk = (F.xxhash64("gram") if hashed else F.col("gram")).alias("gk")
     keyed = starts.select(F.col(id_col), "pos", gk)
@@ -994,20 +1002,16 @@ def _dup_span_tokens(
         .filter(F.col("_c") >= F.lit(int(min_count)))
         .select("gk")
     )
-    dup_starts = keyed.join(dup_keys, "gk").select(
-        F.col(id_col), "pos", F.lit(1).alias("dup_start")
+    # only the DUPLICATED start positions travel back per doc — a small
+    # fraction by construction — as one sorted array; coverage becomes
+    # per-doc interval arithmetic (below) instead of a join of the full
+    # token stream plus a second window sort
+    dup_pos = (
+        keyed.join(dup_keys, "gk")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("_dp"))
     )
-    flagged = tok.join(dup_starts, [id_col, "pos"], "left").withColumn(
-        "dup_start", F.coalesce(F.col("dup_start"), F.lit(0))
-    )
-    # positions are dense per doc (posexplode), so a rows-frame over
-    # the last n-1 start flags is exactly the interval-union coverage
-    cov = (
-        Window.partitionBy(id_col)
-        .orderBy("pos")
-        .rowsBetween(-(n - 1), Window.currentRow)
-    )
-    return flagged.withColumn("covered", F.max("dup_start").over(cov))
+    return toks.join(dup_pos, id_col, "left")
 
 
 def dup_span_stats(
@@ -1032,26 +1036,38 @@ def dup_span_stats(
     Returns (id, n_tok, n_windows, n_dup_windows, dup_token_frac)
     where dup_token_frac is the fraction of token positions covered by
     at least one duplicated window. Row-stable like line_dedup: a
-    null-text document (zero token rows after posexplode) still comes
-    back, with zero counts."""
-    tokf = _dup_span_tokens(df, n, text_col, id_col, min_count, hashed)
-    agg = tokf.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_tok"),
-        F.greatest(
-            F.count(F.lit(1)) - F.lit(n - 1), F.lit(0)
-        ).cast("long").alias("n_windows"),
-        F.sum("dup_start").cast("long").alias("n_dup_windows"),
-        F.round(
-            F.sum("covered").cast("double") / F.count(F.lit(1)), 6
-        ).alias("dup_token_frac"),
+    null-text document (null token array) still comes back, with zero
+    counts.
+
+    Coverage is per-doc interval arithmetic over the sorted duplicated
+    starts: windows are fixed length n, so merged-interval ends are
+    monotone and one O(|starts|) left fold yields the exact union
+    length — the same integer the previous per-token coverage window
+    summed (pinned in tests)."""
+    doc = _dup_span_doc_table(df, n, text_col, id_col, min_count, hashed)
+    n_tok = F.when(F.col("_t").isNull(), F.lit(0)).otherwise(F.size("_t"))
+    # union length of [s, s+n-1] intervals over sorted distinct starts:
+    # each start adds (s+n-1) - max(prev_end, s-1); ends are monotone
+    # (fixed window length), so the contribution is never negative
+    covered = F.when(F.col("_dp").isNull(), F.lit(0)).otherwise(
+        F.expr(
+            f"aggregate(_dp, named_struct('t', 0L, 'pe', {-(n + 1)}L),"
+            f" (acc, s) -> named_struct("
+            f"   't', acc.t + s + {n - 1} - greatest(acc.pe, s - 1),"
+            f"   'pe', CAST(s + {n - 1} AS BIGINT)),"
+            f" acc -> acc.t)"
+        )
     )
-    return df.select(id_col).join(agg, id_col, "left").select(
-        id_col,
-        F.coalesce("n_tok", F.lit(0)).cast("long").alias("n_tok"),
-        F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
-        F.coalesce("n_dup_windows", F.lit(0)).cast("long")
-        .alias("n_dup_windows"),
-        F.coalesce("dup_token_frac", F.lit(0.0)).alias("dup_token_frac"),
+    return doc.select(
+        F.col(id_col),
+        n_tok.cast("long").alias("n_tok"),
+        F.greatest(n_tok - F.lit(n - 1), F.lit(0))
+        .cast("long").alias("n_windows"),
+        F.when(F.col("_dp").isNull(), F.lit(0)).otherwise(F.size("_dp"))
+        .cast("long").alias("n_dup_windows"),
+        F.when(
+            n_tok > 0, F.round(covered.cast("double") / n_tok, 6)
+        ).otherwise(F.lit(0.0)).alias("dup_token_frac"),
     )
 
 
@@ -1072,29 +1088,58 @@ def remove_dup_spans(
     (zero token rows after posexplode) — comes back with empty text,
     mirroring line_dedup's row-stability contract.
 
-    Returns (id, out_col, n_tok, n_removed)."""
-    tokf = _dup_span_tokens(df, n, text_col, id_col, min_count, hashed)
-    agg = tokf.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.filter(
-                    F.sort_array(
-                        F.collect_list(F.struct("pos", "covered", "w"))
-                    ),
-                    lambda x: x["covered"] == 0,
-                ),
-                lambda x: x["w"],
-            ),
-            " ",
-        ).alias(out_col),
-        F.count(F.lit(1)).cast("long").alias("n_tok"),
-        F.sum("covered").cast("long").alias("n_removed"),
+    Returns (id, out_col, n_tok, n_removed).
+
+    The cut is per-doc array arithmetic over the sorted duplicated
+    starts (r06 — the previous form re-collected every token through a
+    coverage window + collect_list): fixed-length windows merge into
+    intervals wherever consecutive starts are <= n apart (ends are
+    monotone, so only adjacent gaps matter), covered positions are the
+    flattened interval sequences, and the kept text is the original
+    token array minus those positions — order preserved
+    (array_except keeps first-array order). O(tokens + starts) per
+    doc, no token re-shuffle, no collect_list."""
+    doc = _dup_span_doc_table(df, n, text_col, id_col, min_count, hashed)
+    n_tok = F.when(F.col("_t").isNull(), F.lit(0)).otherwise(F.size("_t"))
+    # merged covered intervals: position i starts a new interval when
+    # it is the first start or its gap to the previous start exceeds n
+    # (contiguity bound for fixed-length windows); interval j ends at
+    # (the start before the next starter, or the last start) + n - 1.
+    # _starters holds 1-based INDEXES into _dp.
+    starters = (
+        f"filter(sequence(1, size(_dp)),"
+        f" i -> i = 1 OR element_at(_dp, i) - element_at(_dp, i - 1) > {n})"
     )
-    return df.select(id_col).join(agg, id_col, "left").select(
-        id_col,
-        F.coalesce(out_col, F.lit("")).alias(out_col),
-        F.coalesce("n_tok", F.lit(0)).cast("long").alias("n_tok"),
-        F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+    merged = (
+        f"transform(_st, (st, j) -> named_struct("
+        f" 's', element_at(_dp, st),"
+        f" 'e', element_at(_dp,"
+        f"   CASE WHEN j + 2 <= size(_st)"
+        f"        THEN element_at(_st, j + 2) - 1"
+        f"        ELSE size(_dp) END) + {n - 1}))"
+    )
+    kept = F.expr(
+        f"array_except(sequence(0, size(_t) - 1),"
+        f" flatten(transform({merged}, m -> sequence(m.s, m.e))))"
+    )
+    staged = doc.withColumn(
+        "_st", F.when(F.col("_dp").isNotNull(), F.expr(starters))
+    ).withColumn(
+        "_kept",
+        F.when(F.col("_t").isNull(), F.expr("CAST(array() AS ARRAY<INT>)"))
+        .when(F.col("_dp").isNull(), F.expr("sequence(0, size(_t) - 1)"))
+        .otherwise(kept),
+    )
+    out_text = F.when(F.col("_t").isNull(), F.lit("")).otherwise(
+        F.array_join(
+            F.expr("transform(_kept, p -> element_at(_t, p + 1))"), " "
+        )
+    )
+    return staged.select(
+        F.col(id_col),
+        out_text.alias(out_col),
+        n_tok.cast("long").alias("n_tok"),
+        (n_tok - F.size("_kept")).cast("long").alias("n_removed"),
     )
 
 

@@ -410,3 +410,64 @@ def test_lsh_jaccard_fused_matches_composed_path(spark, monkeypatch):
     ).collect()))
     monkeypatch.undo()
     assert fused == composed and fused
+
+
+def test_dup_span_interval_arithmetic_matches_brute_force(spark):
+    """r06 continuation: the per-doc interval-union coverage (stats)
+    and interval cut (removal) must match a brute-force per-token
+    reference, including adjacent/overlapping windows, the gap == n
+    merge boundary, null and empty texts."""
+    from go_htmldate_spark.operators.curation import (
+        dup_span_stats, remove_dup_spans,
+    )
+
+    # tokens chosen so specific 3-gram windows duplicate:
+    # 'a b c' appears in docs 1/2 (cross-doc), 'x y z x y z' repeats
+    # within doc 3, doc 4 has no dups, doc 5 null, doc 6 empty string
+    rows = [
+        (1, "a b c d e f g"),
+        (2, "q a b c r s t"),
+        (3, "x y z x y z x y z"),
+        (4, "unique words only here"),
+        (5, None),
+        (6, ""),
+        (7, "a b c a b c d e"),  # overlapping + adjacent windows
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    n = 3
+
+    # brute force in python
+    import re
+    toks = {i: (None if t is None else
+                re.sub(r"\s+", " ", t).strip().lower().split(" "))
+            for i, t in rows}
+    from collections import Counter
+    grams = Counter()
+    for t in toks.values():
+        if t is None:
+            continue
+        for p in range(len(t) - n + 1):
+            grams[" ".join(t[p:p + n])] += 1
+    want_stats, want_rm = {}, {}
+    for i, t in toks.items():
+        if t is None:
+            want_stats[i] = (0, 0, 0, 0.0)
+            want_rm[i] = ("", 0, 0)
+            continue
+        starts = [p for p in range(len(t) - n + 1)
+                  if grams[" ".join(t[p:p + n])] >= 2]
+        cov = set()
+        for s in starts:
+            cov.update(range(s, s + n))
+        frac = round(len(cov) / len(t), 6) if t else 0.0
+        want_stats[i] = (len(t), max(len(t) - n + 1, 0), len(starts), frac)
+        kept = [w for p, w in enumerate(t) if p not in cov]
+        want_rm[i] = (" ".join(kept), len(t), len(cov))
+
+    got_stats = {r["doc_id"]: (r["n_tok"], r["n_windows"],
+                               r["n_dup_windows"], r["dup_token_frac"])
+                 for r in dup_span_stats(docs, n=n).collect()}
+    got_rm = {r["doc_id"]: (r["clean_text"], r["n_tok"], r["n_removed"])
+              for r in remove_dup_spans(docs, n=n).collect()}
+    assert got_stats == want_stats
+    assert got_rm == want_rm

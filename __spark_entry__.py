@@ -3373,7 +3373,7 @@ def q_soft404(spark, sf_dir):
     NOT flag), %9==2 long articles ABOUT 404 errors (must NOT flag),
     %9==3 phrase-free parked templates (template pass only), rest
     normal articles. The oracle scores every class closed-form."""
-    from go_htmldate_spark.plans.soft404 import soft404_flags
+    from go_htmldate_spark.plans.soft404 import soft404_signal_flags
 
     o = _ts(spark, sf_dir, "orders", "o_orderkey")
     okey = F.col("o_orderkey")
@@ -3401,11 +3401,11 @@ def q_soft404(spark, sf_dir):
     # branches re-run the synth CASE — worse, the template branch's
     # tiny-body filter pushes below the spread exchange onto the 1-2
     # scan tasks (r06 before-plan)
-    pages = o.select(url.alias("url"), text.alias("text")) \
-        .localCheckpoint(eager=False)
-    return soft404_flags(pages).select(
-        "url", "err_phrase", "tiny_body", "template_err", "soft404"
-    )
+    # soft404_signal_flags computes the per-page regex/md5 chain ONCE
+    # into a narrow internal barrier that both its branches read — no
+    # page-text materialization, no per-branch re-scan (r06)
+    pages = o.select(url.alias("url"), text.alias("text"))
+    return soft404_signal_flags(pages)
 
 
 def q_soft404_demotion(spark, sf_dir):
@@ -3435,12 +3435,10 @@ def q_soft404_demotion(spark, sf_dir):
         F.lit("Error 404 - Page Not Found. The page you requested was not "
               "found on this server."),
     ).otherwise(F.concat(F.lit("Article body. "), filler, okey.cast("string")))
-    # two materialization barriers (same rationale as q_soft404): pages
-    # feeds soft404_flags' two branches; stats (an O(hosts) aggregate)
-    # feeds both the report and the demotion join — without the second
-    # barrier the whole flags+rollup chain runs twice
-    pages = o.select(url.alias("url"), text.alias("text")) \
-        .localCheckpoint(eager=False)
+    # the signal chain materializes once inside soft404_signal_flags
+    # (narrow barrier); the stats checkpoint stays: an O(hosts)
+    # aggregate feeding both the report and the demotion join
+    pages = o.select(url.alias("url"), text.alias("text"))
     stats = soft404_host_stats(pages).localCheckpoint(eager=False)
     dem = soft404_demotion(stats, threshold=0.5, min_pages=20)
     return stats.join(dem, "host", "left").select(

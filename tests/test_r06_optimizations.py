@@ -471,3 +471,25 @@ def test_dup_span_interval_arithmetic_matches_brute_force(spark):
               for r in remove_dup_spans(docs, n=n).collect()}
     assert got_stats == want_stats
     assert got_rm == want_rm
+
+
+def test_pagination_chains_local_matches_distributed(spark, monkeypatch):
+    """r06 continuation: the driver-side chain walk must return EXACTLY
+    the distributed doubling loop's rows (forced via a zero edge cap),
+    including cycles, shared-parent min collapse, and deep chains past
+    max_pages."""
+    from go_htmldate_spark.plans import pagination as P
+
+    edges = [(f"u{i}", f"u{i+1}") for i in range(5)]          # plain chain
+    edges += [("c0", "c1"), ("c1", "c2"), ("c2", "c0")]       # cycle
+    edges += [("t0", "c0")]                                   # tail into cycle
+    edges += [("a", "m"), ("b", "m"), ("m", "m2")]            # parent conflict
+    edges += [(f"d{i}", f"d{i+1}") for i in range(9)]         # deep chain
+    df = spark.createDataFrame(edges, "src_url string, dst_url string")
+    fast = sorted(map(tuple, P.pagination_chains(
+        df, max_pages=4).collect()))
+    monkeypatch.setattr(P, "_PAGINATION_EDGE_CAP", 0)
+    dist = sorted(map(tuple, P.pagination_chains(
+        df, max_pages=4).collect()))
+    monkeypatch.undo()
+    assert fast == dist and fast

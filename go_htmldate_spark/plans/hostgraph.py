@@ -107,6 +107,29 @@ def prepare_host_edges(
     return spark.table(table)
 
 
+# cap for the driver-side small-graph fast paths (distinct cleaned
+# edges collected; graphs above it run the distributed sweeps)
+_HOSTGRAPH_EDGE_CAP = 200_000
+
+
+def _collect_small_edges(edges, src_col, dst_col):
+    """Cleaned DISTINCT (src, dst) edge list when it fits the cap,
+    else None — limit-bounded so an over-cap graph never materializes
+    on the driver. Null-endpoint rows drop exactly as the distributed
+    cleaners drop them (src != dst is null-false)."""
+    rows = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .limit(_HOSTGRAPH_EDGE_CAP + 1)
+        .collect()
+    )
+    if len(rows) > _HOSTGRAPH_EDGE_CAP:
+        return None  # pragma: no cover - data-dependent fallback
+    return [(r["src"], r["dst"]) for r in rows]
+
+
 def host_pagerank(
     edges: DataFrame,
     src_col: str = "src",
@@ -136,6 +159,23 @@ def host_pagerank(
         # num < den is what bounds total mass by n·scale (the long-path
         # overflow proof and the convergence argument both rest on it)
         raise ValueError("need 0 < damping_num < damping_den")
+    if not prepared:
+        # bounded driver-side fast path (r06, same rationale as OPIC):
+        # K checkpointed sweeps cost a scheduling floor of seconds for
+        # microseconds of integer arithmetic on a small graph;
+        # host_pagerank_py is the exact-integer law this function is
+        # pinned against, so the result is bit-identical by
+        # construction. prepared=True (the persisted bucketed at-scale
+        # layout) keeps the distributed sweeps.
+        small = _collect_small_edges(edges, src_col, dst_col)
+        if small is not None:
+            rk = host_pagerank_py(
+                small, iters=iters, damping_num=damping_num,
+                damping_den=damping_den, scale=scale,
+            )
+            return edges.sparkSession.createDataFrame(
+                sorted(rk.items()), "host string, rank long"
+            )
     sc = edges.sparkSession.sparkContext
 
     def ckpt(df: DataFrame) -> DataFrame:
@@ -446,6 +486,25 @@ def host_hits(
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
+    if not prepared and edges_by_dst is None:
+        # bounded driver-side fast path — host_hits_py is the pinned
+        # exact-integer law (see host_pagerank). The n·scale width
+        # guard stays with the distributed path's semantics: the py
+        # law computes the same integers wherever the guard passes,
+        # and the guard itself must still raise identically.
+        small = _collect_small_edges(edges, src_col, dst_col)
+        if small is not None:
+            n_nodes = len({s for s, _ in small} | {d for _, d in small})
+            if n_nodes * scale > (1 << 62):
+                raise ValueError(
+                    "n_hosts*scale exceeds 2^62 — lower `scale` to keep "
+                    "the half-sweep sums in exact codegen'd longs"
+                )
+            hh = host_hits_py(small, iters=iters, scale=scale)
+            return edges.sparkSession.createDataFrame(
+                [(h, a, b) for h, (a, b) in sorted(hh.items())],
+                "host string, auth long, hub long",
+            )
     sc = edges.sparkSession.sparkContext
 
     def ckpt(df: DataFrame) -> DataFrame:
@@ -668,6 +727,36 @@ def host_trustrank(
         raise ValueError("iters must be >= 1")
     if not 0 < damping_num < damping_den:
         raise ValueError("need 0 < damping_num < damping_den")
+    if not prepared:
+        # bounded driver-side fast path — host_trustrank_py is the
+        # pinned exact-integer law (see host_pagerank); the seed and
+        # width guards raise identically to the distributed path.
+        small = _collect_small_edges(edges, src_col, dst_col)
+        if small is not None:
+            nodes_s = {s for s, _ in small} | {d for _, d in small}
+            sd = [
+                r["host"]
+                for r in seeds.select(F.col(seed_col).alias("host"))
+                .distinct().collect()
+                if r["host"] in nodes_s
+            ]
+            if not sd:
+                raise ValueError(
+                    "need at least one seed host present in the graph"
+                )
+            if len(nodes_s) * scale > (1 << 63) - 1:
+                raise ValueError(
+                    "n_hosts*scale exceeds int64 — lower `scale` so "
+                    "trust values (bounded by the total mass) stay "
+                    "representable"
+                )
+            tr = host_trustrank_py(
+                small, sd, iters=iters, damping_num=damping_num,
+                damping_den=damping_den, scale=scale,
+            )
+            return edges.sparkSession.createDataFrame(
+                sorted(tr.items()), "host string, trust long"
+            )
     sc = edges.sparkSession.sparkContext
 
     def ckpt(df: DataFrame) -> DataFrame:

@@ -493,3 +493,29 @@ def test_pagination_chains_local_matches_distributed(spark, monkeypatch):
         df, max_pages=4).collect()))
     monkeypatch.undo()
     assert fast == dist and fast
+
+
+def test_hostgraph_local_fast_paths_match_distributed(spark, monkeypatch):
+    """r06 continuation: the driver-side pagerank/hits/trustrank fast
+    paths must return EXACTLY the distributed sweeps' rows (forced via
+    a zero edge cap)."""
+    from go_htmldate_spark.plans import hostgraph as H
+
+    edges = spark.createDataFrame(
+        [(f"h{i % 7}", f"h{(i * 3 + 1) % 7}") for i in range(30)]
+        + [("h0", "h8"), ("h8", "h0"), ("isolated_src", "h1")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("h0",), ("h3",)], "host string")
+
+    def both(fn):
+        fast = sorted(map(tuple, fn().collect()))
+        monkeypatch.setattr(H, "_HOSTGRAPH_EDGE_CAP", 0)
+        dist = sorted(map(tuple, fn().collect()))
+        monkeypatch.undo()
+        assert fast == dist and fast
+        return fast
+
+    both(lambda: H.host_pagerank(edges, iters=3))
+    both(lambda: H.host_hits(edges, iters=2))
+    both(lambda: H.host_trustrank(edges, seeds, iters=3))

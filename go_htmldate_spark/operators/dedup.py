@@ -388,7 +388,13 @@ def lsh_jaccard_verified_pairs(
                 "_u": pd.Series(out_u, dtype="int64"),
             })
 
-    counts = buckets.select("ids").mapInPandas(
+    # spread the byte-small bucket rows before the Python pass: AQE
+    # coalesces the aggregate to 1-2 partitions, which would serialize
+    # the per-bucket set counting onto 1-2 cores (same fix as
+    # _bucket_pairs_prefiltered)
+    counts = buckets.select("ids").repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    ).mapInPandas(
         gen, "a long, b long, _i long, _u long"
     ).distinct()
     jac = F.col("_i").cast("double") / F.col("_u")

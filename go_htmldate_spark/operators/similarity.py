@@ -434,7 +434,15 @@ def _bucket_pairs_prefiltered(
                 "b": np.concatenate(out_b) if out_b else empty,
             })
 
-    return buckets.select("ids").mapInPandas(gen, "a long, b long").distinct()
+    # AQE coalesces the byte-small bucket aggregate to 1-2 post-shuffle
+    # partitions, which would serialize the numpy pair generation onto
+    # 1-2 cores (measured r06: 2 tasks for 8.7M pairs of gram-matrix
+    # work); round-robin the O(buckets) rows across the session's
+    # parallelism first — per-bucket output is partitioning-invariant
+    sel = buckets.select("ids").repartition(
+        banded.sparkSession.sparkContext.defaultParallelism
+    )
+    return sel.mapInPandas(gen, "a long, b long").distinct()
 
 
 def ann_topk(

@@ -79,9 +79,10 @@ def parked_flags(
     is regexp/length algebra over the row itself."""
     text = F.coalesce(F.col(text_col), F.lit(""))
     html = F.coalesce(F.col(html_col), F.lit(""))
-    n_tok = F.size(F.split(F.trim(text), "\\s+")) - F.when(
-        F.length(F.trim(text)) == 0, 1
-    ).otherwise(0)
+    # token count as non-space-run count: identical to the
+    # split-size-minus-empty-correction form for every input (r06 —
+    # no token array allocated per row)
+    n_tok = F.regexp_count(text, F.lit(r"\S+"))
     n_anchor = F.regexp_count(html, F.lit(_ANCHOR_RX))
     park_phrase = (
         F.regexp_count(F.substring(text, 1, lead_chars), F.lit(_PHRASE_RX))

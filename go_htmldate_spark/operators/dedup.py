@@ -236,6 +236,15 @@ def bucket_candidate_pairs(
     # bucket²-sized array of structs per bucket row in interpreted HOFs
     # before exploding — measured 1.5x slower at 9.4M pairs (r06) for
     # the same output set.
+    #
+    # Spread the byte-small bucket rows first: AQE coalesces the
+    # aggregate to 1-2 post-shuffle partitions, which would serialize
+    # the bucket²-row explode onto 1-2 cores (r06; same fix as the
+    # numpy bucket passes). Round-robin — pair rows are
+    # partitioning-invariant and the distinct re-shuffles anyway.
+    buckets = buckets.repartition(
+        banded.sparkSession.sparkContext.defaultParallelism
+    )
     return (
         buckets.select("ids", F.posexplode("ids").alias("_i", "a"))
         .select(

@@ -253,6 +253,7 @@ def ann_selfjoin_pairs(
     # single-file corpora arrive as 1 scan task; spread the rows across
     # cores before the n_tables·n_planes·dim signature arithmetic
     # (guide §2.5) — per-row results are partitioning-invariant
+    raw = embeddings
     embeddings = _spread_input(embeddings)
     vec = F.col(vec_col).cast("array<double>")
 
@@ -305,7 +306,10 @@ def ann_selfjoin_pairs(
     # pass-through), so the exact rerank below yields bit-identical
     # rows (pinned against the inline path in tests). Above the budget
     # the inline pure-Spark pairing runs unchanged.
-    bc = _collect_vector_broadcast(embeddings, id_col, vec, dim)
+    # collect from the UNSPREAD input: the broadcast needs values only,
+    # and the spread exchange would make the bounded fetch pay a full
+    # shuffle for nothing
+    bc = _collect_vector_broadcast(raw, id_col, vec, dim)
     if bc is not None:
         pairs = _bucket_pairs_prefiltered(
             banded, id_col, max_bucket, bc, float(min_cosine)
@@ -356,18 +360,17 @@ def _collect_vector_broadcast(embeddings, id_col, vec, dim):
     import numpy as np
 
     cap = max(1, _PREFILTER_BUDGET_DOUBLES // max(dim, 1))
-    rows = (
-        embeddings.select(F.col(id_col).cast("long"), vec)
+    pdf = (
+        embeddings.select(F.col(id_col).cast("long").alias("_id"), vec.alias("_v"))
         .limit(cap + 1)
-        .collect()
+        .toPandas()  # Arrow fetch — far cheaper than row-pickled collect
     )
-    if len(rows) > cap:
+    if len(pdf) > cap:
         return None
     ids, vecs = [], []
-    for r in rows:
-        v = r[1]
+    for i, v in zip(pdf["_id"].to_numpy(), pdf["_v"]):
         if v is not None and len(v) == dim:
-            ids.append(r[0])
+            ids.append(i)
             vecs.append(v)
     if not ids:
         return None

@@ -37,10 +37,25 @@ def get_spark(
     # per core spreads multi-file reads without touching row-group
     # bound parquet scans.
     min_parts = os.environ.get("SPARK_GRAFT_MIN_PARTITION_NUM", cpus)
+    # Shuffle/scratch directory. This sandbox's disk is the noisy
+    # resource (multi-second I/O-wait phases while CPUs idle), so
+    # shuffle files and spills default to tmpfs when /dev/shm exists —
+    # RAM-backed, bounded by the same memory budget the block manager
+    # already uses. Production nodes with real local SSDs should point
+    # SPARK_GRAFT_LOCAL_DIR at them (guide §2.1: local disk bandwidth
+    # for shuffle files can be the tighter limit).
+    default_local = "/dev/shm/spark_graft_tmp" if os.path.isdir("/dev/shm") \
+        else None
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR", default_local)
 
-    return (
+    builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+    )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
+    return (
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.files.maxPartitionBytes", max_part)
         .config("spark.sql.files.minPartitionNum", str(min_parts))

@@ -61,6 +61,12 @@ def get_spark(
         .config("spark.sql.files.minPartitionNum", str(min_parts))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # NOTE (r06): AQE sizes post-shuffle partitions by BYTES, so a
+        # byte-small aggregate feeding CPU-heavy per-row work coalesces
+        # onto 1-2 cores; a global minPartitionSize=256k was A/B'd and
+        # REVERTED (neutral-to-worse — it adds tasks to every small
+        # stage), in favor of explicit round-robin spreads at the three
+        # measured hot spots (bucket pair fan-outs in dedup/similarity).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.session.timeZone", "UTC")

@@ -79,10 +79,13 @@ def parked_flags(
     is regexp/length algebra over the row itself."""
     text = F.coalesce(F.col(text_col), F.lit(""))
     html = F.coalesce(F.col(html_col), F.lit(""))
-    # token count as non-space-run count: identical to the
-    # split-size-minus-empty-correction form for every input (r06 —
-    # no token array allocated per row)
-    n_tok = F.regexp_count(text, F.lit(r"\S+"))
+    # token count via split-size: regexp_count('\\S+') is value-
+    # identical but was A/B'd 3x SLOWER here (7.9 vs 2.6 s at sf1 —
+    # ~80 regex matches/row each pay the engine's per-match overhead,
+    # far more than one split pass + array allocation); kept split.
+    n_tok = F.size(F.split(F.trim(text), "\\s+")) - F.when(
+        F.length(F.trim(text)) == 0, 1
+    ).otherwise(0)
     n_anchor = F.regexp_count(html, F.lit(_ANCHOR_RX))
     park_phrase = (
         F.regexp_count(F.substring(text, 1, lead_chars), F.lit(_PHRASE_RX))

@@ -86,11 +86,9 @@ def soft404_flags(
     # same truth value as regexp_extract != '' — the phrase alternation
     # cannot match empty), and it short-circuits on the first hit
     err = head.rlike(_ERR_RX)
-    # token count as whitespace-run count + 1: identical to
-    # size(split(trim(txt), '\s+')) for every input (split of an empty
-    # trimmed string yields [''] — size 1 — and regexp_count yields
-    # 0 + 1) without allocating the token array per row
-    ntok = F.regexp_count(F.trim(txt), F.lit(r"\s+")) + F.lit(1)
+    # token count via split-size (regexp_count was A/B'd slower here —
+    # per-match regex overhead beats one split pass, see parked.py)
+    ntok = F.size(F.split(F.trim(txt), r"\s+"))
     tiny = ntok <= F.lit(int(max_tokens))
 
     base = (
@@ -143,7 +141,7 @@ def soft404_signal_flags(
     txt = F.coalesce(F.col(text_col), F.lit(""))
     head = F.substring(txt, 1, head_chars)
     err = head.rlike(_ERR_RX)
-    ntok = F.regexp_count(F.trim(txt), F.lit(r"\s+")) + F.lit(1)
+    ntok = F.size(F.split(F.trim(txt), r"\s+"))
     tiny = ntok <= F.lit(int(max_tokens))
     signals = df.select(
         F.col(url_col),

@@ -774,8 +774,21 @@ class CrawlScheduler:
         fetched = fetch_join(corpus, sched_keys, cfg.fetch_join)
         # repartition before the UDF: AQE sizes post-join partitions by
         # bytes, but extraction cost is per-row CPU — without this the
-        # Python stage runs on a handful of coalesced partitions
-        n_part = self.spark.sparkContext.defaultParallelism * 2
+        # Python stage runs on a handful of coalesced partitions.
+        # Adaptive to the round's actual size (r06): a 200-URL politeness
+        # round otherwise fans into 64 Arrow tasks of 3 rows each, paying
+        # ~60 worker round-trips for nothing; scheduled is cached, so the
+        # count is a cache scan (and warms the cache ahead of the
+        # concurrent writes below). Row placement does not affect any
+        # per-row result.
+        n_sched_now = scheduled.count()
+        n_part = max(
+            1,
+            min(
+                self.spark.sparkContext.defaultParallelism * 2,
+                (n_sched_now + 63) // 64,
+            ),
+        )
         extracted = extract_dates(
             fetched.select(
                 "url", "url_hash", "host", "priority", "html", "outlinks"

@@ -1128,18 +1128,26 @@ def test_streaming_curation_composes(spark, tmp_path_factory):
 
 
 def test_window_grams_differential_fuzz(spark):
-    """Differential fuzz: the window/lead gram generator must emit
-    exactly the grams an independent pure-Python reference derives
-    from the same normalization (lowercase, ASCII-whitespace runs to
-    one space, trim). Alphabet is printable ASCII + whitespace — the
-    engines' trim/lower agree there; engine-vs-engine parity at the
-    unicode fringe is the DuckDB oracle gate's job."""
+    """Differential fuzz: the gram generator behind decontamination
+    (r06: the bound-token array form — the window/lead builder it
+    replaced is gone) must emit exactly the grams an independent
+    pure-Python reference derives from the same normalization
+    (lowercase, ASCII-whitespace runs to one space, trim). Alphabet is
+    printable ASCII + whitespace — the engines' trim/lower agree
+    there; engine-vs-engine parity at the unicode fringe is the DuckDB
+    oracle gate's job."""
     import re
 
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
-    from go_htmldate_spark.operators.curation import _window_word_ngrams
+    from go_htmldate_spark.operators.textstats import word_ngrams
+
+    def _window_word_ngrams(df, n, text_col, id_col):
+        return df.select(
+            F.col(id_col),
+            F.explode(word_ngrams(text_col, n)).alias("gram"),
+        )
 
     def ref_grams(text, n):
         toks = re.sub(r"\s+", " ", text.strip(" \t\n\r\f\x0b")).lower().split(" ")

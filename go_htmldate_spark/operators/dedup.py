@@ -860,8 +860,9 @@ def token_jaccard_pairs(
 # broadcast budget for the verify token sets: total corpus TEXT bytes
 # held driver-side (bytes bound the token count; probing bytes needs
 # no tokenize pass). Same bounded-broadcast pattern as the md5
-# distinct-shingle table.
-_TOKEN_SET_BUDGET_BYTES = 64 << 20
+# distinct-shingle table; sized so a 10x driver scale factor still
+# takes the fused path while a real web-scale corpus falls back.
+_TOKEN_SET_BUDGET_BYTES = 256 << 20
 
 
 def _collect_token_sets(toks, id_col, probe_df=None, probe_col=None):

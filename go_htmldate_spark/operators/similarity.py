@@ -347,8 +347,10 @@ def ann_selfjoin_pairs(
 
 
 # broadcast budget for the prefilter matrix: doubles held driver-side
-# (48 MB — the same bound the minhash distinct-shingle join uses)
-_PREFILTER_BUDGET_DOUBLES = 6_000_000
+# (128 MB; each reused Python worker holds one copy, so local sessions
+# pay workers x budget RAM — sized so a 10x driver scale factor still
+# takes the fast path while a real web-scale corpus falls back)
+_PREFILTER_BUDGET_DOUBLES = 16_000_000
 
 
 def _collect_vector_broadcast(embeddings, id_col, vec, dim):
